@@ -1,0 +1,21 @@
+"""search_engine_spark — a from-scratch PySpark-native inverted-index + BM25
+query engine with the query/data-processing capabilities of the reference
+``maratmurt/search-engine`` (Java/Spring/MySQL crawler+lemmatizer+search).
+
+The reference defines *semantics* (tokenization, TF/DF stats, AND query
+logic, ranking contract, API shape — see SURVEY.md); Spark defines the
+*architecture*: DataFrame/Catalyst logical plans, vectorized pandas/Arrow
+UDFs (never per-row Python), explode+groupBy posting construction with
+salted-key skew splitting, delta-gap+varint compressed postings, block-max
+AND/WAND top-k serving, per-partition checkpoint manifest.
+
+Layout:
+    functions/   tokenize/lemmatize + scoring + text-quality (frozen specs)
+    operators/   build, codec, query, dedup, similarity, intersect
+    sources/     storage shim (parquet dirs now, Iceberg-shaped API)
+    plans/       build manifest: checkpoints, lineage, metrics
+    streaming/   structured-streaming ingest (foreachBatch incremental index)
+    oracle/      single-node pandas/numpy oracle (rank-identity tests)
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,296 @@
+"""Frozen text-analysis spec: tokenize → legality filter → language route →
+stopword drop → lemmatize (→ ё-folding).
+
+Semantics mirror the reference ``utils/Lemmatizer.java``:
+  * split on ``[^A-Za-z'А-Яа-яЁё]+``, lowercase (Lemmatizer.java:95-103,107)
+  * drop tokens with len<2 or containing an apostrophe (Lemmatizer.java:100-102)
+  * route pure-Latin → English branch, pure-Cyrillic → Russian branch,
+    mixed-script → dropped (Lemmatizer.java:109-121)
+  * stopword drop — the reference drops by Lucene-morphology POS class
+    (RU {СОЮЗ,ПРЕДЛ,ЧАСТ,МС}, EN {ARTICLE,PREP,PRON,PN,VBE},
+    Lemmatizer.java:43-77); that JVM library is unavailable, so we FREEZE
+    deterministic stopword lists standing in for those classes
+  * lemmatize to normal form(s) — frozen suffix-stripping rules + exception
+    dict below stand in for LuceneMorphology.getNormalForms
+    (Lemmatizer.java:105-122); like the reference, one word may emit
+    MULTIPLE normal forms, each counted toward TF (Lemmatizer.java:26-38)
+  * ё→е folding of Russian normal forms (Lemmatizer.java:113)
+
+For the source-code corpus (BASELINE.json input_hint) we additionally split
+camelCase/snake_case identifiers before tokenization (``code=True``).
+
+The SAME functions here are used by (a) the vectorized pandas UDF inside the
+Spark build, (b) the driver-side query analyzer, and (c) the single-node
+oracle — rank-identity is with THIS spec (SURVEY §5.2).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+# --- frozen constants -------------------------------------------------------
+
+TOKEN_RE = re.compile(r"[a-zа-яё']+")  # applied to lowercased text
+CAMEL_RE = re.compile(r"([a-z0-9])([A-Z])")
+EN_RE = re.compile(r"^[a-z]+$")
+RU_RE = re.compile(r"^[а-яё]+$")
+
+# Stand-ins for reference POS-class stopword drop (Lemmatizer.java:43-77).
+EN_STOPWORDS = frozenset(
+    """a an the of in on at to and or is are was were be been am i you he she
+    it we they this that these those with for as by from not no do does did
+    have has had will would shall should can could may might must my your his
+    her its our their me him them us so if but than then there here what who
+    whom which when where why how all any both each few more most other some
+    such only own same too very just about into over under again further once
+    up down out off""".split()
+)
+RU_STOPWORDS = frozenset(
+    """и в на не с по к а но что как же бы за из у о от до под над при без
+    для он она оно они мы вы ты я это то так ли или да нет ни же уже еще ещё
+    вот там тут его ее её их ему ей им нам вам себя свой весь этот тот""".split()
+)
+
+# Exception dict: irregular forms, incl. words with MULTIPLE normal forms
+# (the reference's ambiguous-morphology behavior, Lemmatizer.java:26-27).
+EN_EXCEPTIONS: dict[str, tuple[str, ...]] = {
+    "men": ("man",),
+    "women": ("woman",),
+    "children": ("child",),
+    "feet": ("foot",),
+    "mice": ("mouse",),
+    "leaves": ("leaf", "leave"),  # ambiguous: noun plural vs verb
+    "axes": ("axe", "axis"),  # ambiguous
+    "better": ("good", "better"),  # ambiguous: comparative vs verb
+    "data": ("data",),
+    "media": ("media",),
+    "went": ("go",),
+    "got": ("get",),
+    "made": ("make",),
+    "said": ("say",),
+    "classes": ("class",),
+    "indices": ("index",),
+    "indexes": ("index",),
+    "queries": ("query",),
+}
+RU_EXCEPTIONS: dict[str, tuple[str, ...]] = {
+    "люди": ("человек",),
+    "дети": ("ребенок",),
+    "стекла": ("стекло", "стечь"),  # ambiguous
+}
+
+# Ordered suffix rules (longest-match-first), min remaining stem length 3.
+_EN_SUFFIXES: tuple[tuple[str, str], ...] = (
+    ("iness", "y"),
+    ("ness", ""),
+    ("ements", "ement"),
+    ("ations", "ation"),
+    ("ingly", ""),
+    ("edly", ""),
+    ("ies", "y"),
+    ("sses", "ss"),
+    ("shes", "sh"),
+    ("ches", "ch"),
+    ("xes", "x"),
+    ("zes", "z"),
+    ("ing", ""),
+    ("ed", ""),
+    ("ly", ""),
+    ("s", ""),
+)
+_EN_S_KEEP = ("ss", "us", "is")  # never strip bare 's' after these
+_RU_SUFFIXES: tuple[str, ...] = (
+    "иями",
+    "ями",
+    "ами",
+    "ого",
+    "его",
+    "ому",
+    "ему",
+    "ыми",
+    "ими",
+    "ией",
+    "иях",
+    "ах",
+    "ях",
+    "ам",
+    "ям",
+    "ой",
+    "ей",
+    "ом",
+    "ем",
+    "ов",
+    "ев",
+    "ию",
+    "ии",
+    "ть",
+    "ы",
+    "и",
+    "а",
+    "я",
+    "о",
+    "е",
+    "у",
+    "ю",
+    "ь",
+)
+_MIN_STEM = 3
+
+# --- pure-Python spec (oracle + driver-side query analysis) -----------------
+
+
+def lemmatize_en(word: str) -> tuple[str, ...]:
+    """Frozen English normal-form rules (stand-in for
+    EnglishLuceneMorphology.getNormalForms, Lemmatizer.java:115-121)."""
+    exc = EN_EXCEPTIONS.get(word)
+    if exc is not None:
+        return exc
+    for suf, rep in _EN_SUFFIXES:
+        if word.endswith(suf) and len(word) - len(suf) >= _MIN_STEM:
+            if suf == "s" and word.endswith(_EN_S_KEEP):
+                continue
+            return (word[: -len(suf)] + rep,)
+    return (word,)
+
+
+def lemmatize_ru(word: str) -> tuple[str, ...]:
+    """Frozen Russian normal-form rules + ё→е folding
+    (stand-in for RussianLuceneMorphology, Lemmatizer.java:109-114)."""
+    word = word.replace("ё", "е")
+    exc = RU_EXCEPTIONS.get(word)
+    if exc is not None:
+        return exc
+    for suf in _RU_SUFFIXES:
+        if word.endswith(suf) and len(word) - len(suf) >= _MIN_STEM:
+            return (word[: -len(suf)],)
+    return (word,)
+
+
+def split_identifiers(text: str) -> str:
+    """camelCase → camel Case; snake/kebab handled by the split regex.
+    Applied BEFORE lowercasing for the source-code corpus."""
+    return CAMEL_RE.sub(r"\1 \2", text)
+
+
+def tokenize(text: str, code: bool = False) -> list[str]:
+    """Raw legal words: lowercased, len>=2, no apostrophe
+    (Lemmatizer.java:95-103,107)."""
+    if code:
+        text = split_identifiers(text)
+    toks = TOKEN_RE.findall(text.lower())
+    return [t for t in toks if len(t) >= 2 and "'" not in t]
+
+
+def analyze(text: str, code: bool = False) -> list[str]:
+    """Full pipeline → flat list of normal forms (one entry per occurrence
+    per form — multi-form words contribute to every form's TF, matching
+    buildLemmaRankMap semantics at Lemmatizer.java:21-41)."""
+    out: list[str] = []
+    for w in tokenize(text, code=code):
+        if EN_RE.match(w):
+            if w in EN_STOPWORDS:
+                continue
+            out.extend(lemmatize_en(w))
+        elif RU_RE.match(w):
+            if w in RU_STOPWORDS:
+                continue
+            out.extend(lemmatize_ru(w))
+        # mixed-script (or apostrophe-bearing already dropped): skip
+        # (Lemmatizer.java:109-121 leaves such words un-lemmatized → dropped)
+    return out
+
+
+def analyze_query(query: str, code: bool = False) -> list[str]:
+    """Distinct query lemmas, sorted (deterministic summation order for
+    scoring — SURVEY §4.3.5). Reference: SearchServiceImpl.java:48."""
+    return sorted(set(analyze(query, code=code)))
+
+
+# --- vectorized pandas form (used inside mapInPandas batches) ----------------
+
+_lemma_cache: dict[tuple[str, bool], tuple[str, ...] | None] = {}
+
+
+def _lemmas_for_token(tok: str, code: bool) -> tuple[str, ...] | None:
+    if EN_RE.match(tok):
+        return None if tok in EN_STOPWORDS else lemmatize_en(tok)
+    if RU_RE.match(tok):
+        return None if tok in RU_STOPWORDS else lemmatize_ru(tok)
+    return None
+
+
+def analyze_series_exploded(
+    doc_ids: pd.Series, texts: pd.Series, code: bool = False
+) -> pd.DataFrame:
+    """Vectorized batch analysis: (doc_ids, texts) → exploded
+    ``(doc_id, term)`` frame, one row per normal-form occurrence.
+
+    Vectorization strategy (no per-row Python UDF; this runs inside an
+    Arrow-batched ``mapInPandas``): pandas str-ops find raw tokens for the
+    whole batch, tokens are exploded with ``np.repeat``, and lemmatization
+    runs ONCE per unique token (cached across batches) then maps back —
+    the per-unique work is tiny relative to the batch.
+    """
+    s = texts.astype(str)
+    if code:
+        s = s.str.replace(CAMEL_RE, r"\1 \2", regex=True)
+    token_lists = s.str.lower().str.findall(TOKEN_RE)
+    counts = token_lists.str.len().fillna(0).astype(np.int64).to_numpy()
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in token_lists]) if counts.sum() else np.array([], dtype=object)
+    ids = np.repeat(doc_ids.to_numpy(), counts)
+
+    if len(flat) == 0:
+        return pd.DataFrame({"doc_id": np.array([], dtype=np.int64), "term": []})
+
+    tok_s = pd.Series(flat)
+    legal = (tok_s.str.len() >= 2) & ~tok_s.str.contains("'", regex=False)
+    tok_s = tok_s[legal.to_numpy()]
+    ids = ids[legal.to_numpy()]
+    if len(tok_s) == 0:
+        return pd.DataFrame({"doc_id": np.array([], dtype=np.int64), "term": []})
+
+    # lemmatize unique tokens only
+    uniq = pd.unique(tok_s)
+    mapping: dict[str, tuple[str, ...] | None] = {}
+    for u in uniq:
+        key = (u, code)
+        if key not in _lemma_cache:
+            _lemma_cache[key] = _lemmas_for_token(u, code)
+        mapping[u] = _lemma_cache[key]
+
+    forms = tok_s.map(mapping)
+    keep = forms.notna().to_numpy()
+    forms = forms[keep]
+    ids = ids[keep]
+    if len(forms) == 0:
+        return pd.DataFrame({"doc_id": np.array([], dtype=np.int64), "term": []})
+    nforms = forms.map(len).to_numpy(dtype=np.int64)
+    out_ids = np.repeat(ids, nforms)
+    out_terms = np.concatenate([np.asarray(f, dtype=object) for f in forms]) if len(forms) else np.array([], dtype=object)
+    return pd.DataFrame({"doc_id": out_ids.astype(np.int64), "term": out_terms})
+
+
+def doclen_series(texts: pd.Series, code: bool = False) -> pd.Series:
+    """Per-doc analyzed-token count (BM25 doclen), vectorized like above."""
+    s = texts.astype(str)
+    if code:
+        s = s.str.replace(CAMEL_RE, r"\1 \2", regex=True)
+    token_lists = s.str.lower().str.findall(TOKEN_RE)
+
+    def _count(toks: list[str]) -> int:
+        n = 0
+        for t in toks:
+            if len(t) < 2 or "'" in t:
+                continue
+            key = (t, code)
+            if key not in _lemma_cache:
+                _lemma_cache[key] = _lemmas_for_token(t, code)
+            f = _lemma_cache[key]
+            if f is not None:
+                n += len(f)
+        return n
+
+    return token_lists.map(_count).astype(np.int64)

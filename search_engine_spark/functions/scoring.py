@@ -1,0 +1,65 @@
+"""Frozen BM25 scoring spec — ONE module shared by engine and oracle so
+rank-identity is testable (SURVEY §4.3.5).
+
+Constants: k1=1.2, b=0.75; idf = ln((N - df + 0.5)/(df + 0.5) + 1)
+(Lucene/Robertson+ form, always positive).
+
+The reference's ranking contract (SearchServiceImpl.java:103-131) is
+Σtf absolute relevance normalized by the max — kept as ``legacy`` parity
+mode; BM25 is the engine's primary scorer.
+
+Float determinism: per-doc scores sum term contributions in SORTED TERM
+ORDER in both engine and oracle, dodging float non-associativity across
+partitions. Tie-break is always (score desc, doc_id asc) —
+SearchServiceImpl.java:139 sorts only by relevance; ties there are
+HashMap-iteration luck, so we add the doc_id tie-break for determinism
+(SURVEY §2.5 T1).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+K1 = 1.2
+B = 0.75
+
+
+def idf(n_docs: int, df: int) -> float:
+    return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+
+def idf_np(n_docs: int, df: np.ndarray) -> np.ndarray:
+    return np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+
+def impact(tf: float, doclen: float, avgdl: float) -> float:
+    """df-independent part of the BM25 term contribution:
+    tf / (tf + k1*(1 - b + b*dl/avgdl)). Bounded by 1 as tf→∞; the block
+    metadata stores max(impact) per block so the block score bound is
+    idf * (k1+1) * max_impact (block-max WAND)."""
+    return tf / (tf + K1 * (1.0 - B + B * doclen / avgdl))
+
+
+def impact_np(tf: np.ndarray, doclen: np.ndarray, avgdl: float) -> np.ndarray:
+    tf = tf.astype(np.float64)
+    dl = doclen.astype(np.float64)
+    return tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+def bm25_contrib(tf: float, doclen: float, df: int, n_docs: int, avgdl: float) -> float:
+    """Op order is FROZEN to match the engine's Spark expression exactly
+    (left-assoc ((idf*(k1+1))*tf)/denom) — bit-identical float64 results."""
+    return (
+        idf(n_docs, df)
+        * (K1 + 1.0)
+        * tf
+        / (tf + K1 * ((1.0 - B) + B * doclen / avgdl))
+    )
+
+
+def bm25_contrib_np(
+    tf: np.ndarray, doclen: np.ndarray, df: np.ndarray, n_docs: int, avgdl: float
+) -> np.ndarray:
+    return idf_np(n_docs, df.astype(np.float64)) * (K1 + 1.0) * impact_np(tf, doclen, avgdl)

@@ -1,0 +1,203 @@
+"""Index build: corpus → docs → exploded tokens → TF → DF → compressed
+salted postings (SURVEY.md §3.2 "our pipeline").
+
+Replaces the reference's crawl-batch indexer (utils/BatchProcessor.java,
+utils/IndexProcessor.java) — its global lemma mutex
+(IndexProcessor.java:76) becomes Spark's partial+final shuffle aggregation;
+its LIMIT/OFFSET id recovery (dao/PageDao.java:28-32) becomes deterministic
+``xxhash64(repo,path,commit)`` ids; its exploded MySQL ``index`` rows
+become delta-gap+varint block payloads.
+
+Scale notes (the design target is a 1000-executor cluster on 10^12 files):
+  * every aggregation is a partial+final hash aggregate (map-side combine);
+  * hot terms ("import"/"def"/"the"-like code tokens appear in ~every doc)
+    are salted into RANGE-ordered sub-groups before posting encode, so no
+    single task ever holds a full hot posting list — sub-blocks concatenate
+    in doc_id order without re-decode (SURVEY §4.3.1);
+  * TF is computed once and reused for doc_stats, terms and postings
+    (persist or checkpoint between stages);
+  * all Python work is Arrow-batched pandas (mapInPandas/applyInPandas)
+    with numpy-vectorized bodies — no per-row Python UDFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ..functions import scoring
+from ..functions.analyze import analyze_series_exploded
+from ..schemas import POSTINGS, TOKENS_EXPLODED
+
+# Terms with df above this get salted into ~SALT_TARGET_ROWS sub-groups.
+SKEW_DF_THRESHOLD = 100_000
+SALT_TARGET_ROWS = 50_000
+
+
+def build_docs(corpus: DataFrame) -> DataFrame:
+    """Corpus → docs rows (no doclen yet — joined from doc_stats later).
+
+    doc_id = xxhash64(repo,path,commit): deterministic, order-independent
+    (vs reference auto-increment ids, model/Page.java:13-16). content_sha256
+    is the per-row invariant vs the input (BASELINE.json input_hint).
+    """
+    return corpus.select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"),
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )
+
+
+def tokens_exploded(docs: DataFrame, code: bool = True) -> DataFrame:
+    """docs → one row per (doc_id, normal-form occurrence).
+
+    Arrow-batched mapInPandas; the batch body is the vectorized analyzer
+    (functions/analyze.py) — pandas str-ops + per-UNIQUE-token lemma cache.
+    Spark's F.explode is not used because analysis itself produces the
+    exploded frame in one pass (cheaper than building array columns first).
+    """
+
+    def _analyze_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield analyze_series_exploded(pdf["doc_id"], pdf["content"], code=code)
+
+    return docs.select("doc_id", "content").mapInPandas(
+        _analyze_batches, schema=TOKENS_EXPLODED
+    )
+
+
+def term_frequencies(tokens: DataFrame) -> DataFrame:
+    """A1 (utils/Lemmatizer.java:21-41 buildLemmaRankMap): TF per (doc,term).
+    Partial+final hash aggregate; tf is an exact occurrence count."""
+    return tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+
+
+def doc_stats(tf: DataFrame) -> DataFrame:
+    """doclen = Σtf over the doc's terms (total analyzed-token count)."""
+    return tf.groupBy("doc_id").agg(F.sum("tf").alias("doclen"))
+
+
+def term_stats(tf: DataFrame, scope: str = "") -> DataFrame:
+    """A2+A3 (utils/IndexProcessor.java:36-49,73-107): document frequency.
+    The reference merges per-batch DF maps under a global mutex — here it is
+    one shuffle aggregate. Exact countDistinct semantics (the reference's
+    insert/update DF bugs are not reproduced — SURVEY §1.2)."""
+    return tf.groupBy("term").agg(F.count("*").alias("df")).select(
+        F.lit(scope).alias("scope"), "term", "df"
+    )
+
+
+def corpus_stats(dstats: DataFrame) -> DataFrame:
+    return dstats.agg(
+        F.count("*").alias("n_docs"), F.avg("doclen").cast("double").alias("avgdl")
+    )
+
+
+def _postings_encoder(avgdl: float):
+    """applyInPandas body: one (term, salt) group → block rows.
+
+    Numpy end-to-end: sort by doc_id, chunk to BLOCK_SIZE, delta-gap+varint
+    encode each block, compute block-max metadata (max_impact = max of the
+    df-independent BM25 part, so block score bound = idf*(k1+1)*max_impact).
+    """
+    from .codec import BLOCK_SIZE, encode_counts, encode_doc_ids
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+        ids = pdf["doc_id"].to_numpy()[order]
+        tfs = pdf["tf"].to_numpy()[order]
+        dls = pdf["doclen"].to_numpy()[order]
+        term = pdf["term"].iloc[0]
+        imp = scoring.impact_np(tfs, dls, avgdl)
+        rows = []
+        for s in range(0, len(ids), BLOCK_SIZE):
+            e = s + BLOCK_SIZE
+            bi, bt, bd = ids[s:e], tfs[s:e], dls[s:e]
+            rows.append(
+                (
+                    term,
+                    -1,  # block_id assigned globally afterwards
+                    encode_doc_ids(bi),
+                    encode_counts(bt),
+                    encode_counts(bd),
+                    len(bi),
+                    int(bi[0]),
+                    int(bi[-1]),
+                    float(bt.max()),
+                    float(imp[s:e].max()),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "term",
+                "block_id",
+                "doc_ids",
+                "tfs",
+                "doclens",
+                "count",
+                "min_doc",
+                "max_doc",
+                "max_tf",
+                "max_impact",
+            ],
+        )
+
+    return encode
+
+
+def build_postings(
+    tf_with_dl: DataFrame,
+    terms: DataFrame,
+    avgdl: float,
+    skew_df_threshold: int = SKEW_DF_THRESHOLD,
+    salt_target_rows: int = SALT_TARGET_ROWS,
+) -> DataFrame:
+    """(term, doc_id, tf, doclen) rows → compressed block table.
+
+    Salted-key skew splitting (SURVEY §4.3.1): terms with df above the
+    threshold are split into ``n_salts = ceil(df / salt_target_rows)``
+    RANGE buckets of the (uniform, hash-derived) doc_id space — the bucket
+    function is monotone in doc_id, so each (term, salt) group covers a
+    disjoint ascending doc range and its blocks concatenate in global
+    doc order with NO second decode pass. Global block_id is then a cheap
+    row_number window over block rows (count/BLOCK_SIZE rows, not postings).
+    """
+    hot = (
+        terms.filter(F.col("df") > skew_df_threshold)
+        .select(
+            "term",
+            F.ceil(F.col("df") / F.lit(salt_target_rows)).cast("int").alias("n_salts"),
+        )
+    )
+    with_salt = (
+        tf_with_dl.join(F.broadcast(hot), "term", "left")
+        .withColumn("n_salts", F.coalesce(F.col("n_salts"), F.lit(1)))
+        .withColumn(
+            # order-preserving proportional bucket of the int64 doc_id space:
+            # frac = (doc_id + 2^63) / 2^64 ∈ [0,1); salt = floor(frac*n)
+            "salt",
+            F.least(
+                F.col("n_salts") - 1,
+                F.floor(
+                    (F.col("doc_id").cast("double") / F.lit(float(2**64)) + F.lit(0.5))
+                    * F.col("n_salts")
+                ).cast("int"),
+            ),
+        )
+        .select("term", "salt", "doc_id", "tf", "doclen")
+    )
+    blocks = with_salt.groupBy("term", "salt").applyInPandas(
+        _postings_encoder(avgdl), schema=POSTINGS
+    )
+    w = Window.partitionBy("term").orderBy("min_doc")
+    return blocks.withColumn("block_id", (F.row_number().over(w) - 1).cast("int"))

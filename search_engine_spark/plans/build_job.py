@@ -1,0 +1,167 @@
+"""Full index-build orchestration: staged, checkpointed, resumable.
+
+Stage graph (each stage writes its output table, then its manifest DONE row
+— restart skips DONE stages / DONE posting shards):
+
+    corpus ─ ingest ─→ tf ──→ doc_stats ──→ docs (join doclen)
+                        │          │
+                        │          └─→ corpus_stats
+                        ├─→ terms (df)
+                        └─(join doclen)─→ postings shard 0..S-1
+
+The postings stage is sharded by ``pmod(xxhash64(term), S)`` so a 100 TB
+build commits progress in S independent units; each shard is one Spark job
+writing ``postings/shard=k``. Lineage + metrics (docs/sec, postings/sec,
+skew factor) land in the manifest per stage/shard (north_rule).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import build as B
+from ..schemas import CORPUS, DOC_STATS, TERMS
+from ..sources.catalog import Catalog
+from .manifest import Manifest
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    catalog: Catalog,
+    n_shards: int = 4,
+    code: bool = True,
+    skew_df_threshold: int = B.SKEW_DF_THRESHOLD,
+    salt_target_rows: int = B.SALT_TARGET_ROWS,
+    build_id: str | None = None,
+    scope: str = "",
+) -> Manifest:
+    """Run (or resume) the full build into ``catalog``. Idempotent: any
+    stage with a DONE manifest row and existing output is skipped."""
+    man = Manifest(
+        path=catalog.path("build_manifest.jsonl"),
+        build_id=build_id or uuid.uuid4().hex[:12],
+    )
+
+    # -- stage: tf ------------------------------------------------------
+    if not (man.stage_done("tf") and catalog.exists("tf")):
+        man.start("tf")
+        try:
+            docs_raw = B.build_docs(corpus)
+            tf = B.term_frequencies(B.tokens_exploded(docs_raw, code=code))
+            catalog.write(tf, "tf")
+            n = catalog.read(spark, "tf").count()
+            man.done("tf", postings=n)
+        except Exception as e:  # noqa: BLE001
+            man.fail("tf", error=repr(e))
+            raise
+    tf = catalog.read(spark, "tf")
+
+    # -- stage: doc_stats -------------------------------------------------
+    if not (man.stage_done("doc_stats") and catalog.exists("doc_stats")):
+        man.start("doc_stats")
+        catalog.write(B.doc_stats(tf), "doc_stats")
+        man.done("doc_stats", docs=catalog.read(spark, "doc_stats").count())
+    dstats = catalog.read(spark, "doc_stats", DOC_STATS)
+
+    # -- stage: docs (ingest + doclen) ------------------------------------
+    if not (man.stage_done("docs") and catalog.exists("docs")):
+        man.start("docs")
+        docs = (
+            B.build_docs(corpus)
+            .join(dstats, "doc_id", "left")
+            .withColumn("doclen", F.coalesce(F.col("doclen"), F.lit(0)))
+            # bucket(repo) partitioning stand-in (Iceberg: bucket(16, repo))
+            .withColumn("repo_bucket", F.pmod(F.xxhash64("repo"), F.lit(16)))
+        )
+        catalog.write(docs, "docs", partition_by=["repo_bucket"])
+        n = catalog.read(spark, "docs").count()
+        man.done("docs", docs=n)
+    n_docs_total = catalog.read(spark, "docs").count()
+
+    # -- stage: terms ------------------------------------------------------
+    if not (man.stage_done("terms") and catalog.exists("terms")):
+        man.start("terms")
+        catalog.write(B.term_stats(tf, scope=scope), "terms")
+        man.done("terms", postings=catalog.read(spark, "terms").count())
+    terms = catalog.read(spark, "terms", TERMS)
+
+    # -- stage: corpus_stats ----------------------------------------------
+    if not (man.stage_done("corpus_stats") and catalog.exists("corpus_stats")):
+        man.start("corpus_stats")
+        catalog.write(B.corpus_stats(dstats), "corpus_stats")
+        man.done("corpus_stats")
+    cstats = catalog.read(spark, "corpus_stats").collect()[0]
+    avgdl = float(cstats["avgdl"]) if cstats["n_docs"] else 1.0
+
+    # -- stage: postings, sharded by term hash ----------------------------
+    tf_dl = tf.join(dstats, "doc_id")
+    done_shards = man.done_units("postings")
+    for k in range(n_shards):
+        if k in done_shards and catalog.exists(f"postings/shard={k}"):
+            continue
+        man.start("postings", k)
+        try:
+            t0 = time.time()
+            shard_tf = tf_dl.filter(F.pmod(F.xxhash64("term"), F.lit(n_shards)) == k)
+            shard_terms = terms.filter(
+                F.pmod(F.xxhash64("term"), F.lit(n_shards)) == k
+            )
+            blocks = B.build_postings(
+                shard_tf,
+                shard_terms,
+                avgdl,
+                skew_df_threshold=skew_df_threshold,
+                salt_target_rows=salt_target_rows,
+            )
+            catalog.write(blocks, f"postings/shard={k}")
+            written = catalog.read(spark, f"postings/shard={k}")
+            agg = written.agg(
+                F.sum("count").alias("p"),
+                F.count("*").alias("blocks"),
+                F.sum(F.length("doc_ids") + F.length("tfs") + F.length("doclens")).alias(
+                    "bytes"
+                ),
+            ).collect()[0]
+            # skew factor: max/median rows per encode group (term,salt-merged
+            # at block level: per-term rows post-salting ≈ group rows)
+            gsz = (
+                written.groupBy("term")
+                .agg(F.sum("count").alias("rows"))
+                .agg(
+                    F.max("rows").alias("mx"),
+                    F.percentile_approx("rows", 0.5).alias("md"),
+                )
+                .collect()[0]
+            )
+            skew = float(gsz["mx"]) / max(float(gsz["md"]), 1.0) if gsz["mx"] else 0.0
+            el = time.time() - t0
+            man.done(
+                "postings",
+                k,
+                postings=int(agg["p"] or 0),
+                bytes_=int(agg["bytes"] or 0),
+                skew_factor=skew,
+                postings_per_sec=float(agg["p"] or 0) / max(el, 1e-9),
+            )
+        except Exception as e:  # noqa: BLE001
+            man.fail("postings", k, error=repr(e))
+            raise
+
+    # overall build metrics row
+    man.start("build_total")
+    total_p = sum(
+        r.get("postings") or 0
+        for r in man.rows()
+        if r["stage"] == "postings" and r["status"] == "DONE"
+    )
+    man.done("build_total", docs=n_docs_total, postings=total_p)
+    return man
+
+
+def read_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Read an input corpus parquet with the fixed schema enforced."""
+    return spark.read.schema(CORPUS).parquet(path)

@@ -1,0 +1,104 @@
+"""Build manifest: per-stage / per-partition checkpoints, lineage, metrics.
+
+Replaces the reference's status heartbeat + duration logging
+(utils/BatchProcessor.java:42-47, utils/IndexingTasksManager.java:36-41,
+model/Status.java:3-5) with queryable ledger rows
+(stage, partition_id, status, timings, docs, postings, bytes, skew_factor).
+
+Resumability contract (north_rule): each build stage — and within the
+postings stage each term-shard — appends a DONE row atomically AFTER its
+output write commits. Restart = read manifest, skip DONE units (anti-join
+of planned units vs DONE units). Manifest rows are append-only JSONL on the
+driver (at cluster scale: an Iceberg table appended per commit); JSONL here
+keeps appends atomic without a Spark write per row.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Manifest:
+    path: str  # JSONL file
+    build_id: str
+    _t0: dict[tuple[str, int], float] = field(default_factory=dict)
+
+    def _append(self, row: dict) -> None:
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        with open(self.path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+
+    def start(self, stage: str, partition_id: int = -1) -> None:
+        self._t0[(stage, partition_id)] = time.time()
+        self._append(
+            {
+                "build_id": self.build_id,
+                "stage": stage,
+                "partition_id": partition_id,
+                "status": "RUNNING",
+                "started_at": time.time(),
+            }
+        )
+
+    def done(
+        self,
+        stage: str,
+        partition_id: int = -1,
+        docs: int | None = None,
+        postings: int | None = None,
+        bytes_: int | None = None,
+        skew_factor: float | None = None,
+        **extra: float,
+    ) -> None:
+        t0 = self._t0.get((stage, partition_id))
+        now = time.time()
+        self._append(
+            {
+                "build_id": self.build_id,
+                "stage": stage,
+                "partition_id": partition_id,
+                "status": "DONE",
+                "finished_at": now,
+                "elapsed_sec": None if t0 is None else now - t0,
+                "docs": docs,
+                "postings": postings,
+                "bytes": bytes_,
+                "skew_factor": skew_factor,
+                **extra,
+            }
+        )
+
+    def fail(self, stage: str, partition_id: int = -1, error: str = "") -> None:
+        self._append(
+            {
+                "build_id": self.build_id,
+                "stage": stage,
+                "partition_id": partition_id,
+                "status": "FAILED",
+                "finished_at": time.time(),
+                "error": error[:2000],
+            }
+        )
+
+    def rows(self) -> list[dict]:
+        if not os.path.exists(self.path):
+            return []
+        with open(self.path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def done_units(self, stage: str) -> set[int]:
+        """Partition ids with a DONE row for this stage (any build_id —
+        outputs are content-addressed by stage+shard, so prior builds'
+        completed shards remain valid for resume)."""
+        return {
+            r["partition_id"]
+            for r in self.rows()
+            if r["stage"] == stage and r["status"] == "DONE"
+        }
+
+    def stage_done(self, stage: str) -> bool:
+        return -1 in self.done_units(stage)

@@ -1,0 +1,148 @@
+"""Fixed StructType schemas for every engine table (SURVEY.md §1.3).
+
+The reference fixes its schemas with Hibernate DDL (``model/*.java``,
+``application.yaml:32-33``); we fix ours here and enforce them on every
+read — no inference in production paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# Input corpus (BASELINE.json input_hint): Iceberg-shaped table of
+# source-code files. Mirrors reference `page` (model/Page.java:11-30) with
+# (repo,path,commit) replacing (site_id,path) and content = file text.
+CORPUS = StructType(
+    [
+        StructField("repo", StringType(), False),
+        StructField("path", StringType(), False),
+        StructField("commit", StringType(), False),
+        StructField("lang", StringType(), False),
+        StructField("content", StringType(), False),
+    ]
+)
+
+# Document store derived from the corpus at ingest. doc_id is deterministic
+# xxhash64(repo,path,commit) — replaces the reference's auto-increment +
+# LIMIT/OFFSET id recovery (dao/PageDao.java:28-32, an order-dependence that
+# cannot exist distributed). At true 10^12-doc scale use the 128-bit variant
+# (two seeded xxhash64 columns) to keep collision odds negligible.
+DOCS = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("repo", StringType(), False),
+        StructField("path", StringType(), False),
+        StructField("commit", StringType(), False),
+        StructField("lang", StringType(), False),
+        StructField("content", StringType(), False),
+        StructField("content_sha256", StringType(), False),
+        StructField("doclen", LongType(), False),
+    ]
+)
+
+# Dictionary + document frequency. Mirrors reference `lemma`
+# (model/Lemma.java:12-30) but with exact countDistinct(doc) semantics —
+# the reference's insert/update quirks (utils/IndexProcessor.java:91-99,
+# dao/LemmaDao.java:30) are bugs we do NOT reproduce (SURVEY §1.2).
+TERMS = StructType(
+    [
+        StructField("scope", StringType(), False),  # repo scope ('' = global)
+        StructField("term", StringType(), False),
+        StructField("df", LongType(), False),
+    ]
+)
+
+# Exploded posting rows — the M1/oracle-comparison form. Mirrors reference
+# `index(page_id, lemma_id, rank)` (model/Index.java:11-28); rank==tf
+# (utils/Lemmatizer.java:30-40).
+POSTINGS_EXPLODED = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("tf", LongType(), False),
+        StructField("doclen", LongType(), False),
+    ]
+)
+
+# Compressed segment form: one row per (term, block). doc_ids/tfs/doclens are
+# delta-gap(doc_ids only)+varint byte payloads, block size BLOCK_SIZE docs.
+# max_impact = max over block of tf/(tf + k1*(1-b+b*dl/avgdl)) — the
+# df-independent part of BM25, so block bound = idf*(k1+1)*max_impact
+# (block-max WAND metadata).
+POSTINGS = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("block_id", IntegerType(), False),
+        StructField("doc_ids", BinaryType(), False),
+        StructField("tfs", BinaryType(), False),
+        StructField("doclens", BinaryType(), False),
+        StructField("count", LongType(), False),
+        StructField("min_doc", LongType(), False),
+        StructField("max_doc", LongType(), False),
+        StructField("max_tf", DoubleType(), False),
+        StructField("max_impact", DoubleType(), False),
+    ]
+)
+
+DOC_STATS = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("doclen", LongType(), False),
+    ]
+)
+
+CORPUS_STATS = StructType(
+    [
+        StructField("n_docs", LongType(), False),
+        StructField("avgdl", DoubleType(), False),
+    ]
+)
+
+# Per-partition checkpoint/lineage ledger — replaces the reference's site
+# status heartbeat (utils/BatchProcessor.java:42-47) and duration logs
+# (utils/IndexingTasksManager.java:36-41) with queryable metric rows.
+BUILD_MANIFEST = StructType(
+    [
+        StructField("build_id", StringType(), False),
+        StructField("stage", StringType(), False),
+        StructField("partition_id", IntegerType(), False),
+        StructField("status", StringType(), False),  # PENDING RUNNING DONE FAILED
+        StructField("started_at", TimestampType(), True),
+        StructField("finished_at", TimestampType(), True),
+        StructField("docs", LongType(), True),
+        StructField("postings", LongType(), True),
+        StructField("bytes", LongType(), True),
+        StructField("skew_factor", DoubleType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+# Search API result rows (reference dto/search/SearchData.java:6-13).
+SEARCH_RESULT = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("site", StringType(), False),  # repo
+        StructField("siteName", StringType(), False),
+        StructField("uri", StringType(), False),  # path
+        StructField("title", StringType(), False),
+        StructField("snippet", StringType(), False),
+        StructField("relevance", DoubleType(), False),
+    ]
+)
+
+TOKENS_EXPLODED = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("term", StringType(), False),
+    ]
+)

@@ -1,0 +1,84 @@
+"""SparkSession factory with the engine's standard configuration.
+
+All knobs here are scale-oriented defaults: AQE (runtime re-planning +
+skew-join splitting), Arrow for every pandas-UDF boundary, and a shuffle
+partition count sized for the local sandbox (overridable — a real cluster
+sets ``spark.sql.shuffle.partitions`` ~ 2-3x total cores).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def package_zip() -> str:
+    """Zip this package for executor shipping — the ``spark-submit
+    --py-files`` artifact (north_rule). Cached per process."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(tempfile.gettempdir(), "search_engine_spark_pyfiles.zip")
+    if not os.path.exists(out):
+        tmp = out + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+            for root, _, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+        os.replace(tmp, out)
+    return out
+
+
+def get_spark(
+    app_name: str = "search_engine_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) in
+    the sandbox; on a cluster callers pass nothing and spark-submit decides.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
+        shuffle_partitions = 32 if n == "*" else max(8, int(n))
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime shuffle-partition coalescing + skew-join splitting —
+        # the baseline skew defense under our explicit salting (SURVEY §4.2).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow on every pandas-UDF boundary (input_hint mandate: vectorized
+        # pandas/Arrow UDFs, no per-row Python).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Broadcast joins for the tiny query-side dims (terms-hit, sites).
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    # Ship the package to python workers (equivalent of spark-submit
+    # --py-files): workers do NOT inherit the driver's sys.path, so any
+    # mapInPandas/applyInPandas closure referencing this package would
+    # otherwise fail with ModuleNotFoundError when the driver runs outside
+    # the repo root.
+    spark.sparkContext.addPyFile(package_zip())
+    return spark

@@ -1,0 +1,58 @@
+"""Storage shim: Iceberg-shaped table API over parquet directories.
+
+The production design targets Iceberg tables (partitioned `docs` by
+bucket(repo), `postings` by bucket(term), MERGE for incremental updates —
+SURVEY §4.4). The sandbox has no Iceberg runtime jar, so this shim keeps
+every operator storage-agnostic: the same calls map to Iceberg catalog ops
+on a real cluster and to parquet dirs here. Logic above this layer never
+touches paths directly.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+class Catalog:
+    """Parquet-dir backend. One subdir per table under ``root``."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def exists(self, name: str) -> bool:
+        p = self.path(name)
+        return os.path.isdir(p) and (
+            os.path.exists(os.path.join(p, "_SUCCESS"))
+            or any(f.endswith(".parquet") for _, _, fs in os.walk(p) for f in fs)
+        )
+
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> None:
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(name))
+
+    def read(self, spark: SparkSession, name: str, schema: StructType | None = None) -> DataFrame:
+        r = spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        return r.parquet(self.path(name))
+
+    def drop(self, name: str) -> None:
+        p = self.path(name)
+        if os.path.isdir(p):
+            shutil.rmtree(p)

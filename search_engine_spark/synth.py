@@ -1,0 +1,150 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md §1).
+
+Shape per BASELINE.json input_hint: ``(repo, path, commit, lang, content)``.
+Seeded (default 42); injects hot terms ("import", "def", "the") into >80%
+of docs to force posting-list skew (the salting test bed), includes Russian
+prose docs (Cyrillic tokenizer branch incl. ё-words) and camelCase /
+snake_case identifier soup (code tokenizer branch).
+
+Generation is vectorized numpy → pandas → spark.createDataFrame; no
+external data.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .schemas import CORPUS
+
+_EN_VOCAB = [
+    # fixed 200-word vocabulary (code-flavored English)
+    "query", "index", "search", "engine", "table", "scan", "merge", "sort",
+    "join", "hash", "shuffle", "partition", "broadcast", "filter", "column",
+    "row", "batch", "stream", "window", "state", "checkpoint", "lineage",
+    "metric", "build", "compress", "varint", "delta", "block", "posting",
+    "lemma", "token", "document", "page", "site", "crawl", "fetch", "parse",
+    "rank", "score", "relevance", "frequency", "term", "vector", "embedding",
+    "cluster", "executor", "driver", "task", "stage", "job", "plan", "tree",
+    "node", "leaf", "root", "branch", "graph", "edge", "path", "walk",
+    "read", "write", "load", "store", "cache", "spill", "memory", "disk",
+    "network", "latency", "throughput", "second", "minute", "hour", "time",
+    "count", "sum", "mean", "median", "max", "min", "total", "group",
+    "key", "value", "pair", "list", "array", "map", "set", "dict",
+    "string", "integer", "float", "double", "long", "short", "byte", "bit",
+    "file", "folder", "bucket", "object", "blob", "record", "field", "schema",
+    "type", "cast", "null", "empty", "full", "half", "quarter", "whole",
+    "fast", "slow", "big", "small", "large", "tiny", "huge", "wide",
+    "narrow", "deep", "shallow", "high", "low", "open", "close", "start",
+    "stop", "run", "walk", "jump", "skip", "step", "move", "copy",
+    "paste", "cut", "push", "pull", "commit", "revert", "branch", "tag",
+    "release", "version", "major", "minor", "patch", "fix", "bug", "feature",
+    "test", "assert", "mock", "stub", "fake", "real", "true", "false",
+    "error", "warning", "info", "debug", "trace", "log", "event", "signal",
+    "thread", "process", "lock", "mutex", "atomic", "volatile", "stable",
+    "robust", "fragile", "simple", "complex", "clean", "dirty", "fresh",
+    "stale", "hot", "cold", "warm", "cool", "bright", "dark", "light",
+    "heavy", "computer", "science", "running", "jumped", "quickly", "classes",
+    "queries", "indexes", "leaves", "children", "systems", "engines",
+]
+_RU_VOCAB = [
+    # fixed 100-word Russian vocabulary incl. ё-words
+    "поиск", "индекс", "страница", "сайт", "запрос", "слово", "лемма",
+    "частота", "документ", "таблица", "строка", "столбец", "число", "буква",
+    "текст", "данные", "система", "движок", "сервер", "память", "диск",
+    "сеть", "время", "секунда", "минута", "час", "день", "ночь", "утро",
+    "вечер", "год", "месяц", "неделя", "работа", "задача", "процесс",
+    "поток", "блок", "сжатие", "код", "файл", "папка", "ключ", "значение",
+    "список", "массив", "дерево", "узел", "корень", "лист", "ветка",
+    "граф", "ребро", "путь", "шаг", "ход", "игра", "счет", "результат",
+    "ответ", "вопрос", "ошибка", "предупреждение", "журнал", "событие",
+    "сигнал", "быстрый", "медленный", "большой", "маленький", "новый",
+    "старый", "хороший", "плохой", "высокий", "низкий", "ёлка", "ёж",
+    "полёт", "взлёт", "отчёт", "учёт", "расчёт", "зелёный", "жёлтый",
+    "тёплый", "холодный", "светлый", "тёмный", "яркий", "читать", "писать",
+    "искать", "найти", "считать", "строить", "делать", "думать", "знать",
+]
+_IDENTIFIERS = [
+    "getUserName", "setPageContent", "buildIndexTable", "parseHtmlDocument",
+    "fetchSiteStatus", "computeTermFrequency", "mergePostingLists",
+    "encodeVarintBlock", "decodeDeltaGap", "scoreTopDocs", "snake_case_helper",
+    "lemma_rank_map", "batch_processor", "index_processor", "site_crawler",
+    "html_parser", "page_dao", "search_service", "max_relevance",
+    "block_max_wand", "skew_salt_factor", "shuffle_partition_count",
+]
+_HOT_TERMS = ["import", "def", "the"]
+_EXTS = ["py", "java", "md", "txt"]
+_LANG_OF_EXT = {"py": "python", "java": "java", "md": "markdown", "txt": "text"}
+
+
+def make_corpus_pdf(n_docs: int, seed: int = 42) -> pd.DataFrame:
+    """Deterministic pandas corpus of ``n_docs`` rows, FIXTURES.md §1 shape."""
+    rng = np.random.default_rng(seed)
+    i = np.arange(n_docs)
+
+    # repo skew: ~20% of rows land in 2 hot repos
+    hot = rng.random(n_docs) < 0.2
+    org = i % 7
+    rep = i % 53
+    repos = np.where(
+        hot, np.where(i % 2 == 0, "org0/repo0", "org1/repo1"),
+        pd.Series(org).astype(str).radd("org").str.cat(
+            pd.Series(rep).astype(str).radd("/repo")
+        ),
+    )
+
+    ext = rng.choice(_EXTS, size=n_docs)
+    dirs = rng.integers(0, 40, size=n_docs)
+    names = rng.integers(0, 5000, size=n_docs)
+    paths = [f"src/d{d}/f{n}.{e}" for d, n, e in zip(dirs, names, ext)]
+
+    is_ru = rng.random(n_docs) < 0.10
+    langs = np.where(is_ru, "ru", [_LANG_OF_EXT[e] for e in ext])
+
+    en = np.array(_EN_VOCAB, dtype=object)
+    ru = np.array(_RU_VOCAB, dtype=object)
+    ident = np.array(_IDENTIFIERS, dtype=object)
+
+    contents: list[str] = []
+    for k in range(n_docs):
+        nwords = int(rng.integers(10, 260))
+        if is_ru[k]:
+            words = list(rng.choice(ru, size=nwords))
+        else:
+            words = list(rng.choice(en, size=nwords))
+            nident = int(rng.integers(0, max(2, nwords // 8)))
+            words.extend(rng.choice(ident, size=nident))
+        # hot terms into >80% of docs (skew injection)
+        if rng.random() < 0.85:
+            reps = int(rng.integers(1, 6))
+            for h in _HOT_TERMS:
+                words.extend([h] * reps)
+        perm = rng.permutation(len(words))
+        contents.append(" ".join(np.asarray(words, dtype=object)[perm]))
+
+    commits = [
+        hashlib.sha1(f"{r}/{p}/{k}".encode()).hexdigest()
+        for k, (r, p) in enumerate(zip(repos, paths))
+    ]
+
+    pdf = pd.DataFrame(
+        {
+            "repo": repos,
+            "path": paths,
+            "commit": commits,
+            "lang": langs,
+            "content": contents,
+        }
+    )
+    # input_hint shape requires unique (repo,path,commit); dedupe defensively
+    pdf = pdf.drop_duplicates(subset=["repo", "path", "commit"]).reset_index(drop=True)
+    return pdf
+
+
+def make_corpus(spark: SparkSession, n_docs: int, seed: int = 42, partitions: int = 8) -> DataFrame:
+    pdf = make_corpus_pdf(n_docs, seed=seed)
+    return spark.createDataFrame(pdf, schema=CORPUS).repartition(partitions)

@@ -1,0 +1,88 @@
+"""Golden tests freezing the analyzer spec (FIXTURES.md §3).
+
+Semantics mirror reference utils/Lemmatizer.java:95-122 (split / legality /
+routing / stopword-drop / normal forms / ё-folding) — see analyze.py.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from search_engine_spark.functions.analyze import (
+    analyze,
+    analyze_query,
+    analyze_series_exploded,
+    doclen_series,
+    lemmatize_en,
+    lemmatize_ru,
+    tokenize,
+)
+
+
+def test_tokenize_legality():
+    # split on non-word runs; len>=2; apostrophe-bearing dropped; lowercase
+    assert tokenize("Don't stop ME now 123 x") == ["stop", "me", "now"]
+    assert tokenize("a,b;;c--de") == ["de"]
+
+
+def test_mixed_script_dropped():
+    assert analyze("abcдef hello") == ["hello"]
+
+
+def test_stopwords_dropped():
+    assert analyze("the quick and the dead") == ["quick", "dead"]
+    assert analyze("и в на поиск") == ["поиск"]
+
+
+def test_yo_folding():
+    assert analyze("ёлка") == analyze("елка")
+    assert "е" in analyze("зелёный")[0] and "ё" not in analyze("зелёный")[0]
+
+
+def test_multiple_normal_forms():
+    # ambiguous morphology: one word -> several forms, each counted
+    # (reference: utils/Lemmatizer.java:26-38)
+    assert analyze("leaves") == ["leaf", "leave"]
+    assert analyze("axes") == ["axe", "axis"]
+
+
+def test_en_suffix_rules():
+    assert lemmatize_en("queries") == ("query",)
+    assert lemmatize_en("indexes") == ("index",)
+    assert lemmatize_en("classes") == ("class",)
+    assert lemmatize_en("jumped") == ("jump",)
+    assert lemmatize_en("bus") == ("bus",)  # _EN_S_KEEP
+    assert lemmatize_en("miss") == ("miss",)
+
+
+def test_ru_suffix_rules():
+    assert lemmatize_ru("страницами") == ("страниц",)
+    assert lemmatize_ru("полёт") == ("полет",)
+
+
+def test_code_identifier_split():
+    assert analyze("getUserName snake_case_helper", code=True) == [
+        "get",
+        "user",
+        "name",
+        "snake",
+        "case",
+        "helper",
+    ]
+    # without code mode, camelCase stays one lowercased token
+    assert analyze("getUserName") == ["getusername"]
+
+
+def test_analyze_query_sorted_distinct():
+    assert analyze_query("index merge index") == ["index", "merge"]
+
+
+@pytest.mark.parametrize(
+    "text",
+    ["the quick queries running", "ёлка зелёный", "", "leaves fall", "Don't", "a b"],
+)
+def test_vectorized_matches_pure(text):
+    got = analyze_series_exploded(pd.Series([7]), pd.Series([text]))["term"].tolist()
+    assert got == analyze(text)
+    assert int(doclen_series(pd.Series([text])).iloc[0]) == len(analyze(text))

@@ -1,0 +1,52 @@
+"""Property tests for the delta-gap + varint codec (FIXTURES.md §3)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from search_engine_spark.operators.codec import (
+    decode_counts,
+    decode_doc_ids,
+    encode_counts,
+    encode_doc_ids,
+    varint_decode,
+    varint_encode,
+)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**64 - 1), min_size=0, max_size=300)
+)
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(varint_decode(varint_encode(arr)), arr)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=1, max_size=300
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_doc_ids_roundtrip(vals):
+    ids = np.unique(np.array(vals, dtype=np.int64))  # sorted ascending
+    assert np.array_equal(decode_doc_ids(encode_doc_ids(ids)), ids)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=0, max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_counts_roundtrip(vals):
+    arr = np.array(vals, dtype=np.int64)
+    assert np.array_equal(decode_counts(encode_counts(arr)), arr)
+
+
+def test_extremes():
+    ids = np.array([-(2**63), -1, 0, 1, 2**63 - 1], dtype=np.int64)
+    assert np.array_equal(decode_doc_ids(encode_doc_ids(ids)), ids)
+    assert varint_encode(np.array([0], dtype=np.uint64)) == b"\x00"
+    assert varint_encode(np.array([127], dtype=np.uint64)) == b"\x7f"
+    assert varint_encode(np.array([128], dtype=np.uint64)) == b"\x80\x01"
+    assert varint_decode(b"") .size == 0
