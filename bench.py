@@ -1,0 +1,159 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Covered: engine index build over `documents` (docs/sec, postings/sec),
+engine BM25 top-k (exhaustive + block-max), a synthetic-corpus build at a
+larger doc count (the scale-representative number), the relational oracle
+twins, dedup (exact/minhash/simhash/ngram), ANN, text profile, events agg.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as E
+    from search_engine_spark.session import get_spark
+    from search_engine_spark.plans.build_job import build_index
+    from search_engine_spark.sources.catalog import Catalog
+    from search_engine_spark.operators.query import SearchEngine
+    from search_engine_spark.synth import make_corpus
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # --- engine index build over the sf documents table -----------------
+    root = tempfile.mkdtemp(prefix="bench_idx_")
+    try:
+        from pyspark.sql import functions as F
+
+        docs_tbl = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        n_docs = docs_tbl.count()
+        corpus = docs_tbl.select(
+            F.col("source").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.lit("0" * 40).alias("commit"),
+            "lang",
+            F.col("text").alias("content"),
+        )
+        cat = Catalog(root)
+        timed(
+            "index_build",
+            lambda: build_index(
+                spark, corpus, cat, n_shards=2,
+                skew_df_threshold=50_000, salt_target_rows=25_000, code=False,
+            ),
+        )
+        extras["build_docs_per_sec"] = round(n_docs / timings["index_build"], 1)
+        man_rows = [
+            json.loads(line) for line in open(cat.path("build_manifest.jsonl"))
+        ]
+        total_postings = sum(
+            r.get("postings") or 0
+            for r in man_rows
+            if r["stage"] == "postings" and r["status"] == "DONE"
+        )
+        extras["build_postings_per_sec"] = round(
+            total_postings / timings["index_build"], 1
+        )
+        skews = [
+            r["skew_factor"]
+            for r in man_rows
+            if r["stage"] == "postings" and r["status"] == "DONE" and r.get("skew_factor")
+        ]
+        if skews:
+            extras["skew_factor_max"] = round(max(skews), 2)
+
+        eng = SearchEngine(spark, cat, code=False)
+        q = "data query scan"
+        timed("engine_bm25_exhaustive", lambda: eng.topk(q, 20, strategy="exhaustive").collect())
+        timed("engine_bm25_blockmax", lambda: eng.topk(q, 20, strategy="blockmax").collect())
+        timed("engine_single_term", lambda: eng.topk("vector", 20).collect())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    # --- synthetic code-corpus build at a scale-representative size -----
+    synth_root = tempfile.mkdtemp(prefix="bench_synth_")
+    try:
+        n_synth = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "20000"))
+        sc = make_corpus(spark, n_synth, seed=42, partitions=int(cpus))
+        scat = Catalog(synth_root)
+        timed(
+            "synth_build_20k",
+            lambda: build_index(
+                spark, sc, scat, n_shards=1,
+                skew_df_threshold=5000, salt_target_rows=4000,
+            ),
+        )
+        extras["synth_docs_per_sec"] = round(n_synth / timings["synth_build_20k"], 1)
+        seng = SearchEngine(spark, scat)
+        timed("synth_hot_and_rare", lambda: seng.topk("import varint", 20).collect())
+    finally:
+        shutil.rmtree(synth_root, ignore_errors=True)
+
+    # --- relational operator suite (oracle twins) ------------------------
+    qs = E.queries()
+    for name in [
+        "tf_a1",
+        "bm25_topk",
+        "and_intersect_j4",
+        "statistics_a6",
+        "dedup_exact",
+        "doc_fingerprint",
+        "ngram_jaccard",
+        "minhash_lsh_pairs",
+        "simhash_pairs",
+        "text_profile",
+        "events_hourly",
+        "ann_dot_topk",
+        "ann_lsh_topk",
+        "top_orders_join_j5",
+    ]:
+        fn = qs[name]
+        try:
+            timed(name, lambda f=fn: f(spark, sf_dir).count())
+        except Exception as e:  # noqa: BLE001
+            timings[name] = -1.0
+            extras[f"{name}_error"] = repr(e)[:100]
+
+    total = round(sum(v for v in timings.values() if v > 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": int(cpus),
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The Spark-side machinery (schemas, Arrow batch shapes, mapInPandas
+signatures, partitioning) is REAL and tested; the actual media decode is
+STUBBED behind a deterministic fake (the image/audio libraries are not in
+this container) — swap ``_decode_image_stub`` for PIL/libvips/ffmpeg
+bindings in production, the dataflow is unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image|audio|video
+        StructField("mime", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+FEATURES = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sha256", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("feature", ArrayType(FloatType(), False), False),
+    ]
+)
+
+
+def _decode_image_stub(payload: bytes, dim: int = 16) -> np.ndarray:
+    """Deterministic fake decoder: derives a ``dim``-float feature from the
+    payload digest. Production: PIL.Image.open(BytesIO(payload)) → resize →
+    channel stats / model embedding. Raises on empty payload like a real
+    decoder would on corrupt input."""
+    if not payload:
+        raise ValueError("empty media payload")
+    h = hashlib.sha256(payload).digest()
+    raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
+    return (raw % 1000).astype(np.float32) / 1000.0
+
+
+def extract_features(media: DataFrame, dim: int = 16, on_error: str = "skip") -> DataFrame:
+    """Binary payloads → fixed-width feature vectors via Arrow-batched
+    mapInPandas. Corrupt rows are skipped (or raised with on_error='raise')
+    — the standard posture for web-scale media: log and drop."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, shas, sizes, feats = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    feat = _decode_image_stub(bytes(payload), dim)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                ids.append(mid)
+                shas.append(hashlib.sha256(bytes(payload)).hexdigest())
+                sizes.append(len(payload))
+                feats.append(feat)
+            yield pd.DataFrame(
+                {"media_id": ids, "sha256": shas, "n_bytes": sizes, "feature": feats}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(_extract, schema=FEATURES)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plan: one row per planned frame timestamp —
+    pure Catalyst (sequence + explode), the decode itself is the stub
+    above. Shows the fan-out shape a real sampler uses."""
+    return (
+        media.filter(F.col("kind") == "video")
+        .withColumn(
+            "frame_ts_ms",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.coalesce(F.col("duration_ms"), F.lit(0)) - 1, F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ),
+        )
+        .select("media_id", "frame_ts_ms")
+    )
+
+
+def synth_media(spark, n: int = 50, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table for tests."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = rng.integers(0, 256, size=int(rng.integers(64, 4096)), dtype=np.uint8).tobytes()
+        rows.append(
+            (
+                i,
+                kind,
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                int(rng.integers(16, 4096)) if kind == "image" else None,
+                int(rng.integers(16, 4096)) if kind == "image" else None,
+                int(rng.integers(1000, 60000)) if kind != "image" else None,
+                payload,
+            )
+        )
+    return spark.createDataFrame(rows, schema=MEDIA)

@@ -1,0 +1,85 @@
+"""Text-analysis column builders for training-data pipelines: token
+counting, quality scoring, language-ID heuristic, document fingerprinting.
+
+All pure Catalyst column expressions (JVM-side, codegen'd) — designed so
+the same logic is expressible in ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+SQL_TOKEN_SPLIT = "[^a-z0-9]+"  # ASCII tokenizer shared with oracle SQL
+
+# tiny frozen marker lists for the language-ID heuristic
+EN_MARKERS = ["the", "a", "an", "of", "and", "is", "to", "in"]
+RU_MARKERS = ["и", "в", "на", "не", "что", "это"]
+
+
+def tokens_col(text: Column) -> Column:
+    """lower → split → drop short tokens. ASCII spec (oracle-shared)."""
+    return F.filter(F.split(F.lower(text), SQL_TOKEN_SPLIT), lambda t: F.length(t) >= 2)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    stops = stopwords or EN_MARKERS
+    toks = tokens_col(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(stops)))
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    no_punct = F.regexp_replace(text, r"[^\w\s]", "")
+    return F.when(
+        F.length(text) > 0,
+        (F.length(text) - F.length(no_punct)).cast("double") / F.length(text),
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    sane stopword ratio. Deterministic, documented weights."""
+    n = token_count(text)
+    len_ok = F.when((n >= 10) & (n <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(text) < 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
+    sw = stopword_ratio(text)
+    sw_ok = F.when((sw > 0.01) & (sw < 0.7), F.lit(0.3)).otherwise(F.lit(0.0))
+    return len_ok + punct_ok + sw_ok
+
+
+def lang_id(text: Column) -> Column:
+    """n-gram/marker language-ID heuristic: count EN vs RU marker hits."""
+    toks = tokens_col(text)
+    en = F.size(F.filter(toks, lambda t: t.isin(EN_MARKERS)))
+    ru_toks = F.filter(
+        F.split(F.lower(text), "[^а-яё]+"), lambda t: t.isin(RU_MARKERS)
+    )
+    ru = F.size(ru_toks)
+    return (
+        F.when((en == 0) & (ru == 0), F.lit("unknown"))
+        .when(en >= ru, F.lit("en"))
+        .otherwise(F.lit("ru"))
+    )
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    token set — catches shuffled/reordered near-copies exactly."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens_col(text))), " "))
+
+
+def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        F.round(stopword_ratio(t), 4).alias("stop_ratio"),
+        F.round(punct_ratio(t), 4).alias("punct_ratio"),
+        F.round(quality_score(t), 2).alias("quality"),
+        lang_id(t).alias("lang_guess"),
+        doc_fingerprint(t).alias("fingerprint"),
+    )

@@ -1,0 +1,283 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact (hash groupBy), MinHash+LSH, SimHash, and exact n-gram Jaccard.
+
+All are pure DataFrame compositions + Arrow-batched pandas UDFs with numpy
+bodies. Per-token/shingle hashing uses ``pd.util.hash_array`` (deterministic
+64-bit SipHash-like, fixed key) so signatures are stable across runs and
+executors without external hash libraries.
+
+Scale notes: exact dedup is one shuffle on the digest; MinHash LSH is
+signatures (narrow) → explode bands (×B) → self-join on (band, band_hash)
+— the join key is the bucket, so only near-duplicate candidates ever meet,
+never the full cross product. SimHash joins on rotated prefix buckets the
+same way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def exact_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "content") -> DataFrame:
+    """Exact duplicate groups by content digest. One shuffle on the digest;
+    keep_id = min id per group (deterministic survivor)."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.sha2(F.col(text_col), 256).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def _shingle_hashes(text: str, shingle: int) -> np.ndarray:
+    """Distinct k-token-shingle 64-bit hashes for one doc (whitespace
+    tokens; callers pre-normalize). Deterministic via pd.util.hash_array."""
+    toks = text.split()
+    if len(toks) < shingle:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i : i + shingle]) for i in range(len(toks) - shingle + 1)]
+    if not grams:
+        return np.array([], dtype=np.uint64)
+    return np.unique(pd.util.hash_array(np.asarray(grams, dtype=object)))
+
+
+def _minhash_params(n_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, size=n_hashes, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, size=n_hashes, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    n_hashes: int = 16,
+    shingle: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """→ (doc_id, sig array<long>): per-doc MinHash signature over distinct
+    token shingles. sig[i] = min over shingles of (a_i*h + b_i) mod M61."""
+    a_p, b_p = _minhash_params(n_hashes, seed)
+
+    def _sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for text in pdf[text_col]:
+                h = _shingle_hashes(str(text).lower(), shingle)
+                if len(h) == 0:
+                    sigs.append(np.full(n_hashes, (1 << 61) - 1, dtype=np.uint64).astype(np.int64))
+                    continue
+                # (n_hashes, n_shingles) vectorized permutation mins
+                vals = (a_p[:, None] * (h[None, :] & _MERSENNE) + b_p[:, None]) % _MERSENNE
+                sigs.append(vals.min(axis=1).astype(np.int64))
+            yield pd.DataFrame({"doc_id": pdf[id_col].to_numpy(), "sig": sigs})
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("sig", ArrayType(LongType(), False), False),
+        ]
+    )
+    return df.select(id_col, text_col).mapInPandas(_sig, schema=schema)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """→ candidate near-duplicate pairs (doc_a < doc_b, n_bands matched).
+
+    Classic banding: signature split into ``bands`` rows-per-band groups;
+    docs sharing any band hash become candidates. The self-join key is
+    (band, band_hash) so the shuffle only co-locates probable duplicates.
+    """
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle, seed)
+    band_cols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.xxhash64(F.slice("sig", i * rows_per_band + 1, rows_per_band)).alias("bh"),
+        )
+        for i in range(bands)
+    ]
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def minhash_jaccard_estimate(
+    df: DataFrame, pairs: DataFrame, n_hashes: int = 16, **kw
+) -> DataFrame:
+    """Decorate candidate pairs with the signature-agreement Jaccard
+    estimate (fraction of equal signature slots)."""
+    sigs = minhash_signatures(df, n_hashes=n_hashes, **kw)
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "jaccard_est",
+            F.aggregate(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ).cast("double")
+            / F.lit(float(n_hashes)),
+        )
+        .select("doc_a", "doc_b", "n_bands", "jaccard_est")
+    )
+
+
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "content"
+) -> DataFrame:
+    """→ (doc_id, simhash): 64-bit SimHash over whitespace tokens weighted
+    by TF. Bit j = sign of Σ_tokens tf * (±1 per token-hash bit j)."""
+
+    def _sim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col]:
+                toks = str(text).lower().split()
+                if not toks:
+                    out.append(0)
+                    continue
+                uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+                h = pd.util.hash_array(uniq)
+                bits = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+                acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+                sig = np.uint64(0)
+                for j in np.flatnonzero(acc > 0):
+                    sig |= np.uint64(1) << np.uint64(j)
+                out.append(np.int64(sig.astype(np.int64)))
+            yield pd.DataFrame({"doc_id": pdf[id_col].to_numpy(), "simhash": np.array(out, dtype=np.int64)})
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("simhash", LongType(), False),
+        ]
+    )
+    return df.select(id_col, text_col).mapInPandas(_sim, schema=schema)
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
+    """Near-dup pairs by SimHash: 4 rotated 16-bit prefix buckets (any pair
+    within hamming<=3 of 64 bits shares at least one of 4 16-bit quarters
+    exactly — pigeonhole), then exact hamming filter via bit_count."""
+    sigs = simhash64(df, **kw)
+    quarters = [
+        F.struct(
+            F.lit(q).alias("q"),
+            F.shiftrightunsigned(F.col("simhash"), q * 16).bitwiseAND(F.lit(0xFFFF)).alias("qh"),
+        )
+        for q in range(4)
+    ]
+    buckets = sigs.select(
+        "doc_id", "simhash", F.explode(F.array(*quarters)).alias("b")
+    ).select("doc_id", "simhash", "b.q", "b.qh")
+    l, r = buckets.alias("l"), buckets.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.q") == F.col("r.q"))
+            & (F.col("l.qh") == F.col("r.qh"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.simhash").alias("sa"),
+            F.col("r.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return pairs.withColumn(
+        "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    ).filter(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    n: int = 3,
+    min_jaccard: float = 0.5,
+    token_pattern: str = "[^a-z0-9]+",
+) -> DataFrame:
+    """EXACT n-gram (token shingle) Jaccard near-dup pairs — fully
+    relational (posexplode + window lead + shingle self-join), so it is
+    SQL-expressible and oracle-checkable. Docs only meet in the join if
+    they share a shingle (no cross product)."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), token_pattern)).alias("pos", "tok"),
+    ).filter(F.length("tok") >= 1)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = toks
+    gram = F.col("tok")
+    for j in range(1, n):
+        sh = sh.withColumn(f"t{j}", F.lead("tok", j).over(w))
+        gram = F.concat_ws(" ", gram, F.col(f"t{j}"))
+    shingles = (
+        sh.filter(F.col(f"t{n-1}").isNotNull())
+        .select("doc_id", gram.alias("shingle"))
+        .distinct()
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )

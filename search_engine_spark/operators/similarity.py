@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine/dot top-k — all JVM-side (zip_with +
+aggregate inside whole-stage codegen), no Python in the hot path.
+Scale path: random-hyperplane LSH bucketing — candidates only meet
+inside a bucket, so the shuffle is bucket-local; multi-probe via
+several independent plane sets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k by cosine (or dot) against one query vector. The query
+    is a literal array — broadcast by constant folding; the scan is one
+    narrow pass, sorted with a TakeOrdered (no full sort)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    score = _dot(F.col(vec_col), q)
+    if metric == "cosine":
+        qn = float(np.sqrt(np.sum(np.asarray(query_vec, dtype=np.float64) ** 2))) or 1.0
+        score = score / (_norm(F.col(vec_col)) * F.lit(qn))
+    return (
+        embeddings.select(F.col(id_col).alias("vec_id"), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket_expr(vec_col: str, planes: np.ndarray):
+    """Random-hyperplane signature as an integer bucket column, computed
+    JVM-side: bit i = (v · plane_i) > 0."""
+    bits = []
+    for i, p in enumerate(planes):
+        lit_p = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(_dot(F.col(vec_col), lit_p) > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+    At scale the bucket column is a partition/cluster key, so the scan
+    prunes to one bucket; here it is a filter."""
+    dim = len(query_vec)
+    planes = _planes(dim, n_planes, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    q_bucket = int(sum((1 << i) for i, p in enumerate(planes) if float(qv @ p) > 0))
+    bucketed = embeddings.withColumn("_bucket", lsh_bucket_expr(vec_col, planes))
+    return brute_force_topk(
+        bucketed.filter(F.col("_bucket") == F.lit(q_bucket)),
+        query_vec,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def all_pairs_cosine_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Bucketed all-pairs neighbor search: self-join within LSH buckets,
+    per-row top-k by cosine. The bucket join key bounds the blow-up."""
+    from pyspark.sql.window import Window
+
+    planes_df = embeddings.withColumn(
+        "_bucket", lsh_bucket_expr(vec_col, _planes_from_df(embeddings, vec_col, n_planes, seed))
+    )
+    a, b = planes_df.alias("a"), planes_df.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a._bucket") == F.col("b._bucket"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("vec_id"),
+        F.col(f"b.{id_col}").alias("neighbor_id"),
+        (
+            _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+            / (_norm(F.col(f"a.{vec_col}")) * _norm(F.col(f"b.{vec_col}")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+
+
+def _planes_from_df(df: DataFrame, vec_col: str, n_planes: int, seed: int) -> np.ndarray:
+    dim = len(df.select(vec_col).first()[0])
+    return _planes(dim, n_planes, seed)

@@ -1,0 +1,99 @@
+"""Self-check mimicking the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB over
+the same sf dir; compare row count, column names, and order-insensitive
+values (sorted columns, sorted rows).
+
+Usage: python tools/oracle_check.py [sf_dir] [only_query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+        elif "datetime" in str(pdf[c].dtype):
+            pdf[c] = pdf[c].astype("datetime64[us]").astype(str)
+        elif pdf[c].dtype.kind in "fiu":
+            pdf[c] = pdf[c].astype("float64").round(9)
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from search_engine_spark.session import get_spark
+
+    spark = get_spark("oracle_check", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"SPARK ERROR: {e!r}"))
+            print(f"FAIL {name}: spark error {e!r}")
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only, {len(got)} rows ({time.time()-t0:.1f}s)")
+            if len(got) == 0 and name != "missing_term_o6":
+                print(f"     WARNING: {name} returned 0 rows")
+            continue
+        try:
+            want = con.sql(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"DUCKDB ERROR: {e!r}"))
+            print(f"FAIL {name}: duckdb error {e!r}")
+            continue
+        g, w = normalize(got), normalize(want)
+        if list(g.columns) != list(w.columns):
+            failures.append((name, f"columns {list(g.columns)} vs {list(w.columns)}"))
+            print(f"FAIL {name}: columns {list(g.columns)} vs {list(w.columns)}")
+            continue
+        if len(g) != len(w):
+            failures.append((name, f"rows {len(g)} vs {len(w)}"))
+            print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
+            continue
+        if not g.equals(w):
+            diff = (g != w) & ~(g.isna() & w.isna())
+            ndiff = int(diff.to_numpy().sum())
+            failures.append((name, f"{ndiff} cell diffs"))
+            print(f"FAIL {name}: {ndiff} cell diffs of {g.size}")
+            idx = diff.any(axis=1)
+            print("  spark:", g[idx].head(3).to_dict("records"))
+            print("  duck :", w[idx].head(3).to_dict("records"))
+            continue
+        print(f"ok   {name}: {len(g)} rows match ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(failures)} failures" if failures else "\nALL MATCH")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
