@@ -1,0 +1,222 @@
+"""Public API facade — the five reference operations as Python functions.
+
+Mirrors the reference HTTP surface (controllers/ApiController.java:20-47)
+and its observable response shapes + error strings:
+
+  * ``search(query, site, offset, limit)`` →
+    ``{result, count, data: [{site, siteName, uri, title, snippet,
+    relevance}]}`` (dto/search/SearchResponse.java:11-14, SearchData.java:6-13)
+  * ``start_indexing()`` / ``stop_indexing()`` / ``index_doc(...)`` →
+    ``{result: True}`` or ``{result: False, error: …}``
+    (services/IndexingServiceImpl.java:49-96)
+  * ``statistics()`` →
+    ``{result, statistics: {total: {sites, pages, lemmas, indexing},
+    detailed: [...]}}`` (services/StatisticsServiceImpl.java:33-75)
+
+Differences by design (SURVEY §3.1): decoration (title/snippet/relative
+relevance) happens AFTER top-k, so each search touches O(k) docs, not
+O(matches); ``relevance`` is the reference's relative Σtf score when
+``scorer='legacy'`` and BM25 when ``scorer='bm25'`` (default), both
+normalized by the page max as at SearchServiceImpl.java:129-131.
+"""
+
+from __future__ import annotations
+
+import threading
+
+from pyspark.sql import SparkSession, functions as F
+
+from .functions.analyze import analyze_query
+from .functions.snippet import find_matching_words, generate_snippet
+from .operators.query import SearchEngine
+from .plans.build_job import build_index
+from .plans.incremental import index_doc as _index_doc_plan
+from .sources.catalog import Catalog
+
+# Observable error strings (part of the reference contract):
+ERR_EMPTY_QUERY = "Задан пустой поисковый запрос"  # SearchServiceImpl.java:45
+ERR_ALREADY_RUNNING = "Индексация уже запущена"  # IndexingServiceImpl.java:51
+ERR_NOT_RUNNING = "Индексация не запущена"  # IndexingServiceImpl.java:86
+ERR_OUT_OF_SCOPE = (
+    "Данная страница находится за пределами сайтов, "
+    "указанных в конфигурационном файле"
+)  # IndexingServiceImpl.java:110-111
+ERR_STOPPED_BY_USER = "Индексация остановлена пользователем"  # SiteCrawler.java:95
+DEFAULT_TITLE = "Без заголовка"  # HtmlParser.java:49
+
+JOB_GROUP = "se_spark_build"
+
+
+class EngineAPI:
+    """Stateful facade over one catalog, like the reference's service
+    singletons — but search itself is stateless per call (the reference
+    keeps per-query state in service fields, SearchServiceImpl.java:36-40,
+    and would race under concurrency; we do not reproduce that)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: Catalog,
+        corpus_reader=None,
+        repos: list[str] | None = None,
+        code: bool = True,
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.corpus_reader = corpus_reader  # () -> DataFrame(CORPUS)
+        self.repos = repos  # configured "sites"; None = accept any repo
+        self.code = code
+        self._engine: SearchEngine | None = None
+        self._running = False
+        self._lock = threading.Lock()
+
+    # -- engine cache ------------------------------------------------------
+
+    def _get_engine(self, refresh: bool = False) -> SearchEngine:
+        if self._engine is None or refresh:
+            self._engine = SearchEngine(self.spark, self.catalog, code=self.code)
+        return self._engine
+
+    # -- GET /api/startIndexing (ApiController.java:25-28) ------------------
+
+    def start_indexing(self, n_shards: int = 4, **build_kw) -> dict:
+        with self._lock:
+            if self._running:
+                return {"result": False, "error": ERR_ALREADY_RUNNING}
+            self._running = True
+        try:
+            self.spark.sparkContext.setJobGroup(JOB_GROUP, "index build", True)
+            corpus = self.corpus_reader()
+            build_index(self.spark, corpus, self.catalog, n_shards=n_shards,
+                        code=self.code, **build_kw)
+            self._get_engine(refresh=True)
+            return {"result": True}
+        except Exception as e:  # noqa: BLE001
+            if "cancelled" in repr(e).lower():
+                return {"result": False, "error": ERR_STOPPED_BY_USER}
+            raise
+        finally:
+            # reset the job group (PySpark has no clearJobGroup wrapper)
+            self.spark.sparkContext.setJobGroup("", "", False)
+            self._running = False
+
+    # -- GET /api/stopIndexing (ApiController.java:30-33) -------------------
+
+    def stop_indexing(self) -> dict:
+        """Cooperative cancellation (St4) — the reference flips a volatile
+        flag + shutdownNow (utils/IndexingTasksManager.java:19-48); ours
+        cancels the build's Spark job group. Resumability comes from the
+        manifest, not in-flight state."""
+        if not self._running:
+            return {"result": False, "error": ERR_NOT_RUNNING}
+        self.spark.sparkContext.cancelJobGroup(JOB_GROUP)
+        return {"result": True}
+
+    # -- POST /api/indexPage (ApiController.java:35-38) ---------------------
+
+    def index_doc(self, repo: str, path: str, commit: str, lang: str, content: str) -> dict:
+        """Single-doc upsert with EXACT delta maintenance (replaces the
+        reference's delete-all-site-lemmas quirk, IndexingServiceImpl.java:120
+        — SURVEY §3.3)."""
+        if self.repos is not None and repo not in self.repos:
+            return {"result": False, "error": ERR_OUT_OF_SCOPE}
+        _index_doc_plan(self.spark, self.catalog, repo, path, commit, lang,
+                        content, code=self.code)
+        self._get_engine(refresh=True)
+        return {"result": True}
+
+    # -- GET /api/search (ApiController.java:40-47) --------------------------
+
+    def search(
+        self,
+        query: str,
+        site: str | None = None,
+        offset: int = 0,
+        limit: int = 20,
+        scorer: str = "bm25",
+        strategy: str = "blockmax",
+    ) -> dict:
+        if not query or not query.strip():
+            return {"result": False, "error": ERR_EMPTY_QUERY}
+        eng = self._get_engine()
+        q_lemmas = analyze_query(query, code=self.code)
+        topk = eng.topk(
+            query, k=limit, offset=offset, site=site, strategy=strategy, scorer=scorer
+        ).collect()
+        if not topk:
+            return {"result": True, "count": 0, "data": []}
+        count = eng.count_matches(query, site=site)
+
+        page = topk[offset : offset + limit]
+        max_score = max(r["score"] for r in topk) or 1.0
+        ids = [r["doc_id"] for r in page]
+        doc_rows = {
+            r["doc_id"]: r
+            for r in eng.docs.filter(F.col("doc_id").isin(ids))
+            .select("doc_id", "repo", "path", "content")
+            .collect()
+        }
+        data = []
+        for r in page:
+            d = doc_rows[r["doc_id"]]
+            title = d["path"].rsplit("/", 1)[-1] or DEFAULT_TITLE  # F2 analogue
+            data.append(
+                {
+                    "site": d["repo"],
+                    "siteName": d["repo"],
+                    "uri": d["path"],
+                    "title": title,
+                    "snippet": generate_snippet(d["content"], q_lemmas, code=self.code),
+                    "relevance": float(r["score"]) / float(max_score),
+                }
+            )
+        return {"result": True, "count": count, "data": data}
+
+    def matching_words(self, doc_content: str, query: str) -> list[str]:
+        """F8 exposed for tests/debugging (SearchServiceImpl.java:192-205)."""
+        return find_matching_words(
+            doc_content, analyze_query(query, code=self.code), code=self.code
+        )
+
+    # -- GET /api/statistics (ApiController.java:20-23) ----------------------
+
+    def statistics(self) -> dict:
+        """A6 counts (StatisticsServiceImpl.java:33-75): one aggregation
+        pass per table instead of per-site JDBC counts."""
+        eng = self._get_engine()
+        per_site = {
+            r["repo"]: (int(r["pages"]), int(r["lemmas_est"]))
+            for r in (
+                eng.docs.groupBy("repo")
+                .agg(
+                    F.count("*").alias("pages"),
+                    F.sum("doclen").alias("lemmas_est"),
+                )
+                .collect()
+            )
+        }
+        total_lemmas = eng.terms.count()
+        detailed = [
+            {
+                "url": repo,
+                "name": repo,
+                "status": "INDEXED",
+                "statusTime": None,
+                "error": None,
+                "pages": pages,
+                "lemmas": lemmas_est,
+            }
+            for repo, (pages, lemmas_est) in sorted(per_site.items())
+        ]
+        return {
+            "result": True,
+            "statistics": {
+                "total": {
+                    "sites": len(per_site),
+                    "pages": sum(p for p, _ in per_site.values()),
+                    "lemmas": total_lemmas,
+                    "indexing": self._running,
+                },
+                "detailed": detailed,
+            },
+        }

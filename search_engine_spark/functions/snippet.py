@@ -1,0 +1,125 @@
+"""Snippet generation + matching-word discovery (F7/F8).
+
+Port of the reference's result-decoration logic:
+  * ``find_matching_words`` — SearchServiceImpl.java:192-205: build the
+    word→normal-forms map of the page text (Lemmatizer.buildWordLemmasMap,
+    utils/Lemmatizer.java:85-93) and keep words whose form set intersects
+    the query's lemma set. The reference returns HashSet order (run-to-run
+    unstable in Java); we sort by first occurrence in the text so snippets
+    are deterministic.
+  * ``generate_snippet`` — SearchServiceImpl.java:144-190: regex
+    ``(?<=[^word-chars])(w1|w2|…)(?=[^word-chars])`` over the raw text;
+    context window = 80 / len(matching_words) chars; first match opens the
+    snippet with "..."-prefixed left context; each subsequent FIRST
+    occurrence of a not-yet-seen matching word is appended — contiguous
+    (gap ≤ 2×window) runs keep the intervening text, distant ones insert
+    "..." — matches wrapped in <b>…</b>; trailing context + "..." if the
+    text continues.
+
+Executed as a vectorized pandas transform over the ≤k final result rows
+only (the reference decorates EVERY match pre-pagination,
+SearchServiceImpl.java:114-142 — at 10^12 docs that is O(matches); we
+decorate after top-k so it is O(k)).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+from .analyze import EN_RE, RU_RE, lemmatize_en, lemmatize_ru, tokenize
+
+_WORD_CHARS = "A-Za-z'А-Яа-яЁё"
+BOLD_OPEN, BOLD_CLOSE, DOTS = "<b>", "</b>", "..."
+
+
+def word_lemmas_map(text: str, code: bool = False) -> dict[str, tuple[str, ...]]:
+    """word → normal forms for every legal word of the text
+    (Lemmatizer.buildWordLemmasMap, utils/Lemmatizer.java:85-93).
+    Stopwords keep their forms here, as in the reference (the map is built
+    from getNormalForms without the POS stop-filter)."""
+    out: dict[str, tuple[str, ...]] = {}
+    for w in tokenize(text, code=code):
+        if w in out:
+            continue
+        if EN_RE.match(w):
+            out[w] = lemmatize_en(w)
+        elif RU_RE.match(w):
+            out[w] = lemmatize_ru(w)
+    return out
+
+
+def find_matching_words(text: str, query_lemmas: list[str], code: bool = False) -> list[str]:
+    """Words of ``text`` whose normal forms intersect ``query_lemmas``
+    (SearchServiceImpl.findMatchingWords:192-205), ordered by first
+    occurrence in the lowercased text (determinism fix over the
+    reference's HashSet order)."""
+    qset = set(query_lemmas)
+    words = [
+        w
+        for w, forms in word_lemmas_map(text, code=code).items()
+        if any(f in qset for f in forms)
+    ]
+    low = text.lower()
+    return sorted(words, key=lambda w: (low.find(w), w))
+
+
+def generate_snippet(text: str, query_lemmas: list[str], code: bool = False) -> str:
+    """SearchServiceImpl.generateSnippet:144-190, with the reference's
+    exact window arithmetic. Matching is case-insensitive against the raw
+    text (the reference compiles the lowercase word alternation with no
+    flags — lowercase-only matching — but its matching words come from
+    lowercased tokens while pages contain mixed case; we match
+    case-insensitively so Title-case occurrences highlight too)."""
+    words = find_matching_words(text, query_lemmas, code=code)
+    if not words:
+        return ""
+    rx = re.compile(
+        f"(?<=[^{_WORD_CHARS}])(" + "|".join(map(re.escape, words)) + f")(?=[^{_WORD_CHARS}])",
+        re.IGNORECASE,
+    )
+    # the reference's lookbehind/ahead never matches at string edges; pad
+    # like the text had boundaries
+    padded = " " + text + " "
+    rng = 80 // len(words)
+    m = rx.search(padded)
+    if not m:
+        return ""
+    parts: list[str] = []
+    start = max(0, m.start(1) - rng)
+    parts += [DOTS, padded[start : m.start(1)], BOLD_OPEN, m.group(1), BOLD_CLOSE]
+    last_end = m.end(1)
+    remaining = {w.lower() for w in words}
+    remaining.discard(m.group(1).lower())
+    for m in rx.finditer(padded, last_end):
+        w = m.group(1).lower()
+        if w not in remaining:
+            continue
+        remaining.discard(w)
+        if m.start(1) - last_end > rng * 2:
+            parts += [
+                padded[last_end : last_end + rng],
+                DOTS,
+                padded[m.start(1) - rng : m.start(1)],
+                BOLD_OPEN,
+                m.group(1),
+                BOLD_CLOSE,
+            ]
+        else:
+            parts += [padded[last_end : m.start(1)], BOLD_OPEN, m.group(1), BOLD_CLOSE]
+        last_end = m.end(1)
+        if not remaining:
+            break
+    if last_end + rng < len(padded):
+        parts += [padded[last_end : last_end + rng], DOTS]
+    else:
+        parts.append(padded[last_end:])
+    return "".join(parts).strip()
+
+
+def snippet_series(
+    texts: pd.Series, query_lemmas: list[str], code: bool = False
+) -> pd.Series:
+    """Batch form for the ≤k decorated result rows."""
+    return texts.map(lambda t: generate_snippet(t, query_lemmas, code=code))

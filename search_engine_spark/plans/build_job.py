@@ -92,7 +92,10 @@ def build_index(
     # -- stage: corpus_stats ----------------------------------------------
     if not (man.stage_done("corpus_stats") and catalog.exists("corpus_stats")):
         man.start("corpus_stats")
-        catalog.write(B.corpus_stats(dstats), "corpus_stats")
+        catalog.write(
+            B.corpus_stats(dstats).withColumn("avgdl_build", F.col("avgdl")),
+            "corpus_stats",
+        )
         man.done("corpus_stats")
     cstats = catalog.read(spark, "corpus_stats").collect()[0]
     avgdl = float(cstats["avgdl"]) if cstats["n_docs"] else 1.0

@@ -1,0 +1,309 @@
+"""Incremental single-doc indexing (St2) with EXACT delta maintenance.
+
+Reference behavior (services/IndexingServiceImpl.java:97-144): on
+``POST /api/indexPage`` it deletes the page's index rows, deletes **all**
+the site's lemmas (the `:120` quirk — a df-corruption bug we do NOT
+reproduce), deletes + refetches + reinserts the page, and reindexes it.
+Upsert key is (site, path) — `page` is unique on (path, site_id)
+(model/Page.java:24-27).
+
+Our replacement (SURVEY §3.3): keyed on (repo, path) —
+  1. ``docs``: partition-scoped rewrite of the doc's repo bucket only
+     (Iceberg: MERGE INTO docs);
+  2. ``doc_stats`` / ``corpus_stats``: row swap + re-aggregate;
+  3. ``terms``: df adjusted by ±1 per (old ∪ new) distinct term — exact
+     countDistinct semantics, never the reference's drop-all;
+  4. ``postings``: block-level surgery — only the blocks that CONTAIN the
+     old doc_id or the new doc's insertion point are decoded, modified and
+     re-encoded; every other block's bytes are untouched. Affected shards
+     only are rewritten (Iceberg: row-level MERGE on the postings table).
+
+Scoring stays exact after any number of increments because blocks store
+raw (tf, doclen) and idf/avgdl are resolved at query time from the
+updated ``terms`` / ``corpus_stats`` tables. Block-max metadata
+(``max_impact``) is recomputed for touched blocks with the CURRENT avgdl;
+untouched blocks keep build-time bounds — the query layer compensates
+with the avgdl-drift safety factor (operators/query.py).
+"""
+
+from __future__ import annotations
+
+import time
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..functions import scoring
+from ..functions.analyze import analyze
+from ..operators.codec import decode_counts, decode_doc_ids, encode_counts, encode_doc_ids
+from ..schemas import POSTINGS, TERMS
+from ..sources.catalog import Catalog
+from .manifest import Manifest
+
+N_BUCKETS = 16  # must match build_job's repo_bucket partitioning
+
+
+def _doc_id(spark: SparkSession, repo: str, path: str, commit: str) -> int:
+    """Same hash the distributed build uses (operators/build.py:50)."""
+    return spark.range(1).select(
+        F.xxhash64(F.lit(repo), F.lit(path), F.lit(commit)).alias("h")
+    ).collect()[0]["h"]
+
+
+def _encode_block(term: str, ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+                  avgdl: float) -> tuple:
+    imp = scoring.impact_np(tfs, dls, avgdl)
+    return (
+        term, -1,
+        encode_doc_ids(ids), encode_counts(tfs), encode_counts(dls),
+        int(len(ids)), int(ids[0]), int(ids[-1]),
+        float(tfs.max()), float(imp.max()),
+    )
+
+
+def index_doc(
+    spark: SparkSession,
+    catalog: Catalog,
+    repo: str,
+    path: str,
+    commit: str,
+    lang: str,
+    content: str,
+    code: bool = True,
+) -> None:
+    t0 = time.time()
+    man = Manifest(path=catalog.path("build_manifest.jsonl"), build_id="incremental")
+
+    # --- analyze old + new with the same frozen spec ----------------------
+    docs = catalog.read(spark, "docs")
+    old_rows = docs.filter(
+        (F.col("repo") == repo) & (F.col("path") == path)
+    ).select("doc_id", "content").collect()
+    old_ids = [int(r["doc_id"]) for r in old_rows]
+    old_tf: Counter = Counter()
+    for r in old_rows:
+        old_tf.update(analyze(r["content"], code=code))
+
+    new_forms = analyze(content, code=code)
+    new_tf = Counter(new_forms)
+    doclen = len(new_forms)
+    new_id = _doc_id(spark, repo, path, commit)
+
+    man.start("index_doc")
+
+    # --- 1. docs: rewrite only the repo's bucket partition ----------------
+    bucket = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(repo)), F.lit(N_BUCKETS)).alias("b")
+    ).collect()[0]["b"]
+    part = f"docs/repo_bucket={bucket}"
+    new_doc_row = spark.createDataFrame(
+        [(repo, path, commit, lang, content)],
+        "repo string, path string, commit string, lang string, content string",
+    ).select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"),
+        "repo", "path", "commit", "lang", "content",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+        F.lit(doclen).cast("long").alias("doclen"),
+    )
+    bucket_df = catalog.read(spark, part).filter(
+        ~((F.col("repo") == repo) & (F.col("path") == path))
+    )
+    catalog.rewrite(
+        bucket_df.unionByName(new_doc_row.select(*bucket_df.columns)), part
+    )
+
+    # --- 2. doc_stats + corpus_stats ---------------------------------------
+    dstats = catalog.read(spark, "doc_stats")
+    new_stat = spark.createDataFrame(
+        [(new_id, doclen)], "doc_id long, doclen long"
+    )
+    if old_ids:
+        dstats = dstats.filter(~F.col("doc_id").isin(old_ids))
+    catalog.rewrite(dstats.unionByName(new_stat), "doc_stats")
+    dstats = catalog.read(spark, "doc_stats")
+    cstats_old = catalog.read(spark, "corpus_stats").collect()[0]
+    avgdl_build = float(
+        cstats_old["avgdl_build"]
+        if "avgdl_build" in cstats_old.asDict()
+        else cstats_old["avgdl"]
+    )
+    catalog.rewrite(
+        dstats.agg(
+            F.count("*").alias("n_docs"),
+            F.avg("doclen").cast("double").alias("avgdl"),
+        ).withColumn("avgdl_build", F.lit(avgdl_build)),
+        "corpus_stats",
+    )
+    avgdl_now = float(catalog.read(spark, "corpus_stats").collect()[0]["avgdl"])
+
+    # --- 3. terms: exact df delta (J6/J7 replacement, no drop-all quirk) ---
+    delta: Counter = Counter()
+    for t in set(new_tf):
+        delta[t] += 1
+    for t in set(old_tf):
+        delta[t] -= 1
+    if delta:
+        delta_df = spark.createDataFrame(
+            [(t, d) for t, d in delta.items() if d != 0], "term string, d long"
+        )
+        terms = catalog.read(spark, "terms", TERMS)
+        merged = (
+            terms.join(F.broadcast(delta_df), "term", "full_outer")
+            .select(
+                F.coalesce(F.col("scope"), F.lit("")).alias("scope"),
+                "term",
+                (F.coalesce(F.col("df"), F.lit(0)) + F.coalesce(F.col("d"), F.lit(0)))
+                .alias("df"),
+            )
+            .filter(F.col("df") > 0)
+        )
+        catalog.rewrite(merged, "terms")
+
+    # --- 4. postings: block-level surgery on affected shards ---------------
+    import glob as _glob
+    import os as _os
+
+    shard_dirs = sorted(_glob.glob(catalog.path("postings/shard=*")))
+    n_shards = len(shard_dirs)
+    affected = sorted(set(old_tf) | set(new_tf))
+    if affected and n_shards:
+        shard_of = {
+            r["term"]: int(r["s"])
+            for r in spark.createDataFrame(
+                [(t,) for t in affected], "term string"
+            ).select(
+                "term", F.pmod(F.xxhash64("term"), F.lit(n_shards)).alias("s")
+            ).collect()
+        }
+        by_shard: dict[int, list[str]] = {}
+        for t, s in shard_of.items():
+            by_shard.setdefault(s, []).append(t)
+        for k, terms_k in sorted(by_shard.items()):
+            _surgery_shard(
+                spark, catalog, f"postings/shard={k}", terms_k,
+                old_ids, new_id, new_tf, doclen, avgdl_build,
+            )
+
+    man.done(
+        "index_doc",
+        docs=1,
+        postings=sum(new_tf.values()),
+        postings_per_sec=sum(new_tf.values()) / max(time.time() - t0, 1e-9),
+    )
+
+
+def _surgery_shard(
+    spark: SparkSession,
+    catalog: Catalog,
+    shard: str,
+    terms_k: list[str],
+    old_ids: list[int],
+    new_id: int,
+    new_tf: Counter,
+    doclen: int,
+    avgdl: float,
+) -> None:
+    """Rewrite ONE postings shard: decode only blocks containing the old
+    doc ids or the new doc's insertion point; all other block payloads pass
+    through byte-identical."""
+    blocks = catalog.read(spark, shard, POSTINGS)
+    meta = (
+        blocks.filter(F.col("term").isin(terms_k))
+        .select("term", "block_id", "min_doc", "max_doc")
+        .collect()
+    )
+    # pick target block per term: covering block for each touched id, plus
+    # the insertion block for new_id (nearest by min_doc <= id, else first)
+    by_term: dict[str, list] = {}
+    for r in meta:
+        by_term.setdefault(r["term"], []).append(r)
+    touch: set[tuple[str, int]] = set()
+    for term, rows in by_term.items():
+        rows.sort(key=lambda r: r["min_doc"])
+        ids_to_place = list(old_ids) if term not in new_tf else list(old_ids) + [new_id]
+        for did in ids_to_place:
+            placed = False
+            for r in rows:
+                if r["min_doc"] <= did <= r["max_doc"]:
+                    touch.add((term, r["block_id"]))
+                    placed = True
+                    break
+            if not placed and did == new_id and term in new_tf:
+                prev = [r for r in rows if r["min_doc"] <= did]
+                target = prev[-1] if prev else rows[0]
+                touch.add((term, target["block_id"]))
+    new_terms_absent = [t for t in terms_k if t in new_tf and t not in by_term]
+
+    rows_out: list[tuple] = []
+    if touch:
+        key_df = spark.createDataFrame(
+            [(t, b) for t, b in sorted(touch)], "term string, block_id int"
+        )
+        touched = blocks.join(F.broadcast(key_df), ["term", "block_id"], "inner").collect()
+        for r in touched:
+            ids = decode_doc_ids(r["doc_ids"])
+            tfs = decode_counts(r["tfs"])
+            dls = decode_counts(r["doclens"])
+            keep = ~np.isin(ids, old_ids) if old_ids else np.ones(len(ids), bool)
+            ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+            if r["term"] in new_tf and (r["term"], r["block_id"]) in touch:
+                # insert new doc once, into its covering/nearest block only
+                ins_here = _insertion_block(by_term[r["term"]], new_id) == r["block_id"]
+                if ins_here:
+                    pos = int(np.searchsorted(ids, new_id))
+                    ids = np.insert(ids, pos, new_id)
+                    tfs = np.insert(tfs, pos, new_tf[r["term"]])
+                    dls = np.insert(dls, pos, doclen)
+            if len(ids):
+                rows_out.append(_encode_block(r["term"], ids, tfs, dls, avgdl))
+    for t in new_terms_absent:
+        ids = np.array([new_id], dtype=np.int64)
+        rows_out.append(
+            _encode_block(
+                t, ids,
+                np.array([new_tf[t]], dtype=np.int64),
+                np.array([doclen], dtype=np.int64),
+                avgdl,
+            )
+        )
+
+    untouched = blocks
+    if touch:
+        key_df2 = spark.createDataFrame(
+            [(t, b) for t, b in sorted(touch)], "term string, block_id int"
+        )
+        untouched = blocks.join(F.broadcast(key_df2), ["term", "block_id"], "left_anti")
+    new_blocks = untouched
+    if rows_out:
+        pdf = pd.DataFrame(
+            rows_out,
+            columns=["term", "block_id", "doc_ids", "tfs", "doclens", "count",
+                     "min_doc", "max_doc", "max_tf", "max_impact"],
+        )
+        new_blocks = untouched.unionByName(spark.createDataFrame(pdf, POSTINGS))
+    affected_terms = sorted({t for t, _ in touch} | set(new_terms_absent))
+    if affected_terms:
+        w = Window.partitionBy("term").orderBy("min_doc")
+        renum = (
+            new_blocks.filter(F.col("term").isin(affected_terms))
+            .withColumn("block_id", (F.row_number().over(w) - 1).cast("int"))
+        )
+        new_blocks = new_blocks.filter(~F.col("term").isin(affected_terms)).unionByName(
+            renum
+        )
+    catalog.rewrite(new_blocks, shard)
+
+
+def _insertion_block(rows: list, did: int) -> int:
+    """Deterministic insertion block for a doc id absent from the list:
+    covering block if any, else nearest block below, else the first."""
+    rows = sorted(rows, key=lambda r: r["min_doc"])
+    for r in rows:
+        if r["min_doc"] <= did <= r["max_doc"]:
+            return r["block_id"]
+    prev = [r for r in rows if r["min_doc"] <= did]
+    return (prev[-1] if prev else rows[0])["block_id"]

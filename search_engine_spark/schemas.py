@@ -105,6 +105,10 @@ CORPUS_STATS = StructType(
     [
         StructField("n_docs", LongType(), False),
         StructField("avgdl", DoubleType(), False),
+        # avgdl used when posting block-max bounds were encoded; incremental
+        # updates move `avgdl` but preserve this, and the query layer scales
+        # stale bounds by max(1, avgdl/avgdl_build) (plans/incremental.py)
+        StructField("avgdl_build", DoubleType(), True),
     ]
 )
 

@@ -56,3 +56,18 @@ class Catalog:
         p = self.path(name)
         if os.path.isdir(p):
             shutil.rmtree(p)
+
+    def rewrite(self, df: DataFrame, name: str) -> None:
+        """Read-modify-write a table (or a single partition subdir, e.g.
+        ``docs/repo_bucket=3``) whose plan READS the same path: write to a
+        temp sibling, then atomically swap. Iceberg equivalent:
+        ``MERGE INTO`` / ``overwritePartitions`` (SURVEY §2.1 S7/S8) — this
+        shim reproduces the partition-scoped-commit semantics on parquet."""
+        tmp = self.path(name.rstrip("/") + ".__tmp__")
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        df.write.mode("overwrite").parquet(tmp)
+        final = self.path(name)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)

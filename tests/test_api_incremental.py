@@ -1,0 +1,231 @@
+"""API facade (§2.11) + snippet (F7/F8) + incremental index_doc (St2).
+
+Key property for the incremental path: after index_doc, every queryable
+artifact (docs, terms, postings→decoded rows, top-k results with scores)
+is IDENTICAL to a full from-scratch rebuild over the modified corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.api import (
+    ERR_EMPTY_QUERY,
+    ERR_OUT_OF_SCOPE,
+    EngineAPI,
+)
+from search_engine_spark.functions.analyze import analyze_query
+from search_engine_spark.functions.snippet import (
+    find_matching_words,
+    generate_snippet,
+)
+from search_engine_spark.operators.query import SearchEngine, decode_blocks
+from search_engine_spark.plans.build_job import build_index
+from search_engine_spark.plans.incremental import index_doc
+from search_engine_spark.sources.catalog import Catalog
+from search_engine_spark.synth import make_corpus
+
+N_DOCS = 120
+
+
+# ---------------------------------------------------------------- snippet
+
+
+def test_matching_words_via_lemmas():
+    text = "The Parser parses queries. Indexes are parsed quickly."
+    # frozen spec: parsing/parsed → 'pars'; indexes/indices → 'index';
+    # matching-word discovery keeps every text word sharing a normal form
+    # with a query lemma, ordered by first occurrence
+    q = analyze_query("parsing index")
+    words = find_matching_words(text, q)
+    assert "parsed" in words
+    assert "indexes" in words
+    assert "parses" not in words  # parses → 'parse' ≠ 'pars'
+
+
+def test_snippet_highlights_and_windows():
+    text = (
+        "alpha beta gamma delta epsilon zeta THE searching word appears here "
+        + "x" * 300
+        + " and then searching appears again far away plus indexing too"
+    )
+    q = analyze_query("search indexing")
+    s = generate_snippet(text, q)
+    assert "<b>" in s and "</b>" in s
+    assert s.startswith("...") or s.startswith("<b>")
+    # both distinct matched words get highlighted once each
+    assert s.count("<b>") >= 2
+
+
+def test_snippet_empty_when_no_match():
+    assert generate_snippet("nothing relevant here", ["zzz"]) == ""
+
+
+def test_snippet_deterministic():
+    text = "query data scan query data scan " * 10
+    q = analyze_query("query scan")
+    assert generate_snippet(text, q) == generate_snippet(text, q)
+
+
+# ---------------------------------------------------------------- facade
+
+
+@pytest.fixture(scope="module")
+def api(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("api_idx"))
+    corpus = make_corpus(spark, N_DOCS, seed=42, partitions=4)
+    cat = Catalog(root)
+    a = EngineAPI(
+        spark, cat, corpus_reader=lambda: make_corpus(spark, N_DOCS, seed=42, partitions=4),
+        code=True,
+    )
+    r = a.start_indexing(n_shards=2, skew_df_threshold=50, salt_target_rows=40)
+    assert r == {"result": True}
+    return a
+
+
+def test_search_response_shape(api):
+    resp = api.search("import", limit=5)
+    assert resp["result"] is True
+    assert resp["count"] >= len(resp["data"]) or resp["count"] == len(resp["data"])
+    assert len(resp["data"]) <= 5
+    for item in resp["data"]:
+        assert set(item) == {"site", "siteName", "uri", "title", "snippet", "relevance"}
+        assert 0.0 < item["relevance"] <= 1.0
+    # results ordered by relevance desc (reference T1)
+    rels = [d["relevance"] for d in resp["data"]]
+    assert rels == sorted(rels, reverse=True)
+    assert resp["data"][0]["relevance"] == 1.0  # F6: normalized by max
+
+
+def test_search_empty_query_error(api):
+    assert api.search("") == {"result": False, "error": ERR_EMPTY_QUERY}
+    assert api.search("   ") == {"result": False, "error": ERR_EMPTY_QUERY}
+
+
+def test_search_missing_term_empty(api):
+    resp = api.search("zzzznotaterm")
+    assert resp == {"result": True, "count": 0, "data": []}
+
+
+def test_search_site_scoped(api):
+    full = api.search("import", limit=50)
+    sites = {d["site"] for d in full["data"]}
+    assert len(sites) > 1
+    one = sorted(sites)[0]
+    scoped = api.search("import", site=one, limit=50)
+    assert scoped["result"] is True
+    assert {d["site"] for d in scoped["data"]} == {one}
+    assert scoped["count"] < full["count"]
+
+
+def test_statistics_shape(api):
+    st = api.statistics()
+    assert st["result"] is True
+    tot = st["statistics"]["total"]
+    assert tot["pages"] == N_DOCS
+    assert tot["sites"] == len(st["statistics"]["detailed"])
+    assert tot["lemmas"] > 0 and tot["indexing"] is False
+    assert sum(d["pages"] for d in st["statistics"]["detailed"]) == N_DOCS
+
+
+def test_index_doc_out_of_scope(spark, tmp_path):
+    cat = Catalog(str(tmp_path / "scoped"))
+    a = EngineAPI(spark, cat, repos=["org0/repo0"])
+    r = a.index_doc("evil/repo", "x.py", "0" * 40, "python", "data")
+    assert r == {"result": False, "error": ERR_OUT_OF_SCOPE}
+
+
+# ------------------------------------------------- incremental ≡ rebuild
+
+
+def _decoded_sorted(spark, cat):
+    eng = SearchEngine(spark, cat, code=True)
+    pdf = decode_blocks(eng.postings).toPandas()
+    return pdf.sort_values(["term", "doc_id"]).reset_index(drop=True)
+
+
+QUERIES = ["import", "varint data", "engine query scan", "собака кошка"]
+
+
+def test_incremental_equals_rebuild(spark, tmp_path):
+    corpus = make_corpus(spark, N_DOCS, seed=7, partitions=4)
+    base = corpus.limit(N_DOCS - 1).cache()
+    extra_row = corpus.subtract(base).collect()
+    # synth corpora can collide on limit/subtract edge; just take a known row
+    if len(extra_row) != 1:
+        rows = corpus.collect()
+        base_rows, extra = rows[:-1], rows[-1]
+    else:
+        extra = extra_row[0]
+        base_rows = base.collect()
+    base_df = spark.createDataFrame(base_rows, corpus.schema)
+
+    cat_inc = Catalog(str(tmp_path / "inc"))
+    build_index(spark, base_df, cat_inc, n_shards=2, skew_df_threshold=50,
+                salt_target_rows=40)
+    index_doc(
+        spark, cat_inc, extra["repo"], extra["path"], extra["commit"],
+        extra["lang"], extra["content"], code=True,
+    )
+
+    cat_full = Catalog(str(tmp_path / "full"))
+    build_index(spark, spark.createDataFrame(base_rows + [extra], corpus.schema),
+                cat_full, n_shards=2, skew_df_threshold=50, salt_target_rows=40)
+
+    # docs identical
+    di = cat_inc.read(spark, "docs").select("doc_id", "content_sha256", "doclen")
+    df_ = cat_full.read(spark, "docs").select("doc_id", "content_sha256", "doclen")
+    assert di.subtract(df_).count() == 0 and df_.subtract(di).count() == 0
+
+    # terms identical
+    ti = cat_inc.read(spark, "terms").select("term", "df")
+    tf_ = cat_full.read(spark, "terms").select("term", "df")
+    assert ti.subtract(tf_).count() == 0 and tf_.subtract(ti).count() == 0
+
+    # decoded postings identical (doc_id, tf, doclen per term)
+    pi, pf = _decoded_sorted(spark, cat_inc), _decoded_sorted(spark, cat_full)
+    assert pi.equals(pf)
+
+    # corpus stats identical
+    ci = cat_inc.read(spark, "corpus_stats").collect()[0]
+    cf = cat_full.read(spark, "corpus_stats").collect()[0]
+    assert ci["n_docs"] == cf["n_docs"]
+    assert abs(ci["avgdl"] - cf["avgdl"]) < 1e-9
+
+    # rank + score identity on real queries
+    ei = SearchEngine(spark, cat_inc, code=True)
+    ef = SearchEngine(spark, cat_full, code=True)
+    for q in QUERIES:
+        ri = [(r["doc_id"], r["score"]) for r in ei.topk(q, 20).collect()]
+        rf = [(r["doc_id"], r["score"]) for r in ef.topk(q, 20).collect()]
+        assert [d for d, _ in ri] == [d for d, _ in rf], q
+        assert np.allclose([s for _, s in ri], [s for _, s in rf], rtol=0, atol=0), q
+
+
+def test_index_doc_update_and_remove_terms(spark, tmp_path):
+    """Re-index an EXISTING path with new content: old terms' df drop,
+    new terms appear, postings contain exactly the new doc's rows."""
+    corpus = make_corpus(spark, 60, seed=11, partitions=2)
+    cat = Catalog(str(tmp_path / "upd"))
+    build_index(spark, corpus, cat, n_shards=2, skew_df_threshold=50,
+                salt_target_rows=40)
+    target = corpus.orderBy("repo", "path").first()
+    new_content = "zzzuniqueterm appears here zzzuniqueterm again"
+    index_doc(spark, cat, target["repo"], target["path"], target["commit"],
+              target["lang"], new_content, code=True)
+
+    eng = SearchEngine(spark, cat, code=True)
+    hits = eng.topk("zzzuniqueterm", 5).collect()
+    assert len(hits) == 1
+    # the doc is findable and old content's rows for that doc are gone
+    decoded = decode_blocks(eng.postings).filter(
+        F.col("doc_id") == hits[0]["doc_id"]
+    ).toPandas()
+    # 'here'/'again' are frozen stopwords; 'appears' → 'appear'
+    assert set(decoded["term"]) == {"zzzuniqueterm", "appear"}
+    # df bookkeeping: term present exactly once
+    trow = eng.terms.filter(F.col("term") == "zzzuniqueterm").collect()
+    assert len(trow) == 1 and trow[0]["df"] == 1
