@@ -7,23 +7,46 @@ Semantics from the reference search path (SearchServiceImpl.java:43-142):
   * a doc matches iff it appears in EVERY query term's posting list
     (J4, SearchServiceImpl.java:84-101 — the reference does this with
     quadratic List.contains; ours is a count-equality aggregate);
-  * score = BM25 (primary) or the reference's Σtf/max "legacy" relevance
+  * score = BM25 (primary) or the reference's Σtf "legacy" relevance
     (SearchServiceImpl.java:103-131);
   * total order (score desc, doc_id asc) — deterministic tie-break
     (SURVEY §2.5 T1); pagination via limit(offset+limit) then slice.
 
-Two physical strategies, identical results (tested):
-  * ``exhaustive`` — decode every block of every query term, full
-    aggregate. The correctness backstop.
-  * ``blockmax`` — block-max AND: candidates ⊆ rarest term's postings
-    (AND semantics), other terms' blocks are admitted only if their
-    [min_doc, max_doc] range can contain a candidate (vectorized
-    searchsorted over the broadcast sorted candidate ids); admitted blocks
-    decode, then the same aggregate. Block-max metadata additionally
-    upper-bounds each candidate's score; candidates whose bound is below
-    the k-th best exact lower bound are dropped before the final sort
-    (WAND-style θ pruning). At 10^12 docs this reads k posting lists
-    partition-pruned by term, never the corpus.
+Physical strategies — IDENTICAL results (tested against each other and
+against the single-node oracle):
+
+``exhaustive``
+    Decode every block of every query term, one aggregate. The
+    correctness backstop and the fallback when pruning caps trip.
+
+``blockmax`` (block-max WAND adapted to batch dataflow)
+    * multi-term: candidates ⊆ rarest term's posting list (AND
+      semantics). The rarest list is decoded and pulled to the driver
+      (capped — see below); the other terms' per-block metadata
+      (min_doc/max_doc/max_impact) is pulled too. Vectorized numpy then
+      (a) drops every candidate not range-covered by ALL other terms'
+      blocks — an EXACT AND prune from metadata alone — and (b)
+      upper-bounds each survivor's score:
+      ub = exact(rarest) + Σ_others idf·(k1+1)·max_impact(covering block).
+      Survivors are scored exactly in ub-descending chunks (each chunk =
+      one distributed decode of only the blocks overlapping the chunk's
+      ids + the SAME aggregate as exhaustive, so float op order is
+      bit-identical); iteration stops when the need-th exact score θ
+      exceeds the best remaining bound — classic WAND θ-termination.
+    * single-term: block metadata sorted by block score bound; blocks
+      decode in bound-descending batches until θ beats the next bound —
+      the rest of the posting list is never read.
+
+    Caps keep the driver honest: if the rarest list exceeds
+    ``MAX_WAND_CANDIDATES`` or the metadata exceeds
+    ``MAX_WAND_META_BLOCKS`` rows, serving falls back to the distributed
+    exhaustive plan (at 10^12 docs those stress queries are the rare
+    case; selective queries — the common case — touch only k short lists'
+    metadata + a few decoded blocks). Block bounds encoded at build time
+    use build-time avgdl; after incremental updates the current avgdl may
+    drift, so bounds are scaled by max(1, avgdl/avgdl_build)
+    (plans/incremental.py) plus a 1e-9 relative slack against numpy↔JVM
+    last-ulp differences — bounds stay upper bounds, results stay exact.
 
 Float determinism: per-doc BM25 sums term contributions in sorted-term
 order via sort_array(collect_list(struct(term, contrib))) + aggregate —
@@ -59,6 +82,20 @@ DECODED = StructType(
         StructField("doclen", LongType(), False),
     ]
 )
+
+SCORED = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("score", DoubleType(), False),
+    ]
+)
+
+# WAND driver-side caps — above these, fall back to the distributed plan.
+MAX_WAND_CANDIDATES = 500_000
+MAX_WAND_META_BLOCKS = 200_000
+WAND_CHUNK0 = 1024
+SINGLE_TERM_BLOCK_BATCH = 256
+_BOUND_SLACK = 1.0 + 1e-9  # numpy-vs-JVM last-ulp safety on upper bounds
 
 
 def decode_blocks(blocks: DataFrame) -> DataFrame:
@@ -109,6 +146,10 @@ class SearchEngine:
         row = catalog.read(spark, "corpus_stats", CORPUS_STATS).collect()[0]
         self.n_docs = int(row["n_docs"])
         self.avgdl = float(row["avgdl"])
+        ab = row["avgdl_build"] if "avgdl_build" in row.asDict() else None
+        self.avgdl_build = float(ab) if ab is not None else self.avgdl
+        # stale-bound compensation after incremental avgdl drift
+        self.bound_drift = max(1.0, self.avgdl / self.avgdl_build)
 
     # -- term resolution (J1 + O6) ---------------------------------------
 
@@ -127,31 +168,78 @@ class SearchEngine:
             return None
         return dfs
 
-    # -- candidate generation ---------------------------------------------
+    # -- scoring helpers ----------------------------------------------------
 
-    def _decoded_for(self, q_terms: list[str], strategy: str, k_hint: int) -> DataFrame:
-        blocks = self.postings.filter(F.col("term").isin(q_terms))
-        if strategy == "exhaustive" or len(q_terms) == 1:
-            return decode_blocks(blocks)
+    def _idf(self, dfs: dict[str, int], t: str) -> float:
+        return scoring.idf(self.n_docs, dfs[t])
 
-        # blockmax: candidates come only from the rarest term's list
-        meta = (
-            blocks.groupBy("term")
-            .agg(F.sum("count").alias("n"))
-            .collect()
+    def _contrib_col(self, q_terms: list[str], dfs: dict[str, int], scorer: str):
+        if scorer == "legacy":
+            return F.col("tf").cast("double")
+        idf_map = F.create_map(
+            *[x for t in q_terms for x in (F.lit(t), F.lit(self._idf(dfs, t)))]
         )
-        by_n = sorted(meta, key=lambda r: int(r["n"]))
-        rarest = by_n[0]["term"]
-        cand = decode_blocks(blocks.filter(F.col("term") == rarest))
-        cand_ids = np.sort(
-            np.array(
-                [r["doc_id"] for r in cand.select("doc_id").collect()],
-                dtype=np.int64,
+        tfd = F.col("tf").cast("double")
+        dld = F.col("doclen").cast("double")
+        return (
+            idf_map[F.col("term")]
+            * F.lit(scoring.K1 + 1.0)
+            * tfd
+            / (
+                tfd
+                + F.lit(scoring.K1)
+                * (F.lit(1.0 - scoring.B) + F.lit(scoring.B) * dld / F.lit(self.avgdl))
             )
         )
-        if len(cand_ids) == 0:
-            return decode_blocks(blocks.limit(0))
-        bc = self.spark.sparkContext.broadcast(cand_ids)
+
+    def _score(
+        self, decoded: DataFrame, q_terms: list[str], dfs: dict[str, int], scorer: str
+    ) -> DataFrame:
+        """Decoded rows → (doc_id, score) AND-matches; deterministic
+        sorted-term float summation (shared with the oracle)."""
+        return (
+            decoded.withColumn("contrib", self._contrib_col(q_terms, dfs, scorer))
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("nt"),
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("term", "contrib"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["contrib"],
+                ).alias("score"),
+            )
+            .filter(F.col("nt") == F.lit(len(q_terms)))  # J4 k-way AND
+            .select("doc_id", "score")
+        )
+
+    def _scoped_ids(self, site: str) -> DataFrame:
+        return self.docs.filter(F.col("repo") == site).select("doc_id")
+
+    def _block_bound(self, meta: pd.DataFrame, dfq: int, scorer: str) -> np.ndarray:
+        """Per-block score upper bound from stored metadata."""
+        if scorer == "legacy":
+            return meta["max_tf"].to_numpy(np.float64)
+        return (
+            scoring.idf(self.n_docs, dfq)
+            * (scoring.K1 + 1.0)
+            * meta["max_impact"].to_numpy(np.float64)
+            * self.bound_drift
+            * _BOUND_SLACK
+        )
+
+    # -- exact chunk scoring (distributed) -----------------------------------
+
+    def _score_ids_exact(
+        self,
+        q_terms: list[str],
+        dfs: dict[str, int],
+        ids_sorted: np.ndarray,
+        site: str | None,
+        scorer: str,
+    ) -> pd.DataFrame:
+        """Exact (doc_id, score) AND-matches restricted to ``ids_sorted``:
+        decode only blocks whose [min_doc,max_doc] overlaps the id set."""
+        bc = self.spark.sparkContext.broadcast(ids_sorted)
 
         @F.pandas_udf("boolean")
         def block_admitted(min_doc: pd.Series, max_doc: pd.Series) -> pd.Series:
@@ -160,22 +248,159 @@ class SearchEngine:
             hi = np.searchsorted(ids, max_doc.to_numpy(), side="right")
             return pd.Series(hi > lo)
 
-        others = blocks.filter(F.col("term") != rarest).filter(
+        blocks = self.postings.filter(F.col("term").isin(q_terms)).filter(
             block_admitted(F.col("min_doc"), F.col("max_doc"))
         )
-        other_rows = decode_blocks(others).join(
-            F.broadcast(
-                self.spark.createDataFrame(
-                    pd.DataFrame({"doc_id": cand_ids}),
-                    schema=StructType([StructField("doc_id", LongType(), False)]),
-                )
-            ),
-            "doc_id",
-            "inner",
+        ids_df = self.spark.createDataFrame(
+            pd.DataFrame({"doc_id": ids_sorted}),
+            schema=StructType([StructField("doc_id", LongType(), False)]),
         )
-        return cand.unionByName(other_rows.select("term", "doc_id", "tf", "doclen"))
+        decoded = decode_blocks(blocks).join(F.broadcast(ids_df), "doc_id", "inner")
+        if site is not None:
+            decoded = decoded.join(self._scoped_ids(site), "doc_id", "left_semi")
+        return self._score(decoded, q_terms, dfs, scorer).toPandas()
 
-    # -- scoring ------------------------------------------------------------
+    # -- block-max WAND paths -------------------------------------------------
+
+    def _wand_multi(
+        self,
+        q_terms: list[str],
+        dfs: dict[str, int],
+        need: int,
+        site: str | None,
+        scorer: str,
+    ) -> DataFrame | None:
+        rarest = min(q_terms, key=lambda t: (dfs[t], t))
+        if dfs[rarest] > MAX_WAND_CANDIDATES:
+            return None
+        others = sorted(t for t in q_terms if t != rarest)
+        meta = (
+            self.postings.filter(F.col("term").isin(others))
+            .select("term", "min_doc", "max_doc", "max_impact", "max_tf")
+            .limit(MAX_WAND_META_BLOCKS + 1)
+            .toPandas()
+        )
+        if len(meta) > MAX_WAND_META_BLOCKS:
+            return None
+
+        cand_df = decode_blocks(self.postings.filter(F.col("term") == rarest))
+        if site is not None:
+            cand_df = cand_df.join(self._scoped_ids(site), "doc_id", "left_semi")
+        cand = cand_df.select("doc_id", "tf", "doclen").toPandas()
+        if cand.empty:
+            return self._empty_scored()
+        cand = cand.sort_values("doc_id").reset_index(drop=True)
+        ids = cand["doc_id"].to_numpy(np.int64)
+
+        # exact-formula rarest contribution (numpy; enters the BOUND only)
+        if scorer == "legacy":
+            ub = cand["tf"].to_numpy(np.float64).copy()
+        else:
+            ub = (
+                self._idf(dfs, rarest)
+                * (scoring.K1 + 1.0)
+                * scoring.impact_np(
+                    cand["tf"].to_numpy(), cand["doclen"].to_numpy(), self.avgdl
+                )
+                * _BOUND_SLACK
+            )
+        alive = np.ones(len(ids), dtype=bool)
+        for t in others:
+            m = meta[meta["term"] == t].sort_values("min_doc")
+            starts = m["min_doc"].to_numpy(np.int64)
+            ends = m["max_doc"].to_numpy(np.int64)
+            bnd = self._block_bound(m, dfs[t], scorer)
+            j = np.searchsorted(starts, ids, side="right") - 1
+            covered = (j >= 0) & (ids <= ends[np.clip(j, 0, None)])
+            alive &= covered  # EXACT AND prune: uncovered id can't match t
+            ub[covered] += bnd[j[covered]]
+
+        ids, ub = ids[alive], ub[alive]
+        if len(ids) == 0:
+            return self._empty_scored()
+
+        # chunked θ-terminated exact scoring, ub-descending (id asc on ties)
+        order = np.lexsort((ids, -ub))
+        best = pd.DataFrame({"doc_id": [], "score": []}).astype(
+            {"doc_id": np.int64, "score": np.float64}
+        )
+        pos, chunk = 0, max(4 * need, WAND_CHUNK0)
+        while pos < len(order):
+            sel = order[pos : pos + chunk]
+            pos += len(sel)
+            chunk *= 2
+            exact = self._score_ids_exact(
+                q_terms, dfs, np.sort(ids[sel]), site, scorer
+            )
+            if not exact.empty:
+                best = pd.concat([best, exact], ignore_index=True)
+                best = best.sort_values(
+                    ["score", "doc_id"], ascending=[False, True]
+                ).head(need)
+            if len(best) >= need and pos < len(order):
+                theta = float(best["score"].iloc[need - 1])
+                if theta > float(ub[order[pos]]):
+                    break  # WAND θ-termination
+        return self._from_pdf(best.head(need))
+
+    def _wand_single(
+        self,
+        term: str,
+        dfq: int,
+        dfs: dict[str, int],
+        need: int,
+        site: str | None,
+        scorer: str,
+    ) -> DataFrame | None:
+        meta = (
+            self.postings.filter(F.col("term") == term)
+            .select("block_id", "max_impact", "max_tf")
+            .limit(MAX_WAND_META_BLOCKS + 1)
+            .toPandas()
+        )
+        if len(meta) > MAX_WAND_META_BLOCKS:
+            return None
+        bnd = self._block_bound(meta, dfq, scorer)
+        order = np.lexsort((meta["block_id"].to_numpy(), -bnd))
+        block_ids = meta["block_id"].to_numpy()[order]
+        bounds = bnd[order]
+
+        best = pd.DataFrame({"doc_id": [], "score": []}).astype(
+            {"doc_id": np.int64, "score": np.float64}
+        )
+        pos = 0
+        while pos < len(block_ids):
+            sel = block_ids[pos : pos + SINGLE_TERM_BLOCK_BATCH]
+            pos += len(sel)
+            blocks = self.postings.filter(F.col("term") == term).filter(
+                F.col("block_id").isin([int(b) for b in sel])
+            )
+            decoded = decode_blocks(blocks)
+            if site is not None:
+                decoded = decoded.join(self._scoped_ids(site), "doc_id", "left_semi")
+            exact = self._score(decoded, [term], dfs, scorer).toPandas()
+            if not exact.empty:
+                best = pd.concat([best, exact], ignore_index=True)
+                best = best.sort_values(
+                    ["score", "doc_id"], ascending=[False, True]
+                ).head(need)
+            if len(best) >= need and pos < len(block_ids):
+                theta = float(best["score"].iloc[need - 1])
+                if theta > float(bounds[pos]):
+                    break  # rest of the list is never decoded
+        return self._from_pdf(best.head(need))
+
+    def _empty_scored(self) -> DataFrame:
+        return self.spark.createDataFrame([], SCORED)
+
+    def _from_pdf(self, pdf: pd.DataFrame) -> DataFrame:
+        if pdf.empty:
+            return self._empty_scored()
+        return self.spark.createDataFrame(pdf, SCORED).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+
+    # -- public entry ---------------------------------------------------------
 
     def topk(
         self,
@@ -195,76 +420,35 @@ class SearchEngine:
         """
         q_terms = analyze_query(query, code=self.code)
         dfs = self.resolve_terms(q_terms)
-        empty = self.spark.createDataFrame(
-            [],
-            StructType(
-                [
-                    StructField("doc_id", LongType(), False),
-                    StructField("score", DoubleType(), False),
-                ]
-            ),
-        )
         if dfs is None:
-            return empty
+            return self._empty_scored()
+        need = offset + k
 
-        decoded = self._decoded_for(q_terms, strategy, k_hint=offset + k)
-
-        if site is not None:
-            scoped = self.docs.filter(F.col("repo") == site).select("doc_id")
-            decoded = decoded.join(scoped, "doc_id", "left_semi")
-
-        if scorer == "legacy":
-            contrib = F.col("tf").cast("double")
-        else:
-            idf_map = F.create_map(
-                *[
-                    x
-                    for t in q_terms
-                    for x in (F.lit(t), F.lit(scoring.idf(self.n_docs, dfs[t])))
-                ]
-            )
-            tfd = F.col("tf").cast("double")
-            dld = F.col("doclen").cast("double")
-            contrib = (
-                idf_map[F.col("term")]
-                * F.lit(scoring.K1 + 1.0)
-                * tfd
-                / (
-                    tfd
-                    + F.lit(scoring.K1)
-                    * (
-                        F.lit(1.0 - scoring.B)
-                        + F.lit(scoring.B) * dld / F.lit(self.avgdl)
-                    )
+        if strategy == "blockmax":
+            if len(q_terms) == 1:
+                res = self._wand_single(
+                    q_terms[0], dfs[q_terms[0]], dfs, need, site, scorer
                 )
-            )
+            else:
+                res = self._wand_multi(q_terms, dfs, need, site, scorer)
+            if res is not None:
+                return res.limit(need)
 
-        scored = (
-            decoded.withColumn("contrib", contrib)
-            .groupBy("doc_id")
-            .agg(
-                F.count("*").alias("nt"),
-                # deterministic summation order: sort contributions by term
-                F.aggregate(
-                    F.sort_array(F.collect_list(F.struct("term", "contrib"))),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x["contrib"],
-                ).alias("score"),
-            )
-            .filter(F.col("nt") == F.lit(len(q_terms)))  # J4 k-way AND
-            .select("doc_id", "score")
-        )
-        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(offset + k)
+        # exhaustive (or fallback): decode all blocks of the query terms
+        decoded = decode_blocks(self.postings.filter(F.col("term").isin(q_terms)))
+        if site is not None:
+            decoded = decoded.join(self._scoped_ids(site), "doc_id", "left_semi")
+        scored = self._score(decoded, q_terms, dfs, scorer)
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(need)
 
     def count_matches(self, query: str, site: str | None = None) -> int:
         """A7: number of AND-matching docs (pre-pagination)."""
         q_terms = analyze_query(query, code=self.code)
         if self.resolve_terms(q_terms) is None:
             return 0
-        decoded = self._decoded_for(q_terms, "exhaustive", 0)
+        decoded = decode_blocks(self.postings.filter(F.col("term").isin(q_terms)))
         if site is not None:
-            scoped = self.docs.filter(F.col("repo") == site).select("doc_id")
-            decoded = decoded.join(scoped, "doc_id", "left_semi")
+            decoded = decoded.join(self._scoped_ids(site), "doc_id", "left_semi")
         return (
             decoded.groupBy("doc_id")
             .agg(F.count("*").alias("nt"))

@@ -1,0 +1,97 @@
+"""Block-max WAND (operators/query.py) adversarial equivalence tests.
+
+The contract: ``strategy='blockmax'`` returns EXACTLY what
+``strategy='exhaustive'`` returns — same doc_id order, bit-identical
+float64 scores — for every scorer/site/pagination combination, including
+when the driver-side caps trip and the hybrid falls back.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import search_engine_spark.operators.query as Q
+from search_engine_spark.operators.query import SearchEngine
+from search_engine_spark.plans.build_job import build_index
+from search_engine_spark.sources.catalog import Catalog
+from search_engine_spark.synth import make_corpus
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("wand_idx"))
+    corpus = make_corpus(spark, 250, seed=3, partitions=4)
+    cat = Catalog(root)
+    # tiny salt threshold → hot terms are salted → many small blocks
+    build_index(spark, corpus, cat, n_shards=2, skew_df_threshold=40,
+                salt_target_rows=30)
+    return SearchEngine(spark, cat, code=True)
+
+
+def _pairs(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+CASES = [
+    # (query, k, offset, site, scorer)
+    ("import", 10, 0, None, "bm25"),            # single hot term
+    ("varint", 10, 0, None, "bm25"),            # single rare term
+    ("import data", 20, 0, None, "bm25"),       # hot+mid AND
+    ("import def the", 15, 0, None, "bm25"),    # all-hot AND (worst case)
+    ("engine query scan", 20, 20, None, "bm25"),  # deep pagination
+    ("import data", 20, 0, None, "legacy"),     # legacy Σtf scorer (ties!)
+    ("import", 25, 0, None, "legacy"),          # single-term legacy ties
+    ("собака кошка", 10, 0, None, "bm25"),      # russian branch
+]
+
+
+@pytest.mark.parametrize("query,k,offset,site,scorer", CASES)
+def test_blockmax_equals_exhaustive(engine, query, k, offset, site, scorer):
+    a = _pairs(engine.topk(query, k=k, offset=offset, site=site,
+                           strategy="blockmax", scorer=scorer))
+    b = _pairs(engine.topk(query, k=k, offset=offset, site=site,
+                           strategy="exhaustive", scorer=scorer))
+    assert [d for d, _ in a] == [d for d, _ in b]
+    assert np.array_equal(
+        np.array([s for _, s in a]), np.array([s for _, s in b])
+    ), "scores must be bit-identical (same distributed agg both paths)"
+
+
+def test_blockmax_site_scoped(engine):
+    repos = [r["repo"] for r in engine.docs.select("repo").distinct().limit(3).collect()]
+    for repo in repos:
+        a = _pairs(engine.topk("import data", k=10, site=repo, strategy="blockmax"))
+        b = _pairs(engine.topk("import data", k=10, site=repo, strategy="exhaustive"))
+        assert a == b
+
+
+def test_fallback_when_caps_trip(engine, monkeypatch):
+    """Tiny caps force the fallback path — results must not change."""
+    base = _pairs(engine.topk("import data", k=10, strategy="exhaustive"))
+    monkeypatch.setattr(Q, "MAX_WAND_CANDIDATES", 1)
+    assert _pairs(engine.topk("import data", k=10, strategy="blockmax")) == base
+    monkeypatch.setattr(Q, "MAX_WAND_CANDIDATES", 500_000)
+    monkeypatch.setattr(Q, "MAX_WAND_META_BLOCKS", 0)
+    assert _pairs(engine.topk("import data", k=10, strategy="blockmax")) == base
+
+
+def test_theta_termination_small_chunks(engine, monkeypatch):
+    """Force many tiny chunks so the θ-termination branch actually runs."""
+    monkeypatch.setattr(Q, "WAND_CHUNK0", 2)
+    a = _pairs(engine.topk("import data scan", k=5, strategy="blockmax"))
+    b = _pairs(engine.topk("import data scan", k=5, strategy="exhaustive"))
+    assert a == b
+    monkeypatch.setattr(Q, "SINGLE_TERM_BLOCK_BATCH", 1)
+    a1 = _pairs(engine.topk("import", k=5, strategy="blockmax"))
+    b1 = _pairs(engine.topk("import", k=5, strategy="exhaustive"))
+    assert a1 == b1
+
+
+def test_wand_prunes_uncovered_candidates(engine):
+    """A doc present in the rarest list but absent from another term's
+    block ranges must be dropped by the metadata AND-prune (never scored),
+    and results still match exhaustive."""
+    a = _pairs(engine.topk("varint собака", k=10, strategy="blockmax"))
+    b = _pairs(engine.topk("varint собака", k=10, strategy="exhaustive"))
+    assert a == b
