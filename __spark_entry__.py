@@ -286,6 +286,12 @@ def _q_ngram_jaccard(spark, sf):
     )
 
 
+def _q_embed_near_dup(spark, sf):
+    from search_engine_spark.operators.dedup import embedding_cosine_pairs
+
+    return embedding_cosine_pairs(_t(spark, sf, "embeddings"), min_cosine=0.4)
+
+
 def _q_lang_stats(spark, sf):
     return (
         _t(spark, sf, "documents")
@@ -414,6 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": _q_text_profile,
         "doc_fingerprint": _q_fingerprint,
         "ngram_jaccard": _q_ngram_jaccard,
+        "embed_near_dup": _q_embed_near_dup,
         "lang_stats": _q_lang_stats,
         "events_hourly": _q_events_hourly,
         "top_orders_join_j5": _q_top_orders,
@@ -518,6 +525,15 @@ def oracle_sql() -> dict[str, str]:
            SELECT doc_a, doc_b, round(c * 1.0 / (x.n_sh + y.n_sh - c), 4) AS jaccard
            FROM com JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
            WHERE c * 1.0 / (x.n_sh + y.n_sh - c) >= 0.8""",
+        "embed_near_dup": """
+           WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                             generate_subscripts(embedding, 1) AS i
+                      FROM embeddings),
+           p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                        sum(a.x*b.x) / (sqrt(sum(a.x*a.x)) * sqrt(sum(b.x*b.x))) AS cos
+                 FROM e a JOIN e b USING (i) WHERE a.vec_id < b.vec_id
+                 GROUP BY 1, 2)
+           SELECT va, vb, round(cos, 4) AS cosine FROM p WHERE cos >= 0.4""",
         "lang_stats": """
            SELECT lang, count(*) AS docs, round(avg(n_chars), 2) AS avg_chars
            FROM documents GROUP BY lang""",

@@ -81,6 +81,37 @@ def term_frequencies(tokens: DataFrame) -> DataFrame:
     return tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
 
 
+def term_frequencies_from_docs(docs: DataFrame, code: bool = True) -> DataFrame:
+    """A1 computed SHUFFLE-FREE: one doc's content is one input row, so all
+    its occurrences live in the same Arrow batch — the per-(doc,term) count
+    is finalized by a pandas groupby inside the batch and never crosses the
+    network. At 10^12 docs this removes the build's largest shuffle (the
+    exploded-occurrence stream); only DF (by term) and postings (by term)
+    still shuffle, both on the already-aggregated TF rows."""
+    from ..schemas import TF as TF_SCHEMA
+
+    def _tf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ex = analyze_series_exploded(pdf["doc_id"], pdf["content"], code=code)
+            if ex.empty:
+                yield pd.DataFrame(
+                    {"doc_id": np.array([], dtype=np.int64), "term": [],
+                     "tf": np.array([], dtype=np.int64)}
+                )
+                continue
+            out = (
+                ex.groupby(["doc_id", "term"], sort=False)
+                .size()
+                .reset_index(name="tf")
+            )
+            out["tf"] = out["tf"].astype(np.int64)
+            yield out
+
+    return docs.select("doc_id", "content").mapInPandas(
+        _tf_batches, schema=TF_SCHEMA
+    )
+
+
 def doc_stats(tf: DataFrame) -> DataFrame:
     """doclen = Σtf over the doc's terms (total analyzed-token count)."""
     return tf.groupBy("doc_id").agg(F.sum("tf").alias("doclen"))
@@ -200,4 +231,12 @@ def build_postings(
         _postings_encoder(avgdl), schema=POSTINGS
     )
     w = Window.partitionBy("term").orderBy("min_doc")
-    return blocks.withColumn("block_id", (F.row_number().over(w) - 1).cast("int"))
+    return blocks.withColumn(
+        "block_id", (F.row_number().over(w) - 1).cast("int")
+    ).sortWithinPartitions(
+        # cluster each parquet file by term → row-group min/max stats prune
+        # non-query terms at scan time (the "B-tree on lemma" equivalent,
+        # SURVEY §4.1; Iceberg: sort-order on (term, block_id))
+        "term",
+        "min_doc",
+    )

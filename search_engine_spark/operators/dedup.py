@@ -281,3 +281,43 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    min_cosine: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact): all (a < b) pairs with
+    cosine >= threshold. JVM-side expression math (zip_with + aggregate), no
+    Python in the loop.
+
+    This EXACT variant is the small-side / oracle-checkable baseline — the
+    O(n^2) self-join is the scale ceiling. The scale path is
+    ``similarity.all_pairs_cosine_topk`` (LSH-bucketed self-join: only
+    bucket-mates ever meet) with this same scoring expression; use that at
+    10^12 rows and this one to validate it on samples."""
+    a = embeddings.select(
+        F.col(id_col).alias("va"), F.col(vec_col).alias("ea")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("vb"), F.col(vec_col).alias("eb")
+    )
+
+    def _dotp(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    pairs = a.join(b, F.col("va") < F.col("vb"))
+    cos = _dotp(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_dotp(F.col("ea"), F.col("ea"))) * F.sqrt(_dotp(F.col("eb"), F.col("eb")))
+    )
+    return (
+        pairs.select("va", "vb", cos.alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(min_cosine))
+        .select("va", "vb", F.round("cosine", 4).alias("cosine"))
+    )

@@ -141,7 +141,9 @@ class SearchEngine:
         self.catalog = catalog
         self.code = code
         self.docs = catalog.read(spark, "docs")
-        self.terms = catalog.read(spark, "terms", TERMS)
+        # terms is the vocabulary (small relative to postings) and is hit
+        # once per query for J1/O6 — keep it hot across queries
+        self.terms = catalog.read(spark, "terms", TERMS).persist()
         self.postings = catalog.read(spark, "postings", POSTINGS)
         row = catalog.read(spark, "corpus_stats", CORPUS_STATS).collect()[0]
         self.n_docs = int(row["n_docs"])

@@ -51,7 +51,7 @@ def build_index(
         man.start("tf")
         try:
             docs_raw = B.build_docs(corpus)
-            tf = B.term_frequencies(B.tokens_exploded(docs_raw, code=code))
+            tf = B.term_frequencies_from_docs(docs_raw, code=code)
             catalog.write(tf, "tf")
             n = catalog.read(spark, "tf").count()
             man.done("tf", postings=n)
@@ -72,10 +72,16 @@ def build_index(
         man.start("docs")
         docs = (
             B.build_docs(corpus)
+            # no broadcast hint: dstats grows with the corpus — AQE
+            # broadcasts it only while it is actually small
             .join(dstats, "doc_id", "left")
             .withColumn("doclen", F.coalesce(F.col("doclen"), F.lit(0)))
             # bucket(repo) partitioning stand-in (Iceberg: bucket(16, repo))
             .withColumn("repo_bucket", F.pmod(F.xxhash64("repo"), F.lit(16)))
+            # cluster rows by bucket before the partitioned write — one file
+            # per bucket instead of (#tasks × #buckets) shards (Iceberg:
+            # write.distribution-mode=hash does exactly this)
+            .repartition("repo_bucket")
         )
         catalog.write(docs, "docs", partition_by=["repo_bucket"])
         n = catalog.read(spark, "docs").count()

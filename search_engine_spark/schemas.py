@@ -150,3 +150,12 @@ TOKENS_EXPLODED = StructType(
         StructField("term", StringType(), False),
     ]
 )
+
+# shuffle-free per-batch TF output (operators/build.term_frequencies_from_docs)
+TF = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("term", StringType(), False),
+        StructField("tf", LongType(), False),
+    ]
+)

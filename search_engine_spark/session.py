@@ -20,7 +20,19 @@ def package_zip() -> str:
     --py-files`` artifact (north_rule). Cached per process."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     out = os.path.join(tempfile.gettempdir(), "search_engine_spark_pyfiles.zip")
-    if not os.path.exists(out):
+    # rebuild when any source file is newer than the cached zip — a stale
+    # zip ships old code to executors (AttributeError deep in a UDF)
+    newest = max(
+        (
+            os.path.getmtime(os.path.join(r, f))
+            for r, _, fs in os.walk(pkg_dir)
+            if "__pycache__" not in r
+            for f in fs
+            if f.endswith(".py")
+        ),
+        default=0.0,
+    )
+    if not os.path.exists(out) or os.path.getmtime(out) < newest:
         tmp = out + ".tmp"
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
             for root, _, files in os.walk(pkg_dir):
@@ -66,6 +78,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # COUNT/MIN/MAX answered from parquet footers — the build's
+        # per-stage row-count checks become metadata-only
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # scan split sizing: the build's hot stages are CPU-heavy python
+        # work per input byte (tokenize+lemmatize), so default 128 MB splits
+        # leave most cores idle on medium inputs — 16 MB keeps every core
+        # fed; at petabyte scale the same setting just yields more tasks
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
         # Broadcast joins for the tiny query-side dims (terms-hit, sites).
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")

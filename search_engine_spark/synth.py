@@ -148,3 +148,78 @@ def make_corpus_pdf(n_docs: int, seed: int = 42) -> pd.DataFrame:
 def make_corpus(spark: SparkSession, n_docs: int, seed: int = 42, partitions: int = 8) -> DataFrame:
     pdf = make_corpus_pdf(n_docs, seed=seed)
     return spark.createDataFrame(pdf, schema=CORPUS).repartition(partitions)
+
+
+def _gen_slice(lo: int, n: int, seed: int) -> pd.DataFrame:
+    """Deterministic corpus slice for global doc indices [lo, lo+n):
+    same statistical shape as ``make_corpus_pdf`` but seeded per slice so
+    generation distributes (rng stream = default_rng([seed, lo]))."""
+    rng = np.random.default_rng([seed, lo])
+    i = np.arange(lo, lo + n)
+
+    hot = rng.random(n) < 0.2
+    repos = np.where(
+        hot,
+        np.where(i % 2 == 0, "org0/repo0", "org1/repo1"),
+        pd.Series(i % 7).astype(str).radd("org").str.cat(
+            pd.Series(i % 53).astype(str).radd("/repo")
+        ),
+    )
+    ext = rng.choice(_EXTS, size=n)
+    dirs = rng.integers(0, 40, size=n)
+    names = rng.integers(0, 5000, size=n)
+    paths = [f"src/d{d}/f{m}.{e}" for d, m, e in zip(dirs, names, ext)]
+    is_ru = rng.random(n) < 0.10
+    langs = np.where(is_ru, "ru", [_LANG_OF_EXT[e] for e in ext])
+
+    en = np.array(_EN_VOCAB, dtype=object)
+    ru = np.array(_RU_VOCAB, dtype=object)
+    ident = np.array(_IDENTIFIERS, dtype=object)
+    contents: list[str] = []
+    for k in range(n):
+        nwords = int(rng.integers(10, 260))
+        if is_ru[k]:
+            words = list(rng.choice(ru, size=nwords))
+        else:
+            words = list(rng.choice(en, size=nwords))
+            words.extend(rng.choice(ident, size=int(rng.integers(0, max(2, nwords // 8)))))
+        if rng.random() < 0.85:
+            reps = int(rng.integers(1, 6))
+            for h in _HOT_TERMS:
+                words.extend([h] * reps)
+        perm = rng.permutation(len(words))
+        contents.append(" ".join(np.asarray(words, dtype=object)[perm]))
+    commits = [
+        hashlib.sha1(f"{r}/{p}/{k}".encode()).hexdigest()
+        for k, (r, p) in zip(i, zip(repos, paths))
+    ]
+    return pd.DataFrame(
+        {"repo": repos, "path": paths, "commit": commits, "lang": langs,
+         "content": contents}
+    )
+
+
+def make_corpus_dist(
+    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int = 256
+) -> DataFrame:
+    """Distributed deterministic corpus generator for bench-scale inputs
+    (millions of docs): each task generates its slice — the driver never
+    holds the corpus. Unique (repo,path,commit) is guaranteed by the
+    globally-unique doc index inside ``commit``."""
+    import math
+
+    per = math.ceil(n_docs / partitions)
+
+    def _gen(batches):
+        for pdf in batches:
+            for pid in pdf["id"].tolist():
+                lo = pid * per
+                n = min(per, n_docs - lo)
+                if n > 0:
+                    yield _gen_slice(lo, n, seed)
+
+    return (
+        spark.range(partitions)
+        .repartition(partitions)
+        .mapInPandas(_gen, schema=CORPUS)
+    )

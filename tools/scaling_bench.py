@@ -1,0 +1,165 @@
+"""Two-cluster-size scaling evidence (north_rule: throughput scaling
+efficiency >=0.8 from N to 4N executors).
+
+The sandbox has one machine, so cluster sizes are substituted by
+parallelism levels on IDENTICAL input: ``local[8]`` (N) vs ``local[32]``
+(4N) — the same substitution the reference's own parallelism knob would
+get (thread_multiplier, utils/IndexingTasksManager.java:59).
+
+Protocol (one JSON line per run on stdout):
+  1. parent synthesizes ONE corpus parquet (seed=42) — both levels read
+     the same files;
+  2. per level, a FRESH subprocess (fresh JVM) runs a warmup job, then
+     times (a) the full index build (docs/sec, postings/sec) and (b) the
+     frozen reference query set R times each (p50/p95 latency);
+  3. parent reports throughput at both levels and
+     efficiency = throughput_4N / (4 * throughput_N), appends the table
+     to BENCH_SCALING.json.
+
+Usage:
+  python tools/scaling_bench.py                 # full protocol (~10-20 min)
+  SCALING_DOCS=50000 python tools/scaling_bench.py
+  python tools/scaling_bench.py --worker 8 /path/corpus  # internal
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERY_REPS = int(os.environ.get("SCALING_QUERY_REPS", "3"))
+DOCS = int(os.environ.get("SCALING_DOCS", "20000"))
+LEVELS = (8, 32)
+
+# frozen latency query subset (mix of rare/hot/AND/russian — FIXTURES.md §4)
+LATENCY_QUERIES = [
+    "varint",
+    "import",
+    "index merge",
+    "query index search",
+    "import varint",
+    "поиск индекс",
+]
+
+
+def worker(cpus: int, corpus_path: str) -> None:
+    from search_engine_spark.session import get_spark
+    from search_engine_spark.plans.build_job import build_index, read_corpus
+    from search_engine_spark.operators.query import SearchEngine
+    from search_engine_spark.sources.catalog import Catalog
+
+    spark = get_spark(f"scaling_{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    corpus = read_corpus(spark, corpus_path)
+    n_docs = corpus.count()  # warmup: JVM + parquet reader + codegen
+    # warm the python workers too (fork + module imports) so the timed
+    # section measures steady-state throughput, not one-time process spawn
+    from search_engine_spark.operators.build import term_frequencies_from_docs, build_docs
+    term_frequencies_from_docs(build_docs(corpus.limit(256))).count()
+
+    root = tempfile.mkdtemp(prefix=f"scale_{cpus}_")
+    try:
+        cat = Catalog(root)
+        t0 = time.time()
+        build_index(spark, corpus, cat, n_shards=1,
+                    skew_df_threshold=5000, salt_target_rows=4000)
+        build_s = time.time() - t0
+        man = [json.loads(x) for x in open(cat.path("build_manifest.jsonl"))]
+        postings = sum(r.get("postings") or 0 for r in man
+                       if r["stage"] == "postings" and r["status"] == "DONE")
+
+        eng = SearchEngine(spark, cat)
+        lat: dict[str, dict[str, float]] = {}
+        all_ms: list[float] = []
+        for q in LATENCY_QUERIES:
+            times = []
+            for _ in range(QUERY_REPS):
+                tq = time.time()
+                eng.topk(q, 20, strategy="blockmax").collect()
+                times.append((time.time() - tq) * 1000)
+            times.sort()
+            all_ms.extend(times)
+            lat[q] = {"p50_ms": round(times[len(times) // 2], 1),
+                      "max_ms": round(times[-1], 1)}
+        all_ms.sort()
+        p95 = all_ms[min(len(all_ms) - 1, int(0.95 * len(all_ms)))]
+        print(json.dumps({
+            "cpus": cpus,
+            "n_docs": n_docs,
+            "build_sec": round(build_s, 2),
+            "docs_per_sec": round(n_docs / build_s, 1),
+            "postings_per_sec": round(postings / build_s, 1),
+            "query_p50_ms": round(all_ms[len(all_ms) // 2], 1),
+            "query_p95_ms": round(p95, 1),
+            "per_query": lat,
+        }))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), sys.argv[3])
+        return
+
+    corpus_dir = tempfile.mkdtemp(prefix="scaling_corpus_")
+    corpus_path = os.path.join(corpus_dir, "corpus")
+    try:
+        from search_engine_spark.session import get_spark
+        from search_engine_spark.synth import make_corpus_dist
+
+        spark = get_spark("scaling_gen", master="local[32]")
+        # fixed partition count — both levels read byte-identical files;
+        # 256 files keeps every core fed at either level
+        make_corpus_dist(spark, DOCS, seed=42, partitions=256).write.parquet(
+            corpus_path
+        )
+        spark.stop()
+
+        results = {}
+        for cpus in LEVELS:
+            print(f"--- level local[{cpus}] ---", file=sys.stderr)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker",
+                 str(cpus), corpus_path],
+                capture_output=True, text=True, timeout=3600,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            )
+            if out.returncode != 0:
+                print(out.stderr[-3000:], file=sys.stderr)
+                raise SystemExit(f"worker local[{cpus}] failed")
+            line = [x for x in out.stdout.splitlines() if x.startswith("{")][-1]
+            results[cpus] = json.loads(line)
+            print(line, file=sys.stderr)
+
+        n, n4 = results[LEVELS[0]], results[LEVELS[1]]
+        ratio = LEVELS[1] / LEVELS[0]
+        summary = {
+            "metric": "scaling_efficiency",
+            "docs": DOCS,
+            "levels": {str(k): v for k, v in results.items()},
+            "build_efficiency": round(
+                n4["docs_per_sec"] / (ratio * n["docs_per_sec"]), 3
+            ),
+            "postings_efficiency": round(
+                n4["postings_per_sec"] / (ratio * n["postings_per_sec"]), 3
+            ),
+            "speedup": round(n4["docs_per_sec"] / n["docs_per_sec"], 2),
+        }
+        print(json.dumps(summary))
+        with open("BENCH_SCALING.json", "w") as f:
+            json.dump(summary, f, indent=1)
+    finally:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

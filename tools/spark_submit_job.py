@@ -1,0 +1,94 @@
+"""spark-submit entry point (north_rule: "ships via spark-submit
+--py-files to run at both N and 4N executors").
+
+Package the library and submit — on a real cluster the master/executor
+flags replace local[]:
+
+    python -c "from search_engine_spark.session import package_zip; print(package_zip())"
+    spark-submit --py-files /tmp/search_engine_spark_pyfiles.zip \
+        --master yarn --num-executors 8  tools/spark_submit_job.py \
+        build --corpus /data/corpus --catalog /data/idx --shards 64
+    spark-submit --py-files ... tools/spark_submit_job.py \
+        query --catalog /data/idx --q "query index" --k 20
+
+Inside the job we do NOT call get_spark() (the session comes from
+spark-submit); we only attach the engine's confs that matter at runtime.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+    b = sub.add_parser("build")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--catalog", required=True)
+    b.add_argument("--shards", type=int, default=4)
+    b.add_argument("--skew-df-threshold", type=int, default=100_000)
+    b.add_argument("--salt-target-rows", type=int, default=50_000)
+    q = sub.add_parser("query")
+    q.add_argument("--catalog", required=True)
+    q.add_argument("--q", required=True)
+    q.add_argument("--k", type=int, default=20)
+    q.add_argument("--site", default=None)
+    q.add_argument("--strategy", default="blockmax")
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("search_engine_spark_job")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    # when run via plain `python` (not spark-submit), ship the package
+    try:
+        import search_engine_spark  # noqa: F401
+    except ImportError:
+        sys.exit("package not on PYTHONPATH — pass --py-files <zip>")
+    # ship the package to executors when launched via plain `python`; under
+    # spark-submit --py-files the zip is already distributed (and the
+    # package dir may live inside the zip — nothing to re-pack then)
+    import os
+    import search_engine_spark as _pkg
+    pkg_dir = os.path.dirname(os.path.abspath(_pkg.__file__))
+    if os.path.isdir(pkg_dir):
+        from search_engine_spark.session import package_zip
+        spark.sparkContext.addPyFile(package_zip())
+
+    from search_engine_spark.plans.build_job import build_index, read_corpus
+    from search_engine_spark.operators.query import SearchEngine
+    from search_engine_spark.sources.catalog import Catalog
+
+    if args.cmd == "build":
+        t0 = time.time()
+        corpus = read_corpus(spark, args.corpus)
+        n = corpus.count()
+        build_index(
+            spark, corpus, Catalog(args.catalog), n_shards=args.shards,
+            skew_df_threshold=args.skew_df_threshold,
+            salt_target_rows=args.salt_target_rows,
+        )
+        el = time.time() - t0
+        print(json.dumps({"docs": n, "sec": round(el, 1),
+                          "docs_per_sec": round(n / el, 1)}))
+    else:
+        eng = SearchEngine(spark, Catalog(args.catalog))
+        t0 = time.time()
+        rows = eng.topk(args.q, k=args.k, site=args.site,
+                        strategy=args.strategy).collect()
+        print(json.dumps({
+            "q": args.q, "ms": round((time.time() - t0) * 1000, 1),
+            "hits": [{"doc_id": r["doc_id"], "score": r["score"]} for r in rows],
+        }))
+
+
+if __name__ == "__main__":
+    main()
