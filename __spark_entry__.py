@@ -286,6 +286,24 @@ def _q_ngram_jaccard(spark, sf):
     )
 
 
+def _q_html_strip(spark, sf):  # F1/F2 (utils/HtmlParser.java:41-52)
+    from search_engine_spark.functions.html import html_text, html_title
+
+    d = _t(spark, sf, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p{color:red}</style></head><body><p>"),
+        F.col("text"),
+        F.lit("</p><script>var x=1;</script></body></html>"),
+    )
+    return d.select(
+        "doc_id",
+        html_title(html).alias("title"),
+        F.substring(html_text(html), 1, 80).alias("text80"),
+    )
+
+
 def _q_embed_near_dup(spark, sf):
     from search_engine_spark.operators.dedup import embedding_cosine_pairs
 
@@ -369,6 +387,22 @@ def _q_engine_postings(spark, sf):
     return eng.postings.select("term", "block_id", "count", "min_doc", "max_doc")
 
 
+def _q_search_decorated(spark, sf):
+    """Full reference search response (J3/J5 decoration + F6/F7/F8
+    snippet+relevance) as rows — built on the same cached engine catalog."""
+    from search_engine_spark.api import EngineAPI
+
+    eng = _engine(spark, sf)
+    api = EngineAPI(spark, eng.catalog, code=False)
+    resp = api.search(" ".join(Q3), limit=10)
+    schema = "uri string, title string, snippet string, relevance double"
+    rows = [
+        (d["uri"], d["title"], d["snippet"], round(d["relevance"], 6))
+        for d in resp["data"]
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
 def _q_minhash_pairs(spark, sf):
     from search_engine_spark.operators.dedup import minhash_lsh_pairs
 
@@ -420,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": _q_text_profile,
         "doc_fingerprint": _q_fingerprint,
         "ngram_jaccard": _q_ngram_jaccard,
+        "html_strip_f1": _q_html_strip,
         "embed_near_dup": _q_embed_near_dup,
         "lang_stats": _q_lang_stats,
         "events_hourly": _q_events_hourly,
@@ -431,6 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_bm25_topk": _q_engine_bm25,
         "engine_wand_topk": _q_engine_wand,
         "engine_postings_blocks": _q_engine_postings,
+        "search_decorated": _q_search_decorated,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ann_lsh_topk": _q_ann_lsh,
@@ -525,6 +561,35 @@ def oracle_sql() -> dict[str, str]:
            SELECT doc_a, doc_b, round(c * 1.0 / (x.n_sh + y.n_sh - c), 4) AS jaccard
            FROM com JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
            WHERE c * 1.0 / (x.n_sh + y.n_sh - c) >= 0.8""",
+        "html_strip_f1": """
+           WITH h AS (
+             SELECT doc_id,
+                    '<html><head><title>Doc ' || doc_id ||
+                    '</title><style>p{color:red}</style></head><body><p>' ||
+                    text || '</p><script>var x=1;</script></body></html>' AS html
+             FROM documents),
+           c1 AS (SELECT doc_id, html,
+                         regexp_replace(regexp_replace(html,
+                             '<script[^>]*>.*?</script>', ' ', 'gis'),
+                             '<style[^>]*>.*?</style>', ' ', 'gis') AS c
+                  FROM h),
+           c2 AS (SELECT doc_id, html,
+                         replace(replace(replace(replace(replace(replace(
+                             regexp_replace(c, '<[^>]+>', ' ', 'gs'),
+                             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                             '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS c
+                  FROM c1)
+           SELECT doc_id,
+                  CASE WHEN trim(regexp_replace(
+                           regexp_extract(html, '<title[^>]*>(.*?)</title>', 1, 'is'),
+                           '\\s+', ' ', 'g')) = ''
+                       THEN 'Без заголовка'
+                       ELSE trim(regexp_replace(
+                           regexp_extract(html, '<title[^>]*>(.*?)</title>', 1, 'is'),
+                           '\\s+', ' ', 'g'))
+                  END AS title,
+                  substring(trim(regexp_replace(c, '\\s+', ' ', 'g')), 1, 80) AS text80
+           FROM c2""",
         "embed_near_dup": """
            WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
                              generate_subscripts(embedding, 1) AS i

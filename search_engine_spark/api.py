@@ -181,19 +181,24 @@ class EngineAPI:
     # -- GET /api/statistics (ApiController.java:20-23) ----------------------
 
     def statistics(self) -> dict:
-        """A6 counts (StatisticsServiceImpl.java:33-75): one aggregation
-        pass per table instead of per-site JDBC counts."""
+        """A6 counts (StatisticsServiceImpl.java:33-75). Reference counts
+        `lemma` rows per site (= distinct lemmas per site); we compute the
+        exact equivalent with one aggregation over the materialized tf
+        table joined to docs for the repo — not per-site JDBC counts."""
         eng = self._get_engine()
-        per_site = {
-            r["repo"]: (int(r["pages"]), int(r["lemmas_est"]))
+        tf = self.catalog.read(self.spark, "tf")
+        lemma_counts = {
+            r["repo"]: int(r["lemmas"])
             for r in (
-                eng.docs.groupBy("repo")
-                .agg(
-                    F.count("*").alias("pages"),
-                    F.sum("doclen").alias("lemmas_est"),
-                )
+                tf.join(eng.docs.select("doc_id", "repo"), "doc_id")
+                .groupBy("repo")
+                .agg(F.countDistinct("term").alias("lemmas"))
                 .collect()
             )
+        }
+        per_site = {
+            r["repo"]: int(r["pages"])
+            for r in eng.docs.groupBy("repo").agg(F.count("*").alias("pages")).collect()
         }
         total_lemmas = eng.terms.count()
         detailed = [
@@ -204,16 +209,16 @@ class EngineAPI:
                 "statusTime": None,
                 "error": None,
                 "pages": pages,
-                "lemmas": lemmas_est,
+                "lemmas": lemma_counts.get(repo, 0),
             }
-            for repo, (pages, lemmas_est) in sorted(per_site.items())
+            for repo, pages in sorted(per_site.items())
         ]
         return {
             "result": True,
             "statistics": {
                 "total": {
                     "sites": len(per_site),
-                    "pages": sum(p for p, _ in per_site.values()),
+                    "pages": sum(per_site.values()),
                     "lemmas": total_lemmas,
                     "indexing": self._running,
                 },

@@ -1,0 +1,48 @@
+"""HTML → visible text / title (F1/F2).
+
+Reference: ``HtmlParser.getText`` = ``Jsoup.parse(body).text()``
+(utils/HtmlParser.java:41-43) and ``getTitle`` = first <title> text with
+default "Без заголовка" (utils/HtmlParser.java:45-52).
+
+Jsoup's full DOM normalization isn't reproducible as a SQL expression; the
+frozen spec here is the common regex approximation — drop <script>/<style>
+subtrees, strip tags, decode the five XML entities, collapse whitespace —
+expressed as pure Catalyst expressions (JVM-side, codegen'd, no UDF), so
+it runs identically in any ANSI engine (the DuckDB oracle twin uses the
+same regex chain). For the source-code corpus the analogue of getText is
+identity (content is indexed as-is; per-row sha256 is the invariant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+DEFAULT_TITLE = "Без заголовка"  # HtmlParser.java:49
+
+# no backreferences — the identical patterns must run on RE2 engines too
+_SCRIPT_RE = r"(?is)<script[^>]*>.*?</script>"
+_STYLE_RE = r"(?is)<style[^>]*>.*?</style>"
+_TAG_RE = r"(?s)<[^>]+>"
+_WS_RE = r"\s+"
+
+
+def html_text(col: Column) -> Column:
+    """F1: visible text — drop script/style subtrees, strip tags, decode
+    basic entities, collapse whitespace, trim."""
+    c = F.regexp_replace(col, _SCRIPT_RE, " ")
+    c = F.regexp_replace(c, _STYLE_RE, " ")
+    c = F.regexp_replace(c, _TAG_RE, " ")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+        ("&nbsp;", " "), ("&amp;", "&"),  # &amp; last: avoid double-decode
+    ):
+        c = F.regexp_replace(c, ent, ch)
+    return F.trim(F.regexp_replace(c, _WS_RE, " "))
+
+
+def html_title(col: Column) -> Column:
+    """F2: first <title> content, whitespace-collapsed; default when
+    absent/empty (HtmlParser.java:45-52)."""
+    t = F.regexp_extract(col, r"(?is)<title[^>]*>(.*?)</title>", 1)
+    t = F.trim(F.regexp_replace(t, _WS_RE, " "))
+    return F.when(t == "", F.lit(DEFAULT_TITLE)).otherwise(t)

@@ -366,14 +366,24 @@ class SearchEngine:
         order = np.lexsort((meta["block_id"].to_numpy(), -bnd))
         block_ids = meta["block_id"].to_numpy()[order]
         bounds = bnd[order]
+        # flat bounds (uniform-impact hot term) make θ-termination useless:
+        # every batch would decode, each paying a Spark job — one exhaustive
+        # job is strictly better. Also bail when the list is small.
+        first_batch = min(len(block_ids), SINGLE_TERM_BLOCK_BATCH)
+        if (
+            len(block_ids) <= SINGLE_TERM_BLOCK_BATCH
+            or bounds[first_batch - 1] - bounds[-1] < 1e-12
+        ):
+            return None
 
         best = pd.DataFrame({"doc_id": [], "score": []}).astype(
             {"doc_id": np.int64, "score": np.float64}
         )
-        pos = 0
+        pos, batch = 0, SINGLE_TERM_BLOCK_BATCH
         while pos < len(block_ids):
-            sel = block_ids[pos : pos + SINGLE_TERM_BLOCK_BATCH]
+            sel = block_ids[pos : pos + batch]
             pos += len(sel)
+            batch *= 4  # exponential growth caps the number of Spark jobs
             blocks = self.postings.filter(F.col("term") == term).filter(
                 F.col("block_id").isin([int(b) for b in sel])
             )

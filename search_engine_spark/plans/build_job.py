@@ -38,9 +38,27 @@ def build_index(
     salt_target_rows: int = B.SALT_TARGET_ROWS,
     build_id: str | None = None,
     scope: str = "",
+    n_buckets: int | None = None,
 ) -> Manifest:
     """Run (or resume) the full build into ``catalog``. Idempotent: any
-    stage with a DONE manifest row and existing output is skipped."""
+    stage with a DONE manifest row and existing output is skipped.
+
+    ``n_buckets`` controls the docs table's repo-bucket layout (Iceberg:
+    bucket(N, repo)); default 2× the cluster parallelism so the content
+    write is never capped below the core count. Recorded in catalog meta —
+    incremental updates must keep using the same value."""
+    import json as _json
+    import os as _os
+
+    meta_path = catalog.path("catalog_meta.json")
+    if _os.path.exists(meta_path):
+        n_buckets = int(_json.load(open(meta_path))["n_buckets"])
+    else:
+        if n_buckets is None:
+            n_buckets = max(16, 2 * spark.sparkContext.defaultParallelism)
+        with open(meta_path, "w") as f:
+            _json.dump({"n_buckets": n_buckets, "n_shards": n_shards}, f)
+
     man = Manifest(
         path=catalog.path("build_manifest.jsonl"),
         build_id=build_id or uuid.uuid4().hex[:12],
@@ -76,8 +94,8 @@ def build_index(
             # broadcasts it only while it is actually small
             .join(dstats, "doc_id", "left")
             .withColumn("doclen", F.coalesce(F.col("doclen"), F.lit(0)))
-            # bucket(repo) partitioning stand-in (Iceberg: bucket(16, repo))
-            .withColumn("repo_bucket", F.pmod(F.xxhash64("repo"), F.lit(16)))
+            # bucket(repo) partitioning stand-in (Iceberg: bucket(N, repo))
+            .withColumn("repo_bucket", F.pmod(F.xxhash64("repo"), F.lit(n_buckets)))
             # cluster rows by bucket before the partitioned write — one file
             # per bucket instead of (#tasks × #buckets) shards (Iceberg:
             # write.distribution-mode=hash does exactly this)

@@ -44,7 +44,17 @@ from ..schemas import POSTINGS, TERMS
 from ..sources.catalog import Catalog
 from .manifest import Manifest
 
-N_BUCKETS = 16  # must match build_job's repo_bucket partitioning
+N_BUCKETS_DEFAULT = 16  # pre-meta catalogs; new builds record theirs
+
+
+def _n_buckets(catalog: Catalog) -> int:
+    import json as _json
+    import os as _os
+
+    p = catalog.path("catalog_meta.json")
+    if _os.path.exists(p):
+        return int(_json.load(open(p))["n_buckets"])
+    return N_BUCKETS_DEFAULT
 
 
 def _doc_id(spark: SparkSession, repo: str, path: str, commit: str) -> int:
@@ -97,7 +107,7 @@ def index_doc(
 
     # --- 1. docs: rewrite only the repo's bucket partition ----------------
     bucket = spark.range(1).select(
-        F.pmod(F.xxhash64(F.lit(repo)), F.lit(N_BUCKETS)).alias("b")
+        F.pmod(F.xxhash64(F.lit(repo)), F.lit(_n_buckets(catalog))).alias("b")
     ).collect()[0]["b"]
     part = f"docs/repo_bucket={bucket}"
     new_doc_row = spark.createDataFrame(
@@ -138,7 +148,6 @@ def index_doc(
         ).withColumn("avgdl_build", F.lit(avgdl_build)),
         "corpus_stats",
     )
-    avgdl_now = float(catalog.read(spark, "corpus_stats").collect()[0]["avgdl"])
 
     # --- 3. terms: exact df delta (J6/J7 replacement, no drop-all quirk) ---
     delta: Counter = Counter()

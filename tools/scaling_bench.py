@@ -16,6 +16,18 @@ Protocol (one JSON line per run on stdout):
      efficiency = throughput_4N / (4 * throughput_N), appends the table
      to BENCH_SCALING.json.
 
+Fairness of the substitution:
+  * each worker is PINNED to exactly its core budget (taskset -c 0..N-1):
+    in plain local[N] mode JVM-internal threads (shuffle compression,
+    parquet encoding, GC) run UNcapped, handing the "small cluster" free
+    parallelism and deflating measured efficiency — a real N-core cluster
+    has no such loophole;
+  * corpus, catalog and spark.local.dir live on /dev/shm: a single
+    machine's disk is shared by both levels, while a real cluster's
+    aggregate I/O bandwidth scales with its node count — tmpfs removes
+    the one resource that fundamentally cannot scale in a one-box
+    substitution.
+
 Usage:
   python tools/scaling_bench.py                 # full protocol (~10-20 min)
   SCALING_DOCS=50000 python tools/scaling_bench.py
@@ -37,6 +49,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 QUERY_REPS = int(os.environ.get("SCALING_QUERY_REPS", "3"))
 DOCS = int(os.environ.get("SCALING_DOCS", "20000"))
 LEVELS = (8, 32)
+SHM_DIR = os.environ.get("SCALING_SHM", "/dev/shm/se_scaling")
 
 # frozen latency query subset (mix of rare/hot/AND/russian — FIXTURES.md §4)
 LATENCY_QUERIES = [
@@ -55,16 +68,28 @@ def worker(cpus: int, corpus_path: str) -> None:
     from search_engine_spark.operators.query import SearchEngine
     from search_engine_spark.sources.catalog import Catalog
 
-    spark = get_spark(f"scaling_{cpus}", master=f"local[{cpus}]",
-                      shuffle_partitions=cpus)
+    os.makedirs(SHM_DIR + "/spark_local", exist_ok=True)
+    spark = get_spark(
+        f"scaling_{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.local.dir": SHM_DIR + "/spark_local"},
+    )
     corpus = read_corpus(spark, corpus_path)
     n_docs = corpus.count()  # warmup: JVM + parquet reader + codegen
-    # warm the python workers too (fork + module imports) so the timed
-    # section measures steady-state throughput, not one-time process spawn
-    from search_engine_spark.operators.build import term_frequencies_from_docs, build_docs
-    term_frequencies_from_docs(build_docs(corpus.limit(256))).count()
+    # warm ALL python workers (fork + module imports): the warmup job must
+    # have >= cpus concurrent tasks or the remaining workers cold-fork
+    # inside the timed section (observed: tf stage SLOWER at 32 than 8)
+    from pyspark.sql import functions as F
+    from search_engine_spark.operators.build import term_frequencies_from_docs
+    warm = (
+        spark.range(cpus * 4, numPartitions=cpus * 2)
+        .select(F.col("id").alias("doc_id"),
+                F.lit("warm the import and worker pools up").alias("content"))
+    )
+    term_frequencies_from_docs(warm).count()
 
-    root = tempfile.mkdtemp(prefix=f"scale_{cpus}_")
+    root = tempfile.mkdtemp(prefix=f"scale_{cpus}_", dir=SHM_DIR)
     try:
         cat = Catalog(root)
         t0 = time.time()
@@ -74,6 +99,14 @@ def worker(cpus: int, corpus_path: str) -> None:
         man = [json.loads(x) for x in open(cat.path("build_manifest.jsonl"))]
         postings = sum(r.get("postings") or 0 for r in man
                        if r["stage"] == "postings" and r["status"] == "DONE")
+        starts = {(r["stage"], r["partition_id"]): r["started_at"]
+                  for r in man if r["status"] == "RUNNING"}
+        stage_sec = {
+            f"{r['stage']}_{r['partition_id']}": round(
+                r["finished_at"] - starts[(r["stage"], r["partition_id"])], 1
+            )
+            for r in man if r["status"] == "DONE"
+        }
 
         eng = SearchEngine(spark, cat)
         lat: dict[str, dict[str, float]] = {}
@@ -99,6 +132,7 @@ def worker(cpus: int, corpus_path: str) -> None:
             "query_p50_ms": round(all_ms[len(all_ms) // 2], 1),
             "query_p95_ms": round(p95, 1),
             "per_query": lat,
+            "stage_sec": stage_sec,
         }))
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -110,7 +144,8 @@ def main() -> None:
         worker(int(sys.argv[2]), sys.argv[3])
         return
 
-    corpus_dir = tempfile.mkdtemp(prefix="scaling_corpus_")
+    os.makedirs(SHM_DIR, exist_ok=True)
+    corpus_dir = tempfile.mkdtemp(prefix="scaling_corpus_", dir=SHM_DIR)
     corpus_path = os.path.join(corpus_dir, "corpus")
     try:
         from search_engine_spark.session import get_spark
@@ -127,15 +162,22 @@ def main() -> None:
         results = {}
         for cpus in LEVELS:
             print(f"--- level local[{cpus}] ---", file=sys.stderr)
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--worker",
-                 str(cpus), corpus_path],
-                capture_output=True, text=True, timeout=3600,
-                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            )
+            errlog = f"/tmp/scaling_worker_{cpus}.log"
+            cmd = [sys.executable, os.path.abspath(__file__), "--worker",
+                   str(cpus), corpus_path]
+            if shutil.which("taskset"):
+                # hard CPU cap — local[N] alone leaves JVM-internal threads
+                # (GC, shuffle compression, parquet codecs) unthrottled
+                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+            with open(errlog, "w") as ef:
+                out = subprocess.run(
+                    cmd,
+                    stdout=subprocess.PIPE, stderr=ef, text=True, timeout=3600,
+                    cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                )
             if out.returncode != 0:
-                print(out.stderr[-3000:], file=sys.stderr)
-                raise SystemExit(f"worker local[{cpus}] failed")
+                print(open(errlog).read()[-3000:], file=sys.stderr)
+                raise SystemExit(f"worker local[{cpus}] failed (full log: {errlog})")
             line = [x for x in out.stdout.splitlines() if x.startswith("{")][-1]
             results[cpus] = json.loads(line)
             print(line, file=sys.stderr)
