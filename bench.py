@@ -91,6 +91,24 @@ def main() -> None:
         timed("engine_bm25_exhaustive", lambda: eng.topk(q, 20, strategy="exhaustive").collect())
         timed("engine_bm25_blockmax", lambda: eng.topk(q, 20, strategy="blockmax").collect())
         timed("engine_single_term", lambda: eng.topk("vector", 20).collect())
+
+        # query p95 latency over a frozen mixed query set (BASELINE.json
+        # metric: "query p95 latency with rank-identical BM25 top-k")
+        p95_queries = [
+            "data", "query scan", "data query scan", "vector index",
+            "search engine data", "scan",
+        ]
+        lat_ms: list[float] = []
+        for pq in p95_queries:
+            for _ in range(3):
+                t0 = time.time()
+                eng.topk(pq, 20, strategy="blockmax").collect()
+                lat_ms.append((time.time() - t0) * 1000)
+        lat_ms.sort()
+        extras["query_p50_ms"] = round(lat_ms[len(lat_ms) // 2], 1)
+        extras["query_p95_ms"] = round(
+            lat_ms[min(len(lat_ms) - 1, int(0.95 * len(lat_ms)))], 1
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -1,0 +1,53 @@
+"""F1/F2 HTML functions (functions/html.py) — semantics frozen against
+HtmlParser.getText/getTitle (utils/HtmlParser.java:41-52)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.functions.html import html_text, html_title
+
+
+@pytest.fixture(scope="module")
+def one(spark):
+    def run(html: str) -> tuple[str, str]:
+        row = (
+            spark.range(1)
+            .select(
+                html_text(F.lit(html)).alias("t"),
+                html_title(F.lit(html)).alias("ti"),
+            )
+            .collect()[0]
+        )
+        return row["t"], row["ti"]
+
+    return run
+
+
+def test_strip_tags_and_scripts(one):
+    text, title = one(
+        "<html><head><title>My  Page</title><style>p{x}</style></head>"
+        "<body><p>Hello <b>world</b></p><script>var x='<p>no</p>';</script>"
+        "</body></html>"
+    )
+    assert text == "My Page Hello world"
+    assert title == "My Page"
+
+
+def test_entities_decoded(one):
+    text, _ = one("<p>a &lt;b&gt; &amp;c &quot;d&quot; e&nbsp;f</p>")
+    assert text == 'a <b> &c "d" e f'
+
+
+def test_default_title(one):
+    _, title = one("<html><body>no title here</body></html>")
+    assert title == "Без заголовка"  # HtmlParser.java:49
+    _, title2 = one("<title>   </title>")
+    assert title2 == "Без заголовка"
+
+
+def test_multiline_script(one):
+    text, _ = one("<body>keep<script>\nline1\nline2\n</script>this</body>")
+    assert text == "keep this"
