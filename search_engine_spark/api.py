@@ -30,7 +30,9 @@ from .functions.analyze import analyze_query
 from .functions.snippet import find_matching_words, generate_snippet
 from .operators.query import SearchEngine
 from .plans.build_job import build_index
-from .plans.incremental import index_doc as _index_doc_plan
+from .plans.incremental import index_docs as _index_docs_plan
+from .plans.manifest import Manifest
+from .schemas import SITE_STATS
 from .sources.catalog import Catalog
 
 # Observable error strings (part of the reference contract):
@@ -74,6 +76,10 @@ class EngineAPI:
 
     def _get_engine(self, refresh: bool = False) -> SearchEngine:
         if self._engine is None or refresh:
+            if self._engine is not None:
+                # release the replaced engine's cached partitions/metadata —
+                # a long-lived serving process must not leak them
+                self._engine.close()
             self._engine = SearchEngine(self.spark, self.catalog, code=self.code)
         return self._engine
 
@@ -118,10 +124,16 @@ class EngineAPI:
         """Single-doc upsert with EXACT delta maintenance (replaces the
         reference's delete-all-site-lemmas quirk, IndexingServiceImpl.java:120
         — SURVEY §3.3)."""
-        if self.repos is not None and repo not in self.repos:
-            return {"result": False, "error": ERR_OUT_OF_SCOPE}
-        _index_doc_plan(self.spark, self.catalog, repo, path, commit, lang,
-                        content, code=self.code)
+        return self.index_docs([(repo, path, commit, lang, content)])
+
+    def index_docs(self, docs: list[tuple[str, str, str, str, str]]) -> dict:
+        """Batch upsert — ``[(repo, path, commit, lang, content), ...]`` in
+        ONE merge round (the reference's 100-page batch flush,
+        utils/BatchProcessor.java:37-79). Same scope check per doc."""
+        for repo, *_ in docs:
+            if self.repos is not None and repo not in self.repos:
+                return {"result": False, "error": ERR_OUT_OF_SCOPE}
+        _index_docs_plan(self.spark, self.catalog, docs, code=self.code)
         self._get_engine(refresh=True)
         return {"result": True}
 
@@ -140,16 +152,20 @@ class EngineAPI:
             return {"result": False, "error": ERR_EMPTY_QUERY}
         eng = self._get_engine()
         q_lemmas = analyze_query(query, code=self.code)
-        topk = eng.topk(
-            query, k=limit, offset=offset, site=site, strategy=strategy, scorer=scorer
-        ).collect()
+        # ONE serving round yields top-k AND the exact A7 count — the count
+        # never re-decodes posting lists the top-k pass skipped
+        topk, count = eng.search_with_count(
+            query, offset + limit, site=site, scorer=scorer, strategy=strategy
+        )
         if not topk:
             return {"result": True, "count": 0, "data": []}
-        count = eng.count_matches(query, site=site)
 
         page = topk[offset : offset + limit]
-        max_score = max(r["score"] for r in topk) or 1.0
-        ids = [r["doc_id"] for r in page]
+        max_score = max(s for _, s in topk) or 1.0
+        ids = [d for d, _ in page]
+        # decoration (J3/J5) touches O(k) docs; the docs table is doc_id-
+        # sorted inside each bucket, so this IN-filter prunes to the k
+        # containing parquet row groups instead of scanning the corpus
         doc_rows = {
             r["doc_id"]: r
             for r in eng.docs.filter(F.col("doc_id").isin(ids))
@@ -157,8 +173,8 @@ class EngineAPI:
             .collect()
         }
         data = []
-        for r in page:
-            d = doc_rows[r["doc_id"]]
+        for doc_id, score in page:
+            d = doc_rows[doc_id]
             title = d["path"].rsplit("/", 1)[-1] or DEFAULT_TITLE  # F2 analogue
             data.append(
                 {
@@ -167,7 +183,7 @@ class EngineAPI:
                     "uri": d["path"],
                     "title": title,
                     "snippet": generate_snippet(d["content"], q_lemmas, code=self.code),
-                    "relevance": float(r["score"]) / float(max_score),
+                    "relevance": float(score) / float(max_score),
                 }
             )
         return {"result": True, "count": count, "data": data}
@@ -180,45 +196,64 @@ class EngineAPI:
 
     # -- GET /api/statistics (ApiController.java:20-23) ----------------------
 
+    def _build_status(self) -> tuple[str, float | None, str | None]:
+        """(status, statusTime, last_error) from the build manifest — the
+        reference's live per-site status/statusTime/last_error
+        (model/Site.java:10-31, StatisticsServiceImpl.java:44-60). Our
+        builds are corpus-wide, so one status applies to every site."""
+        rows = Manifest(
+            path=self.catalog.path("build_manifest.jsonl"), build_id="status"
+        ).rows()
+        if not rows:
+            return "FAILED", None, "индексация не выполнялась"
+        last = rows[-1]
+        t = last.get("finished_at") or last.get("started_at")
+        if self._running:
+            return "INDEXING", t, None
+        failed = [r for r in rows if r["status"] == "FAILED"]
+        done_total = [
+            i for i, r in enumerate(rows)
+            if r["stage"] in ("build_total", "index_doc") and r["status"] == "DONE"
+        ]
+        last_ok = done_total[-1] if done_total else -1
+        late_fail = [r for i, r in enumerate(rows) if i > last_ok and r["status"] == "FAILED"]
+        if late_fail or (failed and last_ok < 0):
+            err = (late_fail or failed)[-1].get("error")
+            return "FAILED", t, err
+        return "INDEXED", t, None
+
     def statistics(self) -> dict:
         """A6 counts (StatisticsServiceImpl.java:33-75). Reference counts
-        `lemma` rows per site (= distinct lemmas per site); we compute the
-        exact equivalent with one aggregation over the materialized tf
-        table joined to docs for the repo — not per-site JDBC counts."""
+        `lemma` rows per site (= distinct lemmas per site); the build
+        MATERIALIZES exactly that into ``site_stats`` (maintained by
+        incremental upserts) — this call reads one small table plus the
+        manifest, never re-shuffling the corpus."""
         eng = self._get_engine()
-        tf = self.catalog.read(self.spark, "tf")
-        lemma_counts = {
-            r["repo"]: int(r["lemmas"])
-            for r in (
-                tf.join(eng.docs.select("doc_id", "repo"), "doc_id")
-                .groupBy("repo")
-                .agg(F.countDistinct("term").alias("lemmas"))
-                .collect()
-            )
-        }
-        per_site = {
-            r["repo"]: int(r["pages"])
-            for r in eng.docs.groupBy("repo").agg(F.count("*").alias("pages")).collect()
-        }
-        total_lemmas = eng.terms.count()
+        ss = (
+            self.catalog.read_or_empty(self.spark, "site_stats", SITE_STATS)
+            .orderBy("repo")
+            .collect()
+        )
+        total_lemmas = eng.terms.filter(F.col("scope") == "").count()
+        status, status_time, last_error = self._build_status()
         detailed = [
             {
-                "url": repo,
-                "name": repo,
-                "status": "INDEXED",
-                "statusTime": None,
-                "error": None,
-                "pages": pages,
-                "lemmas": lemma_counts.get(repo, 0),
+                "url": r["repo"],
+                "name": r["repo"],
+                "status": status,
+                "statusTime": status_time,
+                "error": last_error,
+                "pages": int(r["pages"]),
+                "lemmas": int(r["lemmas"]),
             }
-            for repo, pages in sorted(per_site.items())
+            for r in ss
         ]
         return {
             "result": True,
             "statistics": {
                 "total": {
-                    "sites": len(per_site),
-                    "pages": sum(per_site.values()),
+                    "sites": len(ss),
+                    "pages": sum(int(r["pages"]) for r in ss),
                     "lemmas": total_lemmas,
                     "indexing": self._running,
                 },

@@ -87,7 +87,10 @@ def term_frequencies_from_docs(docs: DataFrame, code: bool = True) -> DataFrame:
     is finalized by a pandas groupby inside the batch and never crosses the
     network. At 10^12 docs this removes the build's largest shuffle (the
     exploded-occurrence stream); only DF (by term) and postings (by term)
-    still shuffle, both on the already-aggregated TF rows."""
+    still shuffle, both on the already-aggregated TF rows.
+
+    ``repo`` is carried through (constant per doc) so the per-site DF
+    aggregation downstream needs no join back to docs."""
     from ..schemas import TF as TF_SCHEMA
 
     def _tf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -95,8 +98,8 @@ def term_frequencies_from_docs(docs: DataFrame, code: bool = True) -> DataFrame:
             ex = analyze_series_exploded(pdf["doc_id"], pdf["content"], code=code)
             if ex.empty:
                 yield pd.DataFrame(
-                    {"doc_id": np.array([], dtype=np.int64), "term": [],
-                     "tf": np.array([], dtype=np.int64)}
+                    {"doc_id": np.array([], dtype=np.int64), "repo": [],
+                     "term": [], "tf": np.array([], dtype=np.int64)}
                 )
                 continue
             out = (
@@ -105,31 +108,67 @@ def term_frequencies_from_docs(docs: DataFrame, code: bool = True) -> DataFrame:
                 .reset_index(name="tf")
             )
             out["tf"] = out["tf"].astype(np.int64)
+            repo_of = dict(zip(pdf["doc_id"], pdf["repo"]))
+            out.insert(1, "repo", out["doc_id"].map(repo_of))
             yield out
 
-    return docs.select("doc_id", "content").mapInPandas(
+    return docs.select("doc_id", "repo", "content").mapInPandas(
         _tf_batches, schema=TF_SCHEMA
     )
 
 
 def doc_stats(tf: DataFrame) -> DataFrame:
-    """doclen = Σtf over the doc's terms (total analyzed-token count)."""
-    return tf.groupBy("doc_id").agg(F.sum("tf").alias("doclen"))
+    """doclen = Σtf over the doc's terms (total analyzed-token count).
+    Grouping key includes repo (constant per doc — same cardinality) so the
+    per-site rollup below is join-free."""
+    return tf.groupBy("doc_id", "repo").agg(F.sum("tf").alias("doclen"))
 
 
-def term_stats(tf: DataFrame, scope: str = "") -> DataFrame:
-    """A2+A3 (utils/IndexProcessor.java:36-49,73-107): document frequency.
-    The reference merges per-batch DF maps under a global mutex — here it is
-    one shuffle aggregate. Exact countDistinct semantics (the reference's
-    insert/update DF bugs are not reproduced — SURVEY §1.2)."""
-    return tf.groupBy("term").agg(F.count("*").alias("df")).select(
-        F.lit(scope).alias("scope"), "term", "df"
+def term_stats(tf: DataFrame) -> DataFrame:
+    """A2+A3 (utils/IndexProcessor.java:36-49,73-107): document frequency,
+    keyed (scope, term) exactly like the reference's per-site ``lemma``
+    table (model/Lemma.java:12-30, accumulated utils/IndexProcessor.java:83-88).
+
+    ONE shuffle on (repo, term) produces the per-site rows; the global rows
+    (scope='') are a cheap re-aggregation of those partials — each doc
+    belongs to exactly one repo, so Σ_site df(site, term) = df(term). The
+    reference merges per-batch DF maps under a global mutex; here both
+    levels are partial+final hash aggregates. Exact countDistinct semantics
+    (the reference's insert/update DF bugs are not reproduced — SURVEY §1.2).
+    """
+    scoped = tf.groupBy("repo", "term").agg(F.count("*").alias("df"))
+    global_ = scoped.groupBy("term").agg(F.sum("df").alias("df")).select(
+        F.lit("").alias("scope"), "term", "df"
+    )
+    return scoped.select(F.col("repo").alias("scope"), "term", "df").unionByName(
+        global_
     )
 
 
 def corpus_stats(dstats: DataFrame) -> DataFrame:
     return dstats.agg(
         F.count("*").alias("n_docs"), F.avg("doclen").cast("double").alias("avgdl")
+    )
+
+
+def site_stats(dstats: DataFrame, terms: DataFrame) -> DataFrame:
+    """Per-site rollup (reference `site` + StatisticsServiceImpl.java:44-60):
+    pages, Σdoclen, avgdl (per-site BM25 inputs) and distinct-lemma count
+    (rows of the scoped terms table). Two small aggregates, one broadcast
+    join — materialized once at build, maintained by incremental deltas."""
+    pages = dstats.groupBy("repo").agg(
+        F.count("*").alias("pages"),
+        F.sum("doclen").alias("total_len"),
+        (F.sum("doclen").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    lemmas = (
+        terms.filter(F.col("scope") != "")
+        .groupBy(F.col("scope").alias("repo"))
+        .agg(F.count("*").alias("lemmas"))
+    )
+    return pages.join(lemmas, "repo", "left").select(
+        "repo", "pages", "total_len", "avgdl",
+        F.coalesce(F.col("lemmas"), F.lit(0)).alias("lemmas"),
     )
 
 

@@ -3,12 +3,17 @@
 Semantics from the reference search path (SearchServiceImpl.java:43-142):
   * query analyzed with the SAME frozen analyzer as the build (J1);
   * missing-term short-circuit — any query lemma absent from ``terms``
-    → empty result (O6, SearchServiceImpl.java:50-54);
+    → empty result (O6, SearchServiceImpl.java:50-54). With ``site=…``
+    the check is against the PER-SITE lemma rows — the reference's lemma
+    table is keyed (lemma, site_id) (model/Lemma.java:12-30);
   * a doc matches iff it appears in EVERY query term's posting list
     (J4, SearchServiceImpl.java:84-101 — the reference does this with
-    quadratic List.contains; ours is a count-equality aggregate);
+    quadratic List.contains; ours is a count-equality aggregate /
+    vectorized membership);
   * score = BM25 (primary) or the reference's Σtf "legacy" relevance
-    (SearchServiceImpl.java:103-131);
+    (SearchServiceImpl.java:103-131). Site-scoped BM25 uses the PER-SITE
+    document frequency, doc count and avgdl (site_stats + scoped terms
+    rows) — ranking is identical to an index built over that site alone;
   * total order (score desc, doc_id asc) — deterministic tie-break
     (SURVEY §2.5 T1); pagination via limit(offset+limit) then slice.
 
@@ -16,46 +21,57 @@ Physical strategies — IDENTICAL results (tested against each other and
 against the single-node oracle):
 
 ``exhaustive``
-    Decode every block of every query term, one aggregate. The
-    correctness backstop and the fallback when pruning caps trip.
+    Decode every block of every query term, one distributed aggregate.
+    The correctness backstop and the fallback when driver caps trip.
 
-``blockmax`` (block-max WAND adapted to batch dataflow)
+``blockmax`` (block-max WAND, driver-orchestrated)
+    The per-term BLOCK METADATA (block_id/min_doc/max_doc/max_impact/
+    max_tf/count) is immutable per build and tiny relative to payloads —
+    it lives in a driver-side LRU cache, so term resolution (J1/O6),
+    df lookup (df = Σ block counts) and all WAND bound math cost ZERO
+    Spark jobs after first touch. Only block PAYLOADS are fetched, by
+    (term, block_id) point filters against the term-clustered parquet
+    (row-group pruned), and decoded driver-side with the numpy codec:
+
     * multi-term: candidates ⊆ rarest term's posting list (AND
-      semantics). The rarest list is decoded and pulled to the driver
-      (capped — see below); the other terms' per-block metadata
-      (min_doc/max_doc/max_impact) is pulled too. Vectorized numpy then
-      (a) drops every candidate not range-covered by ALL other terms'
-      blocks — an EXACT AND prune from metadata alone — and (b)
-      upper-bounds each survivor's score:
-      ub = exact(rarest) + Σ_others idf·(k1+1)·max_impact(covering block).
-      Survivors are scored exactly in ub-descending chunks (each chunk =
-      one distributed decode of only the blocks overlapping the chunk's
-      ids + the SAME aggregate as exhaustive, so float op order is
-      bit-identical); iteration stops when the need-th exact score θ
-      exceeds the best remaining bound — classic WAND θ-termination.
-    * single-term: block metadata sorted by block score bound; blocks
-      decode in bound-descending batches until θ beats the next bound —
-      the rest of the posting list is never read.
+      semantics). Metadata alone then (a) drops every candidate not
+      range-covered by ALL other terms' blocks — an EXACT AND prune —
+      and (b) upper-bounds each survivor's score. Survivors are scored
+      exactly in ub-descending chunks; each chunk fetches only the
+      blocks that COVER its candidates (block-max skipping), and
+      iteration stops when the need-th exact score θ exceeds the best
+      remaining bound — classic WAND θ-termination. When the caller
+      also wants the exact match COUNT (A7), all survivors are scored
+      in one round instead — still only covering blocks, never the hot
+      terms' full lists.
+    * single-term: blocks fetched in bound-descending batches until θ
+      beats the next bound — the tail of the list is never read.
 
-    Caps keep the driver honest: if the rarest list exceeds
-    ``MAX_WAND_CANDIDATES`` or the metadata exceeds
-    ``MAX_WAND_META_BLOCKS`` rows, serving falls back to the distributed
-    exhaustive plan (at 10^12 docs those stress queries are the rare
-    case; selective queries — the common case — touch only k short lists'
-    metadata + a few decoded blocks). Block bounds encoded at build time
-    use build-time avgdl; after incremental updates the current avgdl may
-    drift, so bounds are scaled by max(1, avgdl/avgdl_build)
-    (plans/incremental.py) plus a 1e-9 relative slack against numpy↔JVM
-    last-ulp differences — bounds stay upper bounds, results stay exact.
+    Scoring arithmetic is ordered IDENTICALLY to the distributed
+    aggregate (sorted-term left-fold, frozen op order per contribution),
+    so driver-path float64 scores are bit-identical to the exhaustive
+    plan and to the single-node oracle (SURVEY §4.3.5).
 
-Float determinism: per-doc BM25 sums term contributions in sorted-term
-order via sort_array(collect_list(struct(term, contrib))) + aggregate —
-bit-identical to the oracle's summation (SURVEY §4.3.5).
+    Caps keep the driver honest: rarest-list length, per-query metadata
+    rows, fetched-block count and site-id-set size are all bounded —
+    above any cap, serving falls back to the distributed exhaustive
+    plan. At 10^12 docs those stress queries are the rare case;
+    selective queries — the common case — touch k short lists' metadata
+    plus a few dozen decoded blocks.
+
+    Block bounds encoded at build time use build-time avgdl; after
+    incremental updates (or under per-site avgdl) the serving avgdl may
+    differ, so bounds are scaled by max(1, avgdl/avgdl_build) — impact
+    is monotone in avgdl with ratio ≤ avgdl₂/avgdl₁ — plus a 1e-9
+    relative slack against last-ulp op-order differences; bounds stay
+    upper bounds, results stay exact.
 """
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from collections.abc import Iterator
+from functools import reduce
 
 import numpy as np
 import pandas as pd
@@ -71,7 +87,7 @@ from pyspark.sql.types import (
 
 from ..functions import scoring
 from ..functions.analyze import analyze_query
-from ..schemas import CORPUS_STATS, POSTINGS, TERMS
+from ..schemas import CORPUS_STATS, POSTINGS, SITE_STATS, TERMS
 from ..sources.catalog import Catalog
 
 DECODED = StructType(
@@ -90,12 +106,15 @@ SCORED = StructType(
     ]
 )
 
-# WAND driver-side caps — above these, fall back to the distributed plan.
+# Driver-side caps — above these, fall back to the distributed plan.
 MAX_WAND_CANDIDATES = 500_000
 MAX_WAND_META_BLOCKS = 200_000
+MAX_FETCH_BLOCKS = 16_384  # per query, decoded payload blocks
+MAX_SITE_IDS = 500_000  # scoped driver path: site doc-id set cap
 WAND_CHUNK0 = 1024
 SINGLE_TERM_BLOCK_BATCH = 256
-_BOUND_SLACK = 1.0 + 1e-9  # numpy-vs-JVM last-ulp safety on upper bounds
+META_CACHE_BLOCKS = 4_000_000  # LRU budget (≈192 MB of numpy metadata)
+_BOUND_SLACK = 1.0 + 1e-9  # last-ulp safety on upper bounds
 
 
 def decode_blocks(blocks: DataFrame) -> DataFrame:
@@ -133,16 +152,66 @@ def decode_blocks(blocks: DataFrame) -> DataFrame:
     )
 
 
+class _TermMeta:
+    """Per-term block metadata, numpy-columnar, sorted by min_doc."""
+
+    __slots__ = ("block_id", "min_doc", "max_doc", "max_impact", "max_tf",
+                 "count", "df", "n_blocks")
+
+    def __init__(self, g: pd.DataFrame):
+        g = g.sort_values("min_doc")
+        self.block_id = g["block_id"].to_numpy(np.int64)
+        self.min_doc = g["min_doc"].to_numpy(np.int64)
+        self.max_doc = g["max_doc"].to_numpy(np.int64)
+        self.max_impact = g["max_impact"].to_numpy(np.float64)
+        self.max_tf = g["max_tf"].to_numpy(np.float64)
+        self.count = g["count"].to_numpy(np.int64)
+        self.df = int(self.count.sum())
+        self.n_blocks = len(self.block_id)
+
+
+class _Ctx:
+    """Resolved scoring context for one query: corpus- or site-level
+    (n_docs, avgdl, per-term df) + the bound-drift safety factor."""
+
+    __slots__ = ("dfs", "n_docs", "avgdl", "drift", "site", "site_ids")
+
+    def __init__(self, dfs, n_docs, avgdl, drift, site, site_ids):
+        self.dfs, self.n_docs, self.avgdl = dfs, n_docs, avgdl
+        self.drift, self.site, self.site_ids = drift, site, site_ids
+
+    def idf(self, t: str) -> float:
+        return scoring.idf(self.n_docs, self.dfs[t])
+
+
+def _np_contrib(idf: float, tf: np.ndarray, dl: np.ndarray, avgdl: float,
+                scorer: str) -> np.ndarray:
+    """One term's contribution, op order FROZEN to match the Catalyst
+    expression in _contrib_col / scoring.bm25_contrib exactly:
+    ((idf*(k1+1))*tf) / (tf + k1*((1-b) + b*dl/avgdl)) — each elementwise
+    float64 op is correctly rounded on both platforms, so identical op
+    order ⇒ bit-identical results."""
+    tf = tf.astype(np.float64)
+    if scorer == "legacy":
+        return tf
+    dl = dl.astype(np.float64)
+    return (
+        idf * (scoring.K1 + 1.0) * tf
+        / (tf + scoring.K1 * ((1.0 - scoring.B) + scoring.B * dl / avgdl))
+    )
+
+
 class SearchEngine:
-    """Query facade over a built catalog (docs/terms/postings/corpus_stats)."""
+    """Query facade over a built catalog (docs/terms/postings/corpus_stats/
+    site_stats)."""
 
     def __init__(self, spark: SparkSession, catalog: Catalog, code: bool = True):
         self.spark = spark
         self.catalog = catalog
         self.code = code
         self.docs = catalog.read(spark, "docs")
-        # terms is the vocabulary (small relative to postings) and is hit
-        # once per query for J1/O6 — keep it hot across queries
+        # vocabulary rows (scoped + global) — hit for scoped df resolution
+        # and statistics; postings metadata (not this) serves the global path
         self.terms = catalog.read(spark, "terms", TERMS).persist()
         self.postings = catalog.read(spark, "postings", POSTINGS)
         row = catalog.read(spark, "corpus_stats", CORPUS_STATS).collect()[0]
@@ -150,36 +219,181 @@ class SearchEngine:
         self.avgdl = float(row["avgdl"])
         ab = row["avgdl_build"] if "avgdl_build" in row.asDict() else None
         self.avgdl_build = float(ab) if ab is not None else self.avgdl
-        # stale-bound compensation after incremental avgdl drift
-        self.bound_drift = max(1.0, self.avgdl / self.avgdl_build)
+        # driver-side caches — immutable per build; the API facade builds a
+        # fresh engine (and close()s this one) after every incremental commit
+        self._meta: OrderedDict[str, _TermMeta | None] = OrderedDict()
+        self._meta_blocks = 0
+        self._site_cache: OrderedDict[str, tuple[int, float] | None] = OrderedDict()
+        self._site_ids_cache: OrderedDict[str, np.ndarray | None] = OrderedDict()
 
-    # -- term resolution (J1 + O6) ---------------------------------------
+    def close(self) -> None:
+        """Release cached state (called by the API facade on refresh so a
+        long-lived serving process doesn't accumulate cached partitions)."""
+        try:
+            self.terms.unpersist()
+        except Exception:  # noqa: BLE001
+            pass
+        self._meta.clear()
+        self._site_cache.clear()
+        self._site_ids_cache.clear()
 
-    def resolve_terms(self, q_terms: list[str]) -> dict[str, int] | None:
-        """Query lemmas → {term: df}; None if any lemma missing (O6 —
-        SearchServiceImpl.java:50-54 short-circuit)."""
+    # -- driver-side metadata cache ---------------------------------------
+
+    def _get_meta(self, q_terms: list[str]) -> dict[str, _TermMeta | None]:
+        """Block metadata for each term — ONE Spark job for all cache
+        misses, zero jobs thereafter. A term with no blocks caches as None
+        (the O6 negative result is cached too)."""
+        missing = [t for t in q_terms if t not in self._meta]
+        if missing:
+            pdf = (
+                self.postings.filter(F.col("term").isin(missing))
+                .select("term", "block_id", "min_doc", "max_doc",
+                        "max_impact", "max_tf", "count")
+                .toPandas()
+            )
+            found = {}
+            for t, g in pdf.groupby("term"):
+                found[t] = _TermMeta(g)
+            for t in missing:
+                tm = found.get(t)
+                self._meta[t] = tm
+                self._meta_blocks += tm.n_blocks if tm else 0
+            while self._meta_blocks > META_CACHE_BLOCKS and len(self._meta) > len(q_terms):
+                k, tm = self._meta.popitem(last=False)
+                self._meta_blocks -= tm.n_blocks if tm else 0
+        out = {}
+        for t in q_terms:
+            self._meta.move_to_end(t)
+            out[t] = self._meta[t]
+        return out
+
+    def _fetch_blocks(
+        self,
+        wanted: dict[str, np.ndarray],
+        cache: dict[tuple[str, int], tuple[np.ndarray, np.ndarray, np.ndarray]],
+    ) -> None:
+        """Fetch + decode payloads for (term → block_ids) into ``cache`` —
+        one Spark job for all terms' misses. Point filters on the
+        term-clustered table prune parquet row groups."""
+        from .codec import decode_counts, decode_doc_ids
+
+        conds = []
+        for t, bs in wanted.items():
+            need = [int(b) for b in bs if (t, int(b)) not in cache]
+            if need:
+                conds.append((F.col("term") == t) & F.col("block_id").isin(need))
+        if not conds:
+            return
+        rows = (
+            self.postings.filter(reduce(lambda a, b: a | b, conds))
+            .select("term", "block_id", "doc_ids", "tfs", "doclens")
+            .collect()
+        )
+        for r in rows:
+            cache[(r["term"], int(r["block_id"]))] = (
+                decode_doc_ids(r["doc_ids"]),
+                decode_counts(r["tfs"]),
+                decode_counts(r["doclens"]),
+            )
+
+    @staticmethod
+    def _concat_term(
+        meta: _TermMeta,
+        fetched: set[int],
+        cache: dict,
+        term: str,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Concatenate a term's fetched blocks in min_doc order — blocks
+        are disjoint ascending ranges, so the result is globally sorted."""
+        parts = [
+            cache[(term, int(b))]
+            for b in meta.block_id
+            if int(b) in fetched
+        ]
+        if not parts:
+            z = np.array([], dtype=np.int64)
+            return z, z, z
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]),
+        )
+
+    # -- context resolution (J1 + O6, global or per-site) ------------------
+
+    def _site_stats_row(self, site: str) -> tuple[int, float] | None:
+        if site not in self._site_cache:
+            rows = (
+                self.catalog.read_or_empty(self.spark, "site_stats", SITE_STATS)
+                .filter(F.col("repo") == site)
+                .collect()
+            )
+            self._site_cache[site] = (
+                (int(rows[0]["pages"]), float(rows[0]["avgdl"])) if rows else None
+            )
+        return self._site_cache[site]
+
+    def _site_doc_ids(self, site: str) -> np.ndarray | None:
+        """Sorted doc_ids of one repo for the driver path, or None above
+        the cap (→ distributed semi-join fallback)."""
+        if site not in self._site_ids_cache:
+            rows = (
+                self.docs.filter(F.col("repo") == site)
+                .select("doc_id")
+                .limit(MAX_SITE_IDS + 1)
+                .collect()
+            )
+            if len(rows) > MAX_SITE_IDS:
+                self._site_ids_cache[site] = None
+            else:
+                self._site_ids_cache[site] = np.sort(
+                    np.array([r["doc_id"] for r in rows], dtype=np.int64)
+                )
+            while len(self._site_ids_cache) > 8:
+                self._site_ids_cache.popitem(last=False)
+        return self._site_ids_cache[site]
+
+    def _resolve(self, q_terms: list[str], site: str | None) -> _Ctx | None:
+        """→ scoring context, or None for the O6 empty short-circuit."""
         if not q_terms:
             return None
+        if site is None:
+            metas = self._get_meta(q_terms)
+            if any(m is None for m in metas.values()):
+                return None
+            dfs = {t: m.df for t, m in metas.items()}
+            drift = max(1.0, self.avgdl / self.avgdl_build) * _BOUND_SLACK
+            return _Ctx(dfs, self.n_docs, self.avgdl, drift, None, None)
+        ss = self._site_stats_row(site)
+        if ss is None:
+            return None
+        n_docs_s, avgdl_s = ss
         rows = (
-            self.terms.filter(F.col("term").isin(q_terms))
+            self.terms.filter(
+                (F.col("scope") == site) & F.col("term").isin(q_terms)
+            )
             .select("term", "df")
             .collect()
         )
         dfs = {r["term"]: int(r["df"]) for r in rows}
         if len(dfs) < len(q_terms):
-            return None
-        return dfs
+            return None  # O6 against the per-site lemma rows
+        drift = max(1.0, avgdl_s / self.avgdl_build) * _BOUND_SLACK
+        return _Ctx(dfs, n_docs_s, avgdl_s, drift, site, None)
 
-    # -- scoring helpers ----------------------------------------------------
+    def resolve_terms(self, q_terms: list[str]) -> dict[str, int] | None:
+        """Query lemmas → {term: global df}; None if any lemma missing
+        (O6 — SearchServiceImpl.java:50-54 short-circuit)."""
+        ctx = self._resolve(q_terms, None)
+        return ctx.dfs if ctx is not None else None
 
-    def _idf(self, dfs: dict[str, int], t: str) -> float:
-        return scoring.idf(self.n_docs, dfs[t])
+    # -- distributed scoring (exhaustive + fallback) -----------------------
 
-    def _contrib_col(self, q_terms: list[str], dfs: dict[str, int], scorer: str):
+    def _contrib_col(self, q_terms: list[str], ctx: _Ctx, scorer: str):
         if scorer == "legacy":
             return F.col("tf").cast("double")
         idf_map = F.create_map(
-            *[x for t in q_terms for x in (F.lit(t), F.lit(self._idf(dfs, t)))]
+            *[x for t in q_terms for x in (F.lit(t), F.lit(ctx.idf(t)))]
         )
         tfd = F.col("tf").cast("double")
         dld = F.col("doclen").cast("double")
@@ -190,17 +404,17 @@ class SearchEngine:
             / (
                 tfd
                 + F.lit(scoring.K1)
-                * (F.lit(1.0 - scoring.B) + F.lit(scoring.B) * dld / F.lit(self.avgdl))
+                * (F.lit(1.0 - scoring.B) + F.lit(scoring.B) * dld / F.lit(ctx.avgdl))
             )
         )
 
     def _score(
-        self, decoded: DataFrame, q_terms: list[str], dfs: dict[str, int], scorer: str
+        self, decoded: DataFrame, q_terms: list[str], ctx: _Ctx, scorer: str
     ) -> DataFrame:
         """Decoded rows → (doc_id, score) AND-matches; deterministic
         sorted-term float summation (shared with the oracle)."""
         return (
-            decoded.withColumn("contrib", self._contrib_col(q_terms, dfs, scorer))
+            decoded.withColumn("contrib", self._contrib_col(q_terms, ctx, scorer))
             .groupBy("doc_id")
             .agg(
                 F.count("*").alias("nt"),
@@ -214,205 +428,235 @@ class SearchEngine:
             .select("doc_id", "score")
         )
 
-    def _scoped_ids(self, site: str) -> DataFrame:
+    def _scoped_ids_df(self, site: str) -> DataFrame:
         return self.docs.filter(F.col("repo") == site).select("doc_id")
 
-    def _block_bound(self, meta: pd.DataFrame, dfq: int, scorer: str) -> np.ndarray:
-        """Per-block score upper bound from stored metadata."""
+    def _exhaustive_scored(
+        self, q_terms: list[str], ctx: _Ctx, scorer: str
+    ) -> DataFrame:
+        decoded = decode_blocks(self.postings.filter(F.col("term").isin(q_terms)))
+        if ctx.site is not None:
+            decoded = decoded.join(
+                self._scoped_ids_df(ctx.site), "doc_id", "left_semi"
+            )
+        return self._score(decoded, q_terms, ctx, scorer)
+
+    # -- driver-side block-max WAND ----------------------------------------
+
+    def _block_bound(self, meta: _TermMeta, ctx: _Ctx, t: str, scorer: str) -> np.ndarray:
         if scorer == "legacy":
-            return meta["max_tf"].to_numpy(np.float64)
+            return meta.max_tf.copy()
         return (
-            scoring.idf(self.n_docs, dfq)
-            * (scoring.K1 + 1.0)
-            * meta["max_impact"].to_numpy(np.float64)
-            * self.bound_drift
-            * _BOUND_SLACK
+            ctx.idf(t) * (scoring.K1 + 1.0) * meta.max_impact * ctx.drift
         )
 
-    # -- exact chunk scoring (distributed) -----------------------------------
-
-    def _score_ids_exact(
-        self,
-        q_terms: list[str],
-        dfs: dict[str, int],
-        ids_sorted: np.ndarray,
-        site: str | None,
-        scorer: str,
-    ) -> pd.DataFrame:
-        """Exact (doc_id, score) AND-matches restricted to ``ids_sorted``:
-        decode only blocks whose [min_doc,max_doc] overlaps the id set."""
-        bc = self.spark.sparkContext.broadcast(ids_sorted)
-
-        @F.pandas_udf("boolean")
-        def block_admitted(min_doc: pd.Series, max_doc: pd.Series) -> pd.Series:
-            ids = bc.value
-            lo = np.searchsorted(ids, min_doc.to_numpy(), side="left")
-            hi = np.searchsorted(ids, max_doc.to_numpy(), side="right")
-            return pd.Series(hi > lo)
-
-        blocks = self.postings.filter(F.col("term").isin(q_terms)).filter(
-            block_admitted(F.col("min_doc"), F.col("max_doc"))
-        )
-        ids_df = self.spark.createDataFrame(
-            pd.DataFrame({"doc_id": ids_sorted}),
-            schema=StructType([StructField("doc_id", LongType(), False)]),
-        )
-        decoded = decode_blocks(blocks).join(F.broadcast(ids_df), "doc_id", "inner")
-        if site is not None:
-            decoded = decoded.join(self._scoped_ids(site), "doc_id", "left_semi")
-        return self._score(decoded, q_terms, dfs, scorer).toPandas()
-
-    # -- block-max WAND paths -------------------------------------------------
-
-    def _wand_multi(
-        self,
-        q_terms: list[str],
-        dfs: dict[str, int],
-        need: int,
-        site: str | None,
-        scorer: str,
-    ) -> DataFrame | None:
-        rarest = min(q_terms, key=lambda t: (dfs[t], t))
-        if dfs[rarest] > MAX_WAND_CANDIDATES:
+    def _driver_single(
+        self, term: str, ctx: _Ctx, need: int, scorer: str
+    ) -> list[tuple[int, float]] | None:
+        """Single-term θ-terminated bound-descending block fetch."""
+        meta = self._get_meta([term])[term]
+        if meta is None:
+            return []
+        if meta.n_blocks > MAX_WAND_META_BLOCKS:
             return None
-        others = sorted(t for t in q_terms if t != rarest)
-        meta = (
-            self.postings.filter(F.col("term").isin(others))
-            .select("term", "min_doc", "max_doc", "max_impact", "max_tf")
-            .limit(MAX_WAND_META_BLOCKS + 1)
-            .toPandas()
-        )
-        if len(meta) > MAX_WAND_META_BLOCKS:
-            return None
-
-        cand_df = decode_blocks(self.postings.filter(F.col("term") == rarest))
-        if site is not None:
-            cand_df = cand_df.join(self._scoped_ids(site), "doc_id", "left_semi")
-        cand = cand_df.select("doc_id", "tf", "doclen").toPandas()
-        if cand.empty:
-            return self._empty_scored()
-        cand = cand.sort_values("doc_id").reset_index(drop=True)
-        ids = cand["doc_id"].to_numpy(np.int64)
-
-        # exact-formula rarest contribution (numpy; enters the BOUND only)
-        if scorer == "legacy":
-            ub = cand["tf"].to_numpy(np.float64).copy()
-        else:
-            ub = (
-                self._idf(dfs, rarest)
-                * (scoring.K1 + 1.0)
-                * scoring.impact_np(
-                    cand["tf"].to_numpy(), cand["doclen"].to_numpy(), self.avgdl
-                )
-                * _BOUND_SLACK
-            )
-        alive = np.ones(len(ids), dtype=bool)
-        for t in others:
-            m = meta[meta["term"] == t].sort_values("min_doc")
-            starts = m["min_doc"].to_numpy(np.int64)
-            ends = m["max_doc"].to_numpy(np.int64)
-            bnd = self._block_bound(m, dfs[t], scorer)
-            j = np.searchsorted(starts, ids, side="right") - 1
-            covered = (j >= 0) & (ids <= ends[np.clip(j, 0, None)])
-            alive &= covered  # EXACT AND prune: uncovered id can't match t
-            ub[covered] += bnd[j[covered]]
-
-        ids, ub = ids[alive], ub[alive]
-        if len(ids) == 0:
-            return self._empty_scored()
-
-        # chunked θ-terminated exact scoring, ub-descending (id asc on ties)
-        order = np.lexsort((ids, -ub))
-        best = pd.DataFrame({"doc_id": [], "score": []}).astype(
-            {"doc_id": np.int64, "score": np.float64}
-        )
-        pos, chunk = 0, max(4 * need, WAND_CHUNK0)
-        while pos < len(order):
-            sel = order[pos : pos + chunk]
-            pos += len(sel)
-            chunk *= 2
-            exact = self._score_ids_exact(
-                q_terms, dfs, np.sort(ids[sel]), site, scorer
-            )
-            if not exact.empty:
-                best = pd.concat([best, exact], ignore_index=True)
-                best = best.sort_values(
-                    ["score", "doc_id"], ascending=[False, True]
-                ).head(need)
-            if len(best) >= need and pos < len(order):
-                theta = float(best["score"].iloc[need - 1])
-                if theta > float(ub[order[pos]]):
-                    break  # WAND θ-termination
-        return self._from_pdf(best.head(need))
-
-    def _wand_single(
-        self,
-        term: str,
-        dfq: int,
-        dfs: dict[str, int],
-        need: int,
-        site: str | None,
-        scorer: str,
-    ) -> DataFrame | None:
-        meta = (
-            self.postings.filter(F.col("term") == term)
-            .select("block_id", "max_impact", "max_tf")
-            .limit(MAX_WAND_META_BLOCKS + 1)
-            .toPandas()
-        )
-        if len(meta) > MAX_WAND_META_BLOCKS:
-            return None
-        bnd = self._block_bound(meta, dfq, scorer)
-        order = np.lexsort((meta["block_id"].to_numpy(), -bnd))
-        block_ids = meta["block_id"].to_numpy()[order]
+        site_ids = None
+        if ctx.site is not None:
+            site_ids = self._site_doc_ids(ctx.site)
+            if site_ids is None:
+                return None
+        bnd = self._block_bound(meta, ctx, term, scorer)
+        order = np.lexsort((meta.block_id, -bnd))
+        blocks_sorted = meta.block_id[order]
         bounds = bnd[order]
-        # flat bounds (uniform-impact hot term) make θ-termination useless:
-        # every batch would decode, each paying a Spark job — one exhaustive
-        # job is strictly better. Also bail when the list is small.
-        first_batch = min(len(block_ids), SINGLE_TERM_BLOCK_BATCH)
-        if (
-            len(block_ids) <= SINGLE_TERM_BLOCK_BATCH
-            or bounds[first_batch - 1] - bounds[-1] < 1e-12
-        ):
-            return None
-
-        best = pd.DataFrame({"doc_id": [], "score": []}).astype(
-            {"doc_id": np.int64, "score": np.float64}
-        )
-        pos, batch = 0, SINGLE_TERM_BLOCK_BATCH
-        while pos < len(block_ids):
-            sel = block_ids[pos : pos + batch]
+        cache: dict = {}
+        best_ids = np.array([], dtype=np.int64)
+        best_sc = np.array([], dtype=np.float64)
+        pos, batch, fetched = 0, SINGLE_TERM_BLOCK_BATCH, 0
+        while pos < len(blocks_sorted):
+            sel = blocks_sorted[pos: pos + batch]
             pos += len(sel)
             batch *= 4  # exponential growth caps the number of Spark jobs
-            blocks = self.postings.filter(F.col("term") == term).filter(
-                F.col("block_id").isin([int(b) for b in sel])
+            fetched += len(sel)
+            if fetched > MAX_FETCH_BLOCKS:
+                return None
+            self._fetch_blocks({term: sel}, cache)
+            ids = np.concatenate([cache[(term, int(b))][0] for b in sel])
+            tfs = np.concatenate([cache[(term, int(b))][1] for b in sel])
+            dls = np.concatenate([cache[(term, int(b))][2] for b in sel])
+            if site_ids is not None:
+                p = np.searchsorted(site_ids, ids)
+                m = (p < len(site_ids)) & (site_ids[np.clip(p, 0, len(site_ids) - 1)] == ids)
+                ids, tfs, dls = ids[m], tfs[m], dls[m]
+            sc = _np_contrib(
+                ctx.idf(term) if scorer != "legacy" else 0.0,
+                tfs, dls, ctx.avgdl, scorer,
             )
-            decoded = decode_blocks(blocks)
-            if site is not None:
-                decoded = decoded.join(self._scoped_ids(site), "doc_id", "left_semi")
-            exact = self._score(decoded, [term], dfs, scorer).toPandas()
-            if not exact.empty:
-                best = pd.concat([best, exact], ignore_index=True)
-                best = best.sort_values(
-                    ["score", "doc_id"], ascending=[False, True]
-                ).head(need)
-            if len(best) >= need and pos < len(block_ids):
-                theta = float(best["score"].iloc[need - 1])
-                if theta > float(bounds[pos]):
-                    break  # rest of the list is never decoded
-        return self._from_pdf(best.head(need))
+            best_ids = np.concatenate([best_ids, ids])
+            best_sc = np.concatenate([best_sc, sc])
+            top = np.lexsort((best_ids, -best_sc))[:need]
+            best_ids, best_sc = best_ids[top], best_sc[top]
+            if len(best_ids) >= need and pos < len(blocks_sorted):
+                theta = best_sc[need - 1]
+                if theta > bounds[pos]:
+                    break  # the rest of the list is never read
+        order2 = np.lexsort((best_ids, -best_sc))
+        return [(int(best_ids[i]), float(best_sc[i])) for i in order2[:need]]
 
-    def _empty_scored(self) -> DataFrame:
-        return self.spark.createDataFrame([], SCORED)
-
-    def _from_pdf(self, pdf: pd.DataFrame) -> DataFrame:
-        if pdf.empty:
-            return self._empty_scored()
-        return self.spark.createDataFrame(pdf, SCORED).orderBy(
-            F.desc("score"), F.asc("doc_id")
+    def _driver_multi(
+        self,
+        q_terms: list[str],
+        ctx: _Ctx,
+        need: int,
+        scorer: str,
+        want_count: bool,
+    ) -> tuple[list[tuple[int, float]], int | None] | None:
+        """Multi-term WAND: exact AND prune + ub ordering from cached
+        metadata, then chunked exact scoring over covering blocks only.
+        Returns None when any driver cap trips (→ distributed fallback).
+        With ``want_count`` every AND-surviving candidate is evaluated
+        (exact A7 count) in one fetch round; otherwise chunks stop at θ."""
+        metas = self._get_meta(q_terms)
+        if any(m is None for m in metas.values()):
+            return [], 0
+        if sum(m.n_blocks for m in metas.values()) > MAX_WAND_META_BLOCKS:
+            return None
+        # rarest by the GLOBAL list length (that is what bounds the fetch)
+        rarest = min(q_terms, key=lambda t: (metas[t].df, t))
+        if metas[rarest].df > MAX_WAND_CANDIDATES:
+            return None
+        site_ids = None
+        if ctx.site is not None:
+            site_ids = self._site_doc_ids(ctx.site)
+            if site_ids is None:
+                return None
+        others = sorted(t for t in q_terms if t != rarest)
+        rmeta = metas[rarest]
+        if rmeta.n_blocks > MAX_FETCH_BLOCKS:
+            return None
+        cache: dict = {}
+        self._fetch_blocks({rarest: rmeta.block_id}, cache)
+        r_ids, r_tfs, r_dls = self._concat_term(
+            rmeta, set(map(int, rmeta.block_id)), cache, rarest
         )
+        if site_ids is not None:
+            p = np.searchsorted(site_ids, r_ids)
+            m = (p < len(site_ids)) & (site_ids[np.clip(p, 0, len(site_ids) - 1)] == r_ids)
+            r_ids, r_tfs, r_dls = r_ids[m], r_tfs[m], r_dls[m]
+        if len(r_ids) == 0:
+            return [], 0
 
-    # -- public entry ---------------------------------------------------------
+        # exact rarest contribution seeds the upper bound
+        ub = _np_contrib(
+            ctx.idf(rarest) if scorer != "legacy" else 0.0,
+            r_tfs, r_dls, ctx.avgdl, scorer,
+        ) * (_BOUND_SLACK if scorer != "legacy" else 1.0)
+        alive = np.ones(len(r_ids), dtype=bool)
+        cover_block: dict[str, np.ndarray] = {}
+        for t in others:
+            m = metas[t]
+            j = np.searchsorted(m.min_doc, r_ids, side="right") - 1
+            jc = np.clip(j, 0, None)
+            covered = (j >= 0) & (r_ids <= m.max_doc[jc])
+            alive &= covered  # EXACT AND prune from metadata alone
+            bnd = self._block_bound(m, ctx, t, scorer)
+            ub = ub + np.where(covered, bnd[jc], 0.0)
+            cover_block[t] = np.where(covered, m.block_id[jc], -1)
+
+        r_ids, r_tfs, r_dls, ub = r_ids[alive], r_tfs[alive], r_dls[alive], ub[alive]
+        for t in others:
+            cover_block[t] = cover_block[t][alive]
+        if len(r_ids) == 0:
+            return [], 0
+
+        # pre-compute per-candidate contributions of the rarest term (exact)
+        r_contrib = _np_contrib(
+            ctx.idf(rarest) if scorer != "legacy" else 0.0,
+            r_tfs, r_dls, ctx.avgdl, scorer,
+        )
+        sorted_terms = sorted(q_terms)
+
+        def _score_subset(sel: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            """Exact (ids, scores) of AND-matching docs among candidate
+            rows ``sel`` — fetches covering blocks, then accumulates term
+            contributions in SORTED-TERM order (bit-identical to _score)."""
+            wanted = {
+                t: np.unique(cover_block[t][sel]) for t in others
+            }
+            nblocks = sum(len(v) for v in wanted.values())
+            if nblocks > MAX_FETCH_BLOCKS:
+                raise _CapTripped()
+            self._fetch_blocks(wanted, cache)
+            ids = r_ids[sel]
+            present = np.ones(len(ids), dtype=bool)
+            contribs: dict[str, np.ndarray] = {rarest: r_contrib[sel]}
+            for t in others:
+                arr_i, arr_t, arr_d = self._concat_term(
+                    metas[t], set(map(int, wanted[t])), cache, t
+                )
+                p = np.searchsorted(arr_i, ids)
+                pc = np.clip(p, 0, max(len(arr_i) - 1, 0))
+                ok = (
+                    (p < len(arr_i)) & (arr_i[pc] == ids)
+                    if len(arr_i)
+                    else np.zeros(len(ids), dtype=bool)
+                )
+                present &= ok
+                c = np.zeros(len(ids), dtype=np.float64)
+                if len(arr_i):
+                    c[ok] = _np_contrib(
+                        ctx.idf(t) if scorer != "legacy" else 0.0,
+                        arr_t[pc][ok], arr_d[pc][ok], ctx.avgdl, scorer,
+                    )
+                contribs[t] = c
+            acc = np.zeros(len(ids), dtype=np.float64)
+            for t in sorted_terms:  # frozen summation order
+                acc = acc + contribs[t]
+            return ids[present], acc[present]
+
+        try:
+            if want_count:
+                sel = np.arange(len(r_ids))
+                ids, sc = _score_subset(sel)
+                order = np.lexsort((ids, -sc))[:need]
+                return (
+                    [(int(ids[i]), float(sc[i])) for i in order],
+                    int(len(ids)),
+                )
+            # θ-terminated chunked scoring, ub-descending (id asc on ties)
+            order = np.lexsort((r_ids, -ub))
+            best_ids = np.array([], dtype=np.int64)
+            best_sc = np.array([], dtype=np.float64)
+            pos, chunk = 0, max(4 * need, WAND_CHUNK0)
+            while pos < len(order):
+                sel = order[pos: pos + chunk]
+                pos += len(sel)
+                chunk *= 2
+                ids, sc = _score_subset(sel)
+                best_ids = np.concatenate([best_ids, ids])
+                best_sc = np.concatenate([best_sc, sc])
+                top = np.lexsort((best_ids, -best_sc))[:need]
+                best_ids, best_sc = best_ids[top], best_sc[top]
+                if len(best_ids) >= need and pos < len(order):
+                    theta = best_sc[need - 1]
+                    if theta > ub[order[pos]]:
+                        break  # WAND θ-termination
+            o = np.lexsort((best_ids, -best_sc))
+            return [(int(best_ids[i]), float(best_sc[i])) for i in o[:need]], None
+        except _CapTripped:
+            return None
+
+    # -- public entry ------------------------------------------------------
+
+    def _from_pairs(self, pairs: list[tuple[int, float]]) -> DataFrame:
+        if not pairs:
+            return self.spark.createDataFrame([], SCORED)
+        return self.spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": np.array([p[0] for p in pairs], dtype=np.int64),
+                 "score": np.array([p[1] for p in pairs], dtype=np.float64)}
+            ),
+            SCORED,
+        ).orderBy(F.desc("score"), F.asc("doc_id"))
 
     def topk(
         self,
@@ -426,44 +670,99 @@ class SearchEngine:
         """→ DataFrame(doc_id, score) — top (offset+k) AND-matches.
 
         ``site`` scopes results to one repo (O5, SearchServiceImpl.java:57-60)
-        via a semi-join against the repo's docs (partition-pruned at scale).
-        ``scorer='legacy'`` reproduces the reference Σtf relevance contract
-        (normalization to relative relevance happens in the API facade, F6).
+        AND scores with the per-site df/n_docs/avgdl (scoped index
+        semantics). ``scorer='legacy'`` reproduces the reference Σtf
+        relevance contract (normalization to relative relevance happens in
+        the API facade, F6).
         """
         q_terms = analyze_query(query, code=self.code)
-        dfs = self.resolve_terms(q_terms)
-        if dfs is None:
-            return self._empty_scored()
+        ctx = self._resolve(q_terms, site)
+        if ctx is None:
+            return self.spark.createDataFrame([], SCORED)
         need = offset + k
 
         if strategy == "blockmax":
             if len(q_terms) == 1:
-                res = self._wand_single(
-                    q_terms[0], dfs[q_terms[0]], dfs, need, site, scorer
-                )
+                res = self._driver_single(q_terms[0], ctx, need, scorer)
             else:
-                res = self._wand_multi(q_terms, dfs, need, site, scorer)
+                out = self._driver_multi(q_terms, ctx, need, scorer, False)
+                res = out[0] if out is not None else None
             if res is not None:
-                return res.limit(need)
+                return self._from_pairs(res)
 
         # exhaustive (or fallback): decode all blocks of the query terms
-        decoded = decode_blocks(self.postings.filter(F.col("term").isin(q_terms)))
-        if site is not None:
-            decoded = decoded.join(self._scoped_ids(site), "doc_id", "left_semi")
-        scored = self._score(decoded, q_terms, dfs, scorer)
-        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(need)
+        return (
+            self._exhaustive_scored(q_terms, ctx, scorer)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(need)
+        )
+
+    def search_with_count(
+        self,
+        query: str,
+        need: int,
+        site: str | None = None,
+        scorer: str = "bm25",
+        strategy: str = "blockmax",
+    ) -> tuple[list[tuple[int, float]], int]:
+        """Top-``need`` (doc_id, score) AND the exact match count (A7) in
+        one serving round — the API facade's path. Single-term count is
+        free (df IS the count; scoped df for scoped queries). Multi-term
+        count evaluates every AND survivor against covering blocks only —
+        never a full decode of hot terms' lists."""
+        q_terms = analyze_query(query, code=self.code)
+        ctx = self._resolve(q_terms, site)
+        if ctx is None:
+            return [], 0
+        if len(q_terms) == 1:
+            if strategy == "blockmax":
+                res = self._driver_single(q_terms[0], ctx, need, scorer)
+                if res is not None:
+                    return res, ctx.dfs[q_terms[0]]
+            scored = self._exhaustive_scored(q_terms, ctx, scorer)
+            rows = (
+                scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(need).collect()
+            )
+            return [(int(r["doc_id"]), float(r["score"])) for r in rows], ctx.dfs[
+                q_terms[0]
+            ]
+        if strategy == "blockmax":
+            out = self._driver_multi(q_terms, ctx, need, scorer, True)
+            if out is not None:
+                return out[0], int(out[1])
+        scored = self._exhaustive_scored(q_terms, ctx, scorer).persist()
+        try:
+            count = scored.count()
+            rows = (
+                scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(need).collect()
+            )
+        finally:
+            scored.unpersist()
+        return [(int(r["doc_id"]), float(r["score"])) for r in rows], count
 
     def count_matches(self, query: str, site: str | None = None) -> int:
         """A7: number of AND-matching docs (pre-pagination)."""
         q_terms = analyze_query(query, code=self.code)
-        if self.resolve_terms(q_terms) is None:
+        ctx = self._resolve(q_terms, site)
+        if ctx is None:
             return 0
+        if len(q_terms) == 1 and site is None:
+            return ctx.dfs[q_terms[0]]  # df IS the count — zero jobs
+        if len(q_terms) == 1 and site is not None:
+            return ctx.dfs[q_terms[0]]  # per-site df
+        out = self._driver_multi(q_terms, ctx, 1, "legacy", True)
+        if out is not None:
+            return int(out[1])
         decoded = decode_blocks(self.postings.filter(F.col("term").isin(q_terms)))
         if site is not None:
-            decoded = decoded.join(self._scoped_ids(site), "doc_id", "left_semi")
+            decoded = decoded.join(self._scoped_ids_df(site), "doc_id", "left_semi")
         return (
             decoded.groupBy("doc_id")
             .agg(F.count("*").alias("nt"))
             .filter(F.col("nt") == F.lit(len(q_terms)))
             .count()
         )
+
+
+class _CapTripped(Exception):
+    pass

@@ -40,6 +40,23 @@ class NaiveIndex:
             else {}
         )
 
+    def _site_view(self, site: str) -> tuple[dict, dict, int, float, set]:
+        """Per-site (df, n_docs, avgdl, doc-id set) — scoped-index semantics
+        (reference lemma is keyed (lemma, site_id), model/Lemma.java:12-30):
+        scoring a site query is identical to an index built over that site
+        alone."""
+        ids = {d for d, r in self.repo_of.items() if r == site}
+        df_s: dict[str, int] = {}
+        for t, p in self.postings.items():
+            n = sum(1 for d in p if d in ids)
+            if n:
+                df_s[t] = n
+        n_docs = len(ids)
+        avgdl = (
+            sum(self.doclen[d] for d in ids) / n_docs if n_docs else 1.0
+        )
+        return df_s, self.postings, n_docs, avgdl, ids
+
     def topk(
         self,
         query: str,
@@ -49,17 +66,24 @@ class NaiveIndex:
         scorer: str = "bm25",
     ) -> list[tuple[int, float]]:
         """→ [(doc_id, score)] — same AND + scoring + tie-break contract as
-        SearchEngine.topk. Term contributions sum in sorted-term order."""
+        SearchEngine.topk. Term contributions sum in sorted-term order.
+        ``site`` uses the per-site df/n_docs/avgdl (scoped index)."""
         q_terms = analyze_query(query, code=self.code)
-        if not q_terms or any(t not in self.postings for t in q_terms):
+        if not q_terms:
             return []
+        if site is not None:
+            df, _, n_docs, avgdl, site_ids = self._site_view(site)
+        else:
+            df, n_docs, avgdl, site_ids = self.df, self.n_docs, self.avgdl, None
+        if any(t not in df for t in q_terms):
+            return []  # O6, scoped against the site's own lemma rows
         # AND intersection (J4), candidates from the rarest list
-        q_sorted_by_df = sorted(q_terms, key=lambda t: (self.df[t], t))
+        q_sorted_by_df = sorted(q_terms, key=lambda t: (df[t], t))
         cand = set(self.postings[q_sorted_by_df[0]])
         for t in q_sorted_by_df[1:]:
             cand &= self.postings[t].keys()
-        if site is not None:
-            cand = {d for d in cand if self.repo_of.get(d) == site}
+        if site_ids is not None:
+            cand &= site_ids
         scored: list[tuple[int, float]] = []
         for d in cand:
             s = 0.0
@@ -69,7 +93,7 @@ class NaiveIndex:
                     s += float(tf)
                 else:
                     s += scoring.bm25_contrib(
-                        float(tf), float(self.doclen[d]), self.df[t], self.n_docs, self.avgdl
+                        float(tf), float(self.doclen[d]), df[t], n_docs, avgdl
                     )
             scored.append((d, s))
         scored.sort(key=lambda x: (-x[1], x[0]))

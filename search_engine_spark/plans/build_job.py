@@ -37,7 +37,6 @@ def build_index(
     skew_df_threshold: int = B.SKEW_DF_THRESHOLD,
     salt_target_rows: int = B.SALT_TARGET_ROWS,
     build_id: str | None = None,
-    scope: str = "",
     n_buckets: int | None = None,
 ) -> Manifest:
     """Run (or resume) the full build into ``catalog``. Idempotent: any
@@ -92,7 +91,7 @@ def build_index(
             B.build_docs(corpus)
             # no broadcast hint: dstats grows with the corpus — AQE
             # broadcasts it only while it is actually small
-            .join(dstats, "doc_id", "left")
+            .join(dstats.select("doc_id", "doclen"), "doc_id", "left")
             .withColumn("doclen", F.coalesce(F.col("doclen"), F.lit(0)))
             # bucket(repo) partitioning stand-in (Iceberg: bucket(N, repo))
             .withColumn("repo_bucket", F.pmod(F.xxhash64("repo"), F.lit(n_buckets)))
@@ -100,16 +99,26 @@ def build_index(
             # per bucket instead of (#tasks × #buckets) shards (Iceberg:
             # write.distribution-mode=hash does exactly this)
             .repartition("repo_bucket")
+            # sort by doc_id inside each bucket file: parquet row-group
+            # min/max stats then prune point lookups (search decoration
+            # fetches k docs by doc_id — must NOT scan the content-bearing
+            # table; Iceberg: sort-order on doc_id within the bucket)
+            .sortWithinPartitions("repo_bucket", "doc_id")
         )
         catalog.write(docs, "docs", partition_by=["repo_bucket"])
         n = catalog.read(spark, "docs").count()
         man.done("docs", docs=n)
     n_docs_total = catalog.read(spark, "docs").count()
 
-    # -- stage: terms ------------------------------------------------------
+    # -- stage: terms (scoped per-site rows + global rows) -----------------
     if not (man.stage_done("terms") and catalog.exists("terms")):
         man.start("terms")
-        catalog.write(B.term_stats(tf, scope=scope), "terms")
+        catalog.write(
+            # cluster by term so a query's vocabulary probe prunes row
+            # groups (the reference's B-tree on lemma, per-site keyed)
+            B.term_stats(tf).sortWithinPartitions("term", "scope"),
+            "terms",
+        )
         man.done("terms", postings=catalog.read(spark, "terms").count())
     terms = catalog.read(spark, "terms", TERMS)
 
@@ -121,11 +130,18 @@ def build_index(
             "corpus_stats",
         )
         man.done("corpus_stats")
+
+    # -- stage: site_stats (per-site rollup for /api/statistics + scoped BM25)
+    if not (man.stage_done("site_stats") and catalog.exists("site_stats")):
+        man.start("site_stats")
+        catalog.write(B.site_stats(dstats, terms), "site_stats")
+        man.done("site_stats")
     cstats = catalog.read(spark, "corpus_stats").collect()[0]
     avgdl = float(cstats["avgdl"]) if cstats["n_docs"] else 1.0
 
     # -- stage: postings, sharded by term hash ----------------------------
-    tf_dl = tf.join(dstats, "doc_id")
+    tf_dl = tf.join(dstats.select("doc_id", "doclen"), "doc_id")
+    global_terms = terms.filter(F.col("scope") == "")
     done_shards = man.done_units("postings")
     for k in range(n_shards):
         if k in done_shards and catalog.exists(f"postings/shard={k}"):
@@ -134,7 +150,7 @@ def build_index(
         try:
             t0 = time.time()
             shard_tf = tf_dl.filter(F.pmod(F.xxhash64("term"), F.lit(n_shards)) == k)
-            shard_terms = terms.filter(
+            shard_terms = global_terms.filter(
                 F.pmod(F.xxhash64("term"), F.lit(n_shards)) == k
             )
             blocks = B.build_postings(

@@ -1,29 +1,44 @@
-"""Incremental single-doc indexing (St2) with EXACT delta maintenance.
+"""Incremental indexing (St2) with EXACT delta maintenance — single-doc
+and BATCH variants.
 
 Reference behavior (services/IndexingServiceImpl.java:97-144): on
 ``POST /api/indexPage`` it deletes the page's index rows, deletes **all**
 the site's lemmas (the `:120` quirk — a df-corruption bug we do NOT
 reproduce), deletes + refetches + reinserts the page, and reindexes it.
 Upsert key is (site, path) — `page` is unique on (path, site_id)
-(model/Page.java:24-27).
+(model/Page.java:24-27). The reference's crawl flushes pages in batches of
+100 (utils/BatchProcessor.java:37-79); ``index_docs`` is that batch MERGE —
+one round of table surgery amortized over many documents instead of a
+Spark-job cascade per doc.
 
 Our replacement (SURVEY §3.3): keyed on (repo, path) —
-  1. ``docs``: partition-scoped rewrite of the doc's repo bucket only
-     (Iceberg: MERGE INTO docs);
+  1. ``docs``: partition-scoped rewrite of ONLY the affected repo buckets
+     (Iceberg: MERGE INTO docs), keeping the doc_id sort inside each bucket
+     (decoration point-lookups stay row-group-prunable);
   2. ``doc_stats`` / ``corpus_stats``: row swap + re-aggregate;
-  3. ``terms``: df adjusted by ±1 per (old ∪ new) distinct term — exact
-     countDistinct semantics, never the reference's drop-all;
-  4. ``postings``: block-level surgery — only the blocks that CONTAIN the
-     old doc_id or the new doc's insertion point are decoded, modified and
+  3. ``terms``: df adjusted per (scope, term) — scope='' global rows AND
+     the per-repo rows (reference lemma is keyed (lemma, site_id),
+     model/Lemma.java:12-30). The decrement counts DISTINCT old docs
+     containing the term (the build does not dedupe (repo,path), so
+     multiple old rows may die in one upsert) — never the reference's
+     drop-all-site-lemmas;
+  4. ``site_stats``: pages/total_len/avgdl recomputed from exact deltas,
+     per-site lemma count re-counted from the merged scoped terms rows;
+  5. ``postings``: block-level surgery — only the blocks that CONTAIN an
+     old doc_id or a new doc's insertion point are decoded, modified and
      re-encoded; every other block's bytes are untouched. Affected shards
      only are rewritten (Iceberg: row-level MERGE on the postings table).
 
+``tf`` is a build-stage intermediate (lineage), NOT maintained here — no
+serving path reads it (statistics reads ``site_stats`` + ``terms``, both
+maintained exactly).
+
 Scoring stays exact after any number of increments because blocks store
 raw (tf, doclen) and idf/avgdl are resolved at query time from the
-updated ``terms`` / ``corpus_stats`` tables. Block-max metadata
-(``max_impact``) is recomputed for touched blocks with the CURRENT avgdl;
-untouched blocks keep build-time bounds — the query layer compensates
-with the avgdl-drift safety factor (operators/query.py).
+updated ``terms`` / ``corpus_stats`` / ``site_stats`` tables. Block-max
+metadata (``max_impact``) is recomputed for touched blocks with the
+build-time avgdl; untouched blocks keep build-time bounds — the query
+layer compensates with the avgdl-drift safety factor (operators/query.py).
 """
 
 from __future__ import annotations
@@ -40,11 +55,15 @@ from pyspark.sql.window import Window
 from ..functions import scoring
 from ..functions.analyze import analyze
 from ..operators.codec import decode_counts, decode_doc_ids, encode_counts, encode_doc_ids
-from ..schemas import POSTINGS, TERMS
+from ..schemas import DOC_STATS, DOCS, POSTINGS, SITE_STATS, TERMS
 from ..sources.catalog import Catalog
 from .manifest import Manifest
 
 N_BUCKETS_DEFAULT = 16  # pre-meta catalogs; new builds record theirs
+
+# docs-table schema WITHOUT the repo_bucket partition column (what a single
+# partition subdir actually contains)
+_DOCS_PART = DOCS
 
 
 def _n_buckets(catalog: Catalog) -> int:
@@ -55,13 +74,6 @@ def _n_buckets(catalog: Catalog) -> int:
     if _os.path.exists(p):
         return int(_json.load(open(p))["n_buckets"])
     return N_BUCKETS_DEFAULT
-
-
-def _doc_id(spark: SparkSession, repo: str, path: str, commit: str) -> int:
-    """Same hash the distributed build uses (operators/build.py:50)."""
-    return spark.range(1).select(
-        F.xxhash64(F.lit(repo), F.lit(path), F.lit(commit)).alias("h")
-    ).collect()[0]["h"]
 
 
 def _encode_block(term: str, ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
@@ -75,6 +87,23 @@ def _encode_block(term: str, ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     )
 
 
+class _NewDoc:
+    """Analyzed upsert payload for one (repo, path)."""
+
+    __slots__ = ("repo", "path", "commit", "lang", "content", "tf", "doclen",
+                 "doc_id", "bucket")
+
+    def __init__(self, repo: str, path: str, commit: str, lang: str,
+                 content: str, code: bool):
+        self.repo, self.path, self.commit = repo, path, commit
+        self.lang, self.content = lang, content
+        forms = analyze(content, code=code)
+        self.tf = Counter(forms)
+        self.doclen = len(forms)
+        self.doc_id = 0  # assigned in one batch job
+        self.bucket = 0
+
+
 def index_doc(
     spark: SparkSession,
     catalog: Catalog,
@@ -85,62 +114,151 @@ def index_doc(
     content: str,
     code: bool = True,
 ) -> None:
+    """Single-doc upsert — thin wrapper over the batch MERGE."""
+    index_docs(spark, catalog,
+               [(repo, path, commit, lang, content)], code=code)
+
+
+def index_docs(
+    spark: SparkSession,
+    catalog: Catalog,
+    docs_in: list[tuple[str, str, str, str, str]],
+    code: bool = True,
+) -> None:
+    """Batch upsert of ``[(repo, path, commit, lang, content), ...]``.
+
+    One round of table surgery regardless of batch size: the docs rewrite
+    touches each affected repo bucket once, terms/site_stats merge once,
+    and each postings shard is rewritten at most once (the reference
+    analogue is the 100-page batch flush, utils/BatchProcessor.java:37-79).
+    Last write wins for duplicate (repo, path) keys within the batch.
+    """
+    if not docs_in:
+        return
     t0 = time.time()
     man = Manifest(path=catalog.path("build_manifest.jsonl"), build_id="incremental")
 
-    # --- analyze old + new with the same frozen spec ----------------------
-    docs = catalog.read(spark, "docs")
-    old_rows = docs.filter(
-        (F.col("repo") == repo) & (F.col("path") == path)
-    ).select("doc_id", "content").collect()
-    old_ids = [int(r["doc_id"]) for r in old_rows]
-    old_tf: Counter = Counter()
-    for r in old_rows:
-        old_tf.update(analyze(r["content"], code=code))
+    # --- analyze new docs with the same frozen spec; dedupe on (repo,path)
+    by_key: dict[tuple[str, str], _NewDoc] = {}
+    for repo, path, commit, lang, content in docs_in:
+        by_key[(repo, path)] = _NewDoc(repo, path, commit, lang, content, code)
+    new_docs = list(by_key.values())
 
-    new_forms = analyze(content, code=code)
-    new_tf = Counter(new_forms)
-    doclen = len(new_forms)
-    new_id = _doc_id(spark, repo, path, commit)
+    # doc_id + bucket assignment: ONE Spark job for the whole batch, using
+    # the same hash exprs as the distributed build (operators/build.py)
+    n_buckets = _n_buckets(catalog)
+    key_rows = spark.createDataFrame(
+        [(d.repo, d.path, d.commit) for d in new_docs],
+        "repo string, path string, commit string",
+    ).select(
+        "repo", "path",
+        F.xxhash64("repo", "path", "commit").alias("doc_id"),
+        F.pmod(F.xxhash64("repo"), F.lit(n_buckets)).alias("bucket"),
+    ).collect()
+    for r in key_rows:
+        d = by_key[(r["repo"], r["path"])]
+        d.doc_id, d.bucket = int(r["doc_id"]), int(r["bucket"])
+
+    # --- old rows being replaced (any row sharing an upsert key) ----------
+    keys = {(d.repo, d.path) for d in new_docs}
+    docs_tbl = catalog.read_or_empty(spark, "docs", _DOCS_PART)
+    key_df = spark.createDataFrame(sorted(keys), "repo string, path string")
+    old_rows = (
+        docs_tbl.join(F.broadcast(key_df), ["repo", "path"], "left_semi")
+        .select("doc_id", "repo", "content")
+        .collect()
+    )
+    old_ids = [int(r["doc_id"]) for r in old_rows]
+    # per-OLD-DOC term sets: df decrements count distinct docs, not rows
+    old_terms_by_doc: list[tuple[str, set]] = []
+    old_len_by_repo: Counter = Counter()
+    for r in old_rows:
+        forms = analyze(r["content"], code=code)
+        old_terms_by_doc.append((r["repo"], set(forms)))
+        old_len_by_repo[r["repo"]] += len(forms)
 
     man.start("index_doc")
-
-    # --- 1. docs: rewrite only the repo's bucket partition ----------------
-    bucket = spark.range(1).select(
-        F.pmod(F.xxhash64(F.lit(repo)), F.lit(_n_buckets(catalog))).alias("b")
-    ).collect()[0]["b"]
-    part = f"docs/repo_bucket={bucket}"
-    new_doc_row = spark.createDataFrame(
-        [(repo, path, commit, lang, content)],
-        "repo string, path string, commit string, lang string, content string",
-    ).select(
-        F.xxhash64("repo", "path", "commit").alias("doc_id"),
-        "repo", "path", "commit", "lang", "content",
-        F.sha2(F.col("content"), 256).alias("content_sha256"),
-        F.lit(doclen).cast("long").alias("doclen"),
-    )
-    bucket_df = catalog.read(spark, part).filter(
-        ~((F.col("repo") == repo) & (F.col("path") == path))
-    )
-    catalog.rewrite(
-        bucket_df.unionByName(new_doc_row.select(*bucket_df.columns)), part
+    try:
+        _merge_docs(spark, catalog, new_docs, keys, n_buckets)
+        avgdl_build = _merge_stats(spark, catalog, new_docs, old_ids)
+        _merge_terms(spark, catalog, new_docs, old_terms_by_doc)
+        _merge_site_stats(spark, catalog, new_docs, old_rows, old_len_by_repo)
+        _merge_postings(spark, catalog, new_docs, old_ids, old_terms_by_doc,
+                        avgdl_build)
+    except Exception as e:  # noqa: BLE001
+        man.fail("index_doc", error=repr(e))
+        raise
+    n_postings = sum(sum(d.tf.values()) for d in new_docs)
+    man.done(
+        "index_doc",
+        docs=len(new_docs),
+        postings=n_postings,
+        postings_per_sec=n_postings / max(time.time() - t0, 1e-9),
     )
 
-    # --- 2. doc_stats + corpus_stats ---------------------------------------
-    dstats = catalog.read(spark, "doc_stats")
+
+# --------------------------------------------------------------------------
+# table merges
+
+
+def _merge_docs(spark, catalog, new_docs, keys, n_buckets) -> None:
+    """1. docs: rewrite ONLY the affected repo buckets, doc_id-sorted."""
+    by_bucket: dict[int, list[_NewDoc]] = {}
+    for d in new_docs:
+        by_bucket.setdefault(d.bucket, []).append(d)
+    for bucket, docs_b in sorted(by_bucket.items()):
+        part = f"docs/repo_bucket={bucket}"
+        new_rows = spark.createDataFrame(
+            [
+                (d.repo, d.path, d.commit, d.lang, d.content, d.doclen)
+                for d in docs_b
+            ],
+            "repo string, path string, commit string, lang string, "
+            "content string, doclen long",
+        ).select(
+            F.xxhash64("repo", "path", "commit").alias("doc_id"),
+            "repo", "path", "commit", "lang", "content",
+            F.sha2(F.col("content"), 256).alias("content_sha256"),
+            "doclen",
+        )
+        key_df = spark.createDataFrame(
+            sorted({(d.repo, d.path) for d in docs_b}), "repo string, path string"
+        )
+        bucket_df = catalog.read_or_empty(spark, part, _DOCS_PART).join(
+            F.broadcast(key_df), ["repo", "path"], "left_anti"
+        )
+        catalog.rewrite(
+            bucket_df.unionByName(new_rows.select(*bucket_df.columns)),
+            part,
+            sort_by=["doc_id"],
+        )
+
+
+def _merge_stats(spark, catalog, new_docs, old_ids) -> float:
+    """2. doc_stats row swap + corpus_stats re-aggregate. → avgdl_build."""
+    dstats = catalog.read_or_empty(spark, "doc_stats", DOC_STATS)
     new_stat = spark.createDataFrame(
-        [(new_id, doclen)], "doc_id long, doclen long"
+        [(d.doc_id, d.repo, d.doclen) for d in new_docs],
+        "doc_id long, repo string, doclen long",
     )
     if old_ids:
         dstats = dstats.filter(~F.col("doc_id").isin(old_ids))
     catalog.rewrite(dstats.unionByName(new_stat), "doc_stats")
     dstats = catalog.read(spark, "doc_stats")
-    cstats_old = catalog.read(spark, "corpus_stats").collect()[0]
-    avgdl_build = float(
-        cstats_old["avgdl_build"]
-        if "avgdl_build" in cstats_old.asDict()
-        else cstats_old["avgdl"]
-    )
+    from ..schemas import CORPUS_STATS
+
+    cs_rows = catalog.read_or_empty(spark, "corpus_stats", CORPUS_STATS).collect()
+    if cs_rows:
+        cstats_old = cs_rows[0]
+        avgdl_build = float(
+            cstats_old["avgdl_build"]
+            if cstats_old["avgdl_build"] is not None
+            else cstats_old["avgdl"]
+        )
+    else:
+        # never-built catalog: bounds will be encoded with the live avgdl
+        n = sum(d.doclen for d in new_docs)
+        avgdl_build = float(n) / max(len(new_docs), 1) or 1.0
     catalog.rewrite(
         dstats.agg(
             F.count("*").alias("n_docs"),
@@ -148,61 +266,148 @@ def index_doc(
         ).withColumn("avgdl_build", F.lit(avgdl_build)),
         "corpus_stats",
     )
+    return avgdl_build
 
-    # --- 3. terms: exact df delta (J6/J7 replacement, no drop-all quirk) ---
+
+def _scope_deltas(new_docs, old_terms_by_doc) -> Counter:
+    """Exact df delta per (scope, term): +1 per new doc containing the term,
+    -1 per DISTINCT old doc containing it — applied to both the global
+    scope ('') and the doc's repo scope."""
     delta: Counter = Counter()
-    for t in set(new_tf):
-        delta[t] += 1
-    for t in set(old_tf):
-        delta[t] -= 1
-    if delta:
-        delta_df = spark.createDataFrame(
-            [(t, d) for t, d in delta.items() if d != 0], "term string, d long"
-        )
-        terms = catalog.read(spark, "terms", TERMS)
-        merged = (
-            terms.join(F.broadcast(delta_df), "term", "full_outer")
-            .select(
-                F.coalesce(F.col("scope"), F.lit("")).alias("scope"),
-                "term",
-                (F.coalesce(F.col("df"), F.lit(0)) + F.coalesce(F.col("d"), F.lit(0)))
-                .alias("df"),
-            )
-            .filter(F.col("df") > 0)
-        )
-        catalog.rewrite(merged, "terms")
+    for d in new_docs:
+        for t in d.tf:
+            delta[("", t)] += 1
+            delta[(d.repo, t)] += 1
+    for repo, terms in old_terms_by_doc:
+        for t in terms:
+            delta[("", t)] -= 1
+            delta[(repo, t)] -= 1
+    return delta
 
-    # --- 4. postings: block-level surgery on affected shards ---------------
+
+def _merge_terms(spark, catalog, new_docs, old_terms_by_doc) -> None:
+    """3. terms: (scope, term)-keyed df merge (J6 update side via full_outer,
+    J7 insert side via the coalesce-null branch)."""
+    delta = _scope_deltas(new_docs, old_terms_by_doc)
+    rows = [(s, t, d) for (s, t), d in delta.items() if d != 0]
+    if not rows:
+        return
+    delta_df = spark.createDataFrame(rows, "scope string, term string, d long")
+    terms = catalog.read_or_empty(spark, "terms", TERMS)
+    merged = (
+        terms.join(F.broadcast(delta_df), ["scope", "term"], "full_outer")
+        .select(
+            "scope",
+            "term",
+            (F.coalesce(F.col("df"), F.lit(0)) + F.coalesce(F.col("d"), F.lit(0)))
+            .alias("df"),
+        )
+        .filter(F.col("df") > 0)
+    )
+    catalog.rewrite(merged, "terms", sort_by=["term", "scope"])
+
+
+def _merge_site_stats(spark, catalog, new_docs, old_rows, old_len_by_repo) -> None:
+    """4. site_stats: exact pages/total_len deltas + re-counted scoped
+    lemma rows for the affected repos only."""
+    pages_d: Counter = Counter()
+    len_d: Counter = Counter()
+    for d in new_docs:
+        pages_d[d.repo] += 1
+        len_d[d.repo] += d.doclen
+    for r in old_rows:
+        pages_d[r["repo"]] -= 1
+    for repo, n in old_len_by_repo.items():
+        len_d[repo] -= n
+    affected = sorted(set(pages_d) | set(len_d))
+    if not affected:
+        return
+    ss = catalog.read_or_empty(spark, "site_stats", SITE_STATS)
+    old_vals = {
+        r["repo"]: r
+        for r in ss.filter(F.col("repo").isin(affected)).collect()
+    }
+    # per-site lemma count = scoped terms rows (already merged)
+    terms = catalog.read(spark, "terms", TERMS)
+    lemmas = {
+        r["scope"]: int(r["n"])
+        for r in terms.filter(F.col("scope").isin(affected))
+        .groupBy("scope").agg(F.count("*").alias("n")).collect()
+    }
+    new_rows = []
+    for repo in affected:
+        old = old_vals.get(repo)
+        pages = (int(old["pages"]) if old else 0) + pages_d[repo]
+        tlen = (int(old["total_len"]) if old else 0) + len_d[repo]
+        if pages <= 0:
+            continue  # site fully removed
+        new_rows.append(
+            (repo, pages, tlen, float(tlen) / float(pages), lemmas.get(repo, 0))
+        )
+    keep = ss.filter(~F.col("repo").isin(affected))
+    merged = keep
+    if new_rows:
+        merged = keep.unionByName(
+            spark.createDataFrame(new_rows, SITE_STATS)
+        )
+    catalog.rewrite(merged, "site_stats")
+
+
+def _merge_postings(spark, catalog, new_docs, old_ids, old_terms_by_doc,
+                    avgdl_build) -> None:
+    """5. block-level surgery per affected shard."""
     import glob as _glob
-    import os as _os
 
     shard_dirs = sorted(_glob.glob(catalog.path("postings/shard=*")))
     n_shards = len(shard_dirs)
-    affected = sorted(set(old_tf) | set(new_tf))
-    if affected and n_shards:
-        shard_of = {
-            r["term"]: int(r["s"])
-            for r in spark.createDataFrame(
-                [(t,) for t in affected], "term string"
-            ).select(
-                "term", F.pmod(F.xxhash64("term"), F.lit(n_shards)).alias("s")
-            ).collect()
-        }
-        by_shard: dict[int, list[str]] = {}
-        for t, s in shard_of.items():
-            by_shard.setdefault(s, []).append(t)
-        for k, terms_k in sorted(by_shard.items()):
-            _surgery_shard(
-                spark, catalog, f"postings/shard={k}", terms_k,
-                old_ids, new_id, new_tf, doclen, avgdl_build,
-            )
-
-    man.done(
-        "index_doc",
-        docs=1,
-        postings=sum(new_tf.values()),
-        postings_per_sec=sum(new_tf.values()) / max(time.time() - t0, 1e-9),
-    )
+    # inserts per term: [(doc_id, tf, doclen)] — sorted by doc_id later
+    inserts: dict[str, list[tuple[int, int, int]]] = {}
+    for d in new_docs:
+        for t, tf in d.tf.items():
+            inserts.setdefault(t, []).append((d.doc_id, tf, d.doclen))
+    removal_terms = set()
+    for _, terms in old_terms_by_doc:
+        removal_terms |= terms
+    affected = sorted(set(inserts) | removal_terms)
+    if not affected:
+        return
+    if not n_shards:
+        # never-built catalog (indexPage before any crawl): bootstrap one
+        # shard holding the batch's postings
+        rows = []
+        for t in sorted(inserts):
+            ent = sorted(inserts[t])
+            rows.append(_encode_block(
+                t,
+                np.array([x[0] for x in ent], dtype=np.int64),
+                np.array([x[1] for x in ent], dtype=np.int64),
+                np.array([x[2] for x in ent], dtype=np.int64),
+                avgdl_build,
+            ))
+        pdf = pd.DataFrame(
+            rows,
+            columns=["term", "block_id", "doc_ids", "tfs", "doclens", "count",
+                     "min_doc", "max_doc", "max_tf", "max_impact"],
+        )
+        pdf["block_id"] = 0
+        catalog.write(spark.createDataFrame(pdf, POSTINGS), "postings/shard=0")
+        return
+    shard_of = {
+        r["term"]: int(r["s"])
+        for r in spark.createDataFrame(
+            [(t,) for t in affected], "term string"
+        ).select(
+            "term", F.pmod(F.xxhash64("term"), F.lit(n_shards)).alias("s")
+        ).collect()
+    }
+    by_shard: dict[int, list[str]] = {}
+    for t, s in shard_of.items():
+        by_shard.setdefault(s, []).append(t)
+    for k, terms_k in sorted(by_shard.items()):
+        _surgery_shard(
+            spark, catalog, f"postings/shard={k}", sorted(terms_k),
+            old_ids, inserts, avgdl_build,
+        )
 
 
 def _surgery_shard(
@@ -211,13 +416,11 @@ def _surgery_shard(
     shard: str,
     terms_k: list[str],
     old_ids: list[int],
-    new_id: int,
-    new_tf: Counter,
-    doclen: int,
+    inserts: dict[str, list[tuple[int, int, int]]],
     avgdl: float,
 ) -> None:
-    """Rewrite ONE postings shard: decode only blocks containing the old
-    doc ids or the new doc's insertion point; all other block payloads pass
+    """Rewrite ONE postings shard: decode only blocks containing an old
+    doc id or a new doc's insertion point; all other block payloads pass
     through byte-identical."""
     blocks = catalog.read(spark, shard, POSTINGS)
     meta = (
@@ -225,27 +428,29 @@ def _surgery_shard(
         .select("term", "block_id", "min_doc", "max_doc")
         .collect()
     )
-    # pick target block per term: covering block for each touched id, plus
-    # the insertion block for new_id (nearest by min_doc <= id, else first)
     by_term: dict[str, list] = {}
     for r in meta:
         by_term.setdefault(r["term"], []).append(r)
-    touch: set[tuple[str, int]] = set()
-    for term, rows in by_term.items():
+    for rows in by_term.values():
         rows.sort(key=lambda r: r["min_doc"])
-        ids_to_place = list(old_ids) if term not in new_tf else list(old_ids) + [new_id]
-        for did in ids_to_place:
-            placed = False
-            for r in rows:
-                if r["min_doc"] <= did <= r["max_doc"]:
-                    touch.add((term, r["block_id"]))
-                    placed = True
-                    break
-            if not placed and did == new_id and term in new_tf:
-                prev = [r for r in rows if r["min_doc"] <= did]
-                target = prev[-1] if prev else rows[0]
-                touch.add((term, target["block_id"]))
-    new_terms_absent = [t for t in terms_k if t in new_tf and t not in by_term]
+
+    # pick touched blocks: covering block for each removed id, plus the
+    # insertion block for each new id (covering, else nearest below, else
+    # first); remember the chosen insertion block per (term, doc_id)
+    touch: set[tuple[str, int]] = set()
+    ins_block: dict[tuple[str, int], int] = {}
+    old_arr = np.array(sorted(old_ids), dtype=np.int64)
+    for term, rows in by_term.items():
+        for r in rows:
+            if len(old_arr) and np.any(
+                (old_arr >= r["min_doc"]) & (old_arr <= r["max_doc"])
+            ):
+                touch.add((term, r["block_id"]))
+        for did, _, _ in inserts.get(term, ()):
+            b = _insertion_block(rows, did)
+            touch.add((term, b))
+            ins_block[(term, did)] = b
+    new_terms_absent = [t for t in terms_k if t in inserts and t not in by_term]
 
     rows_out: list[tuple] = []
     if touch:
@@ -257,25 +462,30 @@ def _surgery_shard(
             ids = decode_doc_ids(r["doc_ids"])
             tfs = decode_counts(r["tfs"])
             dls = decode_counts(r["doclens"])
-            keep = ~np.isin(ids, old_ids) if old_ids else np.ones(len(ids), bool)
-            ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
-            if r["term"] in new_tf and (r["term"], r["block_id"]) in touch:
-                # insert new doc once, into its covering/nearest block only
-                ins_here = _insertion_block(by_term[r["term"]], new_id) == r["block_id"]
-                if ins_here:
-                    pos = int(np.searchsorted(ids, new_id))
-                    ids = np.insert(ids, pos, new_id)
-                    tfs = np.insert(tfs, pos, new_tf[r["term"]])
-                    dls = np.insert(dls, pos, doclen)
+            if len(old_arr):
+                keep = ~np.isin(ids, old_arr)
+                ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+            ins_here = sorted(
+                (did, tf, dl)
+                for (did, tf, dl) in inserts.get(r["term"], ())
+                if ins_block.get((r["term"], did)) == r["block_id"]
+            )
+            if ins_here:
+                vals = np.array([x[0] for x in ins_here], dtype=np.int64)
+                pos = np.searchsorted(ids, vals)
+                ids = np.insert(ids, pos, vals)
+                tfs = np.insert(tfs, pos, np.array([x[1] for x in ins_here], dtype=np.int64))
+                dls = np.insert(dls, pos, np.array([x[2] for x in ins_here], dtype=np.int64))
             if len(ids):
                 rows_out.append(_encode_block(r["term"], ids, tfs, dls, avgdl))
     for t in new_terms_absent:
-        ids = np.array([new_id], dtype=np.int64)
+        ent = sorted(inserts[t])
+        ids = np.array([x[0] for x in ent], dtype=np.int64)
         rows_out.append(
             _encode_block(
                 t, ids,
-                np.array([new_tf[t]], dtype=np.int64),
-                np.array([doclen], dtype=np.int64),
+                np.array([x[1] for x in ent], dtype=np.int64),
+                np.array([x[2] for x in ent], dtype=np.int64),
                 avgdl,
             )
         )
@@ -304,13 +514,12 @@ def _surgery_shard(
         new_blocks = new_blocks.filter(~F.col("term").isin(affected_terms)).unionByName(
             renum
         )
-    catalog.rewrite(new_blocks, shard)
+    catalog.rewrite(new_blocks, shard, sort_by=["term", "min_doc"])
 
 
 def _insertion_block(rows: list, did: int) -> int:
-    """Deterministic insertion block for a doc id absent from the list:
-    covering block if any, else nearest block below, else the first."""
-    rows = sorted(rows, key=lambda r: r["min_doc"])
+    """Deterministic insertion block for a doc id: covering block if any,
+    else nearest block below, else the first."""
     for r in rows:
         if r["min_doc"] <= did <= r["max_doc"]:
             return r["block_id"]

@@ -97,7 +97,23 @@ POSTINGS = StructType(
 DOC_STATS = StructType(
     [
         StructField("doc_id", LongType(), False),
+        StructField("repo", StringType(), False),
         StructField("doclen", LongType(), False),
+    ]
+)
+
+# Materialized per-site rollup — the reference's `site` table statistics
+# (model/Site.java:10-31, services/StatisticsServiceImpl.java:44-60) plus
+# the per-site BM25 inputs (n_docs→pages, avgdl). Maintained exactly by
+# incremental upserts; `GET /api/statistics` reads THIS, never re-shuffling
+# the corpus per call.
+SITE_STATS = StructType(
+    [
+        StructField("repo", StringType(), False),
+        StructField("pages", LongType(), False),
+        StructField("total_len", LongType(), False),
+        StructField("avgdl", DoubleType(), False),
+        StructField("lemmas", LongType(), False),
     ]
 )
 
@@ -151,10 +167,15 @@ TOKENS_EXPLODED = StructType(
     ]
 )
 
-# shuffle-free per-batch TF output (operators/build.term_frequencies_from_docs)
+# shuffle-free per-batch TF output (operators/build.term_frequencies_from_docs).
+# `repo` rides along (constant per doc, dictionary-encoded in parquet ≈ free)
+# so per-site document frequency needs NO join back to docs — the reference's
+# lemma table is keyed (lemma, site_id) (model/Lemma.java:12-30) and this is
+# where that key is born.
 TF = StructType(
     [
         StructField("doc_id", LongType(), False),
+        StructField("repo", StringType(), False),
         StructField("term", StringType(), False),
         StructField("tf", LongType(), False),
     ]

@@ -16,6 +16,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
+_TMP_PREFIX = "_tmp_rewrite__"
+
 
 class Catalog:
     """Parquet-dir backend. One subdir per table under ``root``."""
@@ -23,6 +25,12 @@ class Catalog:
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # crash hygiene: a rewrite() interrupted between write and swap
+        # leaves a staging dir — remove any such leftovers so they can
+        # never be confused with live data (Iceberg: orphan-file cleanup)
+        for d in os.listdir(root):
+            if d.startswith(_TMP_PREFIX):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
     def path(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -52,20 +60,44 @@ class Catalog:
             r = r.schema(schema)
         return r.parquet(self.path(name))
 
+    def read_or_empty(
+        self, spark: SparkSession, name: str, schema: StructType
+    ) -> DataFrame:
+        """Like ``read`` but a missing table/partition yields an EMPTY frame
+        with the declared schema instead of an AnalysisException — e.g.
+        indexing a page of a configured-but-never-crawled site must insert,
+        not crash (reference POST /api/indexPage on a fresh site)."""
+        if self.exists(name):
+            return self.read(spark, name, schema)
+        return spark.createDataFrame([], schema)
+
     def drop(self, name: str) -> None:
         p = self.path(name)
         if os.path.isdir(p):
             shutil.rmtree(p)
 
-    def rewrite(self, df: DataFrame, name: str) -> None:
+    def rewrite(self, df: DataFrame, name: str, sort_by: list[str] | None = None) -> None:
         """Read-modify-write a table (or a single partition subdir, e.g.
         ``docs/repo_bucket=3``) whose plan READS the same path: write to a
-        temp sibling, then atomically swap. Iceberg equivalent:
-        ``MERGE INTO`` / ``overwritePartitions`` (SURVEY §2.1 S7/S8) — this
-        shim reproduces the partition-scoped-commit semantics on parquet."""
-        tmp = self.path(name.rstrip("/") + ".__tmp__")
+        staging dir OUTSIDE the table directory, then swap. Iceberg
+        equivalent: ``MERGE INTO`` / ``overwritePartitions`` (SURVEY §2.1
+        S7/S8) — this shim reproduces the partition-scoped-commit semantics
+        on parquet.
+
+        The staging dir lives at the catalog ROOT with a ``_tmp_rewrite``
+        prefix: it is never inside the target table, so a crash mid-rewrite
+        can't leave a sibling that partition discovery would parse as a
+        bogus partition value (and Spark ignores ``_``-prefixed dirs
+        anyway). Stale staging dirs are swept at Catalog init.
+
+        ``sort_by`` re-clusters rows before the write (e.g. docs sorted by
+        doc_id inside a bucket so point lookups prune parquet row groups).
+        """
+        tmp = os.path.join(self.root, _TMP_PREFIX + name.rstrip("/").replace("/", "__"))
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
+        if sort_by:
+            df = df.sortWithinPartitions(*sort_by)
         df.write.mode("overwrite").parquet(tmp)
         final = self.path(name)
         if os.path.isdir(final):

@@ -226,6 +226,9 @@ def test_index_doc_update_and_remove_terms(spark, tmp_path):
     ).toPandas()
     # 'here'/'again' are frozen stopwords; 'appears' → 'appear'
     assert set(decoded["term"]) == {"zzzuniqueterm", "appear"}
-    # df bookkeeping: term present exactly once
+    # df bookkeeping: term present exactly once globally AND once in the
+    # doc's repo scope (reference per-site lemma rows)
     trow = eng.terms.filter(F.col("term") == "zzzuniqueterm").collect()
-    assert len(trow) == 1 and trow[0]["df"] == 1
+    assert len(trow) == 2
+    assert {r["scope"] for r in trow} == {"", target["repo"]}
+    assert all(r["df"] == 1 for r in trow)

@@ -85,7 +85,12 @@ def test_posting_invariants(spark, built, naive):
                 assert ids[0] > prev
             prev = int(ids[-1])
     # df consistency: terms.df == total postings count per term == oracle df
-    terms = built.read(spark, "terms").toPandas().set_index("term")["df"]
+    terms = (
+        built.read(spark, "terms")
+        .filter(F.col("scope") == "")
+        .toPandas()
+        .set_index("term")["df"]
+    )
     per_term = blocks.groupby("term")["count"].sum()
     assert per_term.to_dict() == terms.to_dict()
     assert terms.to_dict() == naive.df
