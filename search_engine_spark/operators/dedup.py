@@ -199,20 +199,50 @@ def simhash64(
     return df.select(id_col, text_col).mapInPandas(_sim, schema=schema)
 
 
-def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
-    """Near-dup pairs by SimHash: 4 rotated 16-bit prefix buckets (any pair
-    within hamming<=3 of 64 bits shares at least one of 4 16-bit quarters
-    exactly — pigeonhole), then exact hamming filter via bit_count."""
-    sigs = simhash64(df, **kw)
-    quarters = [
-        F.struct(
-            F.lit(q).alias("q"),
-            F.shiftrightunsigned(F.col("simhash"), q * 16).bitwiseAND(F.lit(0xFFFF)).alias("qh"),
+def simhash_bands(n_bands: int) -> list[tuple[int, int]]:
+    """Split 64 bits into ``n_bands`` contiguous (offset, width) bands,
+    widths differing by at most 1."""
+    base, extra = divmod(64, n_bands)
+    out, off = [], 0
+    for i in range(n_bands):
+        w = base + (1 if i < extra else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
+def simhash_near_pairs(
+    df: DataFrame, max_hamming: int = 3, n_bands: int | None = None, **kw
+) -> DataFrame:
+    """Near-dup pairs by SimHash: banded prefix buckets + exact hamming
+    filter via bit_count.
+
+    RECALL CONTRACT: with ``b`` bands, any pair within hamming ``h`` of 64
+    bits shares at least one band exactly iff ``b >= h + 1`` (pigeonhole —
+    h differing bits can ruin at most h bands). ``n_bands`` therefore
+    defaults to ``max_hamming + 1`` so recall is exactly 100% of the
+    brute-force hamming pairs (tested vs bit_count(xor) in
+    tests/test_dedup_similarity.py). More bands = more buckets per doc
+    (×b row blow-up into the self-join) — the classic LSH cost/recall dial.
+    """
+    b = n_bands if n_bands is not None else max_hamming + 1
+    if b < max_hamming + 1:
+        raise ValueError(
+            f"n_bands={b} cannot guarantee recall at max_hamming={max_hamming}; "
+            f"need n_bands >= {max_hamming + 1}"
         )
-        for q in range(4)
+    sigs = simhash64(df, **kw)
+    bands = [
+        F.struct(
+            F.lit(i).alias("q"),
+            F.shiftrightunsigned(F.col("simhash"), off)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("qh"),
+        )
+        for i, (off, width) in enumerate(simhash_bands(b))
     ]
     buckets = sigs.select(
-        "doc_id", "simhash", F.explode(F.array(*quarters)).alias("b")
+        "doc_id", "simhash", F.explode(F.array(*bands)).alias("b")
     ).select("doc_id", "simhash", "b.q", "b.qh")
     l, r = buckets.alias("l"), buckets.alias("r")
     pairs = (
@@ -242,11 +272,22 @@ def ngram_jaccard_pairs(
     n: int = 3,
     min_jaccard: float = 0.5,
     token_pattern: str = "[^a-z0-9]+",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram (token shingle) Jaccard near-dup pairs — fully
     relational (posexplode + window lead + shingle self-join), so it is
     SQL-expressible and oracle-checkable. Docs only meet in the join if
-    they share a shingle (no cross product)."""
+    they share a shingle (no cross product).
+
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    docs BEFORE the self-join (and from the per-doc set sizes, so Jaccard
+    is computed over the kept universe on both sides). Without it one
+    ultra-common shingle ("import numpy as"-style) makes the self-join
+    quadratic in its df at corpus scale; with it the join fan-out per
+    shingle is bounded by max_shingle_df². Such a shingle carries ~zero
+    near-dup signal — dropping it is the standard stop-shingle move. The
+    oracle SQL twin applies the identical cap.
+    """
     from pyspark.sql.window import Window
 
     toks = df.select(
@@ -264,6 +305,14 @@ def ngram_jaccard_pairs(
         .select("doc_id", gram.alias("shingle"))
         .distinct()
     )
+    if max_shingle_df is not None:
+        hot = (
+            shingles.groupBy("shingle")
+            .agg(F.count("*").alias("sh_df"))
+            .filter(F.col("sh_df") > max_shingle_df)
+            .select("shingle")
+        )
+        shingles = shingles.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = shingles.alias("a"), shingles.alias("b")
     common = (

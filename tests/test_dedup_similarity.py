@@ -1,0 +1,216 @@
+"""Contract tests for the dedup / similarity family:
+
+  * SimHash banding RECALL: with n_bands >= max_hamming + 1 the bucketed
+    join finds EXACTLY the brute-force bit_count(xor) pairs (pigeonhole);
+  * MinHash LSH banding: identical docs always collide in every band;
+  * n-gram Jaccard hot-shingle cap: one ultra-common shingle must not
+    create quadratic pair blow-up, near-dups still found;
+  * all_pairs_cosine_topk (the scalable ANN centerpiece): per-bucket
+    top-k neighbors are bit-identical to a single-node re-computation of
+    the same plan (same fold order), and every neighbor is a bucket-mate.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.dedup import (
+    minhash_jaccard_estimate,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_bands,
+    simhash_near_pairs,
+)
+from search_engine_spark.operators.similarity import (
+    _planes,
+    all_pairs_cosine_topk,
+    brute_force_topk,
+)
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+# ---------------------------------------------------------------- simhash
+
+
+def _near_dup_corpus(spark):
+    """Docs engineered to land at assorted hamming distances: a base token
+    soup plus variants with 1..12 swapped tokens."""
+    base = [f"tok{i}" for i in range(60)]
+    rows = [(0, " ".join(base))]
+    rng = np.random.default_rng(7)
+    for k in range(1, 14):
+        words = list(base)
+        for j in rng.choice(60, size=k, replace=False):
+            words[j] = f"alt{j}_{k}"
+        rows.append((k, " ".join(words)))
+    # plus some unrelated docs
+    for k in range(14, 20):
+        rows.append((k, " ".join(f"zz{k}_{i}" for i in range(40))))
+    return spark.createDataFrame(rows, "doc_id long, content string")
+
+
+def _brute_pairs(sig_rows, max_h):
+    out = set()
+    for i in range(len(sig_rows)):
+        for j in range(i + 1, len(sig_rows)):
+            a, sa = sig_rows[i]
+            b, sb = sig_rows[j]
+            h = bin((sa ^ sb) & ((1 << 64) - 1)).count("1")
+            if h <= max_h:
+                out.add((min(a, b), max(a, b), h))
+    return out
+
+
+@pytest.mark.parametrize("max_h", [3, 8])
+def test_simhash_recall_equals_bruteforce(spark, max_h):
+    df = _near_dup_corpus(spark)
+    sigs = [
+        (int(r["doc_id"]), int(r["simhash"]) & ((1 << 64) - 1))
+        for r in simhash64(df).collect()
+    ]
+    want = _brute_pairs(sigs, max_h)
+    got = {
+        (int(r["doc_a"]), int(r["doc_b"]), int(r["hamming"]))
+        for r in simhash_near_pairs(df, max_hamming=max_h).collect()
+    }
+    assert got == want  # 100% recall AND no false positives post-filter
+    assert want, "fixture must actually produce near-dup pairs"
+
+
+def test_simhash_band_partition():
+    for b in (4, 5, 9, 13):
+        bands = simhash_bands(b)
+        assert sum(w for _, w in bands) == 64
+        assert bands[0][0] == 0
+        for (o1, w1), (o2, _) in zip(bands, bands[1:]):
+            assert o1 + w1 == o2
+
+
+def test_simhash_insufficient_bands_rejected(spark):
+    df = _near_dup_corpus(spark)
+    with pytest.raises(ValueError):
+        simhash_near_pairs(df, max_hamming=8, n_bands=4)
+
+
+# ---------------------------------------------------------------- minhash
+
+
+def test_minhash_identical_docs_collide_every_band(spark):
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, text), (2, text), (3, "completely different words entirely here now")]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    pairs = minhash_lsh_pairs(df, text_col="content", n_hashes=16, bands=4).collect()
+    by_pair = {(r["doc_a"], r["doc_b"]): r["n_bands"] for r in pairs}
+    assert by_pair.get((1, 2)) == 4  # identical signature → all bands match
+    est = minhash_jaccard_estimate(
+        df, minhash_lsh_pairs(df, text_col="content"), text_col="content"
+    ).collect()
+    est_12 = [r for r in est if (r["doc_a"], r["doc_b"]) == (1, 2)]
+    assert est_12 and est_12[0]["jaccard_est"] == 1.0
+
+
+# ------------------------------------------------------------ ngram cap
+
+
+def test_ngram_hot_shingle_cap(spark):
+    common = "import numpy as np"
+    rows = [(i, f"{common} unique{i}a unique{i}b unique{i}c") for i in range(30)]
+    # one true near-dup pair sharing rare shingles
+    rows.append((100, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((101, "alpha beta gamma delta epsilon zeta eta iota"))
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+
+    uncapped = ngram_jaccard_pairs(df, text_col="content", n=3, min_jaccard=0.05)
+    capped = ngram_jaccard_pairs(
+        df, text_col="content", n=3, min_jaccard=0.05, max_shingle_df=10
+    )
+    n_unc = uncapped.count()
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    # the shared hot shingles ('import numpy as' etc., df=30 > 10) are
+    # dropped → no pair among the 30 boilerplate docs survives…
+    assert all(not (a < 100 and b < 100) for a, b in got)
+    # …while the true near-dup pair (rare shingles) is still found
+    assert (100, 101) in got
+    # and the uncapped run really was quadratic in the hot shingle's df
+    assert n_unc > 30 * 29 / 2
+
+
+# ----------------------------------------------------- all-pairs ANN topk
+
+
+def _fold_dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _fold_norm(a):
+    acc = 0.0
+    for x in a:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def test_all_pairs_cosine_topk_vs_single_node(spark):
+    emb = spark.read.parquet(EMB).limit(120)
+    k, n_planes, seed = 3, 4, 42
+    got = all_pairs_cosine_topk(emb, k=k, n_planes=n_planes, seed=seed).collect()
+
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {int(r["vec_id"]): list(r["embedding"]) for r in rows}
+    planes = _planes(64, n_planes, seed)
+    bucket = {
+        vid: sum(
+            (1 << i) for i, p in enumerate(planes) if _fold_dot(v, p) > 0
+        )
+        for vid, v in vecs.items()
+    }
+    # single-node recomputation with the SAME left-fold float order
+    expect: dict[int, list[tuple[float, int]]] = {}
+    for a, va in vecs.items():
+        cands = []
+        for b, vb in vecs.items():
+            if a == b or bucket[a] != bucket[b]:
+                continue
+            cos = _fold_dot(va, vb) / (_fold_norm(va) * _fold_norm(vb))
+            cands.append((cos, b))
+        cands.sort(key=lambda x: (-x[0], x[1]))
+        if cands:
+            expect[a] = cands[:k]
+
+    got_by_vec: dict[int, list[tuple[float, int]]] = {}
+    for r in got:
+        got_by_vec.setdefault(int(r["vec_id"]), []).append(
+            (float(r["cosine"]), int(r["neighbor_id"]))
+        )
+    for v in got_by_vec.values():
+        v.sort(key=lambda x: (-x[0], x[1]))
+    assert got_by_vec == expect
+    assert expect, "fixture must produce non-empty buckets"
+
+
+def test_brute_force_topk_matches_fold(spark):
+    emb = spark.read.parquet(EMB).limit(80)
+    rows = emb.collect()
+    q = list(rows[0]["embedding"])
+    got = [
+        (int(r["vec_id"]), float(r["score"]))
+        for r in brute_force_topk(emb, q, k=5).collect()
+    ]
+    qn = float(np.sqrt(np.sum(np.asarray(q, dtype=np.float64) ** 2))) or 1.0
+    exp = sorted(
+        (
+            (int(r["vec_id"]),
+             _fold_dot(r["embedding"], q) / (_fold_norm(r["embedding"]) * qn))
+            for r in rows
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:5]
+    assert got == exp
