@@ -66,10 +66,10 @@ def _engine(spark: SparkSession, sf_dir: str):
     key = os.path.abspath(sf_dir)
     if key in _ENGINE_CACHE:
         return _ENGINE_CACHE[key]
-    # v2: catalog layout versioned — a schema change must not resume from a
+    # v3: catalog layout versioned — a schema change must not resume from a
     # stale cached build (manifest-driven resume would skip the rebuild)
     root = os.path.join(
-        tempfile.gettempdir(), "se_spark_idx_v2", key.strip("/").replace("/", "_")
+        tempfile.gettempdir(), "se_spark_idx_v3", key.strip("/").replace("/", "_")
     )
     cat = Catalog(root)
     corpus = _t(spark, sf_dir, "documents").select(
@@ -174,10 +174,15 @@ def _q_page2(spark, sf):  # T2 pagination (SearchServiceImpl.java:73-74)
     )
 
 
-def _q_bm25(spark, sf):
+def _q_bm25(spark, sf, toks=None):
     """BM25 top-20 expressed relationally (k1=1.2, b=0.75, Lucene idf) —
-    the SQL-checkable twin of the engine's compressed-postings path."""
-    toks = _tokens(spark, sf)
+    the SQL-checkable twin of the engine's compressed-postings path.
+    Passing pre-filtered ``toks`` yields the SITE-SCOPED variant: df,
+    n_docs and avgdl all come from the scoped token set — identical to an
+    index built over that site alone (reference lemma keyed per site,
+    model/Lemma.java:12-30)."""
+    if toks is None:
+        toks = _tokens(spark, sf)
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("doclen"))
     dft = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
@@ -210,6 +215,40 @@ def _q_bm25(spark, sf):
         .select("doc_id", F.round("s", 4).alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
+def _q_bm25_scoped(spark, sf):
+    """Site-scoped BM25 (O5 + per-site lemma stats): the engine's
+    SearchEngine.topk(site=…) semantics — per-site df / n_docs / avgdl
+    (operators/build.term_stats scoped rows + site_stats table)."""
+    return _q_bm25(spark, sf, toks=_tokens(spark, sf).filter(F.col("source") == "src3"))
+
+
+def _q_scoped_df(spark, sf):
+    """A3 per-site document frequency — the reference's (lemma, site_id)
+    key (model/Lemma.java:12-30); engine twin: operators/build.term_stats
+    scoped rows (one (repo,term) shuffle, global rows re-aggregated)."""
+    return (
+        _tokens(spark, sf)
+        .filter(F.col("term").isin(Q3))
+        .groupBy("source", "term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+
+
+def _q_site_stats(spark, sf):
+    """Per-site rollup materialized at build (plans/build_job site_stats
+    stage): pages + avgdl — the /api/statistics + scoped-BM25 inputs."""
+    dl = (
+        _tokens(spark, sf)
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").alias("doclen"))
+    )
+    return dl.groupBy("source").agg(
+        F.count("*").alias("pages"),
+        F.sum("doclen").alias("total_len"),
+        F.round(F.avg("doclen"), 6).alias("avgdl"),
+    )
 
 
 def _q_statistics(spark, sf):  # A6 (StatisticsServiceImpl.java:33-75)
@@ -254,35 +293,53 @@ def _q_dedup_exact(spark, sf):
 
 
 def _q_text_profile(spark, sf):
-    stops = ["the", "of", "and", "is", "to", "in"]
-    toks = _tokens(spark, sf)
-    return toks.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
-        F.round(
-            F.sum(F.when(F.col("term").isin(stops), 1).otherwise(0)).cast("double")
-            / F.count("*"),
-            4,
-        ).alias("stop_ratio"),
+    from search_engine_spark.functions.text_quality import (
+        stopword_ratio,
+        token_count,
     )
+
+    stops = ["the", "of", "and", "is", "to", "in"]
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.round(stopword_ratio(F.col("text"), stops), 4).alias("stop_ratio"),
+    )
+
+
+def _q_quality_punct(spark, sf):
+    from search_engine_spark.functions.text_quality import punct_ratio, quality_score
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.round(punct_ratio(F.col("text")), 4).alias("punct_ratio"),
+        F.round(quality_score(F.col("text")), 2).alias("quality"),
+    )
+
+
+def _q_lang_id(spark, sf):
+    from search_engine_spark.functions.text_quality import lang_id
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
 
 
 def _q_fingerprint(spark, sf):
-    return (
-        _tokens(spark, sf)
-        .groupBy("doc_id")
-        .agg(
-            F.md5(F.array_join(F.array_sort(F.collect_set("term")), " ")).alias(
-                "fingerprint"
-            )
-        )
-    )
+    from search_engine_spark.functions.text_quality import doc_fingerprint
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
 
 
 def _q_ngram_jaccard(spark, sf):
     from search_engine_spark.operators.dedup import ngram_jaccard_pairs
 
+    # max_shingle_df: boilerplate shingles (df>100) never enter the
+    # self-join — the SQL twin applies the identical cap
     return ngram_jaccard_pairs(
-        _t(spark, sf, "documents"), id_col="doc_id", text_col="text", n=3, min_jaccard=0.8
+        _t(spark, sf, "documents"), id_col="doc_id", text_col="text", n=3,
+        min_jaccard=0.8, max_shingle_df=100,
     )
 
 
@@ -435,6 +492,19 @@ def _q_multimodal(spark, sf):
     )
 
 
+def _q_allpairs_ann(spark, sf):
+    """Bucketed all-pairs ANN (the 100 TB-scale near-dup/neighbor path):
+    LSH-bucketed self-join + per-row top-k by cosine. Validated
+    bit-identical against a single-node recomputation in
+    tests/test_dedup_similarity.py; the exact O(n²) twin is
+    `embed_near_dup`."""
+    from search_engine_spark.operators.similarity import all_pairs_cosine_topk
+
+    return all_pairs_cosine_topk(
+        _t(spark, sf, "embeddings"), k=5, n_planes=4
+    ).select("vec_id", "neighbor_id", F.round("cosine", 4).alias("cosine"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tf_a1": _q_tf,
@@ -447,11 +517,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_t1": _q_topk,
         "pagination_t2": _q_page2,
         "bm25_topk": _q_bm25,
+        "bm25_scoped_topk": _q_bm25_scoped,
+        "scoped_df_a3": _q_scoped_df,
+        "site_stats_rollup": _q_site_stats,
         "statistics_a6": _q_statistics,
         "scoped_and_o5": _q_scoped,
         "missing_term_o6": _q_missing,
         "dedup_exact": _q_dedup_exact,
         "text_profile": _q_text_profile,
+        "quality_punct": _q_quality_punct,
+        "lang_id_guess": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
         "ngram_jaccard": _q_ngram_jaccard,
         "html_strip_f1": _q_html_strip,
@@ -470,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_allpairs_topk": _q_allpairs_ann,
         "multimodal_features": _q_multimodal,
     }
 
@@ -522,6 +598,33 @@ def oracle_sql() -> dict[str, str]:
              GROUP BY tf.doc_id)
            SELECT doc_id, round(s, 4) AS score FROM sc WHERE nt = 3
            ORDER BY score DESC, doc_id LIMIT 20""",
+        "bm25_scoped_topk": _TOK_CTE
+        + f""", tokS AS (SELECT * FROM tok2 WHERE source = 'src3'),
+           tf AS (SELECT doc_id, term, count(*) AS tf FROM tokS GROUP BY doc_id, term),
+           dl AS (SELECT doc_id, count(*) AS doclen FROM tokS GROUP BY doc_id),
+           dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokS GROUP BY term),
+           st AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+           sc AS (
+             SELECT tf.doc_id,
+                    count(DISTINCT tf.term) AS nt,
+                    sum(ln((st.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                        * 2.2 * tf.tf
+                        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl))) AS s
+             FROM tf JOIN dl USING (doc_id) JOIN dft USING (term) CROSS JOIN st
+             WHERE tf.term IN {q3}
+             GROUP BY tf.doc_id)
+           SELECT doc_id, round(s, 4) AS score FROM sc WHERE nt = 3
+           ORDER BY score DESC, doc_id LIMIT 20""",
+        "scoped_df_a3": _TOK_CTE
+        + f"""SELECT source, term, count(DISTINCT doc_id) AS df
+            FROM tok2 WHERE term IN {q3} GROUP BY source, term""",
+        "site_stats_rollup": _TOK_CTE
+        + """, dl AS (SELECT doc_id, source, count(*) AS doclen
+                      FROM tok2 GROUP BY 1, 2)
+           SELECT source, count(*) AS pages,
+                  CAST(sum(doclen) AS BIGINT) AS total_len,
+                  round(avg(doclen), 6) AS avgdl
+           FROM dl GROUP BY source""",
         "statistics_a6": _TOK_CTE
         + """SELECT source, count(DISTINCT doc_id) AS pages,
                   count(DISTINCT term) AS lemmas FROM tok2 GROUP BY source""",
@@ -540,6 +643,39 @@ def oracle_sql() -> dict[str, str]:
                   round(sum(CASE WHEN term IN ('the','of','and','is','to','in')
                                  THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS stop_ratio
            FROM tok2 GROUP BY doc_id""",
+        "quality_punct": """
+           WITH t AS (
+             SELECT doc_id, text,
+                    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                x -> length(x) >= 2) AS toks
+             FROM documents),
+           m AS (
+             SELECT doc_id, len(toks) AS n_tok,
+                    CASE WHEN length(text) > 0
+                         THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text)
+                         ELSE 0.0 END AS pr,
+                    CASE WHEN len(toks) > 0
+                         THEN len(list_filter(toks, x -> x IN ('the','a','an','of','and','is','to','in'))) * 1.0 / len(toks)
+                         ELSE 0.0 END AS sr
+             FROM t)
+           SELECT doc_id, round(pr, 4) AS punct_ratio,
+                  round(CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 0.4 ELSE 0.0 END
+                        + CASE WHEN pr < 0.2 THEN 0.3 ELSE 0.0 END
+                        + CASE WHEN sr > 0.01 AND sr < 0.7 THEN 0.3 ELSE 0.0 END, 2) AS quality
+           FROM m""",
+        "lang_id_guess": """
+           WITH t AS (
+             SELECT doc_id,
+                    len(list_filter(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                                x -> length(x) >= 2),
+                                    x -> x IN ('the','a','an','of','and','is','to','in'))) AS en,
+                    len(list_filter(regexp_split_to_array(lower(text), '[^а-яё]+'),
+                                    x -> x IN ('и','в','на','не','что','это'))) AS ru
+             FROM documents)
+           SELECT doc_id,
+                  CASE WHEN en = 0 AND ru = 0 THEN 'unknown'
+                       WHEN en >= ru THEN 'en' ELSE 'ru' END AS lang_guess
+           FROM t""",
         "doc_fingerprint": _TOK_CTE
         + """SELECT doc_id, md5(string_agg(term, ' ' ORDER BY term)) AS fingerprint
            FROM (SELECT DISTINCT doc_id, term FROM tok2) GROUP BY doc_id""",
@@ -554,9 +690,13 @@ def oracle_sql() -> dict[str, str]:
                           tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
                    FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
            sh AS (SELECT DISTINCT doc_id, shingle FROM tri WHERE shingle IS NOT NULL),
-           sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+           -- hot-shingle cap mirrored from ngram_jaccard_pairs(max_shingle_df=100)
+           shf AS (SELECT sh.doc_id, sh.shingle FROM sh
+                   JOIN (SELECT shingle FROM sh GROUP BY shingle
+                         HAVING count(*) <= 100) keep USING (shingle)),
+           sz AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
            com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                    GROUP BY 1, 2)
            SELECT doc_a, doc_b, round(c * 1.0 / (x.n_sh + y.n_sh - c), 4) AS jaccard
            FROM com JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
