@@ -128,6 +128,36 @@ def main() -> None:
         extras["synth_docs_per_sec"] = round(n_synth / timings["synth_build_20k"], 1)
         seng = SearchEngine(spark, scat)
         timed("synth_hot_and_rare", lambda: seng.topk("import varint", 20).collect())
+
+        # --- selective-query showcase: hot term AND rare Zipf-tail term.
+        # Exhaustive must decode the hot term's whole list; block-max
+        # restricts work to the rare list + covering blocks (the designed
+        # win). Term picked deterministically from the built vocabulary.
+        from pyspark.sql import functions as F2
+
+        trow = (
+            scat.read(spark, "terms")
+            .filter(
+                (F2.col("scope") == "")
+                & F2.col("term").startswith("q")
+                & (F2.length("term") == 5)
+                & F2.col("df").between(20, 400)
+            )
+            .orderBy(F2.desc("df"), "term")
+            .first()
+        )
+        if trow is not None:
+            rare_q = f"import {trow['term']}"
+            seng.topk(rare_q, 20, strategy="blockmax").collect()  # warm meta
+            timed(
+                "synth_hot_rare_blockmax",
+                lambda: seng.topk(rare_q, 20, strategy="blockmax").collect(),
+            )
+            timed(
+                "synth_hot_rare_exhaustive",
+                lambda: seng.topk(rare_q, 20, strategy="exhaustive").collect(),
+            )
+            extras["rare_term_df"] = int(trow["df"])
     finally:
         shutil.rmtree(synth_root, ignore_errors=True)
 

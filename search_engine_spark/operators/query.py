@@ -114,6 +114,7 @@ MAX_SITE_IDS = 500_000  # scoped driver path: site doc-id set cap
 WAND_CHUNK0 = 1024
 SINGLE_TERM_BLOCK_BATCH = 256
 META_CACHE_BLOCKS = 4_000_000  # LRU budget (≈192 MB of numpy metadata)
+BLOCK_CACHE_ENTRIES = 4_000_000  # decoded-payload LRU budget (posting entries)
 _BOUND_SLACK = 1.0 + 1e-9  # last-ulp safety on upper bounds
 
 
@@ -225,6 +226,11 @@ class SearchEngine:
         self._meta_blocks = 0
         self._site_cache: OrderedDict[str, tuple[int, float] | None] = OrderedDict()
         self._site_ids_cache: OrderedDict[str, np.ndarray | None] = OrderedDict()
+        # decoded-payload block cache: repeated / overlapping queries reuse
+        # already-fetched blocks — the steady-state serving path costs ZERO
+        # Spark jobs for a fully cached query
+        self._blocks: OrderedDict[tuple[str, int], tuple] = OrderedDict()
+        self._block_entries = 0
 
     def close(self) -> None:
         """Release cached state (called by the API facade on refresh so a
@@ -236,6 +242,8 @@ class SearchEngine:
         self._meta.clear()
         self._site_cache.clear()
         self._site_ids_cache.clear()
+        self._blocks.clear()
+        self._block_entries = 0
 
     # -- driver-side metadata cache ---------------------------------------
 
@@ -267,19 +275,23 @@ class SearchEngine:
             out[t] = self._meta[t]
         return out
 
-    def _fetch_blocks(
-        self,
-        wanted: dict[str, np.ndarray],
-        cache: dict[tuple[str, int], tuple[np.ndarray, np.ndarray, np.ndarray]],
-    ) -> None:
-        """Fetch + decode payloads for (term → block_ids) into ``cache`` —
-        one Spark job for all terms' misses. Point filters on the
-        term-clustered table prune parquet row groups."""
+    def _fetch_blocks(self, wanted: dict[str, np.ndarray]) -> None:
+        """Fetch + decode payloads for (term → block_ids) into the
+        engine-level LRU block cache — one Spark job for ALL terms' misses,
+        zero jobs on full cache hits. Point filters on the term-clustered
+        table prune parquet row groups."""
         from .codec import decode_counts, decode_doc_ids
 
+        cache = self._blocks
         conds = []
         for t, bs in wanted.items():
-            need = [int(b) for b in bs if (t, int(b)) not in cache]
+            need = []
+            for b in bs:
+                key = (t, int(b))
+                if key in cache:
+                    cache.move_to_end(key)
+                else:
+                    need.append(int(b))
             if need:
                 conds.append((F.col("term") == t) & F.col("block_id").isin(need))
         if not conds:
@@ -290,23 +302,29 @@ class SearchEngine:
             .collect()
         )
         for r in rows:
+            ids = decode_doc_ids(r["doc_ids"])
             cache[(r["term"], int(r["block_id"]))] = (
-                decode_doc_ids(r["doc_ids"]),
+                ids,
                 decode_counts(r["tfs"]),
                 decode_counts(r["doclens"]),
             )
+            self._block_entries += len(ids)
+        # evict oldest beyond budget (never the entries just inserted —
+        # they are newest in the OrderedDict)
+        while self._block_entries > BLOCK_CACHE_ENTRIES and len(cache) > len(rows):
+            _, (ids, _, _) = cache.popitem(last=False)
+            self._block_entries -= len(ids)
 
-    @staticmethod
     def _concat_term(
+        self,
         meta: _TermMeta,
         fetched: set[int],
-        cache: dict,
         term: str,
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Concatenate a term's fetched blocks in min_doc order — blocks
         are disjoint ascending ranges, so the result is globally sorted."""
         parts = [
-            cache[(term, int(b))]
+            self._blocks[(term, int(b))]
             for b in meta.block_id
             if int(b) in fetched
         ]
@@ -468,7 +486,6 @@ class SearchEngine:
         order = np.lexsort((meta.block_id, -bnd))
         blocks_sorted = meta.block_id[order]
         bounds = bnd[order]
-        cache: dict = {}
         best_ids = np.array([], dtype=np.int64)
         best_sc = np.array([], dtype=np.float64)
         pos, batch, fetched = 0, SINGLE_TERM_BLOCK_BATCH, 0
@@ -479,10 +496,10 @@ class SearchEngine:
             fetched += len(sel)
             if fetched > MAX_FETCH_BLOCKS:
                 return None
-            self._fetch_blocks({term: sel}, cache)
-            ids = np.concatenate([cache[(term, int(b))][0] for b in sel])
-            tfs = np.concatenate([cache[(term, int(b))][1] for b in sel])
-            dls = np.concatenate([cache[(term, int(b))][2] for b in sel])
+            self._fetch_blocks({term: sel})
+            ids = np.concatenate([self._blocks[(term, int(b))][0] for b in sel])
+            tfs = np.concatenate([self._blocks[(term, int(b))][1] for b in sel])
+            dls = np.concatenate([self._blocks[(term, int(b))][2] for b in sel])
             if site_ids is not None:
                 p = np.searchsorted(site_ids, ids)
                 m = (p < len(site_ids)) & (site_ids[np.clip(p, 0, len(site_ids) - 1)] == ids)
@@ -533,10 +550,9 @@ class SearchEngine:
         rmeta = metas[rarest]
         if rmeta.n_blocks > MAX_FETCH_BLOCKS:
             return None
-        cache: dict = {}
-        self._fetch_blocks({rarest: rmeta.block_id}, cache)
+        self._fetch_blocks({rarest: rmeta.block_id})
         r_ids, r_tfs, r_dls = self._concat_term(
-            rmeta, set(map(int, rmeta.block_id)), cache, rarest
+            rmeta, set(map(int, rmeta.block_id)), rarest
         )
         if site_ids is not None:
             p = np.searchsorted(site_ids, r_ids)
@@ -585,13 +601,13 @@ class SearchEngine:
             nblocks = sum(len(v) for v in wanted.values())
             if nblocks > MAX_FETCH_BLOCKS:
                 raise _CapTripped()
-            self._fetch_blocks(wanted, cache)
+            self._fetch_blocks(wanted)
             ids = r_ids[sel]
             present = np.ones(len(ids), dtype=bool)
             contribs: dict[str, np.ndarray] = {rarest: r_contrib[sel]}
             for t in others:
                 arr_i, arr_t, arr_d = self._concat_term(
-                    metas[t], set(map(int, wanted[t])), cache, t
+                    metas[t], set(map(int, wanted[t])), t
                 )
                 p = np.searchsorted(arr_i, ids)
                 pc = np.clip(p, 0, max(len(arr_i) - 1, 0))

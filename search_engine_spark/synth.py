@@ -80,6 +80,38 @@ _HOT_TERMS = ["import", "def", "the"]
 _EXTS = ["py", "java", "md", "txt"]
 _LANG_OF_EXT = {"py": "python", "java": "java", "md": "markdown", "txt": "text"}
 
+# --- Zipf long-tail identifier vocabulary ----------------------------------
+# Real code corpora have a Zipf df distribution: a handful of hot keywords
+# plus a huge tail of rare identifiers. The tail makes selective queries
+# exist (block-max WAND's win case) and stresses the build's rare-term path.
+# Tokens are 'q' + 4 chars from a consonant alphabet that excludes a,e,i,o,
+# u,s,y — every frozen lemmatizer suffix contains one of those, so tail
+# tokens are fix-point lemmas (identical under code/text analyzers).
+_TAIL_ALPHABET = "bcdfghjklmnpqrtvwxz"  # 19 chars
+_TAIL_V = 19 ** 4  # 130,321 distinct tail terms
+_TAIL_VOCAB: np.ndarray | None = None
+
+
+def _tail_vocab() -> np.ndarray:
+    global _TAIL_VOCAB
+    if _TAIL_VOCAB is None:
+        a = np.array(list(_TAIL_ALPHABET))
+        idx = np.arange(_TAIL_V)
+        parts = [a[(idx // 19 ** p) % 19] for p in (3, 2, 1, 0)]
+        s = np.char.add(np.char.add(np.char.add(np.char.add("q", parts[0]),
+                                                parts[1]), parts[2]), parts[3])
+        _TAIL_VOCAB = s.astype(object)
+    return _TAIL_VOCAB
+
+
+def _tail_words(rng: np.random.Generator, nwords: int) -> np.ndarray:
+    """Zipf(s≈1) draw of tail identifiers: P(rank j) ∝ 1/j over the
+    _TAIL_V vocabulary (inverse-CDF trick: j = ⌊exp(U·lnV)⌋)."""
+    n_tail = int(rng.integers(8, max(10, nwords // 4)))
+    u = rng.random(n_tail)
+    js = np.floor(np.exp(u * np.log(_TAIL_V))).astype(np.int64) % _TAIL_V
+    return _tail_vocab()[js]
+
 
 def make_corpus_pdf(n_docs: int, seed: int = 42) -> pd.DataFrame:
     """Deterministic pandas corpus of ``n_docs`` rows, FIXTURES.md §1 shape."""
@@ -118,6 +150,7 @@ def make_corpus_pdf(n_docs: int, seed: int = 42) -> pd.DataFrame:
             words = list(rng.choice(en, size=nwords))
             nident = int(rng.integers(0, max(2, nwords // 8)))
             words.extend(rng.choice(ident, size=nident))
+            words.extend(_tail_words(rng, nwords))  # Zipf identifier tail
         # hot terms into >80% of docs (skew injection)
         if rng.random() < 0.85:
             reps = int(rng.integers(1, 6))
@@ -183,6 +216,7 @@ def _gen_slice(lo: int, n: int, seed: int) -> pd.DataFrame:
         else:
             words = list(rng.choice(en, size=nwords))
             words.extend(rng.choice(ident, size=int(rng.integers(0, max(2, nwords // 8)))))
+            words.extend(_tail_words(rng, nwords))  # Zipf identifier tail
         if rng.random() < 0.85:
             reps = int(rng.integers(1, 6))
             for h in _HOT_TERMS:

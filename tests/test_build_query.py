@@ -78,7 +78,10 @@ def test_posting_invariants(spark, built, naive):
         prev = None
         for _, row in g.iterrows():
             ids = decode_doc_ids(row["doc_ids"])
-            assert np.all(np.diff(ids) > 0)
+            # compare in the order-preserving uint64 bias space — int64
+            # np.diff overflows when a sparse term's ids span > 2^63
+            u = ids.view(np.uint64) + np.uint64(1 << 63)
+            assert np.all(u[1:] > u[:-1])
             assert ids[0] == row["min_doc"] and ids[-1] == row["max_doc"]
             assert len(ids) == row["count"]
             if prev is not None:
