@@ -70,6 +70,7 @@ class EngineAPI:
         self.code = code
         self._engine: SearchEngine | None = None
         self._running = False
+        self._cancel = threading.Event()
         self._lock = threading.Lock()
 
     # -- engine cache ------------------------------------------------------
@@ -91,14 +92,16 @@ class EngineAPI:
                 return {"result": False, "error": ERR_ALREADY_RUNNING}
             self._running = True
         try:
+            self._cancel.clear()
             self.spark.sparkContext.setJobGroup(JOB_GROUP, "index build", True)
             corpus = self.corpus_reader()
             build_index(self.spark, corpus, self.catalog, n_shards=n_shards,
-                        code=self.code, **build_kw)
+                        code=self.code, cancel_check=self._cancel.is_set,
+                        **build_kw)
             self._get_engine(refresh=True)
             return {"result": True}
         except Exception as e:  # noqa: BLE001
-            if "cancelled" in repr(e).lower():
+            if "cancelled" in f"{e!r} {e}".lower():
                 return {"result": False, "error": ERR_STOPPED_BY_USER}
             raise
         finally:
@@ -111,10 +114,12 @@ class EngineAPI:
     def stop_indexing(self) -> dict:
         """Cooperative cancellation (St4) — the reference flips a volatile
         flag + shutdownNow (utils/IndexingTasksManager.java:19-48); ours
-        cancels the build's Spark job group. Resumability comes from the
-        manifest, not in-flight state."""
+        sets the cooperative flag (checked between build stages/shards) AND
+        cancels the build's in-flight Spark job group. Resumability comes
+        from the manifest, not in-flight state."""
         if not self._running:
             return {"result": False, "error": ERR_NOT_RUNNING}
+        self._cancel.set()
         self.spark.sparkContext.cancelJobGroup(JOB_GROUP)
         return {"result": True}
 
@@ -226,15 +231,21 @@ class EngineAPI:
         """A6 counts (StatisticsServiceImpl.java:33-75). Reference counts
         `lemma` rows per site (= distinct lemmas per site); the build
         MATERIALIZES exactly that into ``site_stats`` (maintained by
-        incremental upserts) — this call reads one small table plus the
-        manifest, never re-shuffling the corpus."""
-        eng = self._get_engine()
+        incremental upserts) — this call reads two small tables plus the
+        manifest, never re-shuffling the corpus (and degrades to zeros on a
+        never-built catalog instead of failing)."""
+        from .schemas import TERMS
+
         ss = (
             self.catalog.read_or_empty(self.spark, "site_stats", SITE_STATS)
             .orderBy("repo")
             .collect()
         )
-        total_lemmas = eng.terms.filter(F.col("scope") == "").count()
+        total_lemmas = (
+            self.catalog.read_or_empty(self.spark, "terms", TERMS)
+            .filter(F.col("scope") == "")
+            .count()
+        )
         status, status_time, last_error = self._build_status()
         detailed = [
             {

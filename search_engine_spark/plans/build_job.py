@@ -28,6 +28,14 @@ from ..sources.catalog import Catalog
 from .manifest import Manifest
 
 
+class BuildCancelled(Exception):
+    """Cooperative cancellation (St4) — raised at a stage boundary when the
+    caller's cancel flag is set. The reference flips a volatile flag +
+    shutdownNow (utils/IndexingTasksManager.java:19-48); Spark's
+    cancelJobGroup only kills the IN-FLIGHT job, so multi-stage builds also
+    need this between-stages check. Resumability comes from the manifest."""
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -38,6 +46,7 @@ def build_index(
     salt_target_rows: int = B.SALT_TARGET_ROWS,
     build_id: str | None = None,
     n_buckets: int | None = None,
+    cancel_check=None,
 ) -> Manifest:
     """Run (or resume) the full build into ``catalog``. Idempotent: any
     stage with a DONE manifest row and existing output is skipped.
@@ -63,7 +72,15 @@ def build_index(
         build_id=build_id or uuid.uuid4().hex[:12],
     )
 
+    def _ck() -> None:
+        # cooperative cancel between stages/shards; the in-flight Spark job
+        # is separately killed via cancelJobGroup (api.stop_indexing)
+        if cancel_check is not None and cancel_check():
+            man.fail("build_total", error="cancelled by user")
+            raise BuildCancelled("build cancelled by user")
+
     # -- stage: tf ------------------------------------------------------
+    _ck()
     if not (man.stage_done("tf") and catalog.exists("tf")):
         man.start("tf")
         try:
@@ -73,11 +90,12 @@ def build_index(
             n = catalog.read(spark, "tf").count()
             man.done("tf", postings=n)
         except Exception as e:  # noqa: BLE001
-            man.fail("tf", error=repr(e))
+            man.fail("tf", error=f"{type(e).__name__}: {e}")
             raise
     tf = catalog.read(spark, "tf")
 
     # -- stage: doc_stats -------------------------------------------------
+    _ck()
     if not (man.stage_done("doc_stats") and catalog.exists("doc_stats")):
         man.start("doc_stats")
         catalog.write(B.doc_stats(tf), "doc_stats")
@@ -85,6 +103,7 @@ def build_index(
     dstats = catalog.read(spark, "doc_stats", DOC_STATS)
 
     # -- stage: docs (ingest + doclen) ------------------------------------
+    _ck()
     if not (man.stage_done("docs") and catalog.exists("docs")):
         man.start("docs")
         docs = (
@@ -111,6 +130,7 @@ def build_index(
     n_docs_total = catalog.read(spark, "docs").count()
 
     # -- stage: terms (scoped per-site rows + global rows) -----------------
+    _ck()
     if not (man.stage_done("terms") and catalog.exists("terms")):
         man.start("terms")
         catalog.write(
@@ -144,6 +164,7 @@ def build_index(
     global_terms = terms.filter(F.col("scope") == "")
     done_shards = man.done_units("postings")
     for k in range(n_shards):
+        _ck()
         if k in done_shards and catalog.exists(f"postings/shard={k}"):
             continue
         man.start("postings", k)
@@ -191,7 +212,7 @@ def build_index(
                 postings_per_sec=float(agg["p"] or 0) / max(el, 1e-9),
             )
         except Exception as e:  # noqa: BLE001
-            man.fail("postings", k, error=repr(e))
+            man.fail("postings", k, error=f"{type(e).__name__}: {e}")
             raise
 
     # overall build metrics row

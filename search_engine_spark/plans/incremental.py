@@ -186,7 +186,7 @@ def index_docs(
         _merge_postings(spark, catalog, new_docs, old_ids, old_terms_by_doc,
                         avgdl_build)
     except Exception as e:  # noqa: BLE001
-        man.fail("index_doc", error=repr(e))
+        man.fail("index_doc", error=f"{type(e).__name__}: {e}")
         raise
     n_postings = sum(sum(d.tf.values()) for d in new_docs)
     man.done(

@@ -1,0 +1,178 @@
+"""Build lifecycle: cooperative cancellation (St4) + resume, FAILED-status
+surfacing (St6), and batch index_docs ≡ full rebuild."""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.api import ERR_NOT_RUNNING, ERR_STOPPED_BY_USER, EngineAPI
+from search_engine_spark.operators.query import SearchEngine, decode_blocks
+from search_engine_spark.plans.build_job import build_index
+from search_engine_spark.plans.incremental import index_docs
+from search_engine_spark.sources.catalog import Catalog
+from search_engine_spark.synth import make_corpus, make_corpus_dist
+
+
+def test_stop_without_start(spark, tmp_path):
+    api = EngineAPI(spark, Catalog(str(tmp_path / "idle")))
+    assert api.stop_indexing() == {"result": False, "error": ERR_NOT_RUNNING}
+
+
+def test_cancellation_then_resume(spark, tmp_path):
+    """stop_indexing mid-build → ERR_STOPPED_BY_USER; the manifest keeps
+    the finished stages, and a restarted build converges to the identical
+    index (north_rule resumability; reference
+    utils/IndexingTasksManager.java:19-48 semantics)."""
+    n_docs = 12_000
+    corpus = lambda: make_corpus_dist(spark, n_docs, seed=13, partitions=16)  # noqa: E731
+    cat = Catalog(str(tmp_path / "cancel"))
+    api = EngineAPI(spark, cat, corpus_reader=corpus)
+
+    result: dict = {}
+
+    def _run():
+        result.update(api.start_indexing(n_shards=2, skew_df_threshold=200,
+                                         salt_target_rows=150))
+
+    th = threading.Thread(target=_run)
+    th.start()
+    # wait for the build to actually start (first manifest row), then cancel
+    man = cat.path("build_manifest.jsonl")
+    deadline = time.time() + 60
+    import os
+
+    while time.time() < deadline and not os.path.exists(man):
+        time.sleep(0.05)
+    time.sleep(0.5)  # let a stage get airborne
+    stop = api.stop_indexing()
+    th.join(timeout=300)
+    assert not th.is_alive()
+
+    if result.get("result") is True:
+        pytest.skip("build finished before cancellation landed (fast machine)")
+    assert stop == {"result": True}
+    assert result == {"result": False, "error": ERR_STOPPED_BY_USER}
+    # FAILED row recorded → /api/statistics surfaces it
+    rows = [json.loads(l) for l in open(man)]
+    assert any(r["status"] == "FAILED" for r in rows)
+    st = api.statistics()
+    assert st["statistics"]["detailed"] == [] or all(
+        d["status"] == "FAILED" for d in st["statistics"]["detailed"]
+    )
+
+    # resume completes and equals an uninterrupted build
+    r2 = api.start_indexing(n_shards=2, skew_df_threshold=200, salt_target_rows=150)
+    assert r2 == {"result": True}
+    st2 = api.statistics()
+    assert all(d["status"] == "INDEXED" for d in st2["statistics"]["detailed"])
+
+    fresh = Catalog(str(tmp_path / "fresh"))
+    build_index(spark, corpus(), fresh, n_shards=2, skew_df_threshold=200,
+                salt_target_rows=150)
+    a = decode_blocks(cat.read(spark, "postings")).toPandas()
+    b = decode_blocks(fresh.read(spark, "postings")).toPandas()
+    key = ["term", "doc_id"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
+
+
+def test_failed_build_surfaces_in_statistics(spark, tmp_path):
+    """St6: an injected build failure must yield status=FAILED with the
+    error string; a later successful build flips it to INDEXED."""
+    cat = Catalog(str(tmp_path / "fail"))
+
+    def _bad_corpus():
+        # schema-correct but poisoned at execution time
+        return (
+            make_corpus(spark, 30, seed=3, partitions=2)
+            .withColumn(
+                "content",
+                F.when(F.length("content") >= 0,
+                       F.raise_error(F.lit("boom: injected failure"))
+                       ).otherwise(F.col("content")),
+            )
+        )
+
+    api = EngineAPI(spark, cat, corpus_reader=_bad_corpus)
+    with pytest.raises(Exception, match="boom"):
+        api.start_indexing(n_shards=1)
+    st = api._build_status()
+    assert st[0] == "FAILED"
+    assert "boom" in (st[2] or "")
+
+    api.corpus_reader = lambda: make_corpus(spark, 30, seed=3, partitions=2)
+    assert api.start_indexing(n_shards=1) == {"result": True}
+    st2 = api.statistics()
+    assert st2["statistics"]["detailed"]
+    assert all(d["status"] == "INDEXED" for d in st2["statistics"]["detailed"])
+
+
+def test_batch_index_docs_equals_rebuild(spark, tmp_path):
+    """index_docs([...]) in ONE merge round ≡ full rebuild over the
+    modified corpus — docs, terms (both scopes), postings, site_stats."""
+    corpus = make_corpus(spark, 80, seed=21, partitions=2)
+    rows = corpus.collect()
+    base_rows, replaced = rows[:-1], rows[-1]
+
+    cat = Catalog(str(tmp_path / "batch"))
+    build_index(spark, spark.createDataFrame(base_rows, corpus.schema), cat,
+                n_shards=2, skew_df_threshold=50, salt_target_rows=40)
+
+    batch = [
+        # replace an existing doc (upsert key = (repo, path))
+        (replaced["repo"], replaced["path"], "1" * 40, replaced["lang"],
+         "fresh zzbatch content replacing the old one"),
+        # two brand-new docs, one in a brand-new repo
+        ("org0/repo0", "src/new/a.py", "2" * 40, "python",
+         "zzbatch alpha beta def import"),
+        ("orgNEW/repoNEW", "src/new/b.py", "3" * 40, "python",
+         "zzbatch gamma delta import data"),
+    ]
+    # make the replaced doc part of the base so it really is an upsert
+    base_plus = base_rows + [replaced]
+    cat2 = Catalog(str(tmp_path / "base2"))
+    build_index(spark, spark.createDataFrame(base_plus, corpus.schema), cat2,
+                n_shards=2, skew_df_threshold=50, salt_target_rows=40)
+    index_docs(spark, cat2, batch, code=True)
+
+    # fresh rebuild over the same final corpus
+    final_rows = base_rows + [
+        type(replaced)(repo=r, path=p, commit=c, lang=lg, content=ct)
+        for (r, p, c, lg, ct) in batch
+    ]
+    cat3 = Catalog(str(tmp_path / "full3"))
+    build_index(spark, spark.createDataFrame(final_rows, corpus.schema), cat3,
+                n_shards=2, skew_df_threshold=50, salt_target_rows=40)
+
+    di = cat2.read(spark, "docs").select("doc_id", "content_sha256", "doclen")
+    df_ = cat3.read(spark, "docs").select("doc_id", "content_sha256", "doclen")
+    assert di.subtract(df_).count() == 0 and df_.subtract(di).count() == 0
+
+    ti = cat2.read(spark, "terms").select("scope", "term", "df")
+    tf_ = cat3.read(spark, "terms").select("scope", "term", "df")
+    assert ti.subtract(tf_).count() == 0 and tf_.subtract(ti).count() == 0
+
+    pi = decode_blocks(cat2.read(spark, "postings")).toPandas()
+    pf = decode_blocks(cat3.read(spark, "postings")).toPandas()
+    key = ["term", "doc_id"]
+    assert pi.sort_values(key).reset_index(drop=True).equals(
+        pf.sort_values(key).reset_index(drop=True)
+    )
+
+    si = {(r["repo"], r["pages"], r["total_len"], r["lemmas"])
+          for r in cat2.read(spark, "site_stats").collect()}
+    sf_ = {(r["repo"], r["pages"], r["total_len"], r["lemmas"])
+           for r in cat3.read(spark, "site_stats").collect()}
+    assert si == sf_
+
+    # search identity on a term from the batch
+    ei, ef = SearchEngine(spark, cat2), SearchEngine(spark, cat3)
+    a = [(r["doc_id"], r["score"]) for r in ei.topk("zzbatch", 10).collect()]
+    b = [(r["doc_id"], r["score"]) for r in ef.topk("zzbatch", 10).collect()]
+    assert a == b and len(a) == 3
