@@ -66,10 +66,10 @@ def _engine(spark: SparkSession, sf_dir: str):
     key = os.path.abspath(sf_dir)
     if key in _ENGINE_CACHE:
         return _ENGINE_CACHE[key]
-    # v3: catalog layout versioned — a schema change must not resume from a
+    # v4: catalog layout versioned — a schema change must not resume from a
     # stale cached build (manifest-driven resume would skip the rebuild)
     root = os.path.join(
-        tempfile.gettempdir(), "se_spark_idx_v3", key.strip("/").replace("/", "_")
+        tempfile.gettempdir(), "se_spark_idx_v4", key.strip("/").replace("/", "_")
     )
     cat = Catalog(root)
     corpus = _t(spark, sf_dir, "documents").select(
@@ -386,6 +386,68 @@ def _q_events_hourly(spark, sf):  # streaming-analog tumbling-window agg
     )
 
 
+def _stream_tmp(sf: str, table: str) -> str:
+    """Stage one sf table file as a streaming source directory."""
+    import shutil
+    import uuid
+
+    d = os.path.join(tempfile.gettempdir(), f"se_stream_{uuid.uuid4().hex[:8]}")
+    os.makedirs(d, exist_ok=True)
+    shutil.copy(os.path.join(sf, f"{table}.parquet"), os.path.join(d, "part-0.parquet"))
+    return d
+
+
+def _q_events_stream(spark, sf):
+    """St1 as REAL Structured Streaming: file-source stream → watermarked
+    tumbling window (streaming/events.py) drained with availableNow — the
+    drained result must equal the batch SQL twin (same rollup, so the
+    DuckDB oracle gates an actual streaming execution)."""
+    import uuid
+
+    from search_engine_spark.streaming.events import run_stream_rollup
+
+    d = _stream_tmp(sf, "events")
+    return run_stream_rollup(
+        spark, d, os.path.join(d, "_ckpt"),
+        sink_table="evt_stream_" + uuid.uuid4().hex[:8],
+    )
+
+
+def _q_sessions_stream(spark, sf):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user gap sessionization (streaming/sessions.py). Closed sessions
+    are a pure function of the input, so ANSI SQL (lag + cumulative
+    session ids, last-open-session excluded) oracles a genuinely stateful
+    streaming execution."""
+    import uuid
+
+    from search_engine_spark.streaming.sessions import sessionize
+
+    d = _stream_tmp(sf, "events")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(d)
+    )
+    out = sessionize(stream.filter(F.col("user_id") < 8), gap_seconds=4 * 3600)
+    name = "sess_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(d, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id", "session_start", "session_end", "n_events",
+        F.round("total_value", 4).alias("total_value"),
+    )
+
+
 def _q_top_orders(spark, sf):  # J5 decoration join + T1 top-k
     o = _t(spark, sf, "orders")
     c = _t(spark, sf, "customer")
@@ -533,6 +595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": _q_embed_near_dup,
         "lang_stats": _q_lang_stats,
         "events_hourly": _q_events_hourly,
+        "events_hourly_stream": _q_events_stream,
+        "sessions_stream": _q_sessions_stream,
         "top_orders_join_j5": _q_top_orders,
         "semi_join_s6": _q_semi,
         "anti_join_j7": _q_anti,
@@ -746,6 +810,30 @@ def oracle_sql() -> dict[str, str]:
            SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
                   round(sum(value), 2) AS total_value
            FROM events GROUP BY 1, 2""",
+        "events_hourly_stream": """
+           SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+                  round(sum(value), 2) AS total_value
+           FROM events GROUP BY 1, 2""",
+        "sessions_stream": """
+           WITH e AS (SELECT user_id, ts, coalesce(value, 0.0) AS v
+                      FROM events WHERE user_id < 8),
+           x AS (SELECT user_id, ts, v,
+                        CASE WHEN lag(ts) OVER w IS NULL THEN 0
+                             WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                  > 14400000000 THEN 1
+                             ELSE 0 END AS brk
+                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           y AS (SELECT user_id, ts, v,
+                        sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+                 FROM x),
+           s AS (SELECT user_id, sid, min(ts) AS session_start,
+                        max(ts) AS session_end, count(*) AS n_events,
+                        round(sum(v), 4) AS total_value
+                 FROM y GROUP BY 1, 2),
+           lastq AS (SELECT user_id, max(sid) AS mx FROM s GROUP BY 1)
+           SELECT s.user_id, session_start, session_end, n_events, total_value
+           FROM s JOIN lastq ON s.user_id = lastq.user_id AND s.sid < lastq.mx""",
         "top_orders_join_j5": """
            SELECT o_orderkey, c_name, o_totalprice
            FROM orders JOIN customer ON o_custkey = c_custkey

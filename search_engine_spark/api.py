@@ -142,6 +142,21 @@ class EngineAPI:
         self._get_engine(refresh=True)
         return {"result": True}
 
+    def index_page(self, url: str, commit: str, lang: str, content: str) -> dict:
+        """POST /api/indexPage parity (IndexingServiceImpl.java:98-107 —
+        O8/F9): the URL is percent-decoded and split into (repo root,
+        in-repo path); unparseable or out-of-scope URLs get the reference
+        error string."""
+        from .functions.urls import split_repo_url
+
+        parsed = split_repo_url(url)
+        if parsed is None:
+            return {"result": False, "error": ERR_OUT_OF_SCOPE}
+        repo, path = parsed
+        if not path:
+            return {"result": False, "error": ERR_OUT_OF_SCOPE}
+        return self.index_docs([(repo, path, commit, lang, content)])
+
     # -- GET /api/search (ApiController.java:40-47) --------------------------
 
     def search(

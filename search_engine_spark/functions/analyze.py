@@ -211,6 +211,12 @@ def analyze_query(query: str, code: bool = False) -> list[str]:
 
 # --- vectorized pandas form (used inside mapInPandas batches) ----------------
 
+# Executor-side per-unique-token lemma cache. BOUNDED: a code corpus has an
+# effectively unbounded identifier vocabulary (10^12 files of mostly-unique
+# names), so an uncapped dict is a slow executor leak. On overflow the cache
+# is dropped wholesale — hot natural-language tokens repopulate within a
+# batch or two, and the rebuild cost is amortized across millions of rows.
+_LEMMA_CACHE_MAX = 1 << 20
 _lemma_cache: dict[tuple[str, bool], tuple[str, ...] | None] = {}
 
 
@@ -254,6 +260,8 @@ def analyze_series_exploded(
 
     # lemmatize unique tokens only
     uniq = pd.unique(tok_s)
+    if len(_lemma_cache) + len(uniq) > _LEMMA_CACHE_MAX:
+        _lemma_cache.clear()
     mapping: dict[str, tuple[str, ...] | None] = {}
     for u in uniq:
         key = (u, code)
@@ -287,6 +295,8 @@ def doclen_series(texts: pd.Series, code: bool = False) -> pd.Series:
                 continue
             key = (t, code)
             if key not in _lemma_cache:
+                if len(_lemma_cache) >= _LEMMA_CACHE_MAX:
+                    _lemma_cache.clear()
                 _lemma_cache[key] = _lemmas_for_token(t, code)
             f = _lemma_cache[key]
             if f is not None:

@@ -1,0 +1,74 @@
+"""URL normalization / root extraction (O8 + F9).
+
+Reference behavior (services/IndexingServiceImpl.java:98-107): on
+``POST /api/indexPage?url=…`` the URL is percent-DECODED, matched against
+the configured sites by PREFIX, and split into (site root, page path);
+out-of-scope URLs get the configured error string.
+
+Code-corpus analogue: a "site" is a repository. Accepted spellings all
+normalize to the canonical ``org/repo`` identity + in-repo path:
+
+    org/repo                                → ("org/repo", "")
+    https://host/org/repo                   → ("org/repo", "")
+    https://host/org/repo.git               → ("org/repo", "")
+    https://host/org/repo/blob/main/a/b.py  → ("org/repo", "a/b.py")
+    https://host/org/repo/-/blob/main/a.py  → ("org/repo", "a.py")   (GitLab)
+    git@host:org/repo.git                   → ("org/repo", "")
+    https://host/org/repo/src/d0/f1.py      → ("org/repo", "src/d0/f1.py")
+
+Percent-escapes are decoded first (F9), exactly once.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import unquote, urlsplit
+
+# hosting-UI path segments that sit between the repo and the file path.
+# NOTE: no "src" — Bitbucket uses src/<ref>/… but src/ is also the most
+# common REAL source directory; a real directory must never be eaten.
+_VIEW_SEGMENTS = ("blob", "tree", "raw", "blame")
+
+
+def decode_url(url: str) -> str:
+    """F9 percent-decode (URLDecoder.decode analogue, UTF-8, once)."""
+    return unquote(url, encoding="utf-8", errors="replace")
+
+
+def split_repo_url(url: str) -> tuple[str, str] | None:
+    """Decoded URL/spelling → (repo 'org/repo', in-repo path '' or 'a/b').
+    None when no repo identity can be extracted."""
+    s = decode_url(url.strip())
+    if not s:
+        return None
+    # scp-like git remote: git@host:org/repo.git
+    m = re.match(r"^[\w.-]+@[\w.-]+:(?P<rest>.+)$", s)
+    if m:
+        s = m.group("rest")
+    elif "://" in s:
+        s = urlsplit(s).path
+    s = s.strip("/")
+    if not s:
+        return None
+    parts = s.split("/")
+    if len(parts) < 2:
+        return None
+    org, repo = parts[0], parts[1]
+    if repo.endswith(".git"):
+        repo = repo[: -len(".git")]
+    if not org or not repo:
+        return None
+    rest = parts[2:]
+    # drop hosting-UI view segment (+ its ref): blob/main, -/blob/main, …
+    if rest and rest[0] == "-":
+        rest = rest[1:]
+    if rest and rest[0] in _VIEW_SEGMENTS:
+        rest = rest[2:] if len(rest) > 2 else []
+    return f"{org}/{repo}", "/".join(rest)
+
+
+def repo_of(url: str) -> str | None:
+    """Just the repo identity — the reference's 'which configured site does
+    this URL belong to' check (O8)."""
+    out = split_repo_url(url)
+    return out[0] if out else None

@@ -215,6 +215,13 @@ class SearchEngine:
         # and statistics; postings metadata (not this) serves the global path
         self.terms = catalog.read(spark, "terms", TERMS).persist()
         self.postings = catalog.read(spark, "postings", POSTINGS)
+        # cold metadata loads read the compact sidecar when the build wrote
+        # one (payload files' footers are never touched for term resolution)
+        self._meta_src = (
+            catalog.read(spark, "postings_meta")
+            if catalog.exists("postings_meta")
+            else self.postings
+        )
         row = catalog.read(spark, "corpus_stats", CORPUS_STATS).collect()[0]
         self.n_docs = int(row["n_docs"])
         self.avgdl = float(row["avgdl"])
@@ -254,7 +261,7 @@ class SearchEngine:
         missing = [t for t in q_terms if t not in self._meta]
         if missing:
             pdf = (
-                self.postings.filter(F.col("term").isin(missing))
+                self._meta_src.filter(F.col("term").isin(missing))
                 .select("term", "block_id", "min_doc", "max_doc",
                         "max_impact", "max_tf", "count")
                 .toPandas()

@@ -166,6 +166,8 @@ def build_index(
     for k in range(n_shards):
         _ck()
         if k in done_shards and catalog.exists(f"postings/shard={k}"):
+            if not catalog.exists(f"postings_meta/shard={k}"):
+                write_shard_meta(spark, catalog, k)  # pre-sidecar resume
             continue
         man.start("postings", k)
         try:
@@ -183,6 +185,7 @@ def build_index(
             )
             catalog.write(blocks, f"postings/shard={k}")
             written = catalog.read(spark, f"postings/shard={k}")
+            write_shard_meta(spark, catalog, k)
             agg = written.agg(
                 F.sum("count").alias("p"),
                 F.count("*").alias("blocks"),
@@ -229,3 +232,25 @@ def build_index(
 def read_corpus(spark: SparkSession, path: str) -> DataFrame:
     """Read an input corpus parquet with the fixed schema enforced."""
     return spark.read.schema(CORPUS).parquet(path)
+
+
+def write_shard_meta(spark: SparkSession, catalog: Catalog, k: int) -> None:
+    """Materialize the shard's block-METADATA sidecar (no payload bytes):
+    ``postings_meta/shard=k``. The query layer's driver cache cold-loads
+    from this — a term-sorted table ~3 orders of magnitude smaller than the
+    payload shard, so first-touch term resolution reads a few small files
+    instead of walking every payload file's footers (the classic
+    separate-metadata-segment layout; Iceberg analogue: a metadata-only
+    projection table maintained alongside).
+
+    One file per shard is right while a shard's metadata is ≪1 GB (count
+    rows = block count ≈ postings/128); at larger scale raise the
+    partition count with the shard size."""
+    meta = (
+        catalog.read(spark, f"postings/shard={k}")
+        .select("term", "block_id", "min_doc", "max_doc",
+                "max_impact", "max_tf", "count")
+        .repartition(1)
+        .sortWithinPartitions("term", "block_id")
+    )
+    catalog.rewrite(meta, f"postings_meta/shard={k}")

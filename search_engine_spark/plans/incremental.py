@@ -391,6 +391,9 @@ def _merge_postings(spark, catalog, new_docs, old_ids, old_terms_by_doc,
         )
         pdf["block_id"] = 0
         catalog.write(spark.createDataFrame(pdf, POSTINGS), "postings/shard=0")
+        from .build_job import write_shard_meta
+
+        write_shard_meta(spark, catalog, 0)
         return
     shard_of = {
         r["term"]: int(r["s"])
@@ -515,6 +518,10 @@ def _surgery_shard(
             renum
         )
     catalog.rewrite(new_blocks, shard, sort_by=["term", "min_doc"])
+    # refresh the block-metadata sidecar the query layer cold-loads from
+    from .build_job import write_shard_meta
+
+    write_shard_meta(spark, catalog, int(shard.rsplit("=", 1)[1]))
 
 
 def _insertion_block(rows: list, did: int) -> int:

@@ -102,4 +102,5 @@ class Catalog:
         final = self.path(name)
         if os.path.isdir(final):
             shutil.rmtree(final)
+        os.makedirs(os.path.dirname(final), exist_ok=True)  # first partition
         os.rename(tmp, final)

@@ -1,0 +1,73 @@
+"""Watermarked streaming aggregation over the events stream.
+
+The tumbling-window rollup (`events_hourly` in the batch suite) expressed
+as its Structured Streaming twin: event-time window + watermark for late
+data. The SAME aggregation expression serves both — the batch DataFrame
+and the stream produce identical rows once the stream drains (tested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", TimestampType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def hourly_rollup(events: DataFrame, watermark: str | None = "2 hours") -> DataFrame:
+    """Tumbling 1-hour window per event_type: count + Σvalue.
+
+    Works on a batch OR a streaming DataFrame; the watermark bounds state
+    for the streaming case (late rows beyond it are dropped — at 100 TB/day
+    the state store would otherwise grow without bound)."""
+    src = events
+    if watermark is not None and events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("hour"), "event_type", "n", "total_value")
+    )
+
+
+def run_stream_rollup(
+    spark: SparkSession,
+    input_path: str,
+    checkpoint_dir: str,
+    sink_table: str = "events_rollup_stream",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Drain a file-source events stream through the rollup into an
+    in-memory sink (complete mode) and return the final result frame."""
+    stream = (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+    q = (
+        hourly_rollup(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)

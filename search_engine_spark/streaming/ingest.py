@@ -1,0 +1,72 @@
+"""Streaming index ingest (St1/St2 as a Structured Streaming flow).
+
+The reference's crawl pushes pages into the index in 100-page batches
+(utils/BatchProcessor.java:37-79) while serving continues — the Spark-native
+shape of that is a file-source stream over the corpus directory feeding the
+SAME batch MERGE the API uses (plans/incremental.index_docs) via
+``foreachBatch``:
+
+    new corpus parquet files → readStream → foreachBatch(index_docs) → catalog
+
+Each micro-batch is one exact upsert round, so a streaming ingest and a
+one-shot batch build CONVERGE TO THE IDENTICAL INDEX (tested in
+tests/test_streaming.py) and the engine stays queryable between batches —
+the micro-batch is the reference's batch flush with exactly-once progress
+tracking (the stream checkpoint) instead of a volatile buffer.
+
+Scale note: this path is for the CONTINUOUS trickle (the indexPage analogue
+— docs/sec-scale updates). A bulk backfill should land files and run
+``plans/build_job.build_index`` — the throughput-optimized full pipeline;
+both paths produce identical tables, so they compose.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..plans.incremental import index_docs
+from ..schemas import CORPUS
+from ..sources.catalog import Catalog
+
+
+def stream_index_corpus(
+    spark: SparkSession,
+    catalog: Catalog,
+    input_path: str,
+    checkpoint_dir: str,
+    code: bool = True,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start (and by default drain) a corpus-directory stream into the
+    catalog. ``available_now=True`` processes every pending file then
+    stops — the deterministic test/backfill mode; ``False`` keeps the
+    query live for continuous ingest."""
+    stream = (
+        spark.readStream.schema(CORPUS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+
+    def _sink(batch_df, batch_id: int) -> None:
+        rows = batch_df.select("repo", "path", "commit", "lang", "content").collect()
+        if rows:
+            index_docs(
+                spark,
+                catalog,
+                [(r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+                 for r in rows],
+                code=code,
+            )
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q

@@ -1,0 +1,149 @@
+"""Custom stateful streaming operator: per-user sessionization via
+``applyInPandasWithState`` (the SURVEY §2.8 "custom stateful operator"
+slot — nothing in the reference does this; it is the training-pipeline
+extra a 100 TB event stream needs).
+
+Semantics (deterministic, watermark-free):
+  * events of one user arrive in event-time order (the file stream feeds
+    chronologically-split files; within a batch we sort);
+  * a session CLOSES when the user's NEXT event arrives more than ``gap``
+    after the session's last event — closed sessions are emitted
+    immediately; the user's final (still-open) session stays in state.
+
+Closing on next-event rather than on timeout makes the emitted set a pure
+function of the input (no processing-time dependence) — the batch oracle in
+tests recomputes it exactly. State per user is O(1): (start, last_ts, n,
+total_value).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_OUT = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("session_start", TimestampType(), False),
+        StructField("session_end", TimestampType(), False),
+        StructField("n_events", LongType(), False),
+        StructField("total_value", DoubleType(), False),
+    ]
+)
+
+# state: (start_us, last_us, n_events, total_value)
+SESSION_STATE = StructType(
+    [
+        StructField("start_us", LongType(), False),
+        StructField("last_us", LongType(), False),
+        StructField("n_events", LongType(), False),
+        StructField("total_value", DoubleType(), False),
+    ]
+)
+
+_US = 1_000_000
+
+
+def _ts_to_us(s: pd.Series) -> "pd.Series":
+    """Timestamp column → epoch microseconds, robust to datetime64[ns]
+    vs datetime64[us] backing (pandas/pyarrow version dependent)."""
+    return pd.to_datetime(s).astype("datetime64[ns]").astype("int64") // 1000
+
+
+def _session_fn(gap_seconds: int):
+    gap_us = gap_seconds * _US
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            start_us, last_us, n, total = state.get
+        else:
+            start_us = last_us = -1
+            n, total = 0, 0.0
+        closed: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            ts_us = _ts_to_us(pdf["ts"]).to_numpy()
+            vals = pdf["value"].fillna(0.0).to_numpy()
+            for t, v in zip(ts_us, vals):
+                if last_us >= 0 and t - last_us > gap_us:
+                    closed.append((user_id, start_us, last_us, n, total))
+                    start_us, n, total = t, 0, 0.0
+                if last_us < 0:
+                    start_us = t
+                last_us = t
+                n += 1
+                total += float(v)
+        state.update((int(start_us), int(last_us), int(n), float(total)))
+        if closed:
+            out = pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end",
+                         "n_events", "total_value"],
+            )
+            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+            out["total_value"] = out["total_value"].round(6)
+            yield out
+
+    return fn
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """events(ts, user_id, value, …) → closed sessions per user. Streaming:
+    arbitrary-stateful `applyInPandasWithState`; the operator also runs on
+    a batch frame via the same pandas body in tests' oracle."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn(gap_seconds),
+            outputStructType=SESSION_OUT,
+            stateStructType=SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def sessionize_batch_oracle(pdf: pd.DataFrame, gap_seconds: int = 1800) -> pd.DataFrame:
+    """Single-node twin of the streaming operator (same closed-session
+    semantics): the emitted set of the drained stream must equal this."""
+    gap_us = gap_seconds * _US
+    rows: list[tuple] = []
+    for user_id, g in pdf.sort_values("ts").groupby("user_id"):
+        start = last = -1
+        n, total = 0, 0.0
+        ts_us = _ts_to_us(g["ts"]).to_numpy()
+        vals = g["value"].fillna(0.0).to_numpy()
+        for t, v in zip(ts_us, vals):
+            if last >= 0 and t - last > gap_us:
+                rows.append((user_id, start, last, n, round(total, 6)))
+                start, n, total = t, 0, 0.0
+            if last < 0:
+                start = t
+            last = t
+            n += 1
+            total += float(v)
+        # final open session NOT emitted (matches streaming semantics)
+    out = pd.DataFrame(
+        rows, columns=["user_id", "session_start", "session_end",
+                       "n_events", "total_value"],
+    )
+    if len(out):
+        out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+        out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+    return out

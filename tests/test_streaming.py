@@ -1,0 +1,141 @@
+"""Structured Streaming paths (SURVEY §2.8):
+
+  * corpus file-stream ingest via foreachBatch(index_docs) — streamed
+    index ≡ batch rebuild, and the stream checkpoint makes re-runs
+    process only NEW files (exactly-once resume);
+  * watermarked tumbling-window rollup — drained stream ≡ batch agg;
+  * applyInPandasWithState sessionization — emitted closed sessions ≡
+    the deterministic single-node oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.query import SearchEngine, decode_blocks
+from search_engine_spark.plans.build_job import build_index
+from search_engine_spark.sources.catalog import Catalog
+from search_engine_spark.streaming.events import EVENTS, hourly_rollup, run_stream_rollup
+from search_engine_spark.streaming.ingest import stream_index_corpus
+from search_engine_spark.streaming.sessions import (
+    sessionize,
+    sessionize_batch_oracle,
+)
+from search_engine_spark.synth import make_corpus
+
+EVENTS_PARQUET = "/root/testdata/sf0.001/events.parquet"
+
+
+def _decoded(spark, cat):
+    return (
+        decode_blocks(cat.read(spark, "postings"))
+        .toPandas()
+        .sort_values(["term", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+
+def test_stream_ingest_equals_batch_and_resumes(spark, tmp_path):
+    corpus = make_corpus(spark, 52, seed=31, partitions=2)
+    rows = corpus.collect()
+    base_rows, wave1, wave2 = rows[:40], rows[40:48], rows[48:]
+
+    cat = Catalog(str(tmp_path / "stream_idx"))
+    build_index(spark, spark.createDataFrame(base_rows, corpus.schema), cat,
+                n_shards=2, skew_df_threshold=50, salt_target_rows=40)
+
+    stream_dir = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(stream_dir, exist_ok=True)
+    # wave 1: two files
+    spark.createDataFrame(wave1[:4], corpus.schema).coalesce(1).write.mode(
+        "append").parquet(stream_dir)
+    spark.createDataFrame(wave1[4:], corpus.schema).coalesce(1).write.mode(
+        "append").parquet(stream_dir)
+    stream_index_corpus(spark, cat, stream_dir, ckpt, code=True)
+    assert cat.read(spark, "docs").count() == 48
+
+    # wave 2: the checkpoint must skip wave-1 files (exactly-once resume)
+    spark.createDataFrame(wave2, corpus.schema).coalesce(1).write.mode(
+        "append").parquet(stream_dir)
+    stream_index_corpus(spark, cat, stream_dir, ckpt, code=True)
+    assert cat.read(spark, "docs").count() == 52
+
+    full = Catalog(str(tmp_path / "full_idx"))
+    build_index(spark, corpus, full, n_shards=2, skew_df_threshold=50,
+                salt_target_rows=40)
+    assert _decoded(spark, cat).equals(_decoded(spark, full))
+
+    ei, ef = SearchEngine(spark, cat), SearchEngine(spark, full)
+    for q in ["import", "query index", "varint data"]:
+        a = [(r["doc_id"], r["score"]) for r in ei.topk(q, 10).collect()]
+        b = [(r["doc_id"], r["score"]) for r in ef.topk(q, 10).collect()]
+        assert a == b, q
+
+
+def test_stream_rollup_equals_batch(spark, tmp_path):
+    events = spark.read.parquet(EVENTS_PARQUET)
+    mid = events.select(F.expr("percentile_approx(ts, 0.5)").alias("m")).first()["m"]
+    stream_dir = str(tmp_path / "events_in")
+    os.makedirs(stream_dir, exist_ok=True)
+    events.filter(F.col("ts") <= mid).coalesce(1).write.mode("append").parquet(stream_dir)
+    events.filter(F.col("ts") > mid).coalesce(1).write.mode("append").parquet(stream_dir)
+
+    got = run_stream_rollup(
+        spark, stream_dir, str(tmp_path / "ckpt_roll"), sink_table="t_roll"
+    ).toPandas()
+    want = hourly_rollup(spark.read.schema(EVENTS).parquet(stream_dir)).toPandas()
+    key = ["hour", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_like=True)
+    assert len(got) > 10
+
+
+def test_sessionize_stream_equals_oracle(spark, tmp_path):
+    events = spark.read.parquet(EVENTS_PARQUET).filter(F.col("user_id") < 8)
+    pdf = events.select("user_id", "ts", "value").toPandas()
+    # chronological thirds → per-user arrival order preserved across batches
+    cuts = pdf["ts"].quantile([1 / 3, 2 / 3]).tolist()
+    stream_dir = str(tmp_path / "sess_in")
+    os.makedirs(stream_dir, exist_ok=True)
+    parts = [
+        pdf[pdf["ts"] <= cuts[0]],
+        pdf[(pdf["ts"] > cuts[0]) & (pdf["ts"] <= cuts[1])],
+        pdf[pdf["ts"] > cuts[1]],
+    ]
+    for p in parts:
+        spark.createDataFrame(
+            p, "user_id long, ts timestamp, value double"
+        ).coalesce(1).write.mode("append").parquet(stream_dir)
+
+    gap = 4 * 3600
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        sessionize(stream, gap_seconds=gap)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_sessions").toPandas()
+    want = sessionize_batch_oracle(pdf, gap_seconds=gap)
+
+    key = ["user_id", "session_start"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(want) > 5, "fixture must close sessions"
+    got["total_value"] = got["total_value"].round(6)
+    want["total_value"] = want["total_value"].round(6)
+    pd.testing.assert_frame_equal(got, want, check_like=True, check_dtype=False)

@@ -1,0 +1,60 @@
+"""O8/F9: URL percent-decode + repo-root/path extraction
+(IndexingServiceImpl.java:98-107 analogue for the code corpus)."""
+
+from __future__ import annotations
+
+import pytest
+
+from search_engine_spark.functions.urls import decode_url, repo_of, split_repo_url
+
+
+@pytest.mark.parametrize(
+    "url,expect",
+    [
+        ("org0/repo0", ("org0/repo0", "")),
+        ("https://github.com/org0/repo0", ("org0/repo0", "")),
+        ("https://github.com/org0/repo0.git", ("org0/repo0", "")),
+        ("https://github.com/org0/repo0/blob/main/src/a.py",
+         ("org0/repo0", "src/a.py")),
+        ("https://gitlab.com/org0/repo0/-/blob/main/a.py", ("org0/repo0", "a.py")),
+        ("git@github.com:org0/repo0.git", ("org0/repo0", "")),
+        ("https://host/org0/repo0/src/d0/f1.py", ("org0/repo0", "src/d0/f1.py")),
+        ("https://host/org0/repo0/blob/main/dir%20name/f%2B1.py",
+         ("org0/repo0", "dir name/f+1.py")),
+        ("", None),
+        ("https://host/", None),
+        ("justonepart", None),
+    ],
+)
+def test_split_repo_url(url, expect):
+    assert split_repo_url(url) == expect
+
+
+def test_decode_once():
+    # exactly ONE decode pass (double-encoded %2520 stays '%20')
+    assert decode_url("a%2520b") == "a%20b"
+    assert repo_of("https://h/org/repo") == "org/repo"
+
+
+def test_index_page_scope_and_split(spark, tmp_path):
+    from search_engine_spark.api import ERR_OUT_OF_SCOPE, EngineAPI
+    from search_engine_spark.sources.catalog import Catalog
+
+    api = EngineAPI(spark, Catalog(str(tmp_path / "u")), repos=["org0/repo0"])
+    # out-of-scope repo via URL spelling
+    r = api.index_page("https://h/evil/repo/blob/main/x.py", "0" * 40, "python", "x")
+    assert r == {"result": False, "error": ERR_OUT_OF_SCOPE}
+    # no in-repo path → not a page
+    r = api.index_page("https://h/org0/repo0", "0" * 40, "python", "x")
+    assert r == {"result": False, "error": ERR_OUT_OF_SCOPE}
+    # in-scope URL with encoded path indexes into a fresh catalog
+    r = api.index_page(
+        "https://h/org0/repo0/blob/main/src/sp%20ace.py", "0" * 40, "python",
+        "zzurlterm appears here",
+    )
+    assert r == {"result": True}
+    eng = api._get_engine()
+    hits = eng.topk("zzurlterm", 5).collect()
+    assert len(hits) == 1
+    d = eng.docs.filter(eng.docs.doc_id == hits[0]["doc_id"]).first()
+    assert d["repo"] == "org0/repo0" and d["path"] == "src/sp ace.py"

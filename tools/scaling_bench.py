@@ -100,6 +100,7 @@ def worker(cpus: int, corpus_path: str) -> None:
     warm = (
         spark.range(cpus * 4, numPartitions=cpus * 2)
         .select(F.col("id").alias("doc_id"),
+                F.lit("warm/repo").alias("repo"),
                 F.lit("warm the import and worker pools up").alias("content"))
     )
     term_frequencies_from_docs(warm).count()
