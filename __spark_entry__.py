@@ -531,10 +531,15 @@ def _q_minhash_pairs(spark, sf):
 
 
 def _q_simhash_pairs(spark, sf):
+    """SimHash near-dup pairs at the scale-shaped radius: h=3 → 4 bands of
+    16 bits (65k buckets/band — the classic configuration). Recall at this
+    radius is exactly 100% (b >= h+1 pigeonhole; proven vs brute force in
+    tests). Larger radii are supported (n_bands=h+1) but cost bucket
+    width — see operators/dedup.simhash_near_pairs."""
     from search_engine_spark.operators.dedup import simhash_near_pairs
 
     return simhash_near_pairs(
-        _t(spark, sf, "documents"), max_hamming=8, id_col="doc_id", text_col="text"
+        _t(spark, sf, "documents"), max_hamming=3, id_col="doc_id", text_col="text"
     )
 
 

@@ -172,57 +172,133 @@ def site_stats(dstats: DataFrame, terms: DataFrame) -> DataFrame:
     )
 
 
-def _postings_encoder(avgdl: float):
-    """applyInPandas body: one (term, salt) group → block rows.
+_POSTINGS_COLS = [
+    "term", "block_id", "doc_ids", "tfs", "doclens",
+    "count", "min_doc", "max_doc", "max_tf", "max_impact",
+]
 
-    Numpy end-to-end: sort by doc_id, chunk to BLOCK_SIZE, delta-gap+varint
-    encode each block, compute block-max metadata (max_impact = max of the
-    df-independent BM25 part, so block score bound = idf*(k1+1)*max_impact).
-    """
-    from .codec import BLOCK_SIZE, encode_counts, encode_doc_ids
 
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-        ids = pdf["doc_id"].to_numpy()[order]
-        tfs = pdf["tf"].to_numpy()[order]
-        dls = pdf["doclen"].to_numpy()[order]
-        term = pdf["term"].iloc[0]
-        imp = scoring.impact_np(tfs, dls, avgdl)
-        rows = []
-        for s in range(0, len(ids), BLOCK_SIZE):
-            e = s + BLOCK_SIZE
-            bi, bt, bd = ids[s:e], tfs[s:e], dls[s:e]
-            rows.append(
-                (
-                    term,
-                    -1,  # block_id assigned globally afterwards
-                    encode_doc_ids(bi),
-                    encode_counts(bt),
-                    encode_counts(bd),
-                    len(bi),
-                    int(bi[0]),
-                    int(bi[-1]),
-                    float(bt.max()),
-                    float(imp[s:e].max()),
-                )
-            )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "term",
-                "block_id",
-                "doc_ids",
-                "tfs",
-                "doclens",
-                "count",
-                "min_doc",
-                "max_doc",
-                "max_tf",
-                "max_impact",
-            ],
-        )
+def _postings_partition_encoder(avgdl: float):
+    """mapInPandas body over a (term, salt)-hash-partitioned, (term, salt,
+    doc_id)-sorted partition: encode CONTIGUOUS group runs with pure numpy
+    slicing.
+
+    Why not groupBy().applyInPandas: a Zipf vocabulary makes most groups
+    singletons (one rare identifier = one 1-row group); grouped-map
+    allocates a pandas DataFrame PER GROUP, and at ~10⁶ tiny groups that
+    per-group constant dominates the stage and saturates memory bandwidth
+    before CPUs (measured: postings-stage scaling efficiency fell to ~0.63
+    at N→4N on the long-tail corpus). Processing one ARROW BATCH per
+    pandas frame and walking group boundaries with numpy removes that
+    constant entirely; a group that spans an Arrow-batch boundary is
+    carried into the next batch (same partition, sorted order guarantees
+    contiguity)."""
+
+    def encode(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            n = len(pdf)
+            if n == 0:
+                continue
+            terms = pdf["term"].to_numpy()
+            salts = pdf["salt"].to_numpy()
+            # defer the LAST group — it may continue in the next batch
+            last_mask = (terms == terms[-1]) & (salts == salts[-1])
+            # sorted input ⇒ the last group is a suffix; argmax = first True
+            tail_start = int(np.argmax(last_mask))
+            carry = pdf.iloc[tail_start:]
+            if tail_start == 0:
+                continue
+            out = _encode_span(pdf, tail_start, avgdl)
+            if out is not None:
+                yield out
+        if carry is not None and len(carry):
+            out = _encode_span(carry.reset_index(drop=True), len(carry), avgdl)
+            if out is not None:
+                yield out
 
     return encode
+
+
+def _encode_span(pdf: pd.DataFrame, n: int, avgdl: float) -> pd.DataFrame | None:
+    """Encode rows [0, n) of a sorted frame — WHOLE-SPAN vectorized.
+
+    Every block (BLOCK_SIZE-chunk of a contiguous (term, salt) group) is a
+    contiguous row range of the span, and LEB128 streams concatenate, so
+    ONE varint encode of the whole span per column yields every block's
+    payload as a byte-slice (delta-gaps reset at each block start — the
+    per-block streams are byte-identical to encoding each block alone).
+    Block metadata falls out of segment reductions (np.maximum.reduceat).
+    The only per-block Python is the final byte slicing — no per-group
+    numpy-call constants, which is what makes a Zipf vocabulary's millions
+    of tiny groups cheap."""
+    from .codec import BLOCK_SIZE, varint_encode_with_lengths
+
+    terms = pdf["term"].to_numpy()[:n]
+    salts = pdf["salt"].to_numpy()[:n]
+    ids = np.ascontiguousarray(pdf["doc_id"].to_numpy()[:n], dtype=np.int64)
+    tfs = np.ascontiguousarray(pdf["tf"].to_numpy()[:n], dtype=np.int64)
+    dls = np.ascontiguousarray(pdf["doclen"].to_numpy()[:n], dtype=np.int64)
+    # group change points (terms: object array — != compares elementwise)
+    change = np.flatnonzero((terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1]))
+    gstarts = np.concatenate(([0], change + 1))
+    gends = np.concatenate((change + 1, [n]))
+
+    # block boundaries: per group [s, e) → s, s+B, ... (consecutive blocks
+    # tile the span: bends[i] == bstarts[i+1], final bend == n)
+    sizes = gends - gstarts
+    nblk = (sizes + BLOCK_SIZE - 1) // BLOCK_SIZE
+    total = int(nblk.sum())
+    if total == 0:
+        return None
+    rep_start = np.repeat(gstarts, nblk)
+    within = np.arange(total) - np.repeat(np.cumsum(nblk) - nblk, nblk)
+    bstarts = rep_start + within * BLOCK_SIZE
+    bends = np.minimum(bstarts + BLOCK_SIZE, np.repeat(gends, nblk))
+    bterms = terms[bstarts]
+
+    # doc_ids: order-preserving bias → delta-gaps with reset at block starts
+    u = ids.view(np.uint64) + np.uint64(1 << 63)
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = u[0]
+    np.subtract(u[1:], u[:-1], out=gaps[1:])
+    gaps[bstarts] = u[bstarts]
+    id_bytes, id_len = varint_encode_with_lengths(gaps)
+    tf_bytes, tf_len = varint_encode_with_lengths(tfs.view(np.uint64))
+    dl_bytes, dl_len = varint_encode_with_lengths(dls.view(np.uint64))
+    id_cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(id_len, out=id_cum[1:])
+    tf_cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tf_len, out=tf_cum[1:])
+    dl_cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(dl_len, out=dl_cum[1:])
+
+    imp = scoring.impact_np(tfs, dls, avgdl)
+    max_tf = np.maximum.reduceat(tfs, bstarts).astype(np.float64)
+    max_imp = np.maximum.reduceat(imp, bstarts)
+    counts = (bends - bstarts).astype(np.int64)
+    min_doc = ids[bstarts]
+    max_doc = ids[bends - 1]
+
+    rows = [
+        (
+            bterms[i],
+            -1,  # block_id assigned globally afterwards
+            id_bytes[id_cum[bstarts[i]]: id_cum[bends[i]]],
+            tf_bytes[tf_cum[bstarts[i]]: tf_cum[bends[i]]],
+            dl_bytes[dl_cum[bstarts[i]]: dl_cum[bends[i]]],
+            int(counts[i]),
+            int(min_doc[i]),
+            int(max_doc[i]),
+            float(max_tf[i]),
+            float(max_imp[i]),
+        )
+        for i in range(total)
+    ]
+    return pd.DataFrame(rows, columns=_POSTINGS_COLS)
 
 
 def build_postings(
@@ -266,8 +342,15 @@ def build_postings(
         )
         .select("term", "salt", "doc_id", "tf", "doclen")
     )
-    blocks = with_salt.groupBy("term", "salt").applyInPandas(
-        _postings_encoder(avgdl), schema=POSTINGS
+    # hash-partition by (term, salt) — all of a group's rows in one task —
+    # then sort the partition so groups are contiguous doc-ascending runs;
+    # ONE mapInPandas pass encodes every run (no per-group pandas frames —
+    # see _postings_partition_encoder for why this matters on a Zipf
+    # vocabulary)
+    blocks = (
+        with_salt.repartition("term", "salt")
+        .sortWithinPartitions("term", "salt", "doc_id")
+        .mapInPandas(_postings_partition_encoder(avgdl), schema=POSTINGS)
     )
     w = Window.partitionBy("term").orderBy("min_doc")
     return blocks.withColumn(

@@ -21,12 +21,15 @@ _U64 = np.uint64
 _THRESH = [np.uint64(1) << np.uint64(7 * k) for k in range(1, 10)]
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """Vectorized LEB128 encode of a uint64 array."""
+def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Vectorized LEB128 encode of a uint64 array → (bytes, per-value byte
+    lengths). The concatenation property makes the lengths useful: the
+    varint stream of values [a..b) is EXACTLY bytes[cum[a]:cum[b]] of the
+    whole-array stream — block payloads slice out of one big encode."""
     v = np.ascontiguousarray(values, dtype=_U64)
     n = len(v)
     if n == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     # byte length per value: 1 + count of thresholds <= value
     lengths = np.ones(n, dtype=np.int64)
     for t in _THRESH:
@@ -45,7 +48,12 @@ def varint_encode(values: np.ndarray) -> bytes:
         cont = (lengths[m] > i + 1).astype(np.uint8) * np.uint8(0x80)
         buf[starts[m] + i] = byte | cont
         work = work >> seven
-    return buf.tobytes()
+    return buf.tobytes(), lengths
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """Vectorized LEB128 encode of a uint64 array."""
+    return varint_encode_with_lengths(values)[0]
 
 
 def varint_decode(data: bytes) -> np.ndarray:

@@ -222,8 +222,16 @@ def simhash_near_pairs(
     h differing bits can ruin at most h bands). ``n_bands`` therefore
     defaults to ``max_hamming + 1`` so recall is exactly 100% of the
     brute-force hamming pairs (tested vs bit_count(xor) in
-    tests/test_dedup_similarity.py). More bands = more buckets per doc
-    (×b row blow-up into the self-join) — the classic LSH cost/recall dial.
+    tests/test_dedup_similarity.py).
+
+    SCALE DIAL, stated plainly: each band hashes 64/b bits, so a band has
+    only 2^(64/b) buckets — b=4 (h≤3) gives 65k buckets/band (the classic
+    near-dup configuration, scale-shaped), while b=9 (h=8) gives 128
+    buckets/band, i.e. ~n²/128 candidate pairs per band at corpus scale.
+    Radii above 3 therefore buy recall at a quadratic-ish candidate cost —
+    use h≤3 for 10^12-doc dedup (larger radii are for bounded candidate
+    sets or require the multi-table permuted-prefix scheme of Manku et
+    al., WWW'07, which trades tables for width).
     """
     b = n_bands if n_bands is not None else max_hamming + 1
     if b < max_hamming + 1:

@@ -258,6 +258,11 @@ class SearchEngine:
         """Block metadata for each term — ONE Spark job for all cache
         misses, zero jobs thereafter. A term with no blocks caches as None
         (the O6 negative result is cached too)."""
+        # touch cached terms FIRST so eviction below can never pop one of
+        # this query's own entries (they sit newest in the LRU order)
+        for t in q_terms:
+            if t in self._meta:
+                self._meta.move_to_end(t)
         missing = [t for t in q_terms if t not in self._meta]
         if missing:
             pdf = (
