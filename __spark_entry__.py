@@ -548,7 +548,9 @@ def _q_ann_lsh(spark, sf):
 
     emb = _t(spark, sf, "embeddings")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return lsh_ann_topk(emb, qv, k=10, n_planes=6)
+    # multi-probe (query bucket + 2 nearest-hyperplane flips) — recovers
+    # the near-hyperplane recall cliff a single probe suffers
+    return lsh_ann_topk(emb, qv, k=10, n_planes=6, n_probes=3)
 
 
 def _q_multimodal(spark, sf):

@@ -73,6 +73,31 @@ def lsh_bucket_expr(vec_col: str, planes: np.ndarray):
     return out
 
 
+def probe_buckets(query_vec: list[float], planes: np.ndarray, n_probes: int) -> list[int]:
+    """Multi-probe bucket sequence: the query's own bucket, then buckets
+    reached by flipping the hyperplane bits the query is CLOSEST to (the
+    standard multi-probe LSH order — a vector near a hyperplane is the
+    one whose true neighbors fall just on the other side). Uses the exact
+    left-fold dot product so the bucket assignment matches the Spark-side
+    expression bit-for-bit."""
+    qv = [float(x) for x in query_vec]
+    margins = []
+    bucket = 0
+    for i, p in enumerate(planes):
+        acc = 0.0
+        for x, y in zip(qv, p):
+            acc = acc + x * float(y)
+        if acc > 0:
+            bucket |= 1 << i
+        margins.append((abs(acc), i))
+    out = [bucket]
+    for _, i in sorted(margins):
+        if len(out) >= max(1, n_probes):
+            break
+        out.append(bucket ^ (1 << i))
+    return out
+
+
 def lsh_ann_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -81,17 +106,21 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     n_planes: int = 8,
     seed: int = 42,
+    n_probes: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's LSH bucket.
-    At scale the bucket column is a partition/cluster key, so the scan
-    prunes to one bucket; here it is a filter."""
+    """Approximate top-k: score only vectors in the query's LSH bucket(s).
+    ``n_probes > 1`` additionally probes the buckets across the query's
+    nearest hyperplanes (multi-probe — recovers the recall cliff a vector
+    sitting near a hyperplane otherwise suffers, at probe-count cost
+    instead of table-count cost). At scale the bucket column is a
+    partition/cluster key, so the scan prunes to the probed buckets; here
+    it is a filter."""
     dim = len(query_vec)
     planes = _planes(dim, n_planes, seed)
-    qv = np.asarray(query_vec, dtype=np.float64)
-    q_bucket = int(sum((1 << i) for i, p in enumerate(planes) if float(qv @ p) > 0))
+    probes = probe_buckets(query_vec, planes, n_probes)
     bucketed = embeddings.withColumn("_bucket", lsh_bucket_expr(vec_col, planes))
     return brute_force_topk(
-        bucketed.filter(F.col("_bucket") == F.lit(q_bucket)),
+        bucketed.filter(F.col("_bucket").isin(probes)),
         query_vec,
         k=k,
         id_col=id_col,

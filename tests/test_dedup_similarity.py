@@ -30,6 +30,8 @@ from search_engine_spark.operators.similarity import (
     _planes,
     all_pairs_cosine_topk,
     brute_force_topk,
+    lsh_ann_topk,
+    probe_buckets,
 )
 
 EMB = "/root/testdata/sf0.001/embeddings.parquet"
@@ -194,6 +196,60 @@ def test_all_pairs_cosine_topk_vs_single_node(spark):
         v.sort(key=lambda x: (-x[0], x[1]))
     assert got_by_vec == expect
     assert expect, "fixture must produce non-empty buckets"
+
+
+def test_lsh_multiprobe_contract(spark):
+    """Multi-probe LSH: (a) results are EXACTLY the brute-force top-k over
+    the probed buckets (single-node recomputation, same fold order);
+    (b) recall vs exact top-k is non-decreasing in n_probes; (c) the probe
+    list starts with the query's own bucket and flips nearest hyperplanes
+    first."""
+    emb = spark.read.parquet(EMB).limit(150)
+    rows = emb.collect()
+    q = list(rows[10]["embedding"])
+    n_planes, seed = 6, 42
+    planes = _planes(64, n_planes, seed)
+
+    def bucket_of(v):
+        b = 0
+        for i, p in enumerate(planes):
+            if _fold_dot(v, p) > 0:
+                b |= 1 << i
+        return b
+
+    exact = [
+        v for v, _ in sorted(
+            ((int(r["vec_id"]),
+              _fold_dot(r["embedding"], q)
+              / (_fold_norm(r["embedding"]) * _fold_norm(q)))
+             for r in rows),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+    ]
+    prev_recall = -1.0
+    for n_probes in (1, 3, 5):
+        probes = set(probe_buckets(q, planes, n_probes))
+        got = [int(r["vec_id"])
+               for r in lsh_ann_topk(emb, q, k=10, n_planes=n_planes,
+                                     seed=seed, n_probes=n_probes).collect()]
+        # (a) equals single-node top-k over probed buckets
+        cands = [
+            (int(r["vec_id"]),
+             _fold_dot(r["embedding"], q)
+             / (_fold_norm(r["embedding"]) * _fold_norm(q)))
+            for r in rows if bucket_of(r["embedding"]) in probes
+        ]
+        want = [v for v, _ in sorted(cands, key=lambda x: (-x[1], x[0]))[:10]]
+        assert got == want, n_probes
+        # (b) recall monotone
+        recall = len(set(got) & set(exact)) / 10
+        assert recall >= prev_recall
+        prev_recall = recall
+    # (c) probe order: own bucket first, then 1-bit flips
+    pb = probe_buckets(q, planes, 4)
+    assert pb[0] == bucket_of(q)
+    assert all(bin(pb[0] ^ b).count("1") == 1 for b in pb[1:])
+    assert len(pb) == 4
 
 
 def test_brute_force_topk_matches_fold(spark):
