@@ -789,6 +789,26 @@ class SearchEngine:
             scored.unpersist()
         return [(int(r["doc_id"]), float(r["score"])) for r in rows], count
 
+    def estimate_matches(self, query: str, site: str | None = None) -> int:
+        """A7 at dashboard scale: an AND-match count ESTIMATE from cached
+        df statistics alone — zero decodes, zero Spark jobs warm.
+        Independence model: n · Π(df_i/n), clamped into the feasible
+        range [max(0, Σdf − (k−1)·n), min(df)] (Bonferroni / trivial
+        bounds), so single-term estimates are exact and impossible values
+        are never returned. The 10^12-doc result-count banner uses this;
+        `count_matches` stays the exact path."""
+        q_terms = analyze_query(query, code=self.code)
+        ctx = self._resolve(q_terms, site)
+        if ctx is None:
+            return 0
+        n = max(ctx.n_docs, 1)
+        est = float(n)
+        for t in q_terms:
+            est *= ctx.dfs[t] / n
+        lo = max(0, sum(ctx.dfs.values()) - (len(q_terms) - 1) * n)
+        hi = min(ctx.dfs.values())
+        return int(min(max(round(est), lo), hi))
+
     def count_matches(self, query: str, site: str | None = None) -> int:
         """A7: number of AND-matching docs (pre-pagination)."""
         q_terms = analyze_query(query, code=self.code)

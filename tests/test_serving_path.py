@@ -97,3 +97,28 @@ def test_docs_sorted_by_doc_id_within_bucket(spark, engine):
         ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_numpy()
         u = ids.view(np.uint64) + np.uint64(1 << 63)
         assert np.all(u[1:] >= u[:-1]), f
+
+
+def test_estimate_matches_contract(engine):
+    """A7 estimate: exact for single terms, within trivial bounds for
+    conjunctions, zero for missing terms — all from cached stats."""
+    # single-term: estimate IS df IS the exact count
+    assert engine.estimate_matches("import") == engine.count_matches("import")
+    assert engine.estimate_matches("zzzznotaterm") == 0
+    from search_engine_spark.functions.analyze import analyze_query
+
+    for q in ["import def", "query index"]:
+        est = engine.estimate_matches(q)
+        exact = engine.count_matches(q)
+        dfs = engine.resolve_terms(analyze_query(q, code=True))
+        assert dfs, q
+        assert 0 <= est <= min(dfs.values())
+        assert exact <= min(dfs.values())
+    # estimate must be servable with the postings handle poisoned (no I/O)
+    engine.estimate_matches("import def")  # warm
+    real = engine.postings
+    engine.postings = _Poisoned()
+    try:
+        assert engine.estimate_matches("import def") > 0
+    finally:
+        engine.postings = real
