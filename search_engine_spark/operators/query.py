@@ -120,7 +120,14 @@ WAND_CHUNK0 = 1024
 SINGLE_TERM_BLOCK_BATCH = 256
 META_CACHE_BLOCKS = 4_000_000  # LRU budget (≈192 MB of numpy metadata)
 BLOCK_CACHE_ENTRIES = 4_000_000  # decoded-payload LRU budget (posting entries)
+DF_CACHE_TERMS = 1_000_000  # global-df LRU (few bytes per term)
 _BOUND_SLACK = 1.0 + 1e-9  # last-ulp safety on upper bounds
+
+# Cached marker for a term whose block metadata is too large to materialize
+# on the driver (df alone predicts > MAX_WAND_META_BLOCKS rows): queries
+# containing it route to the distributed plan WITHOUT ever pulling the
+# metadata — at 10^12 docs a hot term's metadata is itself corpus-scale.
+_TOO_HOT = object()
 
 
 def decode_blocks(blocks: DataFrame) -> DataFrame:
@@ -234,8 +241,12 @@ class SearchEngine:
         self.avgdl_build = float(ab) if ab is not None else self.avgdl
         # driver-side caches — immutable per build; the API facade builds a
         # fresh engine (and close()s this one) after every incremental commit
-        self._meta: OrderedDict[str, _TermMeta | None] = OrderedDict()
+        self._meta: OrderedDict[str, object] = OrderedDict()  # _TermMeta | None | _TOO_HOT
         self._meta_blocks = 0
+        # global df per term, resolved from the TINY terms rows (scope='') —
+        # NEVER from block metadata: term resolution / O6 / idf must stay
+        # bounded even for a term whose posting list spans millions of blocks
+        self._df_cache: OrderedDict[str, int | None] = OrderedDict()
         self._site_cache: OrderedDict[str, tuple[int, float] | None] = OrderedDict()
         self._site_ids_cache: OrderedDict[str, np.ndarray | None] = OrderedDict()
         # decoded-payload block cache: repeated / overlapping queries reuse
@@ -264,6 +275,7 @@ class SearchEngine:
         except Exception:  # noqa: BLE001
             pass
         self._meta.clear()
+        self._df_cache.clear()
         self._site_cache.clear()
         self._site_ids_cache.clear()
         self._blocks.clear()
@@ -271,10 +283,44 @@ class SearchEngine:
 
     # -- driver-side metadata cache ---------------------------------------
 
-    def _get_meta(self, q_terms: list[str]) -> dict[str, _TermMeta | None]:
+    def _global_dfs(self, q_terms: list[str]) -> dict[str, int | None]:
+        """Global df per query term from the terms rows (scope='') — one
+        Spark job over a tiny persisted frame for cache misses, zero jobs
+        thereafter. Missing terms cache as None (the O6 negative result)."""
+        for t in q_terms:
+            if t in self._df_cache:
+                self._df_cache.move_to_end(t)
+        missing = [t for t in q_terms if t not in self._df_cache]
+        if missing:
+            rows = (
+                self.terms.filter(
+                    (F.col("scope") == "") & F.col("term").isin(missing)
+                )
+                .select("term", "df")
+                .collect()
+            )
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_cache[t] = found.get(t)
+            while len(self._df_cache) > max(DF_CACHE_TERMS, len(q_terms)):
+                self._df_cache.popitem(last=False)
+        out = {}
+        for t in q_terms:
+            self._df_cache.move_to_end(t)
+            out[t] = self._df_cache[t]
+        return out
+
+    def _get_meta(self, q_terms: list[str]) -> dict[str, object]:
         """Block metadata for each term — ONE Spark job for all cache
-        misses, zero jobs thereafter. A term with no blocks caches as None
-        (the O6 negative result is cached too)."""
+        misses, zero jobs thereafter. A term with no postings caches as
+        None (O6 negative result). A term whose df PREDICTS more metadata
+        rows than MAX_WAND_META_BLOCKS caches as the _TOO_HOT marker and
+        its metadata is NEVER materialized — the per-query driver
+        footprint stays bounded by k × MAX_WAND_META_BLOCKS rows even at
+        10^12 docs (callers route _TOO_HOT queries to the distributed
+        plan)."""
+        from .codec import BLOCK_SIZE
+
         # touch cached terms FIRST so eviction below can never pop one of
         # this query's own entries (they sit newest in the LRU order)
         for t in q_terms:
@@ -282,22 +328,37 @@ class SearchEngine:
                 self._meta.move_to_end(t)
         missing = [t for t in q_terms if t not in self._meta]
         if missing:
-            pdf = (
-                self._meta_src.filter(F.col("term").isin(missing))
-                .select("term", "block_id", "min_doc", "max_doc",
-                        "max_impact", "max_tf", "count")
-                .toPandas()
-            )
-            found = {}
-            for t, g in pdf.groupby("term"):
-                found[t] = _TermMeta(g)
+            dfs = self._global_dfs(missing)
+            mat = []
             for t in missing:
-                tm = found.get(t)
-                self._meta[t] = tm
-                self._meta_blocks += tm.n_blocks if tm else 0
+                df = dfs[t]
+                if df is None:
+                    self._meta[t] = None
+                elif df > BLOCK_SIZE * MAX_WAND_META_BLOCKS:
+                    self._meta[t] = _TOO_HOT  # df alone proves the cap
+                else:
+                    mat.append(t)
+            if mat:
+                pdf = (
+                    self._meta_src.filter(F.col("term").isin(mat))
+                    .select("term", "block_id", "min_doc", "max_doc",
+                            "max_impact", "max_tf", "count")
+                    .toPandas()
+                )
+                found = {}
+                for t, g in pdf.groupby("term"):
+                    found[t] = _TermMeta(g)
+                for t in mat:
+                    tm = found.get(t)
+                    if tm is not None and tm.n_blocks > MAX_WAND_META_BLOCKS:
+                        tm = _TOO_HOT  # salt-tail overshoot beyond the df bound
+                    self._meta[t] = tm
+                    self._meta_blocks += (
+                        tm.n_blocks if isinstance(tm, _TermMeta) else 0
+                    )
             while self._meta_blocks > META_CACHE_BLOCKS and len(self._meta) > len(q_terms):
-                k, tm = self._meta.popitem(last=False)
-                self._meta_blocks -= tm.n_blocks if tm else 0
+                _, tm = self._meta.popitem(last=False)
+                self._meta_blocks -= tm.n_blocks if isinstance(tm, _TermMeta) else 0
         out = {}
         for t in q_terms:
             self._meta.move_to_end(t)
@@ -313,10 +374,12 @@ class SearchEngine:
 
         cache = self._blocks
         conds = []
+        touched: set[tuple[str, int]] = set()
         for t, bs in wanted.items():
             need = []
             for b in bs:
                 key = (t, int(b))
+                touched.add(key)
                 if key in cache:
                     cache.move_to_end(key)
                 else:
@@ -338,9 +401,16 @@ class SearchEngine:
                 decode_counts(r["doclens"]),
             )
             self._block_entries += len(ids)
-        # evict oldest beyond budget (never the entries just inserted —
-        # they are newest in the OrderedDict)
-        while self._block_entries > BLOCK_CACHE_ENTRIES and len(cache) > len(rows):
+        # evict oldest beyond budget — but NEVER a key the current call
+        # touched (cache hits were move_to_end'd and misses just inserted,
+        # so every touched key is newer than every untouched one; stopping
+        # at the first touched key therefore protects them all). Without
+        # this, an oversized query could evict its own cache hits and the
+        # caller's _concat_term would KeyError instead of falling back.
+        while self._block_entries > BLOCK_CACHE_ENTRIES and len(cache) > len(touched):
+            oldest = next(iter(cache))
+            if oldest in touched:
+                break
             _, (ids, _, _) = cache.popitem(last=False)
             self._block_entries -= len(ids)
 
@@ -405,10 +475,12 @@ class SearchEngine:
         if not q_terms:
             return None
         if site is None:
-            metas = self._get_meta(q_terms)
-            if any(m is None for m in metas.values()):
+            # df from the tiny global terms rows — NEVER from block
+            # metadata, which is unbounded for hot terms (the blockmax
+            # paths load metadata separately, behind the df pre-check)
+            dfs = self._global_dfs(q_terms)
+            if any(v is None for v in dfs.values()):
                 return None
-            dfs = {t: m.df for t, m in metas.items()}
             drift = max(1.0, self.avgdl / self.avgdl_build) * _BOUND_SLACK
             return _Ctx(dfs, self.n_docs, self.avgdl, drift, None, None)
         ss = self._site_stats_row(site)
@@ -504,7 +576,7 @@ class SearchEngine:
         meta = self._get_meta([term])[term]
         if meta is None:
             return []
-        if meta.n_blocks > MAX_WAND_META_BLOCKS:
+        if meta is _TOO_HOT:
             return None
         site_ids = None
         if ctx.site is not None:
@@ -564,6 +636,8 @@ class SearchEngine:
         metas = self._get_meta(q_terms)
         if any(m is None for m in metas.values()):
             return [], 0
+        if any(m is _TOO_HOT for m in metas.values()):
+            return None
         if sum(m.n_blocks for m in metas.values()) > MAX_WAND_META_BLOCKS:
             return None
         # rarest by the GLOBAL list length (that is what bounds the fetch)

@@ -99,6 +99,60 @@ def test_docs_sorted_by_doc_id_within_bucket(spark, engine):
         assert np.all(u[1:] >= u[:-1]), f
 
 
+def test_hot_term_metadata_never_materialized(engine, monkeypatch):
+    """ADVICE r02 (high): a term whose df predicts more metadata rows than
+    the driver cap must NEVER have its block metadata pulled to the driver
+    — the query routes to the distributed plan and stays correct. At 10^12
+    docs a hot term's metadata is itself corpus-scale."""
+    import search_engine_spark.operators.query as Q
+    from search_engine_spark.functions.analyze import analyze_query
+
+    exp = [
+        (r["doc_id"], r["score"])
+        for r in engine.topk("query index", k=10, strategy="exhaustive").collect()
+    ]
+    assert exp
+    fresh = SearchEngine(engine.spark, engine.catalog, code=True)
+    monkeypatch.setattr(Q, "MAX_WAND_META_BLOCKS", 0)  # every term is "hot"
+    fresh._meta_src = _Poisoned()  # any metadata materialization = failure
+    try:
+        got = [
+            (r["doc_id"], r["score"])
+            for r in fresh.topk("query index", k=10).collect()
+        ]
+        assert got == exp
+        for t in analyze_query("query index", code=True):
+            assert fresh._meta[t] is Q._TOO_HOT
+        # count path too: falls back without touching metadata
+        assert fresh.count_matches("query index") == engine.count_matches(
+            "query index"
+        )
+        # O6 stays intact: a missing term short-circuits from the df probe
+        assert fresh.topk("zzzznotaterm", k=5).count() == 0
+    finally:
+        fresh.close()
+
+
+def test_block_cache_eviction_never_drops_current_query(engine, monkeypatch):
+    """ADVICE r02 (medium): _fetch_blocks eviction must protect every key
+    the CURRENT call touched (hits and misses), or an oversized query pops
+    its own cache hits and _concat_term KeyErrors."""
+    import search_engine_spark.operators.query as Q
+
+    exp = [(r["doc_id"], r["score"]) for r in engine.topk("query index", k=10).collect()]
+    fresh = SearchEngine(engine.spark, engine.catalog, code=True)
+    monkeypatch.setattr(Q, "BLOCK_CACHE_ENTRIES", 1)  # pathological budget
+    try:
+        for _ in range(2):  # second pass exercises the hit-then-evict path
+            got = [
+                (r["doc_id"], r["score"])
+                for r in fresh.topk("query index", k=10).collect()
+            ]
+            assert got == exp
+    finally:
+        fresh.close()
+
+
 def test_estimate_matches_contract(engine):
     """A7 estimate: exact for single terms, within trivial bounds for
     conjunctions, zero for missing terms — all from cached stats."""
