@@ -151,6 +151,24 @@ def corpus_stats(dstats: DataFrame) -> DataFrame:
     )
 
 
+def corpus_stats_exact(dstats: DataFrame) -> DataFrame:
+    """Stored corpus_stats form: carries the EXACT integer Σ doclen so
+    incremental upserts can maintain (n_docs, total_len) by integer deltas
+    and re-derive avgdl = total/count bit-identically to a rebuild —
+    Python float(int)/float(int) and Spark double/double divide round the
+    same way when the sum fits a double (Σ doclen < 2^53)."""
+    return dstats.agg(
+        F.count("*").alias("n_docs"), F.sum("doclen").alias("total_len")
+    ).select(
+        "n_docs",
+        F.coalesce(
+            F.col("total_len").cast("double") / F.col("n_docs").cast("double"),
+            F.lit(0.0),
+        ).alias("avgdl"),
+        "total_len",
+    )
+
+
 def site_stats(dstats: DataFrame, terms: DataFrame) -> DataFrame:
     """Per-site rollup (reference `site` + StatisticsServiceImpl.java:44-60):
     pages, Σdoclen, avgdl (per-site BM25 inputs) and distinct-lemma count

@@ -60,7 +60,11 @@ def build_index(
 
     meta_path = catalog.path("catalog_meta.json")
     if _os.path.exists(meta_path):
-        n_buckets = int(_json.load(open(meta_path))["n_buckets"])
+        _meta = _json.load(open(meta_path))
+        n_buckets = int(_meta["n_buckets"])
+        # the terms/postings shard layout is fixed at first build — a
+        # resumed or incremental run must keep using it
+        n_shards = int(_meta.get("n_shards", n_shards))
     else:
         if n_buckets is None:
             n_buckets = max(16, 2 * spark.sparkContext.defaultParallelism)
@@ -95,10 +99,21 @@ def build_index(
     tf = catalog.read(spark, "tf")
 
     # -- stage: doc_stats -------------------------------------------------
+    # partitioned by the docs table's repo bucket (Iceberg: bucket(N, repo))
+    # so an incremental upsert rewrites ONLY the affected buckets — at
+    # 10^12 docs this table is corpus-sized and a whole-table rewrite per
+    # upsert batch is the scale-killer the sharding removes
     _ck()
     if not (man.stage_done("doc_stats") and catalog.exists("doc_stats")):
         man.start("doc_stats")
-        catalog.write(B.doc_stats(tf), "doc_stats")
+        catalog.write(
+            B.doc_stats(tf)
+            .withColumn("bucket", F.pmod(F.xxhash64("repo"), F.lit(n_buckets)))
+            .repartition("bucket")
+            .sortWithinPartitions("bucket", "doc_id"),
+            "doc_stats",
+            partition_by=["bucket"],
+        )
         man.done("doc_stats", docs=catalog.read(spark, "doc_stats").count())
     dstats = catalog.read(spark, "doc_stats", DOC_STATS)
 
@@ -130,14 +145,22 @@ def build_index(
     n_docs_total = catalog.read(spark, "docs").count()
 
     # -- stage: terms (scoped per-site rows + global rows) -----------------
+    # partitioned by pmod(xxhash64(term), n_shards) — the same shard
+    # function as postings — so incremental df merges rewrite only the
+    # shards whose terms the upsert batch touched (the reference UPDATEs
+    # single lemma rows, dao/LemmaDao.java:28-33, never the table)
     _ck()
     if not (man.stage_done("terms") and catalog.exists("terms")):
         man.start("terms")
         catalog.write(
+            B.term_stats(tf)
+            .withColumn("shard", F.pmod(F.xxhash64("term"), F.lit(n_shards)))
+            .repartition("shard")
             # cluster by term so a query's vocabulary probe prunes row
             # groups (the reference's B-tree on lemma, per-site keyed)
-            B.term_stats(tf).sortWithinPartitions("term", "scope"),
+            .sortWithinPartitions("shard", "term", "scope"),
             "terms",
+            partition_by=["shard"],
         )
         man.done("terms", postings=catalog.read(spark, "terms").count())
     terms = catalog.read(spark, "terms", TERMS)
@@ -146,7 +169,10 @@ def build_index(
     if not (man.stage_done("corpus_stats") and catalog.exists("corpus_stats")):
         man.start("corpus_stats")
         catalog.write(
-            B.corpus_stats(dstats).withColumn("avgdl_build", F.col("avgdl")),
+            B.corpus_stats_exact(dstats).select(
+                "n_docs", "avgdl", F.col("avgdl").alias("avgdl_build"),
+                "total_len",
+            ),
             "corpus_stats",
         )
         man.done("corpus_stats")

@@ -15,19 +15,32 @@ Our replacement (SURVEY §3.3): keyed on (repo, path) —
   1. ``docs``: partition-scoped rewrite of ONLY the affected repo buckets
      (Iceberg: MERGE INTO docs), keeping the doc_id sort inside each bucket
      (decoration point-lookups stay row-group-prunable);
-  2. ``doc_stats`` / ``corpus_stats``: row swap + re-aggregate;
-  3. ``terms``: df adjusted per (scope, term) — scope='' global rows AND
-     the per-repo rows (reference lemma is keyed (lemma, site_id),
-     model/Lemma.java:12-30). The decrement counts DISTINCT old docs
-     containing the term (the build does not dedupe (repo,path), so
-     multiple old rows may die in one upsert) — never the reference's
-     drop-all-site-lemmas;
-  4. ``site_stats``: pages/total_len/avgdl recomputed from exact deltas,
-     per-site lemma count re-counted from the merged scoped terms rows;
+  2. ``doc_stats``: ONLY the affected repo buckets rewritten (the table is
+     corpus-sized — one row per doc); ``corpus_stats``: one absolute row
+     from exact integer deltas, never a doc_stats re-scan;
+  3. ``terms``: absolute df written per affected (scope, term) key —
+     scope='' global rows AND the per-repo rows (reference lemma is keyed
+     (lemma, site_id), model/Lemma.java:12-30) — rewriting ONLY the term
+     shards the batch touched (layout: pmod(xxhash64(term), S), fixed at
+     build). The decrement counts DISTINCT old docs containing the term —
+     never the reference's drop-all-site-lemmas;
+  4. ``site_stats``: pages/total_len/avgdl from exact deltas, per-site
+     lemma count re-counted from the merged scoped terms rows;
   5. ``postings``: block-level surgery — only the blocks that CONTAIN an
      old doc_id or a new doc's insertion point are decoded, modified and
-     re-encoded; every other block's bytes are untouched. Affected shards
-     only are rewritten (Iceberg: row-level MERGE on the postings table).
+     re-encoded (re-split at BLOCK_SIZE so blocks never grow unboundedly);
+     every other block's bytes are untouched. Affected shards only are
+     rewritten (Iceberg: row-level MERGE on the postings table).
+
+Crash/retry safety: the merge records the old rows' term sets and every
+stage's ABSOLUTE target values in a state file BEFORE touching any table
+(``_incremental_state.json``; Iceberg production analogue: one multi-table
+transaction). Each stage is idempotent (absolute overwrites / removal sets
+that include the new doc ids), marks itself done in the state, and a retry
+of the same batch resumes from the first unfinished stage — a micro-batch
+replay from streaming/ingest.py therefore converges instead of losing the
+df/site_stats increments. A different batch while a merge is pending is
+refused loudly.
 
 ``tf`` is a build-stage intermediate (lineage), NOT maintained here — no
 serving path reads it (statistics reads ``site_stats`` + ``terms``, both
@@ -76,6 +89,77 @@ def _n_buckets(catalog: Catalog) -> int:
     return N_BUCKETS_DEFAULT
 
 
+def _n_term_shards(catalog: Catalog) -> int:
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    p = catalog.path("catalog_meta.json")
+    if _os.path.exists(p):
+        meta = _json.load(open(p))
+        if "n_shards" in meta:
+            return int(meta["n_shards"])
+    return max(len(_glob.glob(catalog.path("terms/shard=*"))), 1)
+
+
+# ---------------------------------------------------------------------------
+# merge state: crash/retry safety (ADVICE r02)
+#
+# The multi-table merge is not one atomic commit in the parquet shim
+# (Iceberg: a single multi-table transaction / branch commit). To make a
+# RETRY converge instead of silently losing increments, every input the
+# later stages need — the old rows' term sets and the ABSOLUTE post-merge
+# values of terms/site_stats/corpus_stats — is computed from the
+# pre-merge tables and recorded in a state file BEFORE any table is
+# touched. Stages then apply recorded absolutes (idempotent by
+# construction), mark themselves done in the state, and a retry of the
+# same batch skips done stages / re-applies unfinished ones. A DIFFERENT
+# batch arriving while a crashed merge is pending is refused loudly.
+
+_STATE_FILE = "_incremental_state.json"
+_MERGE_STAGES = ("docs", "doc_stats", "corpus_stats", "terms", "site_stats")
+
+
+def _load_state(catalog: Catalog) -> dict | None:
+    import json as _json
+    import os as _os
+
+    p = catalog.path(_STATE_FILE)
+    if _os.path.exists(p):
+        with open(p) as f:
+            return _json.load(f)
+    return None
+
+
+def _save_state(catalog: Catalog, state: dict) -> None:
+    import json as _json
+    import os as _os
+
+    p = catalog.path(_STATE_FILE)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(state, f)
+    _os.replace(tmp, p)  # atomic on POSIX
+
+
+def _clear_state(catalog: Catalog) -> None:
+    import os as _os
+
+    p = catalog.path(_STATE_FILE)
+    if _os.path.exists(p):
+        _os.remove(p)
+
+
+def _batch_id(new_docs: list[_NewDoc]) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    for d in sorted(new_docs, key=lambda x: (x.repo, x.path)):
+        c = hashlib.sha256(d.content.encode("utf-8")).hexdigest()
+        h.update(f"{d.repo}\x00{d.path}\x00{d.commit}\x00{c}\x01".encode())
+    return h.hexdigest()
+
+
 def _encode_block(term: str, ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
                   avgdl: float) -> tuple:
     imp = scoring.impact_np(tfs, dls, avgdl)
@@ -85,6 +169,23 @@ def _encode_block(term: str, ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
         int(len(ids)), int(ids[0]), int(ids[-1]),
         float(tfs.max()), float(imp.max()),
     )
+
+
+def _encode_blocks_chunked(term: str, ids: np.ndarray, tfs: np.ndarray,
+                           dls: np.ndarray, avgdl: float) -> list[tuple]:
+    """Re-encoded runs are split at BLOCK_SIZE: repeated upserts landing in
+    the same covering block must never grow it without bound — block-max
+    pruning granularity AND the serving block cache's eviction-safety
+    margin (BLOCK_CACHE_ENTRIES vs MAX_FETCH_BLOCKS) both assume bounded
+    blocks. block_ids are renumbered by the caller's min_doc window, so
+    splitting is safe."""
+    from ..operators.codec import BLOCK_SIZE
+
+    return [
+        _encode_block(term, ids[s: s + BLOCK_SIZE], tfs[s: s + BLOCK_SIZE],
+                      dls[s: s + BLOCK_SIZE], avgdl)
+        for s in range(0, len(ids), BLOCK_SIZE)
+    ]
 
 
 class _NewDoc:
@@ -159,35 +260,67 @@ def index_docs(
         d = by_key[(r["repo"], r["path"])]
         d.doc_id, d.bucket = int(r["doc_id"]), int(r["bucket"])
 
-    # --- old rows being replaced (any row sharing an upsert key) ----------
+    bid = _batch_id(new_docs)
+    state = _load_state(catalog)
+    if state is not None and state.get("batch_id") != bid:
+        man.fail(
+            "index_doc",
+            error="previous incremental merge incomplete for a different "
+                  "batch — retry that batch to convergence first",
+        )
+        raise RuntimeError(
+            "incomplete incremental merge pending (batch "
+            f"{state.get('batch_id', '?')[:12]}…); retry the SAME batch to "
+            "converge before submitting a new one"
+        )
+    if state is None:
+        # compute every later-stage input from the PRE-merge tables and
+        # persist it before touching anything — a retry must not re-derive
+        # deltas from already-rewritten tables (it would find none)
+        state = _compute_state(spark, catalog, new_docs, bid, code)
+        _save_state(catalog, state)
+
     keys = {(d.repo, d.path) for d in new_docs}
-    docs_tbl = catalog.read_or_empty(spark, "docs", _DOCS_PART)
-    key_df = spark.createDataFrame(sorted(keys), "repo string, path string")
-    old_rows = (
-        docs_tbl.join(F.broadcast(key_df), ["repo", "path"], "left_semi")
-        .select("doc_id", "repo", "content")
-        .collect()
-    )
-    old_ids = [int(r["doc_id"]) for r in old_rows]
-    # per-OLD-DOC term sets: df decrements count distinct docs, not rows
-    old_terms_by_doc: list[tuple[str, set]] = []
-    old_len_by_repo: Counter = Counter()
-    for r in old_rows:
-        forms = analyze(r["content"], code=code)
-        old_terms_by_doc.append((r["repo"], set(forms)))
-        old_len_by_repo[r["repo"]] += len(forms)
+    old_ids = [int(x) for x in state["old_ids"]]
+    old_terms_by_doc = [(r, set(ts)) for r, ts in state["old_terms_by_doc"]]
+
+    def _stage(name: str) -> bool:
+        return name not in state["done"]
+
+    def _mark(name: str) -> None:
+        state["done"].append(name)
+        _save_state(catalog, state)
 
     man.start("index_doc")
     try:
-        _merge_docs(spark, catalog, new_docs, keys, n_buckets)
-        avgdl_build = _merge_stats(spark, catalog, new_docs, old_ids)
-        _merge_terms(spark, catalog, new_docs, old_terms_by_doc)
-        _merge_site_stats(spark, catalog, new_docs, old_rows, old_len_by_repo)
-        _merge_postings(spark, catalog, new_docs, old_ids, old_terms_by_doc,
-                        avgdl_build)
+        if _stage("docs"):
+            _merge_docs(spark, catalog, new_docs, keys, n_buckets)
+            _mark("docs")
+        if _stage("doc_stats"):
+            _apply_doc_stats(spark, catalog, new_docs, old_ids)
+            _mark("doc_stats")
+        if _stage("corpus_stats"):
+            _apply_corpus_stats(spark, catalog, state["corpus_abs"])
+            _mark("corpus_stats")
+        if _stage("terms"):
+            _apply_terms(spark, catalog, state["terms_abs"])
+            _mark("terms")
+        if _stage("site_stats"):
+            _apply_site_stats(spark, catalog, state["site_abs"])
+            _mark("site_stats")
+        _merge_postings(
+            spark, catalog, new_docs, old_ids, old_terms_by_doc,
+            float(state["corpus_abs"]["avgdl_build"]),
+            done_shards=set(state["postings_shards_done"]),
+            shard_done_cb=lambda k: (
+                state["postings_shards_done"].append(int(k)),
+                _save_state(catalog, state),
+            ),
+        )
     except Exception as e:  # noqa: BLE001
         man.fail("index_doc", error=f"{type(e).__name__}: {e}")
         raise
+    _clear_state(catalog)
     n_postings = sum(sum(d.tf.values()) for d in new_docs)
     man.done(
         "index_doc",
@@ -234,39 +367,164 @@ def _merge_docs(spark, catalog, new_docs, keys, n_buckets) -> None:
         )
 
 
-def _merge_stats(spark, catalog, new_docs, old_ids) -> float:
-    """2. doc_stats row swap + corpus_stats re-aggregate. → avgdl_build."""
-    dstats = catalog.read_or_empty(spark, "doc_stats", DOC_STATS)
-    new_stat = spark.createDataFrame(
-        [(d.doc_id, d.repo, d.doclen) for d in new_docs],
-        "doc_id long, repo string, doclen long",
-    )
-    if old_ids:
-        dstats = dstats.filter(~F.col("doc_id").isin(old_ids))
-    catalog.rewrite(dstats.unionByName(new_stat), "doc_stats")
-    dstats = catalog.read(spark, "doc_stats")
+def _compute_state(spark, catalog, new_docs, bid: str, code: bool) -> dict:
+    """Pre-merge snapshot: old rows' term sets + the ABSOLUTE post-merge
+    values every stage will write. Reads only pre-merge tables; writes
+    nothing. The absolute values make every stage idempotent — applying
+    them twice is applying them once (deltas would double-count on
+    retry)."""
     from ..schemas import CORPUS_STATS
 
+    # --- old rows being replaced (any row sharing an upsert key) ----------
+    keys = {(d.repo, d.path) for d in new_docs}
+    docs_tbl = catalog.read_or_empty(spark, "docs", _DOCS_PART)
+    key_df = spark.createDataFrame(sorted(keys), "repo string, path string")
+    old_rows = (
+        docs_tbl.join(F.broadcast(key_df), ["repo", "path"], "left_semi")
+        .select("doc_id", "repo", "content")
+        .collect()
+    )
+    old_ids = [int(r["doc_id"]) for r in old_rows]
+    # per-OLD-DOC term sets: df decrements count distinct docs, not rows
+    old_terms_by_doc: list[tuple[str, set]] = []
+    old_len_by_repo: Counter = Counter()
+    old_repos: list[str] = []
+    for r in old_rows:
+        forms = analyze(r["content"], code=code)
+        old_terms_by_doc.append((r["repo"], set(forms)))
+        old_len_by_repo[r["repo"]] += len(forms)
+        old_repos.append(r["repo"])
+
+    # --- terms: absolute df per affected (scope, term) key -----------------
+    delta = _scope_deltas(new_docs, old_terms_by_doc)
+    touched = [(s, t) for (s, t), d in delta.items() if d != 0]
+    terms_abs: list[list] = []
+    if touched:
+        tkey_df = spark.createDataFrame(sorted(touched), "scope string, term string")
+        terms_tbl = catalog.read_or_empty(spark, "terms", TERMS)
+        cur = {
+            (r["scope"], r["term"]): int(r["df"])
+            for r in terms_tbl.join(
+                F.broadcast(tkey_df), ["scope", "term"], "inner"
+            ).select("scope", "term", "df").collect()
+        }
+        terms_abs = [
+            [s, t, cur.get((s, t), 0) + delta[(s, t)]] for (s, t) in touched
+        ]
+
+    # --- site_stats: absolute pages/total_len per affected repo ------------
+    pages_d: Counter = Counter()
+    len_d: Counter = Counter()
+    for d in new_docs:
+        pages_d[d.repo] += 1
+        len_d[d.repo] += d.doclen
+    for repo in old_repos:
+        pages_d[repo] -= 1
+    for repo, n in old_len_by_repo.items():
+        len_d[repo] -= n
+    affected = sorted(set(pages_d) | set(len_d))
+    ss = catalog.read_or_empty(spark, "site_stats", SITE_STATS)
+    old_vals = {
+        r["repo"]: (int(r["pages"]), int(r["total_len"]))
+        for r in ss.filter(F.col("repo").isin(affected)).collect()
+    }
+    site_abs = [
+        [
+            repo,
+            old_vals.get(repo, (0, 0))[0] + pages_d[repo],
+            old_vals.get(repo, (0, 0))[1] + len_d[repo],
+        ]
+        for repo in affected
+    ]
+
+    # --- corpus_stats: absolute n_docs/total_len (exact integer deltas) ----
     cs_rows = catalog.read_or_empty(spark, "corpus_stats", CORPUS_STATS).collect()
     if cs_rows:
-        cstats_old = cs_rows[0]
+        row = cs_rows[0]
         avgdl_build = float(
-            cstats_old["avgdl_build"]
-            if cstats_old["avgdl_build"] is not None
-            else cstats_old["avgdl"]
+            row["avgdl_build"] if row["avgdl_build"] is not None else row["avgdl"]
         )
+        n_docs_old = int(row["n_docs"])
+        if "total_len" in row.asDict() and row["total_len"] is not None:
+            total_old = int(row["total_len"])
+        else:
+            # pre-r3 catalog: back-fill total_len with ONE scan (recorded in
+            # the state, so even this migration read happens at most once)
+            total_old = int(
+                catalog.read_or_empty(spark, "doc_stats", DOC_STATS)
+                .agg(F.sum("doclen").alias("s")).collect()[0]["s"] or 0
+            )
     else:
         # never-built catalog: bounds will be encoded with the live avgdl
         n = sum(d.doclen for d in new_docs)
         avgdl_build = float(n) / max(len(new_docs), 1) or 1.0
+        n_docs_old, total_old = 0, 0
+    corpus_abs = {
+        "n_docs": n_docs_old + len(new_docs) - len(old_ids),
+        "total_len": total_old
+        + sum(d.doclen for d in new_docs)
+        - sum(old_len_by_repo.values()),
+        "avgdl_build": avgdl_build,
+    }
+
+    return {
+        "batch_id": bid,
+        "old_ids": old_ids,
+        "old_terms_by_doc": [[r, sorted(ts)] for r, ts in old_terms_by_doc],
+        "terms_abs": terms_abs,
+        "site_abs": site_abs,
+        "corpus_abs": corpus_abs,
+        "done": [],
+        "postings_shards_done": [],
+    }
+
+
+def _apply_doc_stats(spark, catalog, new_docs, old_ids) -> None:
+    """2. doc_stats row swap — ONLY the affected repo buckets are rewritten
+    (doc_stats is corpus-sized: one row per doc). Removal includes the new
+    doc ids so a retry replaces rather than duplicates. Legacy flat
+    layouts (pre-r3) fall back to the whole-table rewrite."""
+    import glob as _glob
+
+    removal = sorted(set(old_ids) | {d.doc_id for d in new_docs})
+    if _glob.glob(catalog.path("doc_stats/bucket=*")):
+        by_bucket: dict[int, list[_NewDoc]] = {}
+        for d in new_docs:
+            by_bucket.setdefault(d.bucket, []).append(d)
+        for bucket, docs_b in sorted(by_bucket.items()):
+            part = f"doc_stats/bucket={bucket}"
+            cur = catalog.read_or_empty(spark, part, DOC_STATS).filter(
+                ~F.col("doc_id").isin(removal)
+            )
+            add = spark.createDataFrame(
+                [(d.doc_id, d.repo, d.doclen) for d in docs_b], DOC_STATS
+            )
+            catalog.rewrite(cur.unionByName(add), part, sort_by=["doc_id"])
+        return
+    dstats = catalog.read_or_empty(spark, "doc_stats", DOC_STATS).filter(
+        ~F.col("doc_id").isin(removal)
+    )
+    new_stat = spark.createDataFrame(
+        [(d.doc_id, d.repo, d.doclen) for d in new_docs], DOC_STATS
+    )
+    catalog.rewrite(dstats.unionByName(new_stat), "doc_stats")
+
+
+def _apply_corpus_stats(spark, catalog, corpus_abs: dict) -> None:
+    """3. corpus_stats: ONE recorded absolute row — never a doc_stats
+    re-scan per upsert. avgdl = total/count in float64, the same correctly
+    rounded division a rebuild computes."""
+    from ..schemas import CORPUS_STATS
+
+    n = int(corpus_abs["n_docs"])
+    total = int(corpus_abs["total_len"])
+    avgdl = float(total) / float(n) if n else 0.0
     catalog.rewrite(
-        dstats.agg(
-            F.count("*").alias("n_docs"),
-            F.avg("doclen").cast("double").alias("avgdl"),
-        ).withColumn("avgdl_build", F.lit(avgdl_build)),
+        spark.createDataFrame(
+            [(n, avgdl, float(corpus_abs["avgdl_build"]), total)], CORPUS_STATS
+        ),
         "corpus_stats",
     )
-    return avgdl_build
 
 
 def _scope_deltas(new_docs, old_terms_by_doc) -> Counter:
@@ -285,77 +543,81 @@ def _scope_deltas(new_docs, old_terms_by_doc) -> Counter:
     return delta
 
 
-def _merge_terms(spark, catalog, new_docs, old_terms_by_doc) -> None:
-    """3. terms: (scope, term)-keyed df merge (J6 update side via full_outer,
-    J7 insert side via the coalesce-null branch)."""
-    delta = _scope_deltas(new_docs, old_terms_by_doc)
-    rows = [(s, t, d) for (s, t), d in delta.items() if d != 0]
-    if not rows:
+def _apply_terms(spark, catalog, terms_abs: list) -> None:
+    """4. terms: write the recorded ABSOLUTE df per affected (scope, term)
+    key — J6's update side and J7's insert side collapse into one
+    overwrite-affected-keys pass (idempotent; the reference UPDATEs single
+    lemma rows, dao/LemmaDao.java:28-33). Sharded layouts (pre-partitioned
+    by pmod(xxhash64(term), S) at build) rewrite ONLY the shards whose
+    terms the batch touched; at 10^12 docs the terms table is vocab×sites
+    rows and the whole-table rewrite this replaces was the repo's last
+    full-table-per-upsert scale-killer."""
+    import glob as _glob
+
+    if not terms_abs:
         return
-    delta_df = spark.createDataFrame(rows, "scope string, term string, d long")
-    terms = catalog.read_or_empty(spark, "terms", TERMS)
-    merged = (
-        terms.join(F.broadcast(delta_df), ["scope", "term"], "full_outer")
-        .select(
-            "scope",
-            "term",
-            (F.coalesce(F.col("df"), F.lit(0)) + F.coalesce(F.col("d"), F.lit(0)))
-            .alias("df"),
+    rows = [(s, t, int(d)) for s, t, d in terms_abs]
+    sharded = bool(_glob.glob(catalog.path("terms/shard=*")))
+    if sharded:
+        n_shards = _n_term_shards(catalog)
+        shard_of = {
+            r["term"]: int(r["s"])
+            for r in spark.createDataFrame(
+                [(t,) for t in sorted({t for _, t, _ in rows})], "term string"
+            ).select(
+                "term", F.pmod(F.xxhash64("term"), F.lit(n_shards)).alias("s")
+            ).collect()
+        }
+        by_shard: dict[int, list[tuple]] = {}
+        for s, t, d in rows:
+            by_shard.setdefault(shard_of[t], []).append((s, t, d))
+        parts = [(f"terms/shard={k}", rs) for k, rs in sorted(by_shard.items())]
+    else:
+        parts = [("terms", rows)]
+    for part, rs in parts:
+        cur = catalog.read_or_empty(spark, part, TERMS)
+        key_df = spark.createDataFrame(
+            sorted((s, t) for s, t, _ in rs), "scope string, term string"
         )
-        .filter(F.col("df") > 0)
-    )
-    catalog.rewrite(merged, "terms", sort_by=["term", "scope"])
+        keep = cur.join(F.broadcast(key_df), ["scope", "term"], "left_anti")
+        add = spark.createDataFrame(
+            [(s, t, d) for s, t, d in rs if d > 0], TERMS
+        )
+        catalog.rewrite(keep.unionByName(add), part, sort_by=["term", "scope"])
 
 
-def _merge_site_stats(spark, catalog, new_docs, old_rows, old_len_by_repo) -> None:
-    """4. site_stats: exact pages/total_len deltas + re-counted scoped
-    lemma rows for the affected repos only."""
-    pages_d: Counter = Counter()
-    len_d: Counter = Counter()
-    for d in new_docs:
-        pages_d[d.repo] += 1
-        len_d[d.repo] += d.doclen
-    for r in old_rows:
-        pages_d[r["repo"]] -= 1
-    for repo, n in old_len_by_repo.items():
-        len_d[repo] -= n
-    affected = sorted(set(pages_d) | set(len_d))
-    if not affected:
+def _apply_site_stats(spark, catalog, site_abs: list) -> None:
+    """5. site_stats: recorded absolute pages/total_len per affected repo;
+    per-site lemma count re-counted from the (already merged) scoped terms
+    rows. The table is one row per repo — small at any corpus scale."""
+    if not site_abs:
         return
+    affected = sorted(r for r, _, _ in site_abs)
     ss = catalog.read_or_empty(spark, "site_stats", SITE_STATS)
-    old_vals = {
-        r["repo"]: r
-        for r in ss.filter(F.col("repo").isin(affected)).collect()
-    }
-    # per-site lemma count = scoped terms rows (already merged)
-    terms = catalog.read(spark, "terms", TERMS)
+    terms = catalog.read_or_empty(spark, "terms", TERMS)
     lemmas = {
         r["scope"]: int(r["n"])
         for r in terms.filter(F.col("scope").isin(affected))
         .groupBy("scope").agg(F.count("*").alias("n")).collect()
     }
-    new_rows = []
-    for repo in affected:
-        old = old_vals.get(repo)
-        pages = (int(old["pages"]) if old else 0) + pages_d[repo]
-        tlen = (int(old["total_len"]) if old else 0) + len_d[repo]
-        if pages <= 0:
-            continue  # site fully removed
-        new_rows.append(
-            (repo, pages, tlen, float(tlen) / float(pages), lemmas.get(repo, 0))
-        )
+    new_rows = [
+        (repo, int(pages), int(tlen), float(tlen) / float(pages),
+         lemmas.get(repo, 0))
+        for repo, pages, tlen in site_abs
+        if int(pages) > 0  # pages<=0: site fully removed
+    ]
     keep = ss.filter(~F.col("repo").isin(affected))
     merged = keep
     if new_rows:
-        merged = keep.unionByName(
-            spark.createDataFrame(new_rows, SITE_STATS)
-        )
+        merged = keep.unionByName(spark.createDataFrame(new_rows, SITE_STATS))
     catalog.rewrite(merged, "site_stats")
 
 
 def _merge_postings(spark, catalog, new_docs, old_ids, old_terms_by_doc,
-                    avgdl_build) -> None:
-    """5. block-level surgery per affected shard."""
+                    avgdl_build, done_shards=None, shard_done_cb=None) -> None:
+    """5. block-level surgery per affected shard. ``done_shards`` skips
+    shards a crashed previous attempt already committed (resume);
+    ``shard_done_cb(k)`` records each shard as it commits."""
     import glob as _glob
 
     shard_dirs = sorted(_glob.glob(catalog.path("postings/shard=*")))
@@ -377,19 +639,19 @@ def _merge_postings(spark, catalog, new_docs, old_ids, old_terms_by_doc,
         rows = []
         for t in sorted(inserts):
             ent = sorted(inserts[t])
-            rows.append(_encode_block(
+            blks = _encode_blocks_chunked(
                 t,
                 np.array([x[0] for x in ent], dtype=np.int64),
                 np.array([x[1] for x in ent], dtype=np.int64),
                 np.array([x[2] for x in ent], dtype=np.int64),
                 avgdl_build,
-            ))
+            )
+            rows.extend((b[0], i) + b[2:] for i, b in enumerate(blks))
         pdf = pd.DataFrame(
             rows,
             columns=["term", "block_id", "doc_ids", "tfs", "doclens", "count",
                      "min_doc", "max_doc", "max_tf", "max_impact"],
         )
-        pdf["block_id"] = 0
         catalog.write(spark.createDataFrame(pdf, POSTINGS), "postings/shard=0")
         from .build_job import write_shard_meta
 
@@ -406,11 +668,22 @@ def _merge_postings(spark, catalog, new_docs, old_ids, old_terms_by_doc,
     by_shard: dict[int, list[str]] = {}
     for t, s in shard_of.items():
         by_shard.setdefault(s, []).append(t)
+    # removal set includes the NEW doc ids: any pre-existing row for an
+    # inserted doc is replaced, which makes a shard's surgery IDEMPOTENT —
+    # a retry after a crash mid-batch (or a re-upsert of an identical key)
+    # removes the previously-inserted rows before re-inserting them,
+    # instead of duplicating postings
+    removal_ids = sorted(set(old_ids) | {d.doc_id for d in new_docs})
+    done_shards = set(done_shards or ())
     for k, terms_k in sorted(by_shard.items()):
+        if k in done_shards:
+            continue
         _surgery_shard(
             spark, catalog, f"postings/shard={k}", sorted(terms_k),
-            old_ids, inserts, avgdl_build,
+            removal_ids, inserts, avgdl_build,
         )
+        if shard_done_cb is not None:
+            shard_done_cb(k)
 
 
 def _surgery_shard(
@@ -480,13 +753,15 @@ def _surgery_shard(
                 tfs = np.insert(tfs, pos, np.array([x[1] for x in ins_here], dtype=np.int64))
                 dls = np.insert(dls, pos, np.array([x[2] for x in ins_here], dtype=np.int64))
             if len(ids):
-                rows_out.append(_encode_block(r["term"], ids, tfs, dls, avgdl))
+                rows_out.extend(
+                    _encode_blocks_chunked(r["term"], ids, tfs, dls, avgdl)
+                )
     for t in new_terms_absent:
         ent = sorted(inserts[t])
-        ids = np.array([x[0] for x in ent], dtype=np.int64)
-        rows_out.append(
-            _encode_block(
-                t, ids,
+        rows_out.extend(
+            _encode_blocks_chunked(
+                t,
+                np.array([x[0] for x in ent], dtype=np.int64),
                 np.array([x[1] for x in ent], dtype=np.int64),
                 np.array([x[2] for x in ent], dtype=np.int64),
                 avgdl,

@@ -125,6 +125,11 @@ CORPUS_STATS = StructType(
         # updates move `avgdl` but preserve this, and the query layer scales
         # stale bounds by max(1, avgdl/avgdl_build) (plans/incremental.py)
         StructField("avgdl_build", DoubleType(), True),
+        # exact Σ doclen (integer): incremental upserts maintain n_docs and
+        # total_len by EXACT integer deltas and derive avgdl = total/count —
+        # no full doc_stats re-scan per upsert batch, no float drift
+        # (nullable: pre-r3 catalogs lack it; the merge back-fills once)
+        StructField("total_len", LongType(), True),
     ]
 )
 

@@ -1,0 +1,186 @@
+"""Shard-scoped + crash-resumable incremental merge (VERDICT r02 next-#1,
+ADVICE r02 medium):
+
+  * an upsert batch rewrites ONLY the terms shards / doc_stats buckets /
+    postings shards it touches — every other shard's parquet files stay
+    BYTE-IDENTICAL (the reference UPDATEs single lemma rows,
+    dao/LemmaDao.java:28-33, never the table);
+  * a crash AFTER the docs table committed but BEFORE terms/site_stats
+    merged must not lose the df/site_stats increments: a retry of the SAME
+    batch resumes from the recorded pre-merge state and converges to the
+    exact rebuild;
+  * a DIFFERENT batch while a merge is pending is refused loudly.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.query import SearchEngine, decode_blocks
+from search_engine_spark.plans import incremental as inc
+from search_engine_spark.plans.build_job import build_index
+from search_engine_spark.sources.catalog import Catalog
+from search_engine_spark.synth import make_corpus
+
+BUILD_KW = dict(n_shards=4, skew_df_threshold=50, salt_target_rows=40)
+
+
+def _digests(root: str, pattern: str) -> dict[str, str]:
+    """{shard-dir-relative parquet path: sha256(bytes)}"""
+    out = {}
+    for f in sorted(glob.glob(os.path.join(root, pattern, "*.parquet"))):
+        with open(f, "rb") as fh:
+            out[os.path.relpath(f, root)] = hashlib.sha256(fh.read()).hexdigest()
+    return out
+
+
+def test_upsert_touches_only_affected_shards(spark, tmp_path):
+    corpus = make_corpus(spark, 80, seed=21, partitions=2)
+    cat = Catalog(str(tmp_path / "shards"))
+    build_index(spark, corpus, cat, **BUILD_KW)
+    repo = corpus.select("repo").first()["repo"]
+
+    before = {
+        p: _digests(cat.root, p)
+        for p in ("terms/shard=*", "doc_stats/bucket=*", "postings/shard=*")
+    }
+    assert len({os.path.dirname(k) for k in before["terms/shard=*"]}) > 1
+
+    # ONE new doc, ONE brand-new term, in ONE existing repo → exactly one
+    # terms shard, one doc_stats bucket and one postings shard may change
+    inc.index_docs(
+        spark, cat, [(repo, "new/file.py", "1" * 40, "python", "zzqqxxvv")],
+        code=True,
+    )
+
+    for pattern, snap in before.items():
+        after = _digests(cat.root, pattern)
+        changed_dirs = {
+            os.path.dirname(k)
+            for k in set(snap) | set(after)
+            if snap.get(k) != after.get(k)
+        }
+        assert len(changed_dirs) <= 1, (pattern, changed_dirs)
+        untouched = [k for k in snap if os.path.dirname(k) not in changed_dirs]
+        assert untouched, pattern  # the claim is vacuous if everything changed
+        for k in untouched:
+            assert after[k] == snap[k], (pattern, k)
+
+    # and the upsert actually landed
+    eng = SearchEngine(spark, cat, code=True)
+    assert eng.topk("zzqqxxvv", 5).count() == 1
+
+
+def test_crash_after_docs_commit_retry_converges(spark, tmp_path, monkeypatch):
+    """The ADVICE r02 window: _merge_docs commits, then the process dies.
+    The old content is gone from the docs table, so a naive retry would
+    compute zero deltas and permanently corrupt df/site_stats — the
+    recorded pre-merge state must carry them through the retry."""
+    corpus = make_corpus(spark, 60, seed=13, partitions=2)
+    rows = corpus.collect()
+    target = rows[0]
+    new_content = "zzreplacement content with totally different words zzreplacement"
+
+    cat = Catalog(str(tmp_path / "crash"))
+    build_index(spark, spark.createDataFrame(rows, corpus.schema), cat, **BUILD_KW)
+
+    batch = [(target["repo"], target["path"], target["commit"],
+              target["lang"], new_content)]
+    real_apply = inc._apply_terms
+    monkeypatch.setattr(
+        inc, "_apply_terms",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("injected crash")),
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        inc.index_docs(spark, cat, batch, code=True)
+    # docs table already rewritten: the old row is unrecoverable from it
+    assert (
+        cat.read(spark, "docs")
+        .filter((F.col("repo") == target["repo"]) & (F.col("path") == target["path"]))
+        .first()["content"]
+        == new_content
+    )
+    assert inc._load_state(cat) is not None  # merge is pending
+
+    # a DIFFERENT batch must be refused while the merge is incomplete
+    monkeypatch.setattr(inc, "_apply_terms", real_apply)
+    with pytest.raises(RuntimeError, match="incomplete"):
+        inc.index_docs(
+            spark, cat, [("other/repo", "x.py", "2" * 40, "python", "hello")],
+            code=True,
+        )
+
+    # retry of the SAME batch resumes and converges
+    inc.index_docs(spark, cat, batch, code=True)
+    assert inc._load_state(cat) is None
+
+    # rebuild over the modified corpus = ground truth
+    mod_rows = [target.__class__(**{**target.asDict(), "content": new_content})] + rows[1:]
+    cat_full = Catalog(str(tmp_path / "full"))
+    build_index(spark, spark.createDataFrame(mod_rows, corpus.schema), cat_full,
+                **BUILD_KW)
+
+    ti = cat.read(spark, "terms").select("scope", "term", "df")
+    tf_ = cat_full.read(spark, "terms").select("scope", "term", "df")
+    assert ti.subtract(tf_).count() == 0 and tf_.subtract(ti).count() == 0
+
+    ci = cat.read(spark, "corpus_stats").collect()[0]
+    cf = cat_full.read(spark, "corpus_stats").collect()[0]
+    assert ci["n_docs"] == cf["n_docs"]
+    assert ci["total_len"] == cf["total_len"]
+    assert ci["avgdl"] == cf["avgdl"]  # exact: both are total/count in f64
+
+    si = {r["repo"]: (r["pages"], r["total_len"], r["lemmas"])
+          for r in cat.read(spark, "site_stats").collect()}
+    sf = {r["repo"]: (r["pages"], r["total_len"], r["lemmas"])
+          for r in cat_full.read(spark, "site_stats").collect()}
+    assert si == sf
+
+    ei, ef = SearchEngine(spark, cat, code=True), SearchEngine(spark, cat_full, code=True)
+    for q in ["zzreplacement words", "import", "query scan"]:
+        ri = [(r["doc_id"], r["score"]) for r in ei.topk(q, 20).collect()]
+        rf = [(r["doc_id"], r["score"]) for r in ef.topk(q, 20).collect()]
+        assert ri == rf, q
+
+    pi = decode_blocks(ei.postings).toPandas().sort_values(
+        ["term", "doc_id"]).reset_index(drop=True)
+    pf = decode_blocks(ef.postings).toPandas().sort_values(
+        ["term", "doc_id"]).reset_index(drop=True)
+    assert pi.equals(pf)
+
+
+def test_blocks_never_grow_past_block_size(spark, tmp_path):
+    """ADVICE r02 (medium): repeated upserts landing in the same covering
+    block must re-split at BLOCK_SIZE — block-max granularity and the
+    serving cache's eviction margin depend on bounded blocks."""
+    from search_engine_spark.operators.codec import BLOCK_SIZE
+
+    corpus = make_corpus(spark, 40, seed=31, partitions=2)
+    cat = Catalog(str(tmp_path / "grow"))
+    build_index(spark, corpus, cat, **BUILD_KW)
+    repo = corpus.select("repo").first()["repo"]
+    # 3 batches × 60 docs sharing one term: without re-splitting, the
+    # term's single insertion block would grow to 180+ entries
+    for b in range(3):
+        inc.index_docs(
+            spark, cat,
+            [(repo, f"grow/{b}/{i}.py", "3" * 40, "python",
+              f"zzgrowterm filler{b}x{i}") for i in range(60)],
+            code=True,
+        )
+    counts = [
+        int(r["count"])
+        for r in cat.read(spark, "postings")
+        .filter(F.col("term") == "zzgrowterm")
+        .select("count")
+        .collect()
+    ]
+    assert sum(counts) == 180
+    assert max(counts) <= BLOCK_SIZE
+    eng = SearchEngine(spark, cat, code=True)
+    assert eng.count_matches("zzgrowterm") == 180
