@@ -153,8 +153,11 @@ class EngineAPI:
         if parsed is None:
             return {"result": False, "error": ERR_OUT_OF_SCOPE}
         repo, path = parsed
-        if not path:
-            return {"result": False, "error": ERR_OUT_OF_SCOPE}
+        # a URL resolving to the repo root is a valid indexable page — the
+        # reference accepts any URL prefix-matching a configured site,
+        # INCLUDING the site root (IndexingServiceImpl.java:98-107); the
+        # root document indexes under the canonical empty in-repo path
+        # (title falls back to DEFAULT_TITLE, like the reference's F2)
         return self.index_docs([(repo, path, commit, lang, content)])
 
     # -- GET /api/search (ApiController.java:40-47) --------------------------

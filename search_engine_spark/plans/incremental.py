@@ -155,8 +155,7 @@ def _batch_id(new_docs: list[_NewDoc]) -> str:
 
     h = hashlib.sha256()
     for d in sorted(new_docs, key=lambda x: (x.repo, x.path)):
-        c = hashlib.sha256(d.content.encode("utf-8")).hexdigest()
-        h.update(f"{d.repo}\x00{d.path}\x00{d.commit}\x00{c}\x01".encode())
+        h.update(f"{d.repo}\x00{d.path}\x00{d.commit}\x00{d.sha}\x01".encode())
     return h.hexdigest()
 
 
@@ -189,18 +188,28 @@ def _encode_blocks_chunked(term: str, ids: np.ndarray, tfs: np.ndarray,
 
 
 class _NewDoc:
-    """Analyzed upsert payload for one (repo, path)."""
+    """Analyzed upsert payload for one (repo, path). ``content`` is None on
+    the distributed path — tf/doclen were computed by the executors and the
+    docs-table rows come straight from the batch DataFrame."""
 
     __slots__ = ("repo", "path", "commit", "lang", "content", "tf", "doclen",
-                 "doc_id", "bucket")
+                 "doc_id", "bucket", "sha")
 
     def __init__(self, repo: str, path: str, commit: str, lang: str,
-                 content: str, code: bool):
+                 content: str | None, code: bool, tf: Counter | None = None,
+                 sha: str | None = None):
+        import hashlib
+
         self.repo, self.path, self.commit = repo, path, commit
         self.lang, self.content = lang, content
-        forms = analyze(content, code=code)
-        self.tf = Counter(forms)
-        self.doclen = len(forms)
+        if tf is None:
+            forms = analyze(content, code=code)
+            tf = Counter(forms)
+        if sha is None:
+            sha = hashlib.sha256((content or "").encode("utf-8")).hexdigest()
+        self.tf = tf
+        self.sha = sha
+        self.doclen = sum(tf.values())
         self.doc_id = 0  # assigned in one batch job
         self.bucket = 0
 
@@ -236,18 +245,92 @@ def index_docs(
     """
     if not docs_in:
         return
-    t0 = time.time()
-    man = Manifest(path=catalog.path("build_manifest.jsonl"), build_id="incremental")
-
     # --- analyze new docs with the same frozen spec; dedupe on (repo,path)
     by_key: dict[tuple[str, str], _NewDoc] = {}
     for repo, path, commit, lang, content in docs_in:
         by_key[(repo, path)] = _NewDoc(repo, path, commit, lang, content, code)
-    new_docs = list(by_key.values())
+    _run_merge(spark, catalog, list(by_key.values()), code)
+
+
+# rows above this, a micro-batch is prepared DISTRIBUTED (content never
+# reaches the driver); below it, the driver path saves the Spark round-trips
+DRIVER_BATCH_ROWS = 256
+
+
+def index_docs_from_df(
+    spark: SparkSession,
+    catalog: Catalog,
+    batch_df,
+    code: bool = True,
+    driver_row_cap: int = DRIVER_BATCH_ROWS,
+) -> None:
+    """Upsert a CORPUS-shaped DataFrame (the streaming-ingest sink path).
+
+    Small batches (≤ ``driver_row_cap`` rows) collect and take the driver
+    path — the docs/sec trickle. Larger batches are prepared DISTRIBUTED:
+    analysis runs as the build's own mapInPandas stage, only TERM-LEVEL
+    rows (bounded by the batch vocabulary) are collected, and the docs
+    rows are written from the batch DataFrame itself — document CONTENT
+    never materializes on the driver, so a misconfigured
+    maxFilesPerTrigger can no longer OOM it (VERDICT r02 #5)."""
+    from ..operators import build as B
+    from pyspark.sql.window import Window as _W
+
+    n = batch_df.count()
+    if n == 0:
+        return
+    if n <= driver_row_cap:
+        rows = batch_df.select("repo", "path", "commit", "lang", "content").collect()
+        index_docs(
+            spark, catalog,
+            [(r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+             for r in rows],
+            code=code,
+        )
+        return
+    # last-write-wins per (repo, path) with a deterministic winner
+    w = _W.partitionBy("repo", "path").orderBy(
+        F.desc("commit"), F.desc(F.sha2(F.col("content"), 256))
+    )
+    batch = (
+        batch_df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .persist()
+    )
+    try:
+        docs_src = B.build_docs(batch)  # + doc_id + content_sha256
+        tf_pdf = B.term_frequencies_from_docs(docs_src, code=code).toPandas()
+        by_doc: dict[int, Counter] = {}
+        for doc_id, g in tf_pdf.groupby("doc_id"):
+            by_doc[int(doc_id)] = Counter(
+                dict(zip(g["term"], (int(x) for x in g["tf"])))
+            )
+        meta = docs_src.select(
+            "doc_id", "repo", "path", "commit", "lang", "content_sha256"
+        ).collect()
+        new_docs = [
+            _NewDoc(
+                m["repo"], m["path"], m["commit"], m["lang"], None, code,
+                tf=by_doc.get(int(m["doc_id"]), Counter()),
+                sha=m["content_sha256"],
+            )
+            for m in meta
+        ]
+        _run_merge(spark, catalog, new_docs, code, new_rows_df=docs_src)
+    finally:
+        batch.unpersist()
+
+
+def _run_merge(spark, catalog, new_docs: list[_NewDoc], code: bool,
+               new_rows_df=None) -> None:
+    t0 = time.time()
+    man = Manifest(path=catalog.path("build_manifest.jsonl"), build_id="incremental")
 
     # doc_id + bucket assignment: ONE Spark job for the whole batch, using
     # the same hash exprs as the distributed build (operators/build.py)
     n_buckets = _n_buckets(catalog)
+    by_key = {(d.repo, d.path): d for d in new_docs}
     key_rows = spark.createDataFrame(
         [(d.repo, d.path, d.commit) for d in new_docs],
         "repo string, path string, commit string",
@@ -277,7 +360,8 @@ def index_docs(
         # compute every later-stage input from the PRE-merge tables and
         # persist it before touching anything — a retry must not re-derive
         # deltas from already-rewritten tables (it would find none)
-        state = _compute_state(spark, catalog, new_docs, bid, code)
+        state = _compute_state(spark, catalog, new_docs, bid, code,
+                               distributed=new_rows_df is not None)
         _save_state(catalog, state)
 
     keys = {(d.repo, d.path) for d in new_docs}
@@ -294,7 +378,7 @@ def index_docs(
     man.start("index_doc")
     try:
         if _stage("docs"):
-            _merge_docs(spark, catalog, new_docs, keys, n_buckets)
+            _merge_docs(spark, catalog, new_docs, keys, n_buckets, new_rows_df)
             _mark("docs")
         if _stage("doc_stats"):
             _apply_doc_stats(spark, catalog, new_docs, old_ids)
@@ -334,26 +418,39 @@ def index_docs(
 # table merges
 
 
-def _merge_docs(spark, catalog, new_docs, keys, n_buckets) -> None:
-    """1. docs: rewrite ONLY the affected repo buckets, doc_id-sorted."""
+def _merge_docs(spark, catalog, new_docs, keys, n_buckets, new_rows_df=None) -> None:
+    """1. docs: rewrite ONLY the affected repo buckets, doc_id-sorted.
+    ``new_rows_df`` (distributed path) supplies the new rows straight from
+    the batch DataFrame — content stays on the executors."""
     by_bucket: dict[int, list[_NewDoc]] = {}
     for d in new_docs:
         by_bucket.setdefault(d.bucket, []).append(d)
+    src = None
+    if new_rows_df is not None:
+        dl_df = spark.createDataFrame(
+            [(d.doc_id, d.doclen) for d in new_docs], "doc_id long, doclen long"
+        )
+        src = new_rows_df.join(F.broadcast(dl_df), "doc_id")
     for bucket, docs_b in sorted(by_bucket.items()):
         part = f"docs/repo_bucket={bucket}"
-        new_rows = spark.createDataFrame(
-            [
-                (d.repo, d.path, d.commit, d.lang, d.content, d.doclen)
-                for d in docs_b
-            ],
-            "repo string, path string, commit string, lang string, "
-            "content string, doclen long",
-        ).select(
-            F.xxhash64("repo", "path", "commit").alias("doc_id"),
-            "repo", "path", "commit", "lang", "content",
-            F.sha2(F.col("content"), 256).alias("content_sha256"),
-            "doclen",
-        )
+        if src is not None:
+            new_rows = src.filter(
+                F.pmod(F.xxhash64("repo"), F.lit(n_buckets)) == bucket
+            )
+        else:
+            new_rows = spark.createDataFrame(
+                [
+                    (d.repo, d.path, d.commit, d.lang, d.content, d.doclen)
+                    for d in docs_b
+                ],
+                "repo string, path string, commit string, lang string, "
+                "content string, doclen long",
+            ).select(
+                F.xxhash64("repo", "path", "commit").alias("doc_id"),
+                "repo", "path", "commit", "lang", "content",
+                F.sha2(F.col("content"), 256).alias("content_sha256"),
+                "doclen",
+            )
         key_df = spark.createDataFrame(
             sorted({(d.repo, d.path) for d in docs_b}), "repo string, path string"
         )
@@ -367,33 +464,51 @@ def _merge_docs(spark, catalog, new_docs, keys, n_buckets) -> None:
         )
 
 
-def _compute_state(spark, catalog, new_docs, bid: str, code: bool) -> dict:
+def _compute_state(spark, catalog, new_docs, bid: str, code: bool,
+                   distributed: bool = False) -> dict:
     """Pre-merge snapshot: old rows' term sets + the ABSOLUTE post-merge
     values every stage will write. Reads only pre-merge tables; writes
     nothing. The absolute values make every stage idempotent — applying
     them twice is applying them once (deltas would double-count on
-    retry)."""
+    retry). ``distributed`` re-analyzes the replaced docs on the executors
+    and collects only term-level rows (the driver path collects their
+    content — fine for trickle batches, not for bulk ones)."""
     from ..schemas import CORPUS_STATS
 
     # --- old rows being replaced (any row sharing an upsert key) ----------
     keys = {(d.repo, d.path) for d in new_docs}
     docs_tbl = catalog.read_or_empty(spark, "docs", _DOCS_PART)
     key_df = spark.createDataFrame(sorted(keys), "repo string, path string")
-    old_rows = (
-        docs_tbl.join(F.broadcast(key_df), ["repo", "path"], "left_semi")
-        .select("doc_id", "repo", "content")
-        .collect()
-    )
-    old_ids = [int(r["doc_id"]) for r in old_rows]
+    old_sel = docs_tbl.join(F.broadcast(key_df), ["repo", "path"], "left_semi")
     # per-OLD-DOC term sets: df decrements count distinct docs, not rows
     old_terms_by_doc: list[tuple[str, set]] = []
     old_len_by_repo: Counter = Counter()
     old_repos: list[str] = []
-    for r in old_rows:
-        forms = analyze(r["content"], code=code)
-        old_terms_by_doc.append((r["repo"], set(forms)))
-        old_len_by_repo[r["repo"]] += len(forms)
-        old_repos.append(r["repo"])
+    old_ids: list[int] = []
+    if distributed:
+        from ..operators import build as B
+
+        id_rows = old_sel.select("doc_id", "repo").collect()
+        old_tf = B.term_frequencies_from_docs(
+            old_sel.select("doc_id", "repo", "content"), code=code
+        ).toPandas()
+        sets_by_doc: dict[int, set] = {}
+        for doc_id, g in old_tf.groupby("doc_id"):
+            sets_by_doc[int(doc_id)] = set(g["term"])
+            old_len_by_repo[g["repo"].iloc[0]] += int(g["tf"].sum())
+        for r in id_rows:
+            old_ids.append(int(r["doc_id"]))
+            old_repos.append(r["repo"])
+            old_terms_by_doc.append(
+                (r["repo"], sets_by_doc.get(int(r["doc_id"]), set()))
+            )
+    else:
+        for r in old_sel.select("doc_id", "repo", "content").collect():
+            forms = analyze(r["content"], code=code)
+            old_ids.append(int(r["doc_id"]))
+            old_terms_by_doc.append((r["repo"], set(forms)))
+            old_len_by_repo[r["repo"]] += len(forms)
+            old_repos.append(r["repo"])
 
     # --- terms: absolute df per affected (scope, term) key -----------------
     delta = _scope_deltas(new_docs, old_terms_by_doc)

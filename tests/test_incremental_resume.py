@@ -154,6 +154,64 @@ def test_crash_after_docs_commit_retry_converges(spark, tmp_path, monkeypatch):
     assert pi.equals(pf)
 
 
+def test_big_batch_distributed_ingest_converges(spark, tmp_path, monkeypatch):
+    """VERDICT r02 #5: a micro-batch above the driver row cap is prepared
+    DISTRIBUTED — document content never takes the driver tuple path — and
+    still converges to the identical index (replacements included)."""
+    corpus = make_corpus(spark, 80, seed=17, partitions=2)
+    rows = corpus.collect()
+    base = rows[:50]
+    batch_rows = []
+    for i, r in enumerate(rows[30:]):  # 20 replacements + 30 new docs
+        d = r.asDict()
+        if i < 20:
+            d["content"] = d["content"] + " zzmodified content"
+        batch_rows.append(tuple(d[c] for c in corpus.columns))
+
+    cat = Catalog(str(tmp_path / "dist"))
+    build_index(spark, spark.createDataFrame(base, corpus.schema), cat, **BUILD_KW)
+
+    # forbid the driver tuple path entirely for this batch
+    monkeypatch.setattr(
+        inc, "index_docs",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("driver path used")),
+    )
+    inc.index_docs_from_df(
+        spark, cat, spark.createDataFrame(batch_rows, corpus.schema),
+        code=True, driver_row_cap=10,
+    )
+
+    # ground truth: rebuild over the merged corpus
+    final_rows = [tuple(r.asDict()[c] for c in corpus.columns) for r in rows[:30]]
+    final_rows += batch_rows
+    cat_full = Catalog(str(tmp_path / "dist_full"))
+    build_index(spark, spark.createDataFrame(final_rows, corpus.schema),
+                cat_full, **BUILD_KW)
+
+    ti = cat.read(spark, "terms").select("scope", "term", "df")
+    tf_ = cat_full.read(spark, "terms").select("scope", "term", "df")
+    assert ti.subtract(tf_).count() == 0 and tf_.subtract(ti).count() == 0
+    ci = cat.read(spark, "corpus_stats").collect()[0]
+    cf = cat_full.read(spark, "corpus_stats").collect()[0]
+    assert (ci["n_docs"], ci["total_len"], ci["avgdl"]) == (
+        cf["n_docs"], cf["total_len"], cf["avgdl"]
+    )
+    di = cat.read(spark, "docs").select("doc_id", "content_sha256", "doclen")
+    df_ = cat_full.read(spark, "docs").select("doc_id", "content_sha256", "doclen")
+    assert di.subtract(df_).count() == 0 and df_.subtract(di).count() == 0
+    pi = decode_blocks(SearchEngine(spark, cat, code=True).postings).toPandas()
+    pf = decode_blocks(SearchEngine(spark, cat_full, code=True).postings).toPandas()
+    pi = pi.sort_values(["term", "doc_id"]).reset_index(drop=True)
+    pf = pf.sort_values(["term", "doc_id"]).reset_index(drop=True)
+    assert pi.equals(pf)
+    ei = SearchEngine(spark, cat, code=True)
+    ef = SearchEngine(spark, cat_full, code=True)
+    for q in ["zzmodified content", "import", "query scan"]:
+        ri = [(r["doc_id"], r["score"]) for r in ei.topk(q, 20).collect()]
+        rf = [(r["doc_id"], r["score"]) for r in ef.topk(q, 20).collect()]
+        assert ri == rf, q
+
+
 def test_blocks_never_grow_past_block_size(spark, tmp_path):
     """ADVICE r02 (medium): repeated upserts landing in the same covering
     block must re-split at BLOCK_SIZE — block-max granularity and the

@@ -44,9 +44,18 @@ def test_index_page_scope_and_split(spark, tmp_path):
     # out-of-scope repo via URL spelling
     r = api.index_page("https://h/evil/repo/blob/main/x.py", "0" * 40, "python", "x")
     assert r == {"result": False, "error": ERR_OUT_OF_SCOPE}
-    # no in-repo path → not a page
-    r = api.index_page("https://h/org0/repo0", "0" * 40, "python", "x")
-    assert r == {"result": False, "error": ERR_OUT_OF_SCOPE}
+    # a repo-ROOT URL is a valid indexable page (the reference accepts any
+    # URL prefix-matching a configured site, IndexingServiceImpl.java:98-107)
+    # — it indexes under the canonical empty in-repo path
+    r = api.index_page("https://h/org0/repo0", "0" * 40, "python",
+                       "zzrootterm landing document")
+    assert r == {"result": True}
+    from search_engine_spark.api import DEFAULT_TITLE
+
+    resp = api.search("zzrootterm")
+    assert resp["count"] == 1
+    assert resp["data"][0]["uri"] == ""
+    assert resp["data"][0]["title"] == DEFAULT_TITLE
     # in-scope URL with encoded path indexes into a fresh catalog
     r = api.index_page(
         "https://h/org0/repo0/blob/main/src/sp%20ace.py", "0" * 40, "python",
