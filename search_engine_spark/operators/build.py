@@ -99,7 +99,8 @@ def term_frequencies_from_docs(docs: DataFrame, code: bool = True) -> DataFrame:
             if ex.empty:
                 yield pd.DataFrame(
                     {"doc_id": np.array([], dtype=np.int64), "repo": [],
-                     "term": [], "tf": np.array([], dtype=np.int64)}
+                     "term": [], "tf": np.array([], dtype=np.int64),
+                     "doclen": np.array([], dtype=np.int64)}
                 )
                 continue
             out = (
@@ -110,6 +111,10 @@ def term_frequencies_from_docs(docs: DataFrame, code: bool = True) -> DataFrame:
             out["tf"] = out["tf"].astype(np.int64)
             repo_of = dict(zip(pdf["doc_id"], pdf["repo"]))
             out.insert(1, "repo", out["doc_id"].map(repo_of))
+            # doclen finalized in-batch: one doc = one input row, so the
+            # doc's total token count never crosses the network — and the
+            # postings stage never joins back to doc_stats (TF schema note)
+            out["doclen"] = out.groupby("doc_id", sort=False)["tf"].transform("sum")
             yield out
 
     return docs.select("doc_id", "repo", "content").mapInPandas(
@@ -242,7 +247,25 @@ def _postings_partition_encoder(avgdl: float):
 
 
 def _encode_span(pdf: pd.DataFrame, n: int, avgdl: float) -> pd.DataFrame | None:
-    """Encode rows [0, n) of a sorted frame — WHOLE-SPAN vectorized.
+    return _encode_span_arrays(
+        pdf["term"].to_numpy()[:n],
+        pdf["salt"].to_numpy()[:n],
+        np.ascontiguousarray(pdf["doc_id"].to_numpy()[:n], dtype=np.int64),
+        np.ascontiguousarray(pdf["tf"].to_numpy()[:n], dtype=np.int64),
+        np.ascontiguousarray(pdf["doclen"].to_numpy()[:n], dtype=np.int64),
+        avgdl,
+    )
+
+
+def _encode_span_arrays(
+    terms: np.ndarray,
+    salts: np.ndarray,
+    ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+) -> pd.DataFrame | None:
+    """Encode a (term, salt, doc_id)-sorted span — WHOLE-SPAN vectorized.
 
     Every block (BLOCK_SIZE-chunk of a contiguous (term, salt) group) is a
     contiguous row range of the span, and LEB128 streams concatenate, so
@@ -255,11 +278,7 @@ def _encode_span(pdf: pd.DataFrame, n: int, avgdl: float) -> pd.DataFrame | None
     of tiny groups cheap."""
     from .codec import BLOCK_SIZE, varint_encode_with_lengths
 
-    terms = pdf["term"].to_numpy()[:n]
-    salts = pdf["salt"].to_numpy()[:n]
-    ids = np.ascontiguousarray(pdf["doc_id"].to_numpy()[:n], dtype=np.int64)
-    tfs = np.ascontiguousarray(pdf["tf"].to_numpy()[:n], dtype=np.int64)
-    dls = np.ascontiguousarray(pdf["doclen"].to_numpy()[:n], dtype=np.int64)
+    n = len(ids)
     # group change points (terms: object array — != compares elementwise)
     change = np.flatnonzero((terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1]))
     gstarts = np.concatenate(([0], change + 1))
@@ -319,12 +338,149 @@ def _encode_span(pdf: pd.DataFrame, n: int, avgdl: float) -> pd.DataFrame | None
     return pd.DataFrame(rows, columns=_POSTINGS_COLS)
 
 
+def _pack_partition_encoder():
+    """mapInPandas body for the MAP SIDE of the packed postings build: one
+    pass over an input partition's (term, salt, doc_id, tf, doclen) rows →
+    one compact binary row per (term, salt) run present in the partition.
+
+    Per-run payloads are the SAME delta-gap+varint streams the final
+    blocks use (gap reset at each run start), so the reduce side decodes
+    them with two vectorized passes. Grouping is by pd.factorize codes
+    (O(n) hash, no string sorts); the single np.lexsort replaces Spark's
+    per-row sort-exchange machinery — the measured 2-vs-8-core knee
+    (BENCH_SCALING_2v8.json) was exactly that machinery over 93M skinny
+    rows, not the encode."""
+    from .codec import varint_encode_with_lengths
+
+    _BIAS = np.uint64(1 << 63)
+
+    def pack(batches):
+        chunks = [p for p in batches if len(p)]
+        if not chunks:
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        n = len(pdf)
+        codes, uniq = pd.factorize(pdf["term"], sort=False)
+        uniq = np.asarray(uniq, dtype=object)
+        salts = pdf["salt"].to_numpy(np.int32)
+        ids = pdf["doc_id"].to_numpy(np.int64)
+        order = np.lexsort((ids, salts, codes))
+        codes, salts, ids = codes[order], salts[order], ids[order]
+        tfs = pdf["tf"].to_numpy(np.int64)[order]
+        dls = pdf["doclen"].to_numpy(np.int64)[order]
+        change = np.flatnonzero((codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1]))
+        rstarts = np.concatenate(([0], change + 1))
+        rends = np.concatenate((change + 1, [n]))
+        u = ids.view(np.uint64) + _BIAS
+        gaps = np.empty(n, dtype=np.uint64)
+        gaps[0] = u[0]
+        np.subtract(u[1:], u[:-1], out=gaps[1:])
+        gaps[rstarts] = u[rstarts]
+        id_bytes, id_len = varint_encode_with_lengths(gaps)
+        tf_bytes, tf_len = varint_encode_with_lengths(tfs.view(np.uint64))
+        dl_bytes, dl_len = varint_encode_with_lengths(dls.view(np.uint64))
+        id_cum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(id_len, out=id_cum[1:])
+        tf_cum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(tf_len, out=tf_cum[1:])
+        dl_cum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(dl_len, out=dl_cum[1:])
+        yield pd.DataFrame(
+            {
+                "term": uniq[codes[rstarts]],
+                "salt": salts[rstarts],
+                "n": (rends - rstarts).astype(np.int64),
+                "doc_ids": [
+                    id_bytes[id_cum[s]: id_cum[e]] for s, e in zip(rstarts, rends)
+                ],
+                "tfs": [
+                    tf_bytes[tf_cum[s]: tf_cum[e]] for s, e in zip(rstarts, rends)
+                ],
+                "doclens": [
+                    dl_bytes[dl_cum[s]: dl_cum[e]] for s, e in zip(rstarts, rends)
+                ],
+            }
+        )
+
+    return pack
+
+
+def _merge_runs_encoder(avgdl: float):
+    """REDUCE side of the packed build: partition sorted by (term, salt),
+    each group's runs decoded in two vectorized passes (concatenated
+    varint streams + within-run cumsum reconstruction), merged into doc
+    order with ONE lexsort per span, then whole-span block-encoded —
+    byte-identical blocks to the direct path (tested)."""
+
+    def merge(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            terms = pdf["term"].to_numpy()
+            salts = pdf["salt"].to_numpy()
+            last_mask = (terms == terms[-1]) & (salts == salts[-1])
+            tail_start = int(np.argmax(last_mask))  # last group is a suffix
+            carry = pdf.iloc[tail_start:]
+            if tail_start == 0:
+                continue
+            out = _merge_runs_span(pdf.iloc[:tail_start], avgdl)
+            if out is not None:
+                yield out
+        if carry is not None and len(carry):
+            out = _merge_runs_span(carry.reset_index(drop=True), avgdl)
+            if out is not None:
+                yield out
+
+    return merge
+
+
+def _merge_runs_span(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame | None:
+    from .codec import varint_decode
+
+    _BIAS = np.uint64(1 << 63)
+    ns = pdf["n"].to_numpy(np.int64)
+    total = int(ns.sum())
+    if total == 0:
+        return None
+    # ONE decode per column: varint streams concatenate, and within-run
+    # absolute doc_ids come back from a global cumsum minus each run's
+    # base (uint64 modular arithmetic keeps this exact)
+    gaps = varint_decode(b"".join(pdf["doc_ids"]))
+    ends = np.cumsum(ns)
+    c = np.cumsum(gaps, dtype=np.uint64)
+    base = np.concatenate(([np.uint64(0)], c[ends[:-1] - 1]))
+    u = c - np.repeat(base, ns)
+    tfs = varint_decode(b"".join(pdf["tfs"])).view(np.int64)
+    dls = varint_decode(b"".join(pdf["doclens"])).view(np.int64)
+
+    terms_r = pdf["term"].to_numpy()
+    salts_r = pdf["salt"].to_numpy(np.int32)
+    row_change = (terms_r[1:] != terms_r[:-1]) | (salts_r[1:] != salts_r[:-1])
+    gidx_row = np.concatenate(([0], np.cumsum(row_change)))
+    gidx = np.repeat(gidx_row, ns)
+    order = np.lexsort((u, gidx))  # group-major, doc-ascending within group
+    ids_sorted = (u[order] - _BIAS).view(np.int64)
+    return _encode_span_arrays(
+        np.repeat(terms_r, ns)[order],
+        np.repeat(salts_r, ns)[order],
+        ids_sorted,
+        tfs[order],
+        dls[order],
+        avgdl,
+    )
+
+
 def build_postings(
     tf_with_dl: DataFrame,
     terms: DataFrame,
     avgdl: float,
     skew_df_threshold: int = SKEW_DF_THRESHOLD,
     salt_target_rows: int = SALT_TARGET_ROWS,
+    packed: bool = True,
 ) -> DataFrame:
     """(term, doc_id, tf, doclen) rows → compressed block table.
 
@@ -335,7 +491,19 @@ def build_postings(
     disjoint ascending doc range and its blocks concatenate in global
     doc order with NO second decode pass. Global block_id is then a cheap
     row_number window over block rows (count/BLOCK_SIZE rows, not postings).
-    """
+
+    ``packed=True`` (default): MAP-SIDE PARTIAL ENCODE — each input
+    partition packs its (term, salt) runs into delta-gap+varint binary
+    rows BEFORE the exchange, so the shuffle moves ~df/P-fold fewer rows
+    and ~5-8x fewer bytes per posting; the reduce side decodes, merges
+    (one lexsort per span) and block-encodes. Output blocks are
+    byte-identical to the direct path. This is the classic map-side
+    combine applied to posting construction: the 2-vs-8-core scaling knee
+    (BENCH_SCALING_2v8.json) measured the exchange+sort machinery over
+    raw posting rows as the build's scale ceiling — packing removes most
+    of those bytes and ALL of the sort-exchange row costs.
+    ``packed=False`` keeps the direct repartition+sort+encode plan (the
+    equality oracle for tests)."""
     hot = (
         terms.filter(F.col("df") > skew_df_threshold)
         .select(
@@ -360,16 +528,28 @@ def build_postings(
         )
         .select("term", "salt", "doc_id", "tf", "doclen")
     )
-    # hash-partition by (term, salt) — all of a group's rows in one task —
-    # then sort the partition so groups are contiguous doc-ascending runs;
-    # ONE mapInPandas pass encodes every run (no per-group pandas frames —
-    # see _postings_partition_encoder for why this matters on a Zipf
-    # vocabulary)
-    blocks = (
-        with_salt.repartition("term", "salt")
-        .sortWithinPartitions("term", "salt", "doc_id")
-        .mapInPandas(_postings_partition_encoder(avgdl), schema=POSTINGS)
-    )
+    if packed:
+        from ..schemas import PACKED_RUNS
+
+        packed_runs = with_salt.mapInPandas(
+            _pack_partition_encoder(), schema=PACKED_RUNS
+        )
+        blocks = (
+            packed_runs.repartition("term", "salt")
+            .sortWithinPartitions("term", "salt")
+            .mapInPandas(_merge_runs_encoder(avgdl), schema=POSTINGS)
+        )
+    else:
+        # hash-partition by (term, salt) — all of a group's rows in one
+        # task — then sort the partition so groups are contiguous
+        # doc-ascending runs; ONE mapInPandas pass encodes every run (no
+        # per-group pandas frames — see _postings_partition_encoder for
+        # why that matters on a Zipf vocabulary)
+        blocks = (
+            with_salt.repartition("term", "salt")
+            .sortWithinPartitions("term", "salt", "doc_id")
+            .mapInPandas(_postings_partition_encoder(avgdl), schema=POSTINGS)
+        )
     w = Window.partitionBy("term").orderBy("min_doc")
     return blocks.withColumn(
         "block_id", (F.row_number().over(w) - 1).cast("int")

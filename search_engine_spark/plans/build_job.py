@@ -186,7 +186,14 @@ def build_index(
     avgdl = float(cstats["avgdl"]) if cstats["n_docs"] else 1.0
 
     # -- stage: postings, sharded by term hash ----------------------------
-    tf_dl = tf.join(dstats.select("doc_id", "doclen"), "doc_id")
+    # tf carries doclen (finalized in-batch at the tf stage) — no join back
+    # to doc_stats, which at 10^12 docs is an impossible corpus-sized
+    # broadcast or a second full shuffle of the postings stream. The join
+    # remains only as a fallback for pre-r3 tf tables on resume.
+    tf_dl = (
+        tf if "doclen" in tf.columns
+        else tf.join(dstats.select("doc_id", "doclen"), "doc_id")
+    )
     global_terms = terms.filter(F.col("scope") == "")
     done_shards = man.done_units("postings")
     for k in range(n_shards):

@@ -183,5 +183,29 @@ TF = StructType(
         StructField("repo", StringType(), False),
         StructField("term", StringType(), False),
         StructField("tf", LongType(), False),
+        # the doc's total analyzed-token count, finalized IN-BATCH (one
+        # doc = one input row, so Σtf is known before any shuffle).
+        # Carrying it here means the postings stage needs NO join back to
+        # doc_stats — at 10^12 docs that join is either an impossible
+        # corpus-sized broadcast or a second full shuffle of the postings
+        # stream on doc_id.
+        StructField("doclen", LongType(), False),
+    ]
+)
+
+# map-side packed partial posting runs (operators/build.build_postings):
+# one row per (input-partition, term, salt) — sorted doc_ids delta-gap +
+# varint encoded. The postings exchange moves THESE instead of raw
+# (term, salt, doc_id, tf, doclen) rows: ~df/P fewer rows per term and
+# ~5-8x fewer bytes, which is what the 2-vs-8-core knee measured
+# (BENCH_SCALING_2v8.json: the exchange machinery, not the encode).
+PACKED_RUNS = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("salt", IntegerType(), False),
+        StructField("n", LongType(), False),
+        StructField("doc_ids", BinaryType(), False),
+        StructField("tfs", BinaryType(), False),
+        StructField("doclens", BinaryType(), False),
     ]
 )
