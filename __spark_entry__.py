@@ -459,6 +459,31 @@ def _q_top_orders(spark, sf):  # J5 decoration join + T1 top-k
     )
 
 
+def _q_pricing_q1(spark, sf):  # multi-agg fact rollup (VERDICT r02 #6)
+    from search_engine_spark.operators.relational import pricing_summary
+
+    return pricing_summary(_t(spark, sf, "lineitem"))
+
+
+def _q_shipping_q3(spark, sf):  # 3-table join + grouped agg + top-k
+    from search_engine_spark.operators.relational import shipping_priority
+
+    return shipping_priority(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    )
+
+
+def _q_nation_promo(spark, sf):  # 4-table star join rollup
+    from search_engine_spark.operators.relational import nation_promo_revenue
+
+    return nation_promo_revenue(
+        _t(spark, sf, "lineitem"),
+        _t(spark, sf, "part"),
+        _t(spark, sf, "supplier"),
+        _t(spark, sf, "nation"),
+    )
+
+
 def _q_semi(spark, sf):  # S6 semi-join (IN-list scan family)
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 300000)
@@ -605,6 +630,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_stream": _q_events_stream,
         "sessions_stream": _q_sessions_stream,
         "top_orders_join_j5": _q_top_orders,
+        "pricing_summary_q1": _q_pricing_q1,
+        "shipping_priority_q3": _q_shipping_q3,
+        "nation_promo_revenue": _q_nation_promo,
         "semi_join_s6": _q_semi,
         "anti_join_j7": _q_anti,
         "ann_dot_topk": _q_ann_dot,
@@ -845,6 +873,51 @@ def oracle_sql() -> dict[str, str]:
            SELECT o_orderkey, c_name, o_totalprice
            FROM orders JOIN customer ON o_custkey = c_custkey
            ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+        # multi-way join/agg family (VERDICT r02 #6) — money math in exact
+        # DECIMAL (same casts as operators/relational.py), double at the end
+        "pricing_summary_q1": """
+           SELECT l_returnflag, l_linestatus,
+                  round(CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE), 2) AS sum_qty,
+                  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE), 2) AS sum_base_price,
+                  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                           * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE), 2)
+                    AS sum_disc_price,
+                  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                           * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+                           * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))) AS DOUBLE), 2)
+                    AS sum_charge,
+                  round(CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / count(*), 6) AS avg_qty,
+                  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / count(*), 6) AS avg_price,
+                  count(*) AS count_order
+           FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01'
+           GROUP BY l_returnflag, l_linestatus
+           ORDER BY l_returnflag, l_linestatus""",
+        "shipping_priority_q3": """
+           WITH cust AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+           o AS (SELECT o_orderkey, o_orderdate, o_orderpriority
+                 FROM orders JOIN cust ON o_custkey = c_custkey
+                 WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+           li AS (SELECT l_orderkey, l_extendedprice, l_discount
+                  FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-01-01')
+           SELECT l_orderkey, o_orderdate, o_orderpriority,
+                  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                           * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE), 2)
+                    AS revenue
+           FROM li JOIN o ON l_orderkey = o_orderkey
+           GROUP BY l_orderkey, o_orderdate, o_orderpriority
+           ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+        "nation_promo_revenue": """
+           SELECT n_name,
+                  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                           * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE), 2)
+                    AS promo_revenue,
+                  count(*) AS n_lineitems
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           GROUP BY n_name
+           ORDER BY promo_revenue DESC, n_name""",
         "semi_join_s6": """
            SELECT c_custkey FROM customer c
            WHERE EXISTS (SELECT 1 FROM orders o

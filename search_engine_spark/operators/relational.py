@@ -1,0 +1,137 @@
+"""Multi-way relational join/agg shapes over the TPC-H-ish testdata tables
+(VERDICT r02 next-#6): the reference's J-family (SURVEY §2.3) only exercises
+pairwise joins; these cover the 3-and-4-table join planning a warehouse-scale
+engine must get right — broadcast of small dims, shuffle on the fact key,
+partial aggregation before the exchange.
+
+Numeric policy: money math is done in DECIMAL (exact, associative — so the
+DuckDB oracle and Spark's partial-agg plan produce the SAME value regardless
+of partitioning / add order), then cast to double at the very end. Summing
+raw doubles would make the hash gate depend on Spark's partition count.
+
+Scale notes (100 TB): `lineitem` is the fact stream — every plan here touches
+it exactly once, shuffles it at most once (on the join/group key), and
+broadcasts every dimension side (customer/part/supplier/nation are ~1e-4 of
+the fact's bytes at any TPC-H-like scale). Q1 is shuffle-free up to the
+6-group final agg (map-side partials); Q3 shuffles lineitem once on
+l_orderkey; the nation rollup shuffles only the 25-row final groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# exact decimal shapes: extendedprice < 1e8 → (12,4); discount/tax in [0,1]
+# → (8,4). Products stay within decimal(38,_) so every step is exact.
+_MONEY = "decimal(12,4)"
+_RATE = "decimal(8,4)"
+
+
+def _money(col: str):
+    return F.col(col).cast(_MONEY)
+
+
+def _one_minus(col: str):
+    return (F.lit(1).cast(_RATE) - F.col(col).cast(_RATE))
+
+
+def _one_plus(col: str):
+    return (F.lit(1).cast(_RATE) + F.col(col).cast(_RATE))
+
+
+def pricing_summary(lineitem: DataFrame, ship_before: str = "2000-01-01") -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate over the fact table with NO
+    pre-shuffle — Catalyst plans map-side partial HashAggregate over the
+    parquet scan (shipdate filter + 6-column pruning pushed down), then one
+    tiny exchange of 6 groups × partials. The canonical 'does partial agg
+    work' probe: at 100 TB this plan's exchange is ~KB regardless of input."""
+    disc_price = _money("l_extendedprice") * _one_minus("l_discount")
+    charge = disc_price * _one_plus("l_tax")
+    return (
+        lineitem.filter(F.col("l_shipdate") < F.lit(ship_before).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # exact decimal sums; final double rounded to cents — a raw
+            # decimal→double cast differs by 1 ulp between engines
+            # (DuckDB divides the int128 by 10^scale in float space)
+            F.round(F.sum(_money("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(_money("l_extendedprice")).cast("double"), 2).alias(
+                "sum_base_price"
+            ),
+            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+            F.round(
+                F.sum(_money("l_quantity")).cast("double") / F.count("*"), 6
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(_money("l_extendedprice")).cast("double") / F.count("*"), 6
+            ).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-01-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: 3-table join + grouped agg + top-k.
+
+    Join order is fact-first: lineitem (filtered on shipdate at the scan) ⋈
+    orders (filtered on orderdate) on l_orderkey — the ONE shuffle — with the
+    segment-filtered customer BROADCAST into the orders side, so the
+    customer⋈orders step never exchanges the fact stream. Top-k via
+    orderBy+limit → Spark's TakeOrderedAndProject (per-partition heaps, no
+    full sort). Revenue is exact decimal → double."""
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = (
+        orders.filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = lineitem.filter(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    revenue = _money("l_extendedprice") * _one_minus("l_discount")
+    return (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue).cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(k)
+    )
+
+
+def nation_promo_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    p_type: str = "PROMO",
+) -> DataFrame:
+    """Q9-ish 4-table star rollup: fact ⋈ three broadcast dims → 25-group
+    rollup. The fact stream is filtered by the part-type semi-condition via
+    the broadcast hash join itself (no pre-shuffle), so the only exchange is
+    the final 25-row groupBy — the plan shape that must hold when lineitem
+    is 100 TB and the dims still fit in one executor's memory."""
+    p = part.filter(F.col("p_type") == p_type).select("p_partkey")
+    s = supplier.select("s_suppkey", "s_nationkey")
+    n = nation.select("n_nationkey", "n_name")
+    revenue = _money("l_extendedprice") * _one_minus("l_discount")
+    return (
+        lineitem.select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(revenue).cast("double"), 2).alias("promo_revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .orderBy(F.desc("promo_revenue"), "n_name")
+    )
