@@ -42,17 +42,77 @@ def exact_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "content")
     )
 
 
-def _shingle_hashes(text: str, shingle: int) -> np.ndarray:
-    """Distinct k-token-shingle 64-bit hashes for one doc (whitespace
-    tokens; callers pre-normalize). Deterministic via pd.util.hash_array."""
-    toks = text.split()
-    if len(toks) < shingle:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i : i + shingle]) for i in range(len(toks) - shingle + 1)]
-    if not grams:
-        return np.array([], dtype=np.uint64)
-    return np.unique(pd.util.hash_array(np.asarray(grams, dtype=object)))
+def _flat_tokens(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Lower+whitespace-split every doc of a batch → (flat token hashes,
+    per-doc lengths). ONE ``pd.util.hash_array`` call for the whole batch —
+    the per-doc Python work is just ``str.split`` (unavoidable); everything
+    downstream is numpy over the flattened array (VERDICT r02 next-#3: the
+    per-doc signature loops were the measured dedup regression)."""
+    toks_per_doc = [str(t).lower().split() for t in texts]
+    lens = np.fromiter((len(t) for t in toks_per_doc), np.int64, len(toks_per_doc))
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), lens
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for t in toks_per_doc:
+        if t:
+            flat[pos : pos + len(t)] = t
+            pos += len(t)
+    return pd.util.hash_array(flat), lens
+
+
+def _doc_chunks(lens: np.ndarray, budget: int) -> list[tuple[int, int]]:
+    """Split a batch's docs into [start, end) slices whose token totals stay
+    under ``budget`` (bounds the (64 × tokens) / (n_hashes × grams) scratch
+    matrices regardless of Arrow batch size). A single huge doc still gets
+    its own slice."""
+    out: list[tuple[int, int]] = []
+    start, acc = 0, 0
+    for i, ln in enumerate(lens):
+        if acc and acc + int(ln) > budget:
+            out.append((start, i))
+            start, acc = i, 0
+        acc += int(ln)
+    if start < len(lens):
+        out.append((start, len(lens)))
+    return out
+
+
+_FOLD_P = np.uint64(0x9E3779B97F4A7C15)  # odd multiplier for shingle folding
+
+
+def _gram_hashes(
+    th: np.ndarray, lens: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """k-token shingle hashes from per-token hashes, fully vectorized:
+    gram(i) = fold over th[i..i+k-1] with ``acc = acc*P + h`` (uint64
+    wraparound). Docs shorter than k tokens contribute ONE gram folding all
+    their tokens (same rule the string-join variant used). Returns (flat
+    gram hashes, per-doc gram counts)."""
+    n_docs = len(lens)
+    total = len(th)
+    offs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    short_gram = np.zeros(n_docs, dtype=np.uint64)
+    acc = th.copy()
+    if k > 1:
+        m = lens == 1
+        short_gram[m] = th[offs[:-1][m]]
+        for j in range(1, k):
+            if total > j:
+                np.add(acc[: total - j] * _FOLD_P, th[j:], out=acc[: total - j])
+            m = lens == j + 1
+            if j + 1 < k and m.any():
+                short_gram[m] = acc[offs[:-1][m]]
+    ng = np.where(lens >= k, lens - k + 1, (lens > 0).astype(np.int64))
+    goffs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(ng, out=goffs[1:])
+    intra = np.arange(goffs[-1], dtype=np.int64) - np.repeat(goffs[:-1], ng)
+    gh = acc[np.repeat(offs[:-1], ng) + intra]
+    short_docs = np.flatnonzero((lens > 0) & (lens < k))
+    gh[goffs[:-1][short_docs]] = short_gram[short_docs]
+    return gh, ng
 
 
 def _minhash_params(n_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
@@ -73,19 +133,36 @@ def minhash_signatures(
     """→ (doc_id, sig array<long>): per-doc MinHash signature over distinct
     token shingles. sig[i] = min over shingles of (a_i*h + b_i) mod M61."""
     a_p, b_p = _minhash_params(n_hashes, seed)
+    sentinel = np.int64((1 << 61) - 1)
 
     def _sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # whole-batch vectorized (VERDICT r02 next-#3): one hash_array call,
+        # vectorized shingle fold, one (n_hashes × grams) permutation matrix
+        # per token-bounded chunk, per-doc mins via np.minimum.reduceat.
+        # Duplicate shingles need no dedup — min over dups == min over
+        # distinct, so the old per-doc np.unique step is dropped.
         for pdf in batches:
-            sigs = []
-            for text in pdf[text_col]:
-                h = _shingle_hashes(str(text).lower(), shingle)
-                if len(h) == 0:
-                    sigs.append(np.full(n_hashes, (1 << 61) - 1, dtype=np.uint64).astype(np.int64))
+            n_docs = len(pdf)
+            th, lens = _flat_tokens(pdf[text_col])
+            sig_mat = np.full((n_docs, n_hashes), sentinel, dtype=np.int64)
+            offs = np.zeros(n_docs + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            for lo, hi in _doc_chunks(lens, 1 << 20):
+                cl = lens[lo:hi]
+                gh, ng = _gram_hashes(th[offs[lo] : offs[hi]], cl, shingle)
+                if not len(gh):
                     continue
-                # (n_hashes, n_shingles) vectorized permutation mins
-                vals = (a_p[:, None] * (h[None, :] & _MERSENNE) + b_p[:, None]) % _MERSENNE
-                sigs.append(vals.min(axis=1).astype(np.int64))
-            yield pd.DataFrame({"doc_id": pdf[id_col].to_numpy(), "sig": sigs})
+                vals = (
+                    a_p[:, None] * (gh[None, :] & _MERSENNE) + b_p[:, None]
+                ) % _MERSENNE
+                goffs = np.zeros(len(cl) + 1, dtype=np.int64)
+                np.cumsum(ng, out=goffs[1:])
+                has = ng > 0
+                mins = np.minimum.reduceat(vals, goffs[:-1][has], axis=1)
+                sig_mat[lo:hi][has] = mins.T.astype(np.int64)
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].to_numpy(), "sig": list(sig_mat)}
+            )
 
     schema = StructType(
         [
@@ -172,23 +249,40 @@ def simhash64(
     by TF. Bit j = sign of Σ_tokens tf * (±1 per token-hash bit j)."""
 
     def _sim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # whole-batch vectorized (VERDICT r02 next-#3). Summing ±1 bit signs
+        # over ALL token occurrences equals the old tf-weighted sum over
+        # unique tokens, so values are IDENTICAL to the per-doc variant —
+        # one hash_array call, one (tokens × 64) sign matrix per bounded
+        # chunk, per-doc column sums via np.add.reduceat.
         bit_idx = np.arange(64, dtype=np.uint64)
+        weights = (np.uint64(1) << bit_idx).astype(np.uint64)
         for pdf in batches:
-            out = []
-            for text in pdf[text_col]:
-                toks = str(text).lower().split()
-                if not toks:
-                    out.append(0)
+            n_docs = len(pdf)
+            th, lens = _flat_tokens(pdf[text_col])
+            out = np.zeros(n_docs, dtype=np.int64)
+            offs = np.zeros(n_docs + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            for lo, hi in _doc_chunks(lens, 1 << 20):
+                cl = lens[lo:hi]
+                has = cl > 0
+                if not has.any():
                     continue
-                uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-                h = pd.util.hash_array(uniq)
-                bits = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
-                acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-                sig = np.uint64(0)
-                for j in np.flatnonzero(acc > 0):
-                    sig |= np.uint64(1) << np.uint64(j)
-                out.append(np.int64(sig.astype(np.int64)))
-            yield pd.DataFrame({"doc_id": pdf[id_col].to_numpy(), "simhash": np.array(out, dtype=np.int64)})
+                ch = th[offs[lo] : offs[hi]]
+                signed = (
+                    ((ch[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int32)
+                    * 2
+                    - 1
+                )
+                coffs = np.zeros(len(cl) + 1, dtype=np.int64)
+                np.cumsum(cl, out=coffs[1:])
+                acc = np.add.reduceat(signed, coffs[:-1][has], axis=0)
+                sigs = ((acc > 0).astype(np.uint64) * weights[None, :]).sum(
+                    axis=1, dtype=np.uint64
+                )
+                out[lo:hi][has] = sigs.view(np.int64)
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].to_numpy(), "simhash": out}
+            )
 
     schema = StructType(
         [
