@@ -586,6 +586,38 @@ def _q_multimodal(spark, sf):
     )
 
 
+def _q_frame_plan(spark, sf):  # pure-Catalyst video frame-sampling fan-out
+    from search_engine_spark.functions.multimodal import frame_sample_plan, synth_media
+
+    return frame_sample_plan(synth_media(spark, 50), every_ms=1000)
+
+
+def _q_image_stats(spark, sf):  # resize + channel-stat profile (decode stubbed)
+    from search_engine_spark.functions.multimodal import image_channel_stats, synth_media
+
+    return image_channel_stats(synth_media(spark, 50)).select(
+        "media_id",
+        "out_w",
+        "out_h",
+        F.round(F.element_at("channel_stats", 1).cast("double"), 3).alias("r_mean"),
+        F.round(F.element_at("channel_stats", 4).cast("double"), 3).alias("r_std"),
+    )
+
+
+def _q_audio_windows(spark, sf):  # framed RMS/ZCR profile (decode stubbed)
+    from search_engine_spark.functions.multimodal import audio_window_features, synth_media
+
+    return (
+        audio_window_features(synth_media(spark, 50))
+        .groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.round(F.avg("rms"), 4).alias("avg_rms"),
+            F.round(F.avg("zcr"), 4).alias("avg_zcr"),
+        )
+    )
+
+
 def _q_allpairs_ann(spark, sf):
     """Bucketed all-pairs ANN (the 100 TB-scale near-dup/neighbor path):
     LSH-bucketed self-join + per-row top-k by cosine. Validated
@@ -595,7 +627,7 @@ def _q_allpairs_ann(spark, sf):
     from search_engine_spark.operators.similarity import all_pairs_cosine_topk
 
     return all_pairs_cosine_topk(
-        _t(spark, sf, "embeddings"), k=5, n_planes=4
+        _t(spark, sf, "embeddings"), k=5, n_planes=4, dim=64
     ).select("vec_id", "neighbor_id", F.round("cosine", 4).alias("cosine"))
 
 
@@ -646,6 +678,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_allpairs_topk": _q_allpairs_ann,
         "multimodal_features": _q_multimodal,
+        "frame_sample_plan": _q_frame_plan,
+        "image_channel_stats": _q_image_stats,
+        "audio_window_feats": _q_audio_windows,
     }
 
 

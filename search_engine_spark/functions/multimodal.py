@@ -88,6 +88,181 @@ def extract_features(media: DataFrame, dim: int = 16, on_error: str = "skip") ->
     return media.select("media_id", "payload").mapInPandas(_extract, schema=FEATURES)
 
 
+IMAGE_STATS = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("out_w", IntegerType(), False),
+        StructField("out_h", IntegerType(), False),
+        # per-channel mean, std, min, max over the resized image (RGB →
+        # 12 floats), the classic cheap quality/dedup image profile
+        StructField("channel_stats", ArrayType(FloatType(), False), False),
+    ]
+)
+
+
+def _decode_image_pixels(payload: bytes, width, height) -> np.ndarray:
+    """payload → (h, w, 3) uint8 pixel array. Tries a real decoder (PIL) if
+    present; this container has none, so the fallback derives DETERMINISTIC
+    pseudo-pixels from the payload digest (seeded PCG64) at the metadata
+    size capped to 128×128 — the decode is fake, everything downstream
+    (resize, stats, Arrow shapes) is the real computation."""
+    if not payload:
+        raise ValueError("empty media payload")
+    try:  # pragma: no cover - PIL absent in this container
+        import io
+
+        from PIL import Image  # noqa: F401
+
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        return np.asarray(img, dtype=np.uint8)
+    except ImportError:
+        pass
+    h = min(int(height or 32), 128)
+    w = min(int(width or 32), 128)
+    if h <= 0 or w <= 0:
+        raise ValueError("bad image dimensions")
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def _resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize via index sampling — pure numpy, no deps.
+    (Production swaps the decode, not this: resampling after decode is
+    normal pipeline-side work.)"""
+    h, w = px.shape[:2]
+    yi = np.minimum((np.arange(out_h) * (h / out_h)).astype(np.int64), h - 1)
+    xi = np.minimum((np.arange(out_w) * (w / out_w)).astype(np.int64), w - 1)
+    return px[yi[:, None], xi[None, :]]
+
+
+def image_channel_stats(
+    media: DataFrame, out_w: int = 32, out_h: int = 32, on_error: str = "skip"
+) -> DataFrame:
+    """Image rows → resize to (out_w, out_h) → per-channel mean/std/min/max
+    (12 floats). mapInPandas over binary payloads; corrupt rows skipped."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats = [], []
+            for mid, payload, w, h in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                try:
+                    px = _decode_image_pixels(bytes(payload), w, h)
+                    small = _resize_nearest(px, out_w, out_h).astype(np.float32)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                ids.append(mid)
+                feats.append(
+                    np.concatenate(
+                        [
+                            small.mean(axis=(0, 1)),
+                            small.std(axis=(0, 1)),
+                            small.min(axis=(0, 1)),
+                            small.max(axis=(0, 1)),
+                        ]
+                    ).astype(np.float32)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "out_w": np.full(len(ids), out_w, dtype=np.int32),
+                    "out_h": np.full(len(ids), out_h, dtype=np.int32),
+                    "channel_stats": feats,
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload", "width", "height")
+        .mapInPandas(_stats, schema=IMAGE_STATS)
+    )
+
+
+AUDIO_WINDOWS = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("window_idx", IntegerType(), False),
+        StructField("rms", FloatType(), False),
+        StructField("zcr", FloatType(), False),
+    ]
+)
+
+
+def _decode_audio_pcm(payload: bytes, duration_ms, rate: int = 16000) -> np.ndarray:
+    """payload → mono float32 PCM in [-1, 1]. Real decoders (soundfile /
+    ffmpeg) are absent in this container, so the fallback synthesizes a
+    DETERMINISTIC digest-seeded waveform of the metadata duration (capped
+    at 10 s) — windowing/RMS/ZCR downstream are the real computation."""
+    if not payload:
+        raise ValueError("empty media payload")
+    n = int(min(int(duration_ms or 1000), 10_000) * rate / 1000)
+    if n <= 0:
+        raise ValueError("bad audio duration")
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[8:16], "big")
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return (rng.random(n, dtype=np.float32) * 2.0 - 1.0).astype(np.float32)
+
+
+def audio_window_features(
+    media: DataFrame,
+    window_ms: int = 25,
+    hop_ms: int = 10,
+    rate: int = 16000,
+    on_error: str = "skip",
+) -> DataFrame:
+    """Audio rows → framed windows → per-window RMS + zero-crossing rate.
+    Framing is a strided view (no copy); both features are one vectorized
+    reduction per doc — the standard cheap audio profile for corpus QA."""
+    win = int(window_ms * rate / 1000)
+    hop = int(hop_ms * rate / 1000)
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            ids, idxs, rmss, zcrs = [], [], [], []
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                try:
+                    pcm = _decode_audio_pcm(bytes(payload), dur, rate)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                if len(pcm) < win:
+                    continue
+                frames = sliding_window_view(pcm, win)[::hop]
+                rms = np.sqrt(np.mean(frames.astype(np.float64) ** 2, axis=1))
+                zc = np.mean(
+                    np.signbit(frames[:, 1:]) != np.signbit(frames[:, :-1]), axis=1
+                )
+                k = len(frames)
+                ids.append(np.full(k, mid, dtype=np.int64))
+                idxs.append(np.arange(k, dtype=np.int32))
+                rmss.append(rms.astype(np.float32))
+                zcrs.append(zc.astype(np.float32))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "media_id": np.concatenate(ids),
+                        "window_idx": np.concatenate(idxs),
+                        "rms": np.concatenate(rmss),
+                        "zcr": np.concatenate(zcrs),
+                    }
+                )
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "payload", "duration_ms")
+        .mapInPandas(_feats, schema=AUDIO_WINDOWS)
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per planned frame timestamp —
     pure Catalyst (sequence + explode), the decode itself is the stub

@@ -135,14 +135,21 @@ def all_pairs_cosine_topk(
     vec_col: str = "embedding",
     n_planes: int = 6,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Bucketed all-pairs neighbor search: self-join within LSH buckets,
-    per-row top-k by cosine. The bucket join key bounds the blow-up."""
+    per-row top-k by cosine. The bucket join key bounds the blow-up.
+
+    Pass ``dim`` (schema metadata at scale) to avoid the one-row probe job
+    that otherwise runs just to learn the vector width (VERDICT r02 #10)."""
     from pyspark.sql.window import Window
 
-    planes_df = embeddings.withColumn(
-        "_bucket", lsh_bucket_expr(vec_col, _planes_from_df(embeddings, vec_col, n_planes, seed))
+    planes = (
+        _planes(dim, n_planes, seed)
+        if dim is not None
+        else _planes_from_df(embeddings, vec_col, n_planes, seed)
     )
+    planes_df = embeddings.withColumn("_bucket", lsh_bucket_expr(vec_col, planes))
     a, b = planes_df.alias("a"), planes_df.alias("b")
     pairs = a.join(
         b,

@@ -1,0 +1,110 @@
+"""Multimodal plumbing tests (VERDICT r02 #7): decode is a declared
+deterministic stub (no PIL/ffmpeg in this container), but everything around
+it — schemas, mapInPandas batch shapes, resize/window math, fan-out
+arithmetic — is real and pinned here."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.functions.multimodal import (
+    _decode_audio_pcm,
+    _decode_image_pixels,
+    _resize_nearest,
+    audio_window_features,
+    extract_features,
+    frame_sample_plan,
+    image_channel_stats,
+    synth_media,
+)
+
+
+def test_extract_features_deterministic_and_skips_corrupt(spark):
+    media = synth_media(spark, 30)
+    a = {r["media_id"]: r["sha256"] for r in extract_features(media).collect()}
+    b = {r["media_id"]: r["sha256"] for r in extract_features(media).collect()}
+    assert a == b and len(a) == 30
+    # empty payload → decoder raises → row skipped (on_error='skip' default)
+    bad = media.withColumn(
+        "payload", F.when(F.col("media_id") == 0, F.lit(b"")).otherwise(F.col("payload"))
+    )
+    got = {r["media_id"] for r in extract_features(bad).collect()}
+    assert 0 not in got and len(got) == 29
+
+
+def test_image_channel_stats_shape_and_determinism(spark):
+    media = synth_media(spark, 30)
+    rows = image_channel_stats(media, out_w=8, out_h=8).collect()
+    n_images = media.filter(F.col("kind") == "image").count()
+    assert len(rows) == n_images > 0
+    for r in rows:
+        assert (r["out_w"], r["out_h"]) == (8, 8)
+        assert len(r["channel_stats"]) == 12  # mean/std/min/max × RGB
+        m = np.array(r["channel_stats"])
+        assert (m[:3] >= m[6:9]).all() and (m[:3] <= m[9:12]).all()  # min<=mean<=max
+    again = image_channel_stats(media, out_w=8, out_h=8).collect()
+    assert {r["media_id"]: r["channel_stats"] for r in rows} == {
+        r["media_id"]: r["channel_stats"] for r in again
+    }
+
+
+def test_resize_nearest_exact():
+    px = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    out = _resize_nearest(px, 3, 2)
+    assert out.shape == (2, 3, 3)
+    # nearest-neighbor index math: rows 0,2 and cols 0,2,4
+    np.testing.assert_array_equal(out, px[[0, 2]][:, [0, 2, 4]])
+
+
+def test_audio_window_count_formula(spark):
+    media = synth_media(spark, 30)
+    rows = audio_window_features(media, window_ms=25, hop_ms=10).collect()
+    assert rows
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    meta = {
+        r["media_id"]: r["duration_ms"]
+        for r in media.filter(F.col("kind") == "audio").collect()
+    }
+    win, hop = 25 * 16, 10 * 16  # samples at 16 kHz
+    for mid, rs in by_media.items():
+        n = int(min(meta[mid], 10_000) * 16)
+        expect = (n - win) // hop + 1
+        assert len(rs) == expect
+        assert sorted(r["window_idx"] for r in rs) == list(range(expect))
+        for r in rs:
+            assert 0.0 <= r["rms"] <= 1.0 and 0.0 <= r["zcr"] <= 1.0
+
+
+def test_frame_sample_plan_arithmetic(spark):
+    media = synth_media(spark, 30)
+    got = {}
+    for r in frame_sample_plan(media, every_ms=1000).collect():
+        got.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
+    meta = {
+        r["media_id"]: r["duration_ms"]
+        for r in media.filter(F.col("kind") == "video").collect()
+    }
+    assert set(got) == set(meta)
+    for mid, ts in got.items():
+        dur = meta[mid]
+        expect = list(range(0, max(dur - 1, 0) + 1, 1000))
+        assert sorted(ts) == expect
+
+
+def test_decode_stubs_deterministic_and_raise_on_empty():
+    px1 = _decode_image_pixels(b"abc", 40, 20)
+    px2 = _decode_image_pixels(b"abc", 40, 20)
+    np.testing.assert_array_equal(px1, px2)
+    assert px1.shape == (20, 40, 3)
+    pcm1 = _decode_audio_pcm(b"xyz", 2000)
+    pcm2 = _decode_audio_pcm(b"xyz", 2000)
+    np.testing.assert_array_equal(pcm1, pcm2)
+    assert len(pcm1) == 32000 and np.abs(pcm1).max() <= 1.0
+    with pytest.raises(ValueError):
+        _decode_image_pixels(b"", 10, 10)
+    with pytest.raises(ValueError):
+        _decode_audio_pcm(b"", 1000)
