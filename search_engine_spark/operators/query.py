@@ -69,6 +69,7 @@ against the single-node oracle):
 
 from __future__ import annotations
 
+import os
 from collections import OrderedDict
 from collections.abc import Iterator
 from functools import reduce
@@ -229,11 +230,17 @@ class SearchEngine:
         self.postings = catalog.read(spark, "postings", POSTINGS)
         # cold metadata loads read the compact sidecar when the build wrote
         # one (payload files' footers are never touched for term resolution)
+        self._meta_src_name = (
+            "postings_meta" if catalog.exists("postings_meta") else "postings"
+        )
         self._meta_src = (
             catalog.read(spark, "postings_meta")
-            if catalog.exists("postings_meta")
+            if self._meta_src_name == "postings_meta"
             else self.postings
         )
+        # pyarrow dataset handles for driver-side point reads (see the
+        # "driver-side parquet point reads" section)
+        self._pa_cache: dict[str, object] = {}
         row = catalog.read(spark, "corpus_stats", CORPUS_STATS).collect()[0]
         self.n_docs = int(row["n_docs"])
         self.avgdl = float(row["avgdl"])
@@ -280,6 +287,68 @@ class SearchEngine:
         self._site_ids_cache.clear()
         self._blocks.clear()
         self._block_entries = 0
+        self._pa_cache.clear()
+
+    # -- driver-side parquet point reads -----------------------------------
+    #
+    # Cold-query tail fix (VERDICT r02 next-#9): a NOVEL literal set used to
+    # pay Spark plan+codegen (~300-500 ms per job, 3 jobs per cold query —
+    # measured 850 ms p50 / 1800 ms p95 at sf0.1). The per-query lookups are
+    # driver-bounded POINT reads by design (capped rows), so they don't need
+    # a distributed plan at all: read the parquet directly with pyarrow
+    # (row-group statistics pruning applies the same (term, block_id)
+    # filters) and keep the Spark path as the fallback for non-local
+    # storage or any read error. At scale this is the classic serving-node
+    # design — the searcher point-reads the index files; the CLUSTER is for
+    # building and for the distributed fallback plans.
+
+    def _pa_dataset(self, name: str):
+        """Cached pyarrow dataset handle for a catalog table, or None when
+        the table is not local-filesystem-readable (→ Spark path)."""
+        if name in self._pa_cache:
+            return self._pa_cache[name]
+        ds = None
+        try:
+            p = self.catalog.path(name)
+            if os.path.isdir(p):
+                import pyarrow.dataset as pads
+
+                ds = pads.dataset(p, format="parquet", partitioning="hive")
+        except Exception:  # noqa: BLE001 — fall back to Spark reads
+            ds = None
+        self._pa_cache[name] = ds
+        return ds
+
+    def _pa_read(self, name: str, columns: list[str], filt) -> pd.DataFrame | None:
+        """Point read → pandas, or None → caller uses the Spark path."""
+        ds = self._pa_dataset(name)
+        if ds is None:
+            return None
+        try:
+            return ds.to_table(columns=columns, filter=filt).to_pandas()
+        except Exception:  # noqa: BLE001 — e.g. files swapped mid-read
+            self._pa_cache.pop(name, None)
+            return None
+
+    def _terms_rows(self, scope: str, terms: list[str]) -> dict[str, int]:
+        """{term: df} for one scope — pyarrow point read, Spark fallback."""
+        import pyarrow.dataset as pads
+
+        pdf = self._pa_read(
+            "terms",
+            ["term", "df"],
+            (pads.field("scope") == scope) & pads.field("term").isin(terms),
+        )
+        if pdf is not None:
+            return dict(zip(pdf["term"], pdf["df"].astype(int)))
+        rows = (
+            self.terms.filter(
+                (F.col("scope") == scope) & F.col("term").isin(terms)
+            )
+            .select("term", "df")
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
 
     # -- driver-side metadata cache ---------------------------------------
 
@@ -292,14 +361,7 @@ class SearchEngine:
                 self._df_cache.move_to_end(t)
         missing = [t for t in q_terms if t not in self._df_cache]
         if missing:
-            rows = (
-                self.terms.filter(
-                    (F.col("scope") == "") & F.col("term").isin(missing)
-                )
-                .select("term", "df")
-                .collect()
-            )
-            found = {r["term"]: int(r["df"]) for r in rows}
+            found = self._terms_rows("", missing)
             for t in missing:
                 self._df_cache[t] = found.get(t)
             while len(self._df_cache) > max(DF_CACHE_TERMS, len(q_terms)):
@@ -339,12 +401,19 @@ class SearchEngine:
                 else:
                     mat.append(t)
             if mat:
-                pdf = (
-                    self._meta_src.filter(F.col("term").isin(mat))
-                    .select("term", "block_id", "min_doc", "max_doc",
-                            "max_impact", "max_tf", "count")
-                    .toPandas()
+                import pyarrow.dataset as pads
+
+                cols = ["term", "block_id", "min_doc", "max_doc",
+                        "max_impact", "max_tf", "count"]
+                pdf = self._pa_read(
+                    self._meta_src_name, cols, pads.field("term").isin(mat)
                 )
+                if pdf is None:
+                    pdf = (
+                        self._meta_src.filter(F.col("term").isin(mat))
+                        .select(*cols)
+                        .toPandas()
+                    )
                 found = {}
                 for t, g in pdf.groupby("term"):
                     found[t] = _TermMeta(g)
@@ -385,20 +454,40 @@ class SearchEngine:
                 else:
                     need.append(int(b))
             if need:
-                conds.append((F.col("term") == t) & F.col("block_id").isin(need))
+                conds.append((t, need))
         if not conds:
             return
-        rows = (
-            self.postings.filter(reduce(lambda a, b: a | b, conds))
-            .select("term", "block_id", "doc_ids", "tfs", "doclens")
-            .collect()
-        )
-        for r in rows:
-            ids = decode_doc_ids(r["doc_ids"])
-            cache[(r["term"], int(r["block_id"]))] = (
+        import pyarrow.dataset as pads
+
+        pa_expr = None
+        for t, need in conds:
+            e = (pads.field("term") == t) & pads.field("block_id").isin(need)
+            pa_expr = e if pa_expr is None else pa_expr | e
+        cols = ["term", "block_id", "doc_ids", "tfs", "doclens"]
+        pdf = self._pa_read("postings", cols, pa_expr)
+        if pdf is not None:
+            rows = list(
+                zip(pdf["term"], pdf["block_id"], pdf["doc_ids"],
+                    pdf["tfs"], pdf["doclens"])
+            )
+        else:
+            spark_cond = reduce(
+                lambda a, b: a | b,
+                [
+                    (F.col("term") == t) & F.col("block_id").isin(need)
+                    for t, need in conds
+                ],
+            )
+            rows = [
+                (r["term"], r["block_id"], r["doc_ids"], r["tfs"], r["doclens"])
+                for r in self.postings.filter(spark_cond).select(*cols).collect()
+            ]
+        for term, block_id, doc_ids, tfs, doclens in rows:
+            ids = decode_doc_ids(doc_ids)
+            cache[(term, int(block_id))] = (
                 ids,
-                decode_counts(r["tfs"]),
-                decode_counts(r["doclens"]),
+                decode_counts(tfs),
+                decode_counts(doclens),
             )
             self._block_entries += len(ids)
         # evict oldest beyond budget — but NEVER a key the current call
@@ -440,13 +529,31 @@ class SearchEngine:
 
     def _site_stats_row(self, site: str) -> tuple[int, float] | None:
         if site not in self._site_cache:
-            rows = (
-                self.catalog.read_or_empty(self.spark, "site_stats", SITE_STATS)
-                .filter(F.col("repo") == site)
-                .collect()
+            import pyarrow.dataset as pads
+
+            pdf = (
+                self._pa_read(
+                    "site_stats", ["pages", "avgdl"], pads.field("repo") == site
+                )
+                if self.catalog.exists("site_stats")
+                else pd.DataFrame({"pages": [], "avgdl": []})
             )
+            if pdf is None:
+                rows = (
+                    self.catalog.read_or_empty(self.spark, "site_stats", SITE_STATS)
+                    .filter(F.col("repo") == site)
+                    .collect()
+                )
+                pdf = pd.DataFrame(
+                    {
+                        "pages": [r["pages"] for r in rows],
+                        "avgdl": [r["avgdl"] for r in rows],
+                    }
+                )
             self._site_cache[site] = (
-                (int(rows[0]["pages"]), float(rows[0]["avgdl"])) if rows else None
+                (int(pdf["pages"].iloc[0]), float(pdf["avgdl"].iloc[0]))
+                if len(pdf)
+                else None
             )
         return self._site_cache[site]
 
@@ -487,14 +594,7 @@ class SearchEngine:
         if ss is None:
             return None
         n_docs_s, avgdl_s = ss
-        rows = (
-            self.terms.filter(
-                (F.col("scope") == site) & F.col("term").isin(q_terms)
-            )
-            .select("term", "df")
-            .collect()
-        )
-        dfs = {r["term"]: int(r["df"]) for r in rows}
+        dfs = self._terms_rows(site, q_terms)
         if len(dfs) < len(q_terms):
             return None  # O6 against the per-site lemma rows
         drift = max(1.0, avgdl_s / self.avgdl_build) * _BOUND_SLACK
