@@ -147,7 +147,7 @@ def minhash_signatures(
             sig_mat = np.full((n_docs, n_hashes), sentinel, dtype=np.int64)
             offs = np.zeros(n_docs + 1, dtype=np.int64)
             np.cumsum(lens, out=offs[1:])
-            for lo, hi in _doc_chunks(lens, 1 << 20):
+            for lo, hi in _doc_chunks(lens, 1 << 18):
                 cl = lens[lo:hi]
                 gh, ng = _gram_hashes(th[offs[lo] : offs[hi]], cl, shingle)
                 if not len(gh):
@@ -200,6 +200,12 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("b")
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    # persist the banded signatures: both self-join sides read this frame,
+    # and without a materialization the signature UDF lineage runs TWICE
+    # (a broadcast build side never reuses the stream side's exchange).
+    # Narrow rows (id + band + hash) — at corpus scale this is the frame
+    # you would checkpoint to a table anyway.
+    banded = banded.persist()
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -262,20 +268,25 @@ def simhash64(
             out = np.zeros(n_docs, dtype=np.int64)
             offs = np.zeros(n_docs + 1, dtype=np.int64)
             np.cumsum(lens, out=offs[1:])
-            for lo, hi in _doc_chunks(lens, 1 << 20):
+            for lo, hi in _doc_chunks(lens, 1 << 18):
                 cl = lens[lo:hi]
                 has = cl > 0
                 if not has.any():
                     continue
                 ch = th[offs[lo] : offs[hi]]
-                signed = (
-                    ((ch[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int32)
-                    * 2
-                    - 1
+                # (tokens × 64) 0/1 bit matrix as uint8 via unpackbits —
+                # 8× smaller than a shifted-uint64 expansion; with 32
+                # concurrent tasks the wide variant thrashed the allocator
+                # (measured 2→18 s on the cold bench). acc = 2·ones − n.
+                bits = np.unpackbits(
+                    ch[:, None].view(np.uint8), axis=1, bitorder="little"
                 )
                 coffs = np.zeros(len(cl) + 1, dtype=np.int64)
                 np.cumsum(cl, out=coffs[1:])
-                acc = np.add.reduceat(signed, coffs[:-1][has], axis=0)
+                ones = np.add.reduceat(
+                    bits, coffs[:-1][has], axis=0, dtype=np.int64
+                )
+                acc = 2 * ones - cl[has][:, None]
                 sigs = ((acc > 0).astype(np.uint64) * weights[None, :]).sum(
                     axis=1, dtype=np.uint64
                 )
@@ -343,11 +354,16 @@ def simhash_near_pairs(
         )
         for i, (off, width) in enumerate(simhash_bands(b))
     ]
+    # persisted for the same double-compute reason as minhash_lsh_pairs
     buckets = sigs.select(
         "doc_id", "simhash", F.explode(F.array(*bands)).alias("b")
-    ).select("doc_id", "simhash", "b.q", "b.qh")
+    ).select("doc_id", "simhash", "b.q", "b.qh").persist()
     l, r = buckets.alias("l"), buckets.alias("r")
-    pairs = (
+    # hamming filter INSIDE the join stage, BEFORE the distinct: boilerplate
+    # corpora put many docs in one band bucket, so candidate pairs can be
+    # 100-1000x the true pairs — dedup only what survives the exact filter
+    # (recall unchanged: the filter applies to every candidate either way)
+    return (
         l.join(
             r,
             (F.col("l.q") == F.col("r.q"))
@@ -357,14 +373,13 @@ def simhash_near_pairs(
         .select(
             F.col("l.doc_id").alias("doc_a"),
             F.col("r.doc_id").alias("doc_b"),
-            F.col("l.simhash").alias("sa"),
-            F.col("r.simhash").alias("sb"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return pairs.withColumn(
-        "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    ).filter(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")
 
 
 def ngram_jaccard_pairs(
