@@ -178,6 +178,11 @@ def main() -> None:
         "ann_dot_topk",
         "ann_lsh_topk",
         "top_orders_join_j5",
+        "pricing_summary_q1",
+        "shipping_priority_q3",
+        "nation_promo_revenue",
+        "image_channel_stats",
+        "audio_window_feats",
     ]:
         fn = qs[name]
         try:

@@ -338,139 +338,267 @@ def _encode_span_arrays(
     return pd.DataFrame(rows, columns=_POSTINGS_COLS)
 
 
-def _pack_partition_encoder():
-    """mapInPandas body for the MAP SIDE of the packed postings build: one
+def _pa_packed_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("term", pa.string()),
+            ("salt", pa.int32()),
+            ("n", pa.int64()),
+            ("doc_ids", pa.binary()),
+            ("tfs", pa.binary()),
+            ("doclens", pa.binary()),
+        ]
+    )
+
+
+def _pa_postings_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("term", pa.string()),
+            ("block_id", pa.int32()),
+            ("doc_ids", pa.binary()),
+            ("tfs", pa.binary()),
+            ("doclens", pa.binary()),
+            ("count", pa.int64()),
+            ("min_doc", pa.int64()),
+            ("max_doc", pa.int64()),
+            ("max_tf", pa.float64()),
+            ("max_impact", pa.float64()),
+        ]
+    )
+
+
+def _bin_from_span(data: bytes, cum: np.ndarray, bounds: np.ndarray):
+    """BinaryArray whose i-th value is ``data[cum[bounds[i]]:cum[bounds[i+1]]]``
+    built ZERO-COPY from (offsets, values) buffers — valid because
+    consecutive spans tile the stream (LEB128 streams concatenate). This is
+    what removes the per-run/per-block Python ``bytes`` objects the pandas
+    variant paid for (millions per partition on a Zipf vocabulary)."""
+    import pyarrow as pa
+
+    if cum[-1] >= (1 << 31):
+        raise ValueError(
+            "packed span exceeds 2 GiB — lower spark.sql.files.maxPartitionBytes"
+        )
+    offs = cum[bounds].astype(np.int32)
+    return pa.BinaryArray.from_buffers(
+        pa.binary(),
+        len(bounds) - 1,
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data)],
+    )
+
+
+def _np_col(tbl, name: str, dtype) -> np.ndarray:
+    a = tbl.column(name).combine_chunks().to_numpy(zero_copy_only=False)
+    return np.ascontiguousarray(a, dtype=dtype)
+
+
+def _flat_binary(tbl, name: str) -> tuple[np.ndarray, np.ndarray]:
+    """Binary column → (uint8 values buffer, int32 per-row offsets) with NO
+    per-row bytes objects."""
+    a = tbl.column(name).combine_chunks()
+    offs = np.frombuffer(a.buffers()[1], dtype=np.int32)[
+        a.offset : a.offset + len(a) + 1
+    ]
+    buf = a.buffers()[2]
+    data = (
+        np.frombuffer(buf, dtype=np.uint8)
+        if buf is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    return data, offs
+
+
+def _pack_partition_arrow():
+    """mapInArrow body for the MAP SIDE of the packed postings build: one
     pass over an input partition's (term, salt, doc_id, tf, doclen) rows →
     one compact binary row per (term, salt) run present in the partition.
 
-    Per-run payloads are the SAME delta-gap+varint streams the final
-    blocks use (gap reset at each run start), so the reduce side decodes
-    them with two vectorized passes. Grouping is by pd.factorize codes
-    (O(n) hash, no string sorts); the single np.lexsort replaces Spark's
-    per-row sort-exchange machinery — the measured 2-vs-8-core knee
-    (BENCH_SCALING_2v8.json) was exactly that machinery over 93M skinny
-    rows, not the encode."""
-    from .codec import varint_encode_with_lengths
-
-    _BIAS = np.uint64(1 << 63)
+    Run payloads are RAW little-endian int64 arrays (doc-ascending within
+    the run) — pure memcpy on both sides of the exchange, ZERO extra codec
+    passes. What the exchange saves vs the direct plan is the per-row cost:
+    runs instead of rows through the shuffle serializer, dictionary-encoded
+    terms instead of per-row strings, no JVM sort on the reduce side. A
+    varint-packed payload would shrink network bytes a further ~3x at the
+    price of one encode + one decode pass per column — the right trade on
+    a network-bound cluster, the wrong one on a memory-bus-bound box
+    (measured: varint packing ran 2.7x slower than direct at 8 pinned
+    cores; raw packing is what ships)."""
 
     def pack(batches):
-        chunks = [p for p in batches if len(p)]
-        if not chunks:
+        import pyarrow as pa
+
+        bl = [b for b in batches if b.num_rows]
+        if not bl:
             return
-        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
-        n = len(pdf)
-        codes, uniq = pd.factorize(pdf["term"], sort=False)
-        uniq = np.asarray(uniq, dtype=object)
-        salts = pdf["salt"].to_numpy(np.int32)
-        ids = pdf["doc_id"].to_numpy(np.int64)
+        tbl = pa.Table.from_batches(bl)
+        n = tbl.num_rows
+        d = tbl.column("term").combine_chunks().dictionary_encode()
+        codes = np.ascontiguousarray(
+            d.indices.to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        vocab = d.dictionary
+        salts = _np_col(tbl, "salt", np.int32)
+        ids = _np_col(tbl, "doc_id", np.int64)
         order = np.lexsort((ids, salts, codes))
         codes, salts, ids = codes[order], salts[order], ids[order]
-        tfs = pdf["tf"].to_numpy(np.int64)[order]
-        dls = pdf["doclen"].to_numpy(np.int64)[order]
+        tfs = _np_col(tbl, "tf", np.int64)[order]
+        dls = _np_col(tbl, "doclen", np.int64)[order]
         change = np.flatnonzero((codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1]))
         rstarts = np.concatenate(([0], change + 1))
-        rends = np.concatenate((change + 1, [n]))
-        u = ids.view(np.uint64) + _BIAS
-        gaps = np.empty(n, dtype=np.uint64)
-        gaps[0] = u[0]
-        np.subtract(u[1:], u[:-1], out=gaps[1:])
-        gaps[rstarts] = u[rstarts]
-        id_bytes, id_len = varint_encode_with_lengths(gaps)
-        tf_bytes, tf_len = varint_encode_with_lengths(tfs.view(np.uint64))
-        dl_bytes, dl_len = varint_encode_with_lengths(dls.view(np.uint64))
-        id_cum = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(id_len, out=id_cum[1:])
-        tf_cum = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(tf_len, out=tf_cum[1:])
-        dl_cum = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(dl_len, out=dl_cum[1:])
-        yield pd.DataFrame(
-            {
-                "term": uniq[codes[rstarts]],
-                "salt": salts[rstarts],
-                "n": (rends - rstarts).astype(np.int64),
-                "doc_ids": [
-                    id_bytes[id_cum[s]: id_cum[e]] for s, e in zip(rstarts, rends)
-                ],
-                "tfs": [
-                    tf_bytes[tf_cum[s]: tf_cum[e]] for s, e in zip(rstarts, rends)
-                ],
-                "doclens": [
-                    dl_bytes[dl_cum[s]: dl_cum[e]] for s, e in zip(rstarts, rends)
-                ],
-            }
+        bounds = np.concatenate((rstarts, [n]))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.compute.take(vocab, pa.array(codes[rstarts], type=pa.int64())),
+                pa.array(salts[rstarts], type=pa.int32()),
+                pa.array((bounds[1:] - rstarts).astype(np.int64), type=pa.int64()),
+                _raw_i64_runs(ids, bounds),
+                _raw_i64_runs(tfs, bounds),
+                _raw_i64_runs(dls, bounds),
+            ],
+            schema=_pa_packed_schema(),
         )
 
     return pack
 
 
-def _merge_runs_encoder(avgdl: float):
-    """REDUCE side of the packed build: partition sorted by (term, salt),
-    each group's runs decoded in two vectorized passes (concatenated
-    varint streams + within-run cumsum reconstruction), merged into doc
-    order with ONE lexsort per span, then whole-span block-encoded —
-    byte-identical blocks to the direct path (tested)."""
+def _raw_i64_runs(values: np.ndarray, bounds: np.ndarray):
+    """BinaryArray whose i-th value is the raw LE bytes of
+    ``values[bounds[i]:bounds[i+1]]`` — zero-copy (offsets into one
+    values buffer)."""
+    import pyarrow as pa
+
+    if len(values) * 8 >= (1 << 31):
+        raise ValueError(
+            "packed span exceeds 2 GiB — lower spark.sql.files.maxPartitionBytes"
+        )
+    offs = (bounds.astype(np.int64) * 8).astype(np.int32)
+    return pa.BinaryArray.from_buffers(
+        pa.binary(),
+        len(bounds) - 1,
+        [None, pa.py_buffer(offs.tobytes()),
+         pa.py_buffer(np.ascontiguousarray(values, dtype="<i8").tobytes())],
+    )
+
+
+def _merge_runs_arrow(avgdl: float):
+    """REDUCE side of the packed build (mapInArrow): the whole reduce
+    partition (compact run rows) is concatenated; each binary column's raw
+    int64 payload is ONE frombuffer view over the underlying Arrow values
+    buffer (no per-run bytes objects, no decode pass); runs are grouped by
+    dictionary codes with one numpy lexsort (NO JVM sort in the plan) and
+    whole-span block-encoded. Output blocks are byte-identical to the
+    direct path (tested)."""
+
+    def _i64(tbl, name):
+        data, off = _flat_binary(tbl, name)
+        return data[off[0] : off[-1]].view(np.int64)
 
     def merge(batches):
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            if not len(pdf):
-                continue
-            terms = pdf["term"].to_numpy()
-            salts = pdf["salt"].to_numpy()
-            last_mask = (terms == terms[-1]) & (salts == salts[-1])
-            tail_start = int(np.argmax(last_mask))  # last group is a suffix
-            carry = pdf.iloc[tail_start:]
-            if tail_start == 0:
-                continue
-            out = _merge_runs_span(pdf.iloc[:tail_start], avgdl)
-            if out is not None:
-                yield out
-        if carry is not None and len(carry):
-            out = _merge_runs_span(carry.reset_index(drop=True), avgdl)
-            if out is not None:
-                yield out
+        import pyarrow as pa
+
+        bl = [b for b in batches if b.num_rows]
+        if not bl:
+            return
+        tbl = pa.Table.from_batches(bl)
+        d = tbl.column("term").combine_chunks().dictionary_encode()
+        codes_r = np.ascontiguousarray(
+            d.indices.to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        vocab = d.dictionary
+        salts_r = _np_col(tbl, "salt", np.int64)
+        ns = _np_col(tbl, "n", np.int64)
+        if int(ns.sum()) == 0:
+            return
+        key = (codes_r << np.int64(32)) | salts_r
+        uk, inv = np.unique(key, return_inverse=True)
+        ids = _i64(tbl, "doc_ids")
+        tfs = _i64(tbl, "tfs")
+        dls = _i64(tbl, "doclens")
+        gidx = np.repeat(inv, ns)
+        order = np.lexsort((ids, gidx))  # group-major, doc-ascending in group
+        group_terms = pa.compute.take(
+            vocab, pa.array(uk >> np.int64(32), type=pa.int64())
+        )
+        out = _encode_span_arrow(
+            gidx[order], group_terms, ids[order], tfs[order], dls[order], avgdl
+        )
+        if out is not None:
+            yield out
 
     return merge
 
 
-def _merge_runs_span(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame | None:
-    from .codec import varint_decode
+def _encode_span_arrow(
+    gcodes: np.ndarray,
+    group_terms,
+    ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+):
+    """Arrow twin of ``_encode_span_arrays`` for a group-code-major span:
+    identical payload bytes and metadata values, but block payloads are
+    zero-copy buffer slices and term strings materialize only per BLOCK
+    (via dictionary take), never per posting."""
+    import pyarrow as pa
 
-    _BIAS = np.uint64(1 << 63)
-    ns = pdf["n"].to_numpy(np.int64)
-    total = int(ns.sum())
-    if total == 0:
+    from .codec import BLOCK_SIZE, varint_encode_with_lengths
+
+    n = len(ids)
+    if n == 0:
         return None
-    # ONE decode per column: varint streams concatenate, and within-run
-    # absolute doc_ids come back from a global cumsum minus each run's
-    # base (uint64 modular arithmetic keeps this exact)
-    gaps = varint_decode(b"".join(pdf["doc_ids"]))
-    ends = np.cumsum(ns)
-    c = np.cumsum(gaps, dtype=np.uint64)
-    base = np.concatenate(([np.uint64(0)], c[ends[:-1] - 1]))
-    u = c - np.repeat(base, ns)
-    tfs = varint_decode(b"".join(pdf["tfs"])).view(np.int64)
-    dls = varint_decode(b"".join(pdf["doclens"])).view(np.int64)
+    change = np.flatnonzero(gcodes[1:] != gcodes[:-1])
+    gstarts = np.concatenate(([0], change + 1))
+    gends = np.concatenate((change + 1, [n]))
+    sizes = gends - gstarts
+    nblk = (sizes + BLOCK_SIZE - 1) // BLOCK_SIZE
+    total = int(nblk.sum())
+    rep_start = np.repeat(gstarts, nblk)
+    within = np.arange(total) - np.repeat(np.cumsum(nblk) - nblk, nblk)
+    bstarts = rep_start + within * BLOCK_SIZE
+    bends = np.minimum(bstarts + BLOCK_SIZE, np.repeat(gends, nblk))
 
-    terms_r = pdf["term"].to_numpy()
-    salts_r = pdf["salt"].to_numpy(np.int32)
-    row_change = (terms_r[1:] != terms_r[:-1]) | (salts_r[1:] != salts_r[:-1])
-    gidx_row = np.concatenate(([0], np.cumsum(row_change)))
-    gidx = np.repeat(gidx_row, ns)
-    order = np.lexsort((u, gidx))  # group-major, doc-ascending within group
-    ids_sorted = (u[order] - _BIAS).view(np.int64)
-    return _encode_span_arrays(
-        np.repeat(terms_r, ns)[order],
-        np.repeat(salts_r, ns)[order],
-        ids_sorted,
-        tfs[order],
-        dls[order],
-        avgdl,
+    u = ids.view(np.uint64) + np.uint64(1 << 63)
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = u[0]
+    np.subtract(u[1:], u[:-1], out=gaps[1:])
+    gaps[bstarts] = u[bstarts]
+    id_bytes, id_len = varint_encode_with_lengths(gaps)
+    tf_bytes, tf_len = varint_encode_with_lengths(tfs.view(np.uint64))
+    dl_bytes, dl_len = varint_encode_with_lengths(dls.view(np.uint64))
+    id_cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(id_len, out=id_cum[1:])
+    tf_cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tf_len, out=tf_cum[1:])
+    dl_cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(dl_len, out=dl_cum[1:])
+
+    imp = scoring.impact_np(tfs, dls, avgdl)
+    max_tf = np.maximum.reduceat(tfs, bstarts).astype(np.float64)
+    max_imp = np.maximum.reduceat(imp, bstarts)
+    counts = (bends - bstarts).astype(np.int64)
+    bounds = np.concatenate((bstarts, [n]))
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.compute.take(
+                group_terms, pa.array(gcodes[bstarts], type=pa.int64())
+            ),
+            pa.array(np.full(total, -1, dtype=np.int32), type=pa.int32()),
+            _bin_from_span(id_bytes, id_cum, bounds),
+            _bin_from_span(tf_bytes, tf_cum, bounds),
+            _bin_from_span(dl_bytes, dl_cum, bounds),
+            pa.array(counts, type=pa.int64()),
+            pa.array(ids[bstarts], type=pa.int64()),
+            pa.array(ids[bends - 1], type=pa.int64()),
+            pa.array(max_tf, type=pa.float64()),
+            pa.array(max_imp, type=pa.float64()),
+        ],
+        schema=_pa_postings_schema(),
     )
 
 
@@ -531,13 +659,14 @@ def build_postings(
     if packed:
         from ..schemas import PACKED_RUNS
 
-        packed_runs = with_salt.mapInPandas(
-            _pack_partition_encoder(), schema=PACKED_RUNS
+        # NO sortWithinPartitions on the reduce side: grouping happens in
+        # one numpy lexsort over the decoded runs — the JVM sort was part
+        # of the exchange machinery this path exists to remove
+        packed_runs = with_salt.mapInArrow(
+            _pack_partition_arrow(), schema=PACKED_RUNS
         )
-        blocks = (
-            packed_runs.repartition("term", "salt")
-            .sortWithinPartitions("term", "salt")
-            .mapInPandas(_merge_runs_encoder(avgdl), schema=POSTINGS)
+        blocks = packed_runs.repartition("term", "salt").mapInArrow(
+            _merge_runs_arrow(avgdl), schema=POSTINGS
         )
     else:
         # hash-partition by (term, salt) — all of a group's rows in one
