@@ -413,10 +413,14 @@ def _flat_binary(tbl, name: str) -> tuple[np.ndarray, np.ndarray]:
     return data, offs
 
 
-def _pack_partition_arrow():
+def _pack_partition_arrow(shuffle_bytes_acc=None):
     """mapInArrow body for the MAP SIDE of the packed postings build: one
     pass over an input partition's (term, salt, doc_id, tf, doclen) rows →
     one compact binary row per (term, salt) run present in the partition.
+
+    ``shuffle_bytes_acc`` (optional Spark accumulator) receives the logical
+    bytes this partition hands to the exchange (run payloads + keys) — the
+    manifest's ``shuffle_bytes`` metric.
 
     Run payloads are RAW little-endian int64 arrays (doc-ascending within
     the run) — pure memcpy on both sides of the exchange, ZERO extra codec
@@ -451,6 +455,17 @@ def _pack_partition_arrow():
         change = np.flatnonzero((codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1]))
         rstarts = np.concatenate(([0], change + 1))
         bounds = np.concatenate((rstarts, [n]))
+        if shuffle_bytes_acc is not None:
+            # logical bytes through the exchange: 3 raw-int64 payloads
+            # (8 bytes/posting each) + per-run key/count/offset overhead
+            term_bytes = pa.compute.binary_length(
+                pa.compute.take(vocab, pa.array(codes[rstarts], type=pa.int64()))
+            )
+            shuffle_bytes_acc.add(
+                int(3 * 8 * n)
+                + int(pa.compute.sum(term_bytes).as_py() or 0)
+                + 24 * len(rstarts)
+            )
         yield pa.RecordBatch.from_arrays(
             [
                 pa.compute.take(vocab, pa.array(codes[rstarts], type=pa.int64())),
@@ -609,6 +624,7 @@ def build_postings(
     skew_df_threshold: int = SKEW_DF_THRESHOLD,
     salt_target_rows: int = SALT_TARGET_ROWS,
     packed: bool = True,
+    shuffle_bytes_acc=None,
 ) -> DataFrame:
     """(term, doc_id, tf, doclen) rows → compressed block table.
 
@@ -663,7 +679,7 @@ def build_postings(
         # one numpy lexsort over the decoded runs — the JVM sort was part
         # of the exchange machinery this path exists to remove
         packed_runs = with_salt.mapInArrow(
-            _pack_partition_arrow(), schema=PACKED_RUNS
+            _pack_partition_arrow(shuffle_bytes_acc), schema=PACKED_RUNS
         )
         blocks = packed_runs.repartition("term", "salt").mapInArrow(
             _merge_runs_arrow(avgdl), schema=POSTINGS

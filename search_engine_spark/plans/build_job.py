@@ -209,12 +209,14 @@ def build_index(
             shard_terms = global_terms.filter(
                 F.pmod(F.xxhash64("term"), F.lit(n_shards)) == k
             )
+            shuffle_acc = spark.sparkContext.accumulator(0)
             blocks = B.build_postings(
                 shard_tf,
                 shard_terms,
                 avgdl,
                 skew_df_threshold=skew_df_threshold,
                 salt_target_rows=salt_target_rows,
+                shuffle_bytes_acc=shuffle_acc,
             )
             catalog.write(blocks, f"postings/shard={k}")
             written = catalog.read(spark, f"postings/shard={k}")
@@ -244,6 +246,7 @@ def build_index(
                 k,
                 postings=int(agg["p"] or 0),
                 bytes_=int(agg["bytes"] or 0),
+                shuffle_bytes=int(shuffle_acc.value),
                 skew_factor=skew,
                 postings_per_sec=float(agg["p"] or 0) / max(el, 1e-9),
             )
