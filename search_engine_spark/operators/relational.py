@@ -107,6 +107,60 @@ def shipping_priority(
     )
 
 
+def local_supplier_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    r_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q5 shape: the full 6-table join (fact + 5 dims, including the
+    region→nation snowflake) with the local-supplier correlation
+    c_nationkey = s_nationkey — the one join predicate in the family that
+    relates two DIMENSION sides through the fact row.
+
+    Plan shape at 100 TB: region⋈nation collapses to a broadcast filter;
+    customer and supplier each broadcast-join the nation set; orders
+    (date-filtered at the scan) broadcast-joins customer; the ONLY fact
+    exchange is lineitem ⋈ orders on l_orderkey, after which supplier is
+    broadcast into the fact stream and the c=s nation equality is applied
+    as a post-join filter. Final exchange: a ≤25-group rollup."""
+    nr = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == r_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    cust = customer.join(
+        F.broadcast(nr), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("c_nationkey"))
+    ords = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
+    )
+    supp = supplier.join(
+        F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    revenue = _money("l_extendedprice") * _one_minus("l_discount")
+    return (
+        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue).cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
 def nation_promo_revenue(
     lineitem: DataFrame,
     part: DataFrame,

@@ -11,7 +11,7 @@ import duckdb
 import pytest
 
 SF = "/root/testdata/sf0.001"
-TABLES = ["lineitem", "orders", "customer", "part", "supplier", "nation"]
+TABLES = ["lineitem", "orders", "customer", "part", "supplier", "nation", "region"]
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(SF), reason="driver testdata not present"
@@ -36,7 +36,13 @@ def _values_equal(a, b):
 
 
 @pytest.mark.parametrize(
-    "name", ["pricing_summary_q1", "shipping_priority_q3", "nation_promo_revenue"]
+    "name",
+    [
+        "pricing_summary_q1",
+        "shipping_priority_q3",
+        "nation_promo_revenue",
+        "local_supplier_volume_q5",
+    ],
 )
 def test_relational_matches_oracle(spark, name):
     import __spark_entry__ as E
@@ -61,6 +67,17 @@ def test_q3_plan_broadcasts_dims_single_fact_shuffle(spark):
     # the lineitem⋈orders join may be planned as broadcast too at sf0.001
     # (AQE sees a tiny build side) — require NO sort-merge join ever
     assert "SortMergeJoin" not in plan
+
+
+def test_q5_plan_broadcasts_snowflake_dims(spark):
+    import __spark_entry__ as E
+
+    df = E.queries()["local_supplier_volume_q5"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # region→nation, nation→{customer,supplier}, customer→orders,
+    # supplier→fact: every dimension edge is a broadcast build side
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
 def test_nation_rollup_all_dims_broadcast(spark):

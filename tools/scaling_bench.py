@@ -111,7 +111,7 @@ def worker(cpus: int, corpus_path: str) -> None:
         # bursty host noise (observed 3x swings between identical trials) —
         # min is the standard noise-resistant wall-clock estimator
         trials = int(os.environ.get("SCALING_TRIALS", "2"))
-        build_s, stage_sec, postings = None, {}, 0
+        build_s, stage_sec, postings, shuffle_bytes = None, {}, 0, 0
         for trial in range(trials):
             shutil.rmtree(root, ignore_errors=True)
             cat = Catalog(root)
@@ -124,6 +124,9 @@ def worker(cpus: int, corpus_path: str) -> None:
                 build_s = el
                 postings = sum(r.get("postings") or 0 for r in man
                                if r["stage"] == "postings" and r["status"] == "DONE")
+                shuffle_bytes = sum(
+                    r.get("shuffle_bytes") or 0 for r in man
+                    if r["stage"] == "postings" and r["status"] == "DONE")
                 starts = {(r["stage"], r["partition_id"]): r["started_at"]
                           for r in man if r["status"] == "RUNNING"}
                 stage_sec = {
@@ -155,6 +158,7 @@ def worker(cpus: int, corpus_path: str) -> None:
             "build_sec": round(build_s, 2),
             "docs_per_sec": round(n_docs / build_s, 1),
             "postings_per_sec": round(postings / build_s, 1),
+            "postings_shuffle_bytes": shuffle_bytes,
             "query_p50_ms": round(all_ms[len(all_ms) // 2], 1),
             "query_p95_ms": round(p95, 1),
             "per_query": lat,
