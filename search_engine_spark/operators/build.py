@@ -40,7 +40,8 @@ SALT_TARGET_ROWS = 50_000
 
 
 def build_docs(corpus: DataFrame) -> DataFrame:
-    """Corpus → docs rows (no doclen yet — joined from doc_stats later).
+    """Corpus → docs rows (the full DOCS schema — no stats columns:
+    doclen lives only in doc_stats, which shares the bucket(repo) layout).
 
     doc_id = xxhash64(repo,path,commit): deterministic, order-independent
     (vs reference auto-increment ids, model/Page.java:13-16). content_sha256

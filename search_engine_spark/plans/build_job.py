@@ -117,16 +117,19 @@ def build_index(
         man.done("doc_stats", docs=catalog.read(spark, "doc_stats").count())
     dstats = catalog.read(spark, "doc_stats", DOC_STATS)
 
-    # -- stage: docs (ingest + doclen) ------------------------------------
+    # -- stage: docs (content-bearing table) ------------------------------
+    # NO doclen column (r3): doclen lives ONLY in doc_stats, which shares
+    # this table's bucket(repo) layout and doc_id sort, so any consumer
+    # point-reads it at the same cost. Denormalizing it here required a
+    # corpus×corpus join (docs ⋈ doc_stats on doc_id) — at 10^12 docs
+    # that is TWO full exchanges of the content-bearing stream (join +
+    # re-bucket) for a column serving never reads. The scan now flows
+    # straight into ONE bucket exchange.
     _ck()
     if not (man.stage_done("docs") and catalog.exists("docs")):
         man.start("docs")
         docs = (
             B.build_docs(corpus)
-            # no broadcast hint: dstats grows with the corpus — AQE
-            # broadcasts it only while it is actually small
-            .join(dstats.select("doc_id", "doclen"), "doc_id", "left")
-            .withColumn("doclen", F.coalesce(F.col("doclen"), F.lit(0)))
             # bucket(repo) partitioning stand-in (Iceberg: bucket(N, repo))
             .withColumn("repo_bucket", F.pmod(F.xxhash64("repo"), F.lit(n_buckets)))
             # cluster rows by bucket before the partitioned write — one file

@@ -425,31 +425,26 @@ def _merge_docs(spark, catalog, new_docs, keys, n_buckets, new_rows_df=None) -> 
     by_bucket: dict[int, list[_NewDoc]] = {}
     for d in new_docs:
         by_bucket.setdefault(d.bucket, []).append(d)
-    src = None
-    if new_rows_df is not None:
-        dl_df = spark.createDataFrame(
-            [(d.doc_id, d.doclen) for d in new_docs], "doc_id long, doclen long"
-        )
-        src = new_rows_df.join(F.broadcast(dl_df), "doc_id")
+    # docs carries no doclen (r3): doc_stats owns it in the same bucket
+    # layout, so the distributed path needs no stats join at all
     for bucket, docs_b in sorted(by_bucket.items()):
         part = f"docs/repo_bucket={bucket}"
-        if src is not None:
-            new_rows = src.filter(
+        if new_rows_df is not None:
+            new_rows = new_rows_df.filter(
                 F.pmod(F.xxhash64("repo"), F.lit(n_buckets)) == bucket
             )
         else:
             new_rows = spark.createDataFrame(
                 [
-                    (d.repo, d.path, d.commit, d.lang, d.content, d.doclen)
+                    (d.repo, d.path, d.commit, d.lang, d.content)
                     for d in docs_b
                 ],
                 "repo string, path string, commit string, lang string, "
-                "content string, doclen long",
+                "content string",
             ).select(
                 F.xxhash64("repo", "path", "commit").alias("doc_id"),
                 "repo", "path", "commit", "lang", "content",
                 F.sha2(F.col("content"), 256).alias("content_sha256"),
-                "doclen",
             )
         key_df = spark.createDataFrame(
             sorted({(d.repo, d.path) for d in docs_b}), "repo string, path string"

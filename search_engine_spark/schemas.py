@@ -46,7 +46,6 @@ DOCS = StructType(
         StructField("lang", StringType(), False),
         StructField("content", StringType(), False),
         StructField("content_sha256", StringType(), False),
-        StructField("doclen", LongType(), False),
     ]
 )
 

@@ -175,10 +175,13 @@ def test_incremental_equals_rebuild(spark, tmp_path):
     build_index(spark, spark.createDataFrame(base_rows + [extra], corpus.schema),
                 cat_full, n_shards=2, skew_df_threshold=50, salt_target_rows=40)
 
-    # docs identical
-    di = cat_inc.read(spark, "docs").select("doc_id", "content_sha256", "doclen")
-    df_ = cat_full.read(spark, "docs").select("doc_id", "content_sha256", "doclen")
+    # docs identical (doclen lives in doc_stats — docs carries no stats)
+    di = cat_inc.read(spark, "docs").select("doc_id", "content_sha256")
+    df_ = cat_full.read(spark, "docs").select("doc_id", "content_sha256")
     assert di.subtract(df_).count() == 0 and df_.subtract(di).count() == 0
+    si = cat_inc.read(spark, "doc_stats").select("doc_id", "doclen")
+    sf_ = cat_full.read(spark, "doc_stats").select("doc_id", "doclen")
+    assert si.subtract(sf_).count() == 0 and sf_.subtract(si).count() == 0
 
     # terms identical
     ti = cat_inc.read(spark, "terms").select("term", "df")

@@ -196,9 +196,12 @@ def test_big_batch_distributed_ingest_converges(spark, tmp_path, monkeypatch):
     assert (ci["n_docs"], ci["total_len"], ci["avgdl"]) == (
         cf["n_docs"], cf["total_len"], cf["avgdl"]
     )
-    di = cat.read(spark, "docs").select("doc_id", "content_sha256", "doclen")
-    df_ = cat_full.read(spark, "docs").select("doc_id", "content_sha256", "doclen")
+    di = cat.read(spark, "docs").select("doc_id", "content_sha256")
+    df_ = cat_full.read(spark, "docs").select("doc_id", "content_sha256")
     assert di.subtract(df_).count() == 0 and df_.subtract(di).count() == 0
+    si = cat.read(spark, "doc_stats").select("doc_id", "doclen")
+    sf_ = cat_full.read(spark, "doc_stats").select("doc_id", "doclen")
+    assert si.subtract(sf_).count() == 0 and sf_.subtract(si).count() == 0
     pi = decode_blocks(SearchEngine(spark, cat, code=True).postings).toPandas()
     pf = decode_blocks(SearchEngine(spark, cat_full, code=True).postings).toPandas()
     pi = pi.sort_values(["term", "doc_id"]).reset_index(drop=True)

@@ -150,9 +150,12 @@ def test_batch_index_docs_equals_rebuild(spark, tmp_path):
     build_index(spark, spark.createDataFrame(final_rows, corpus.schema), cat3,
                 n_shards=2, skew_df_threshold=50, salt_target_rows=40)
 
-    di = cat2.read(spark, "docs").select("doc_id", "content_sha256", "doclen")
-    df_ = cat3.read(spark, "docs").select("doc_id", "content_sha256", "doclen")
+    di = cat2.read(spark, "docs").select("doc_id", "content_sha256")
+    df_ = cat3.read(spark, "docs").select("doc_id", "content_sha256")
     assert di.subtract(df_).count() == 0 and df_.subtract(di).count() == 0
+    si = cat2.read(spark, "doc_stats").select("doc_id", "doclen")
+    sf_ = cat3.read(spark, "doc_stats").select("doc_id", "doclen")
+    assert si.subtract(sf_).count() == 0 and sf_.subtract(si).count() == 0
 
     ti = cat2.read(spark, "terms").select("scope", "term", "df")
     tf_ = cat3.read(spark, "terms").select("scope", "term", "df")
