@@ -501,14 +501,25 @@ def _raw_i64_runs(values: np.ndarray, bounds: np.ndarray):
     )
 
 
-def _merge_runs_arrow(avgdl: float):
-    """REDUCE side of the packed build (mapInArrow): the whole reduce
-    partition (compact run rows) is concatenated; each binary column's raw
-    int64 payload is ONE frombuffer view over the underlying Arrow values
-    buffer (no per-run bytes objects, no decode pass); runs are grouped by
-    dictionary codes with one numpy lexsort (NO JVM sort in the plan) and
-    whole-span block-encoded. Output blocks are byte-identical to the
-    direct path (tested)."""
+def _merge_runs_arrow(avgdl: float, chunk_postings: int = 4_000_000):
+    """REDUCE side of the packed build (mapInArrow): each binary column's
+    raw int64 payload is ONE frombuffer view over the underlying Arrow
+    values buffer (no per-run bytes objects, no decode pass); runs are
+    grouped by dictionary codes and block-encoded in BOUNDED CHUNKS of
+    whole groups (``chunk_postings`` postings per span, one lexsort per
+    chunk — NO JVM sort in the plan). Output blocks are byte-identical to
+    the direct path (tested).
+
+    Why chunked, not one whole-partition span: the working set of a span
+    (gather + lexsort + varint buffers) is ~9 arrays of span length. One
+    span per partition makes task memory grow with partition size; fixed
+    chunks cap it at O(chunk) regardless of how big the reduce partition
+    is, and every chunk after the first REUSES the allocator's pages
+    instead of faulting fresh ones (measured 5x on this sandbox's
+    slow-fault VM; also the difference between fitting and OOMing an
+    executor when a partition comes in 10x oversized). A group (term,
+    salt) never splits across chunks — salting already bounds group size,
+    so a chunk is >= one group and <= chunk_postings + one group."""
 
     def _i64(tbl, name):
         data, off = _flat_binary(tbl, name)
@@ -535,16 +546,55 @@ def _merge_runs_arrow(avgdl: float):
         ids = _i64(tbl, "doc_ids")
         tfs = _i64(tbl, "tfs")
         dls = _i64(tbl, "doclens")
-        gidx = np.repeat(inv, ns)
-        order = np.lexsort((ids, gidx))  # group-major, doc-ascending in group
         group_terms = pa.compute.take(
             vocab, pa.array(uk >> np.int64(32), type=pa.int64())
         )
-        out = _encode_span_arrow(
-            gidx[order], group_terms, ids[order], tfs[order], dls[order], avgdl
-        )
-        if out is not None:
-            yield out
+        # run start offset (in postings) inside the contiguous payload view:
+        # raw runs are stored back-to-back, so it is just the running count
+        nr = len(ns)
+        rstart = np.zeros(nr + 1, dtype=np.int64)
+        np.cumsum(ns, out=rstart[1:])
+        # order runs group-major (stable keeps batch order within a group)
+        run_order = np.argsort(inv, kind="stable")
+        inv_o = inv[run_order]
+        ns_o = ns[run_order]
+        cum_o = np.zeros(nr + 1, dtype=np.int64)
+        np.cumsum(ns_o, out=cum_o[1:])
+        # group boundaries in (ordered) run space
+        gchange = np.flatnonzero(inv_o[1:] != inv_o[:-1])
+        g_rs = np.concatenate(([0], gchange + 1))  # group -> first run idx
+        g_re = np.concatenate((gchange + 1, [nr]))
+        g_pend = cum_o[g_re]  # group -> postings end offset (ordered space)
+        # chunk split points: greedily take whole groups while cumulative
+        # postings fit; always at least one group per chunk
+        gi, n_groups = 0, len(g_rs)
+        while gi < n_groups:
+            lo_run = int(g_rs[gi])
+            target = cum_o[lo_run] + chunk_postings
+            h = int(np.searchsorted(g_pend, target, side="right"))
+            h = max(h, gi + 1)
+            hi_run = int(g_re[h - 1])
+            runs = run_order[lo_run:hi_run]
+            lens = ns[runs]
+            total = int(lens.sum())
+            if total:
+                # vectorized gather of the chunk's runs out of the payload
+                # views: idx = per-run [start, start+len) ranges, flattened
+                base = np.repeat(rstart[runs], lens)
+                within = np.arange(total, dtype=np.int64) - np.repeat(
+                    cum_o[lo_run:hi_run] - cum_o[lo_run], lens
+                )
+                idx = base + within
+                gidx = np.repeat(inv_o[lo_run:hi_run], lens)
+                ids_c, tfs_c, dls_c = ids[idx], tfs[idx], dls[idx]
+                order = np.lexsort((ids_c, gidx))
+                out = _encode_span_arrow(
+                    gidx[order], group_terms, ids_c[order], tfs_c[order],
+                    dls_c[order], avgdl,
+                )
+                if out is not None:
+                    yield out
+            gi = h
 
     return merge
 

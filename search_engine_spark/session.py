@@ -58,6 +58,22 @@ def get_spark(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) in
     the sandbox; on a cluster callers pass nothing and spark-submit decides.
     """
+    # glibc malloc tuning for the numpy-heavy python workers: without it,
+    # every large numpy/Arrow buffer is a fresh mmap that glibc munmaps on
+    # free, so each task batch re-faults its whole working set page by
+    # page (and never gets transparent hugepages). Routing big allocations
+    # through the arena and suppressing trim keeps pages resident and
+    # THP-backed across batches — measured 8x on the packed-postings merge
+    # (cold 70s -> 8s per 5M-posting span on this sandbox's slow-fault
+    # VM; on a real cluster it is still fewer soft faults + TLB misses per
+    # task). Set in our env BEFORE the JVM starts (local-mode workers fork
+    # with the JVM's env) and mirrored to executorEnv for cluster mode.
+    _malloc_env = {
+        "MALLOC_MMAP_THRESHOLD_": str(1 << 30),
+        "MALLOC_TRIM_THRESHOLD_": str(1 << 30),
+    }
+    for k, v in _malloc_env.items():
+        os.environ.setdefault(k, v)
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
@@ -93,6 +109,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    for k, v in _malloc_env.items():
+        b = b.config(f"spark.executorEnv.{k}", os.environ[k])
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
