@@ -676,6 +676,7 @@ def build_postings(
     salt_target_rows: int = SALT_TARGET_ROWS,
     packed: bool = True,
     shuffle_bytes_acc=None,
+    merge_chunk_postings: int = 4_000_000,
 ) -> DataFrame:
     """(term, doc_id, tf, doclen) rows → compressed block table.
 
@@ -733,7 +734,8 @@ def build_postings(
             _pack_partition_arrow(shuffle_bytes_acc), schema=PACKED_RUNS
         )
         blocks = packed_runs.repartition("term", "salt").mapInArrow(
-            _merge_runs_arrow(avgdl), schema=POSTINGS
+            _merge_runs_arrow(avgdl, chunk_postings=merge_chunk_postings),
+            schema=POSTINGS,
         )
     else:
         # hash-partition by (term, salt) — all of a group's rows in one

@@ -41,6 +41,25 @@ def test_packed_build_bit_identical_to_direct(spark):
     assert packed == direct  # payload-byte identity, metadata included
 
 
+def test_packed_build_chunked_merge_identical(spark):
+    """Force the MULTI-chunk reduce path (tiny chunk_postings): block
+    rows, payload bytes and metadata must not depend on where chunk
+    boundaries fall — groups never split, so every chunk size from
+    'one group per chunk' to 'whole partition in one span' encodes the
+    same table."""
+    from search_engine_spark.synth import make_corpus
+
+    corpus = make_corpus(spark, 300, seed=9, partitions=8).cache()
+    kw = dict(skew_df_threshold=40, salt_target_rows=30)
+    whole_span = _blocks(spark, corpus, packed=True,
+                         merge_chunk_postings=1 << 40, **kw)
+    tiny_chunks = _blocks(spark, corpus, packed=True,
+                          merge_chunk_postings=8, **kw)
+    corpus.unpersist()
+    assert len(whole_span) > 50
+    assert tiny_chunks == whole_span
+
+
 def test_packed_build_single_partition_and_empty(spark):
     from search_engine_spark.synth import make_corpus
 
