@@ -38,19 +38,27 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    rep_detail: dict[str, list[float]] = {}
+
     def timed(name: str, fn, reps: int = 1):
         # reps>1: best-of-N — this sandbox host has bursty noise (measured
         # 3-10x swings between identical runs minutes apart; BASELINE.md
         # §3.3), and min is the standard noise-resistant wall-clock
         # estimator. Builds stay reps=1 (too expensive to repeat).
+        # EVERY rep timing is recorded in the output (`timing_reps`) so a
+        # best-of-N number is never silently compared against an older
+        # single-shot series (ADVICE r3: methodology must be visible).
         best, out = None, None
+        all_reps: list[float] = []
         for _ in range(reps):
             t0 = time.time()
             out = fn()
             el = time.time() - t0
+            all_reps.append(round(el, 3))
             if best is None or el < best:
                 best = el
         timings[name] = round(best, 3)
+        rep_detail[name] = all_reps
         return out
 
     # --- engine index build over the sf documents table -----------------
@@ -211,6 +219,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "timing_reps": rep_detail,
                 "sf": sf,
                 "cpus": int(cpus),
                 **extras,

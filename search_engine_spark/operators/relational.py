@@ -123,12 +123,14 @@ def local_supplier_volume(
     c_nationkey = s_nationkey — the one join predicate in the family that
     relates two DIMENSION sides through the fact row.
 
-    Plan shape at 100 TB: region⋈nation collapses to a broadcast filter;
-    customer and supplier each broadcast-join the nation set; orders
-    (date-filtered at the scan) broadcast-joins customer; the ONLY fact
-    exchange is lineitem ⋈ orders on l_orderkey, after which supplier is
-    broadcast into the fact stream and the c=s nation equality is applied
-    as a post-join filter. Final exchange: a ≤25-group rollup."""
+    Plan shape: region⋈nation collapses to a FORCED broadcast filter (25
+    rows at any scale); customer and supplier carry NO broadcast hint —
+    they grow linearly with the corpus, so at 100 TB a forced broadcast
+    would OOM the build side, while AQE still picks broadcast-hash joins
+    for them whenever their filtered size fits the threshold (it does at
+    every sandbox SF — the plan-shape test asserts no sort-merge joins).
+    The fact stream shuffles at most once (lineitem ⋈ orders on
+    l_orderkey); the final exchange is a ≤25-group rollup."""
     nr = (
         nation.join(
             F.broadcast(region.filter(F.col("r_name") == r_name)),
@@ -143,7 +145,7 @@ def local_supplier_volume(
             (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
             & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", "c_nationkey")
     )
     supp = supplier.join(
@@ -153,7 +155,7 @@ def local_supplier_volume(
     return (
         lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
         .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .groupBy("n_name")
         .agg(F.round(F.sum(revenue).cast("double"), 2).alias("revenue"))

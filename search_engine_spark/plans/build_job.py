@@ -3,11 +3,11 @@
 Stage graph (each stage writes its output table, then its manifest DONE row
 — restart skips DONE stages / DONE posting shards):
 
-    corpus ─ ingest ─→ tf ──→ doc_stats ──→ docs (join doclen)
-                        │          │
-                        │          └─→ corpus_stats
-                        ├─→ terms (df)
-                        └─(join doclen)─→ postings shard 0..S-1
+    corpus ─ ingest ─┬─→ tf ──┬─→ doc_stats ──→ corpus_stats, site_stats
+                     │        ├─→ terms (df)
+                     │        └─→ postings shard 0..S-1  (doclen rides tf)
+                     └─→ docs (content table; no stats columns — doclen
+                          lives only in doc_stats, same bucket layout)
 
 The postings stage is sharded by ``pmod(xxhash64(term), S)`` so a 100 TB
 build commits progress in S independent units; each shard is one Spark job

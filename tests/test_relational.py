@@ -73,9 +73,16 @@ def test_q5_plan_broadcasts_snowflake_dims(spark):
     import __spark_entry__ as E
 
     df = E.queries()["local_supplier_volume_q5"](spark, SF)
+    # only nation⋈region carries a FORCED broadcast hint (25 rows at any
+    # scale); customer/supplier grow with the corpus, so their joins rely
+    # on AQE's runtime size check (ADVICE r3) — assert the FINAL adaptive
+    # plan, after execution, broadcast every dimension edge here
+    df.collect()
+    # toString() appends the pre-AQE "== Initial Plan ==" section, where the
+    # unhinted joins legitimately start as sort-merge — assert the final
+    # section only
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # region→nation, nation→{customer,supplier}, customer→orders,
-    # supplier→fact: every dimension edge is a broadcast build side
+    plan = plan.split("== Initial Plan ==")[0]
     assert plan.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
