@@ -690,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ann_lsh_topk": _q_ann_lsh,
+        # oracle-gated since r4 (DuckDB list_dot_product twin):
         "ann_allpairs_topk": _q_allpairs_ann,
         "multimodal_features": _q_multimodal,
         "frame_sample_plan": _q_frame_plan,
@@ -1002,4 +1003,47 @@ def oracle_sql() -> dict[str, str]:
            SELECT e.vec_id, round(sum(e.x * q.x), 4) AS dot
            FROM e JOIN q USING (i) GROUP BY e.vec_id
            ORDER BY dot DESC, vec_id LIMIT 10""",
+        "ann_allpairs_topk": _allpairs_oracle_sql(),
     }
+
+
+def _allpairs_oracle_sql() -> str:
+    """DuckDB twin of ``ann_allpairs_topk`` (VERDICT r03 next-#4): the SAME
+    random hyperplanes (deterministic ``_planes(64, 4, 42)``) are inlined as
+    double literals, buckets re-derived with ``list_dot_product`` sign bits,
+    and per-row top-5 cosine taken inside each bucket. DuckDB's dot product
+    is not bit-identical to Spark's left-fold (pairwise/SIMD summation, ~2
+    ulp apart), so this gate relies on measured data margins at the sf0.01
+    gate input: min |plane·v| 9.2e-5 (bucket signs), min adjacent rank gap
+    1.4e-5 (ordering), min distance to a 4-decimal rounding boundary 4.8e-9
+    (hash values) — each 6+ orders of magnitude above the engines' float
+    disagreement, so the comparison is deterministic, not luck."""
+    from search_engine_spark.operators.similarity import _planes
+
+    planes = _planes(64, 4, 42)
+
+    def lits(p) -> str:
+        return "[" + ",".join(repr(float(x)) for x in p) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lits(p)}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+       WITH e AS (SELECT vec_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings),
+       b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+       pairs AS (
+         SELECT a.vec_id AS vec_id, nb.vec_id AS neighbor_id,
+                list_dot_product(a.v, nb.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(nb.v, nb.v))) AS cosine
+         FROM b a JOIN b nb
+           ON a.bucket = nb.bucket AND a.vec_id <> nb.vec_id),
+       rk AS (SELECT vec_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cosine DESC, neighbor_id) AS rn
+              FROM pairs)
+       SELECT vec_id, neighbor_id, round(cosine, 4) AS cosine
+       FROM rk WHERE rn <= 5"""

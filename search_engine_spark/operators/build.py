@@ -38,6 +38,14 @@ from ..schemas import POSTINGS, TOKENS_EXPLODED
 SKEW_DF_THRESHOLD = 100_000
 SALT_TARGET_ROWS = 50_000
 
+# Map-side pack emits one RecordBatch per <= this many postings: Arrow
+# BinaryArray offsets are int32, so one batch's payload column must stay
+# under 2^31 bytes (8 B/posting raw) — 64M postings = 512 MB/column, a safe
+# 4x margin. An oversized map partition therefore SPLITS into more batches
+# instead of failing the build (a 100 TB job must survive a pathological
+# repartition or skew without a job-fatal cliff).
+PACK_CHUNK_POSTINGS = 64_000_000
+
 
 def build_docs(corpus: DataFrame) -> DataFrame:
     """Corpus → docs rows (the full DOCS schema — no stats columns:
@@ -382,8 +390,10 @@ def _bin_from_span(data: bytes, cum: np.ndarray, bounds: np.ndarray):
     import pyarrow as pa
 
     if cum[-1] >= (1 << 31):
+        # unreachable from the reduce side (_merge_runs_arrow bounds each
+        # span at chunk_postings * ~10 varint bytes); guards direct callers
         raise ValueError(
-            "packed span exceeds 2 GiB — lower spark.sql.files.maxPartitionBytes"
+            "encoded span exceeds int32 Arrow offsets — lower chunk_postings"
         )
     offs = cum[bounds].astype(np.int32)
     return pa.BinaryArray.from_buffers(
@@ -414,14 +424,22 @@ def _flat_binary(tbl, name: str) -> tuple[np.ndarray, np.ndarray]:
     return data, offs
 
 
-def _pack_partition_arrow(shuffle_bytes_acc=None):
+def _pack_partition_arrow(shuffle_bytes_acc=None, chunk_postings: int = PACK_CHUNK_POSTINGS):
     """mapInArrow body for the MAP SIDE of the packed postings build: one
     pass over an input partition's (term, salt, doc_id, tf, doclen) rows →
-    one compact binary row per (term, salt) run present in the partition.
+    one compact binary row per (term, salt) run present in the partition,
+    emitted in RecordBatches of <= ``chunk_postings`` postings each (splits
+    at run boundaries when possible, inside a run when a single run exceeds
+    the chunk — the reduce side re-sorts by doc_id within each group, so a
+    split run merges back losslessly; tested byte-identical).
 
     ``shuffle_bytes_acc`` (optional Spark accumulator) receives the logical
     bytes this partition hands to the exchange (run payloads + keys) — the
-    manifest's ``shuffle_bytes`` metric.
+    manifest's ``shuffle_bytes_logical`` metric. Accumulators updated inside
+    a transformation are AT-LEAST-ONCE under task retry/speculation (Spark
+    guarantees exactly-once only in actions) — the manifest also records the
+    exchange's task-metric truth (``shuffle_write_bytes``) from the app
+    status store, which counts committed tasks only.
 
     Run payloads are RAW little-endian int64 arrays (doc-ascending within
     the run) — pure memcpy on both sides of the exchange, ZERO extra codec
@@ -455,31 +473,59 @@ def _pack_partition_arrow(shuffle_bytes_acc=None):
         dls = _np_col(tbl, "doclen", np.int64)[order]
         change = np.flatnonzero((codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1]))
         rstarts = np.concatenate(([0], change + 1))
-        bounds = np.concatenate((rstarts, [n]))
-        if shuffle_bytes_acc is not None:
-            # logical bytes through the exchange: 3 raw-int64 payloads
-            # (8 bytes/posting each) + per-run key/count/offset overhead
-            term_bytes = pa.compute.binary_length(
-                pa.compute.take(vocab, pa.array(codes[rstarts], type=pa.int64()))
+        for lo, hi in _pack_chunk_ranges(rstarts, n, chunk_postings):
+            c_codes, c_salts = codes[lo:hi], salts[lo:hi]
+            c_change = np.flatnonzero(
+                (c_codes[1:] != c_codes[:-1]) | (c_salts[1:] != c_salts[:-1])
             )
-            shuffle_bytes_acc.add(
-                int(3 * 8 * n)
-                + int(pa.compute.sum(term_bytes).as_py() or 0)
-                + 24 * len(rstarts)
+            c_rstarts = np.concatenate(([0], c_change + 1))
+            bounds = np.concatenate((c_rstarts, [hi - lo]))
+            if shuffle_bytes_acc is not None:
+                # logical bytes through the exchange: 3 raw-int64 payloads
+                # (8 bytes/posting each) + per-run key/count/offset overhead
+                term_bytes = pa.compute.binary_length(
+                    pa.compute.take(
+                        vocab, pa.array(c_codes[c_rstarts], type=pa.int64())
+                    )
+                )
+                shuffle_bytes_acc.add(
+                    int(3 * 8 * (hi - lo))
+                    + int(pa.compute.sum(term_bytes).as_py() or 0)
+                    + 24 * len(c_rstarts)
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.compute.take(
+                        vocab, pa.array(c_codes[c_rstarts], type=pa.int64())
+                    ),
+                    pa.array(c_salts[c_rstarts], type=pa.int32()),
+                    pa.array(
+                        (bounds[1:] - c_rstarts).astype(np.int64), type=pa.int64()
+                    ),
+                    _raw_i64_runs(ids[lo:hi], bounds),
+                    _raw_i64_runs(tfs[lo:hi], bounds),
+                    _raw_i64_runs(dls[lo:hi], bounds),
+                ],
+                schema=_pa_packed_schema(),
             )
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.compute.take(vocab, pa.array(codes[rstarts], type=pa.int64())),
-                pa.array(salts[rstarts], type=pa.int32()),
-                pa.array((bounds[1:] - rstarts).astype(np.int64), type=pa.int64()),
-                _raw_i64_runs(ids, bounds),
-                _raw_i64_runs(tfs, bounds),
-                _raw_i64_runs(dls, bounds),
-            ],
-            schema=_pa_packed_schema(),
-        )
 
     return pack
+
+
+def _pack_chunk_ranges(rstarts: np.ndarray, n: int, chunk: int):
+    """Split rows [0, n) into ranges of <= ``chunk`` rows, preferring run
+    boundaries (``rstarts``, sorted run start indices) and splitting INSIDE
+    a run only when that single run exceeds the chunk."""
+    lo = 0
+    while lo < n:
+        target = lo + chunk
+        if target >= n:
+            yield lo, n
+            return
+        j = int(np.searchsorted(rstarts, target, side="right")) - 1
+        hi = int(rstarts[j]) if rstarts[j] > lo else target
+        yield lo, hi
+        lo = hi
 
 
 def _raw_i64_runs(values: np.ndarray, bounds: np.ndarray):
@@ -489,8 +535,10 @@ def _raw_i64_runs(values: np.ndarray, bounds: np.ndarray):
     import pyarrow as pa
 
     if len(values) * 8 >= (1 << 31):
+        # unreachable via the chunked pack (_pack_chunk_ranges caps each
+        # batch at PACK_CHUNK_POSTINGS << 2^31/8); guards direct callers
         raise ValueError(
-            "packed span exceeds 2 GiB — lower spark.sql.files.maxPartitionBytes"
+            "raw run span exceeds int32 Arrow offsets — chunk the pack"
         )
     offs = (bounds.astype(np.int64) * 8).astype(np.int32)
     return pa.BinaryArray.from_buffers(
@@ -677,6 +725,7 @@ def build_postings(
     packed: bool = True,
     shuffle_bytes_acc=None,
     merge_chunk_postings: int = 4_000_000,
+    pack_chunk_postings: int = PACK_CHUNK_POSTINGS,
 ) -> DataFrame:
     """(term, doc_id, tf, doclen) rows → compressed block table.
 
@@ -731,7 +780,8 @@ def build_postings(
         # one numpy lexsort over the decoded runs — the JVM sort was part
         # of the exchange machinery this path exists to remove
         packed_runs = with_salt.mapInArrow(
-            _pack_partition_arrow(shuffle_bytes_acc), schema=PACKED_RUNS
+            _pack_partition_arrow(shuffle_bytes_acc, chunk_postings=pack_chunk_postings),
+            schema=PACKED_RUNS,
         )
         blocks = packed_runs.repartition("term", "salt").mapInArrow(
             _merge_runs_arrow(avgdl, chunk_postings=merge_chunk_postings),

@@ -26,6 +26,7 @@ from ..operators import build as B
 from ..schemas import CORPUS, DOC_STATS, TERMS
 from ..sources.catalog import Catalog
 from .manifest import Manifest
+from .metrics import StageShuffleMeter
 
 
 class BuildCancelled(Exception):
@@ -75,6 +76,10 @@ def build_index(
         path=catalog.path("build_manifest.jsonl"),
         build_id=build_id or uuid.uuid4().hex[:12],
     )
+    # per-stage shuffle-write bytes/records (committed-task metrics) land in
+    # every DONE row — the TF stage's 0 proves the shuffle-free TF claim,
+    # and the terms/postings numbers make exchange growth a manifest diff
+    meter = StageShuffleMeter(spark)
 
     def _ck() -> None:
         # cooperative cancel between stages/shards; the in-flight Spark job
@@ -88,11 +93,13 @@ def build_index(
     if not (man.stage_done("tf") and catalog.exists("tf")):
         man.start("tf")
         try:
+            meter.delta()
             docs_raw = B.build_docs(corpus)
             tf = B.term_frequencies_from_docs(docs_raw, code=code)
             catalog.write(tf, "tf")
             n = catalog.read(spark, "tf").count()
-            man.done("tf", postings=n)
+            sb, sr = meter.delta()
+            man.done("tf", postings=n, shuffle_write_bytes=sb, shuffle_write_records=sr)
         except Exception as e:  # noqa: BLE001
             man.fail("tf", error=f"{type(e).__name__}: {e}")
             raise
@@ -106,6 +113,7 @@ def build_index(
     _ck()
     if not (man.stage_done("doc_stats") and catalog.exists("doc_stats")):
         man.start("doc_stats")
+        meter.delta()
         catalog.write(
             B.doc_stats(tf)
             .withColumn("bucket", F.pmod(F.xxhash64("repo"), F.lit(n_buckets)))
@@ -114,7 +122,13 @@ def build_index(
             "doc_stats",
             partition_by=["bucket"],
         )
-        man.done("doc_stats", docs=catalog.read(spark, "doc_stats").count())
+        sb, sr = meter.delta()
+        man.done(
+            "doc_stats",
+            docs=catalog.read(spark, "doc_stats").count(),
+            shuffle_write_bytes=sb,
+            shuffle_write_records=sr,
+        )
     dstats = catalog.read(spark, "doc_stats", DOC_STATS)
 
     # -- stage: docs (content-bearing table) ------------------------------
@@ -128,6 +142,7 @@ def build_index(
     _ck()
     if not (man.stage_done("docs") and catalog.exists("docs")):
         man.start("docs")
+        meter.delta()
         docs = (
             B.build_docs(corpus)
             # bucket(repo) partitioning stand-in (Iceberg: bucket(N, repo))
@@ -144,7 +159,8 @@ def build_index(
         )
         catalog.write(docs, "docs", partition_by=["repo_bucket"])
         n = catalog.read(spark, "docs").count()
-        man.done("docs", docs=n)
+        sb, sr = meter.delta()
+        man.done("docs", docs=n, shuffle_write_bytes=sb, shuffle_write_records=sr)
     n_docs_total = catalog.read(spark, "docs").count()
 
     # -- stage: terms (scoped per-site rows + global rows) -----------------
@@ -155,17 +171,32 @@ def build_index(
     _ck()
     if not (man.stage_done("terms") and catalog.exists("terms")):
         man.start("terms")
+        meter.delta()
         catalog.write(
             B.term_stats(tf)
             .withColumn("shard", F.pmod(F.xxhash64("term"), F.lit(n_shards)))
-            .repartition("shard")
+            # hash-distribute on (shard, term), NOT on shard alone: with
+            # n_shards below the core count, repartition("shard") serialized
+            # the whole vocabulary's sort+parquet-encode into n_shards tasks
+            # — measured as the terms stage's 2-vs-8 scaling collapse
+            # (BENCH_SCALING_R3.json terms 0.48: ~35% serial fraction). Every
+            # core now sorts/writes a term-hash slice; partitionBy still
+            # routes rows to their shard directory (several files per shard
+            # — the vocabulary table is small, parallelism was the risk).
+            .repartition(F.col("shard"), F.col("term"))
             # cluster by term so a query's vocabulary probe prunes row
             # groups (the reference's B-tree on lemma, per-site keyed)
             .sortWithinPartitions("shard", "term", "scope"),
             "terms",
             partition_by=["shard"],
         )
-        man.done("terms", postings=catalog.read(spark, "terms").count())
+        sb, sr = meter.delta()
+        man.done(
+            "terms",
+            postings=catalog.read(spark, "terms").count(),
+            shuffle_write_bytes=sb,
+            shuffle_write_records=sr,
+        )
     terms = catalog.read(spark, "terms", TERMS)
 
     # -- stage: corpus_stats ----------------------------------------------
@@ -208,6 +239,7 @@ def build_index(
         man.start("postings", k)
         try:
             t0 = time.time()
+            meter.delta()
             shard_tf = tf_dl.filter(F.pmod(F.xxhash64("term"), F.lit(n_shards)) == k)
             shard_terms = global_terms.filter(
                 F.pmod(F.xxhash64("term"), F.lit(n_shards)) == k
@@ -244,12 +276,20 @@ def build_index(
             )
             skew = float(gsz["mx"]) / max(float(gsz["md"]), 1.0) if gsz["mx"] else 0.0
             el = time.time() - t0
+            sb, sr = meter.delta()
             man.done(
                 "postings",
                 k,
                 postings=int(agg["p"] or 0),
                 bytes_=int(agg["bytes"] or 0),
+                # logical payload bytes handed to the exchange, from a
+                # map-side accumulator: AT-LEAST-ONCE under task retry
+                # (see _pack_partition_arrow); shuffle_write_bytes below is
+                # the committed-task metric (exactly-once) for the same
+                # exchange plus the write's own shuffles
                 shuffle_bytes=int(shuffle_acc.value),
+                shuffle_write_bytes=sb,
+                shuffle_write_records=sr,
                 skew_factor=skew,
                 postings_per_sec=float(agg["p"] or 0) / max(el, 1e-9),
             )
