@@ -588,7 +588,9 @@ def _q_ann_lsh(spark, sf):
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     # multi-probe (query bucket + 2 nearest-hyperplane flips) — recovers
     # the near-hyperplane recall cliff a single probe suffers
-    return lsh_ann_topk(emb, qv, k=10, n_planes=6, n_probes=3)
+    return lsh_ann_topk(emb, qv, k=10, n_planes=6, n_probes=3).select(
+        "vec_id", F.round("score", 4).alias("score")
+    )
 
 
 def _q_multimodal(spark, sf):
@@ -689,8 +691,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_decorated": _q_search_decorated,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
+        # oracle-gated since r4 (DuckDB list_dot_product twins — planes
+        # inlined as literals; minhash/simhash CANNOT get twins without
+        # changing the engine hash: pd.util.hash_array has no DuckDB
+        # equivalent, so those stay rows-only with bit-identity unit tests):
         "ann_lsh_topk": _q_ann_lsh,
-        # oracle-gated since r4 (DuckDB list_dot_product twin):
         "ann_allpairs_topk": _q_allpairs_ann,
         "multimodal_features": _q_multimodal,
         "frame_sample_plan": _q_frame_plan,
@@ -1004,7 +1009,61 @@ def oracle_sql() -> dict[str, str]:
            FROM e JOIN q USING (i) GROUP BY e.vec_id
            ORDER BY dot DESC, vec_id LIMIT 10""",
         "ann_allpairs_topk": _allpairs_oracle_sql(),
+        "ann_lsh_topk": _lsh_ann_oracle_sql(),
     }
+
+
+def _lsh_ann_oracle_sql() -> str:
+    """DuckDB twin of ``ann_lsh_topk`` (VERDICT r03 next-#4, second entry):
+    reproduces the FULL multi-probe protocol in pure SQL — the query
+    vector is row vec_id=0 of the table itself, the 6 deterministic
+    hyperplanes (``_planes(64, 6, 42)``) are inlined as double literals,
+    the query's bucket and its 2 nearest-hyperplane bit-flips (probe set,
+    ordered by |margin| then plane index, exactly
+    ``similarity.probe_buckets``) are derived in SQL, and cosine top-10 is
+    taken over the probed buckets. Same float caveat as
+    ``_allpairs_oracle_sql``: DuckDB's pairwise dot vs Spark's left-fold
+    differ by ~ulps, so the gate rests on measured sf0.01 data margins —
+    min |plane·v| over all (vector, plane) 9.2e-5 (bucket signs), gap
+    between the 2nd and 3rd flip candidates' |query margin| 0.155 (probe
+    set), min distance of a returned score to a 4-decimal round-half
+    boundary 9.6e-3, 10th-vs-11th score gap 1.1e-2 (k cut) — each 10+
+    orders of magnitude above the engines' float disagreement."""
+    from search_engine_spark.operators.similarity import _planes
+
+    planes = _planes(64, 6, 42)
+
+    def lits(p) -> str:
+        return "[" + ",".join(repr(float(x)) for x in p) + "]"
+
+    margin_rows = "\n           UNION ALL ".join(
+        f"SELECT {i} AS i, list_dot_product(qv, {lits(p)}) AS d FROM q"
+        for i, p in enumerate(planes)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lits(p)}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+       WITH e AS (SELECT vec_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       m AS ({margin_rows}),
+       qb AS (SELECT CAST(sum(CASE WHEN d > 0 THEN 1 << i ELSE 0 END) AS BIGINT)
+                       AS bucket FROM m),
+       fl AS (SELECT i FROM m ORDER BY abs(d) ASC, i ASC LIMIT 2),
+       probes AS (SELECT bucket FROM qb
+                  UNION ALL
+                  SELECT xor(qb.bucket, CAST(1 << fl.i AS BIGINT)) FROM qb, fl),
+       b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+       sc AS (SELECT vec_id,
+                     list_dot_product(v, q.qv)
+                       / (sqrt(list_dot_product(v, v))
+                          * sqrt(list_dot_product(q.qv, q.qv))) AS score
+              FROM b, q WHERE b.bucket IN (SELECT bucket FROM probes))
+       SELECT vec_id, round(score, 4) AS score FROM sc
+       ORDER BY score DESC, vec_id LIMIT 10"""
 
 
 def _allpairs_oracle_sql() -> str:

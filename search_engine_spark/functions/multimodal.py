@@ -2,10 +2,12 @@
 columns with typed metadata.
 
 The Spark-side machinery (schemas, Arrow batch shapes, mapInPandas
-signatures, partitioning) is REAL and tested; the actual media decode is
-STUBBED behind a deterministic fake (the image/audio libraries are not in
-this container) — swap ``_decode_image_stub`` for PIL/libvips/ffmpeg
-bindings in production, the dataflow is unchanged.
+signatures, partitioning) is REAL and tested. Decode status per modality:
+RIFF PCM16 WAV audio decodes FOR REAL (pure-numpy parser, zero deps);
+images use PIL when importable (skipped-not-absent test covers that
+branch) and a deterministic digest-seeded fake otherwise (PIL is not in
+this container); other audio/video codecs need ffmpeg-class decoders and
+stay stubbed — swap the decode, the dataflow is unchanged.
 """
 
 from __future__ import annotations
@@ -101,22 +103,28 @@ IMAGE_STATS = StructType(
 
 
 def _decode_image_pixels(payload: bytes, width, height) -> np.ndarray:
-    """payload → (h, w, 3) uint8 pixel array. Tries a real decoder (PIL) if
-    present; this container has none, so the fallback derives DETERMINISTIC
-    pseudo-pixels from the payload digest (seeded PCG64) at the metadata
-    size capped to 128×128 — the decode is fake, everything downstream
-    (resize, stats, Arrow shapes) is the real computation."""
+    """payload → (h, w, 3) uint8 pixel array. Uses the real decoder (PIL)
+    when importable — an unparseable payload then raises (corrupt input is
+    a skipped row, same as production). Without PIL (this container), the
+    fallback derives DETERMINISTIC pseudo-pixels from the payload digest
+    (seeded PCG64) at the metadata size capped to 128×128 — the decode is
+    fake, everything downstream (resize, stats, Arrow shapes) is the real
+    computation. Both branches return the same (h, w, 3) uint8 contract
+    (asserted in tests/test_multimodal.py)."""
     if not payload:
         raise ValueError("empty media payload")
-    try:  # pragma: no cover - PIL absent in this container
+    try:
+        from PIL import Image
+    except ImportError:
+        Image = None
+    if Image is not None:  # pragma: no cover - PIL absent in this container
         import io
 
-        from PIL import Image  # noqa: F401
-
-        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        try:
+            img = Image.open(io.BytesIO(payload)).convert("RGB")
+        except Exception as e:  # unparseable bytes = corrupt input
+            raise ValueError(f"undecodable image payload: {e}") from e
         return np.asarray(img, dtype=np.uint8)
-    except ImportError:
-        pass
     h = min(int(height or 32), 128)
     w = min(int(width or 32), 128)
     if h <= 0 or w <= 0:
@@ -192,13 +200,55 @@ AUDIO_WINDOWS = StructType(
 )
 
 
+def _parse_wav_pcm16(payload: bytes) -> np.ndarray | None:
+    """RIFF/WAVE PCM16 parser in pure numpy (zero deps — this decode path
+    is REAL, not stubbed): returns mono float32 in [-1, 1], or ``None``
+    when the payload is not a RIFF WAV at all (caller falls back to the
+    stub). A RIFF container that is malformed or not 16-bit PCM raises —
+    that is corrupt input, a skipped row."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        sz = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("malformed WAV: missing fmt/data chunk")
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    n_ch = int.from_bytes(fmt[2:4], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt != 1 or bits != 16 or n_ch < 1:
+        raise ValueError("unsupported WAV encoding (16-bit PCM only)")
+    frame = 2 * n_ch
+    a = (
+        np.frombuffer(data[: len(data) // frame * frame], dtype="<i2").astype(
+            np.float32
+        )
+        / 32768.0
+    )
+    if n_ch > 1:
+        a = a.reshape(-1, n_ch).mean(axis=1)
+    return a.astype(np.float32)
+
+
 def _decode_audio_pcm(payload: bytes, duration_ms, rate: int = 16000) -> np.ndarray:
-    """payload → mono float32 PCM in [-1, 1]. Real decoders (soundfile /
-    ffmpeg) are absent in this container, so the fallback synthesizes a
-    DETERMINISTIC digest-seeded waveform of the metadata duration (capped
-    at 10 s) — windowing/RMS/ZCR downstream are the real computation."""
+    """payload → mono float32 PCM in [-1, 1]. RIFF PCM16 WAVs decode for
+    real (``_parse_wav_pcm16``, pure numpy); other formats need decoders
+    (soundfile/ffmpeg) absent in this container, so the fallback
+    synthesizes a DETERMINISTIC digest-seeded waveform of the metadata
+    duration (capped at 10 s) — windowing/RMS/ZCR downstream are the real
+    computation either way."""
     if not payload:
         raise ValueError("empty media payload")
+    wav = _parse_wav_pcm16(payload)
+    if wav is not None:
+        return wav
     n = int(min(int(duration_ms or 1000), 10_000) * rate / 1000)
     if n <= 0:
         raise ValueError("bad audio duration")
@@ -284,13 +334,28 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synth_media(spark, n: int = 50, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests."""
+    """Deterministic fake media table for tests. Image payloads are real
+    PNGs when PIL is importable (so the production decode branch sees
+    parseable input and ``image_channel_stats`` keeps returning rows the
+    day the container gains PIL); digest-addressed random bytes otherwise
+    (the stub branch). Audio/video payloads stay random bytes (stub)."""
+    try:
+        from PIL import Image
+    except ImportError:
+        Image = None
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
         payload = rng.integers(0, 256, size=int(rng.integers(64, 4096)), dtype=np.uint8).tobytes()
+        if kind == "image" and Image is not None:  # pragma: no cover
+            import io
+
+            px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(px, "RGB").save(buf, format="PNG")
+            payload = buf.getvalue()
         rows.append(
             (
                 i,

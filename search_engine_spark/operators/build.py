@@ -38,6 +38,13 @@ from ..schemas import POSTINGS, TOKENS_EXPLODED
 SKEW_DF_THRESHOLD = 100_000
 SALT_TARGET_ROWS = 50_000
 
+# "auto" plan choice (build_job): the packed map-side-combine plan wins
+# when the exchange is big enough that its per-row shuffle costs dominate
+# its pack+merge constant; below this many postings per shard the direct
+# repartition+sort+encode plan is used instead. Calibrated by back-to-back
+# interleaved measurement at sandbox scale (BASELINE.md §3.4).
+PACKED_MIN_POSTINGS = 8_000_000
+
 # Map-side pack emits one RecordBatch per <= this many postings: Arrow
 # BinaryArray offsets are int32, so one batch's payload column must stay
 # under 2^31 bytes (8 B/posting raw) — 64M postings = 512 MB/column, a safe

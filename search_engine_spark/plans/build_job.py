@@ -48,6 +48,7 @@ def build_index(
     build_id: str | None = None,
     n_buckets: int | None = None,
     cancel_check=None,
+    packed: bool | str = "auto",
 ) -> Manifest:
     """Run (or resume) the full build into ``catalog``. Idempotent: any
     stage with a DONE manifest row and existing output is skipped.
@@ -55,7 +56,13 @@ def build_index(
     ``n_buckets`` controls the docs table's repo-bucket layout (Iceberg:
     bucket(N, repo)); default 2× the cluster parallelism so the content
     write is never capped below the core count. Recorded in catalog meta —
-    incremental updates must keep using the same value."""
+    incremental updates must keep using the same value.
+
+    ``packed`` selects the postings physical plan: ``True`` = map-side
+    packed runs, ``False`` = direct repartition+sort+encode, ``"auto"``
+    (default) = per-shard choice by estimated exchange volume (Σ df ≥
+    ``operators.build.PACKED_MIN_POSTINGS``). Both plans produce
+    byte-identical blocks (tested), so the choice is pure physics."""
     import json as _json
     import os as _os
 
@@ -229,6 +236,23 @@ def build_index(
         else tf.join(dstats.select("doc_id", "doclen"), "doc_id")
     )
     global_terms = terms.filter(F.col("scope") == "")
+    # packed="auto" (default): pick the postings plan PER SHARD by its
+    # estimated exchange volume (Σ df over the shard's vocabulary — exact,
+    # one tiny aggregate over the materialized terms table). The packed
+    # map-side combine pays a pack+merge constant that only amortizes once
+    # the exchange is large (the r03 sf0.1 build regression was exactly
+    # this constant at small scale) — the same runtime-statistics-driven
+    # plan choice AQE makes for join strategies.
+    est_by_shard: dict[int, int] = {}
+    if packed == "auto":
+        est_by_shard = {
+            int(r["k"]): int(r["p"])
+            for r in global_terms.groupBy(
+                F.pmod(F.xxhash64("term"), F.lit(n_shards)).alias("k")
+            )
+            .agg(F.sum("df").alias("p"))
+            .collect()
+        }
     done_shards = man.done_units("postings")
     for k in range(n_shards):
         _ck()
@@ -244,6 +268,11 @@ def build_index(
             shard_terms = global_terms.filter(
                 F.pmod(F.xxhash64("term"), F.lit(n_shards)) == k
             )
+            use_packed = (
+                packed
+                if isinstance(packed, bool)
+                else est_by_shard.get(k, 0) >= B.PACKED_MIN_POSTINGS
+            )
             shuffle_acc = spark.sparkContext.accumulator(0)
             blocks = B.build_postings(
                 shard_tf,
@@ -251,7 +280,8 @@ def build_index(
                 avgdl,
                 skew_df_threshold=skew_df_threshold,
                 salt_target_rows=salt_target_rows,
-                shuffle_bytes_acc=shuffle_acc,
+                packed=use_packed,
+                shuffle_bytes_acc=shuffle_acc if use_packed else None,
             )
             catalog.write(blocks, f"postings/shard={k}")
             written = catalog.read(spark, f"postings/shard={k}")
@@ -284,10 +314,12 @@ def build_index(
                 bytes_=int(agg["bytes"] or 0),
                 # logical payload bytes handed to the exchange, from a
                 # map-side accumulator: AT-LEAST-ONCE under task retry
-                # (see _pack_partition_arrow); shuffle_write_bytes below is
-                # the committed-task metric (exactly-once) for the same
+                # (see _pack_partition_arrow); None on the direct plan (no
+                # pack hook). shuffle_write_bytes below is the
+                # committed-task metric (exactly-once) for the same
                 # exchange plus the write's own shuffles
-                shuffle_bytes=int(shuffle_acc.value),
+                shuffle_bytes=int(shuffle_acc.value) if use_packed else None,
+                packed_plan=bool(use_packed),
                 shuffle_write_bytes=sb,
                 shuffle_write_records=sr,
                 skew_factor=skew,
