@@ -70,6 +70,15 @@ LEVELS = tuple(
     int(x) for x in os.environ.get("SCALING_LEVELS", "2,8").split(",")
 )
 SHM_DIR = os.environ.get("SCALING_SHM", "/dev/shm/se_scaling")
+# Health gate: this VM's page-fault service rate intermittently collapses
+# ~100x (measured 2026-08: a 400 MB first-touch fill swings 0.2 s healthy
+# to 8-50 s degraded while warm-page rewrite stays at 2.3 GB/s — i.e. the
+# hypervisor, not DRAM). Trials that straddle a degraded window measure
+# the hypervisor, so the parent WAITS (bounded, every probe logged in the
+# timeline) for fills under this threshold before each trial.
+HEALTH_FILL_S = float(os.environ.get("SCALING_HEALTH_FILL_S", "1.5"))
+HEALTH_WAIT_BUDGET_S = int(os.environ.get("SCALING_HEALTH_WAIT_S", "5400"))
+HEALTH_POLL_S = int(os.environ.get("SCALING_HEALTH_POLL_S", "60"))
 
 # frozen latency query subset (mix of rare/hot/AND/russian — FIXTURES.md §4)
 LATENCY_QUERIES = [
@@ -208,7 +217,39 @@ def _probe() -> dict:
         return {"error": repr(e)[:100]}
 
 
-def _run_level(cpus: int, corpus_path: str, run_queries: bool) -> dict:
+def _wait_healthy(timeline: list[dict], budget: list[float], label: str) -> dict:
+    """Probe until the host's fault-service rate is healthy (400 MB fill
+    <= HEALTH_FILL_S) or the SHARED wait budget runs out. Every probe —
+    waiting or passing — lands in the timeline, so the final record shows
+    exactly which host weather each trial ran under."""
+    while True:
+        p = _probe()
+        # BOTH fills must be fast: the degraded hypervisor hands out a
+        # ~400 MB burst of pre-zeroed pages (fill1 instant) then throttles
+        # (fill2 10-50 s), so min() would pass on the burst alone
+        fill = max(p.get("fill1_s", 1e9), p.get("fill2_s", 1e9))
+        healthy = fill <= HEALTH_FILL_S
+        timeline.append({"event": "probe", "at": label, **p,
+                         "healthy": healthy})
+        if healthy or budget[0] <= 0:
+            if not healthy:
+                timeline.append({"event": "health_wait_budget_exhausted",
+                                 "at": label})
+                print(f"[health] budget exhausted at {label}; proceeding "
+                      f"DEGRADED (fill {fill:.1f}s)", file=sys.stderr)
+            return p
+        print(f"[health] {label}: fill {fill:.1f}s > {HEALTH_FILL_S}s — "
+              f"waiting {HEALTH_POLL_S}s ({budget[0]:.0f}s budget left)",
+              file=sys.stderr)
+        time.sleep(HEALTH_POLL_S)
+        budget[0] -= HEALTH_POLL_S
+
+
+def _run_level(cpus: int, corpus_path: str, run_queries: bool) -> dict | None:
+    """One fresh-JVM trial. Returns None (does NOT abort the whole run) on
+    timeout or worker failure — a trial that straddles a degraded host
+    window can blow the timeout, and losing one trial must not lose the
+    interleaved series."""
     errlog = f"/tmp/scaling_worker_{cpus}.log"
     cmd = [sys.executable, os.path.abspath(__file__), "--worker",
            str(cpus), corpus_path]
@@ -217,15 +258,23 @@ def _run_level(cpus: int, corpus_path: str, run_queries: bool) -> dict:
         # (GC, shuffle compression, parquet codecs) unthrottled
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     env = dict(os.environ, SCALING_RUN_QUERIES="1" if run_queries else "0")
-    with open(errlog, "a") as ef:
-        out = subprocess.run(
-            cmd, stdout=subprocess.PIPE, stderr=ef, text=True, timeout=5400,
-            env=env,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        )
+    try:
+        with open(errlog, "a") as ef:
+            out = subprocess.run(
+                cmd, stdout=subprocess.PIPE, stderr=ef, text=True,
+                timeout=int(os.environ.get("SCALING_TRIAL_TIMEOUT_S", "5400")),
+                env=env,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            )
+    except subprocess.TimeoutExpired:
+        print(f"worker local[{cpus}] TIMED OUT (log: {errlog})",
+              file=sys.stderr)
+        return None
     if out.returncode != 0:
         print(open(errlog).read()[-3000:], file=sys.stderr)
-        raise SystemExit(f"worker local[{cpus}] failed (full log: {errlog})")
+        print(f"worker local[{cpus}] failed (full log: {errlog})",
+              file=sys.stderr)
+        return None
     line = [x for x in out.stdout.splitlines() if x.startswith("{")][-1]
     return json.loads(line)
 
@@ -242,6 +291,10 @@ def main() -> None:
         from search_engine_spark.session import get_spark
         from search_engine_spark.synth import make_corpus_dist
 
+        # one SHARED wait budget across all gates (list = mutable closure)
+        budget = [float(HEALTH_WAIT_BUDGET_S)]
+        pre_timeline: list[dict] = []
+        _wait_healthy(pre_timeline, budget, "corpus_gen")
         spark = get_spark("scaling_gen", master="local[32]")
         # fixed partition count — both levels read byte-identical files;
         # 256 files keeps every core fed at either level
@@ -251,21 +304,36 @@ def main() -> None:
         spark.stop()
 
         trials: dict[int, list[dict]] = {lvl: [] for lvl in LEVELS}
-        timeline: list[dict] = []
+        timeline: list[dict] = list(pre_timeline)
         for t in range(TRIALS):
             for lvl in LEVELS:
-                p = _probe()
-                timeline.append({"event": "probe", "trial": t,
-                                 "before_level": lvl, **p})
+                p = _wait_healthy(timeline, budget,
+                                  f"trial{t}_local[{lvl}]")
                 print(f"--- trial {t} level local[{lvl}] "
                       f"(probe {p}) ---", file=sys.stderr)
                 res = _run_level(lvl, corpus_path,
                                  run_queries=(t == TRIALS - 1))
+                if res is None:
+                    timeline.append({"event": "trial_failed", "trial": t,
+                                     "level": lvl})
+                    continue
                 trials[lvl].append(res)
                 timeline.append({"event": "build", "trial": t, "level": lvl,
                                  "build_sec": res["build_sec"],
                                  "stage_sec": res["stage_sec"]})
                 print(json.dumps(res)[:400], file=sys.stderr)
+        # closing probe: a degradation that began DURING the final build
+        # would otherwise be invisible (earlier builds are bracketed by the
+        # next trial's gate probe)
+        timeline.append({"event": "probe", "at": "final", **_probe()})
+
+        if any(not trials[lvl] for lvl in LEVELS):
+            with open("BENCH_SCALING_R4.json", "w") as f:
+                json.dump({"metric": "scaling_efficiency",
+                           "error": "a level lost every trial",
+                           "timeline": timeline}, f, indent=1)
+            raise SystemExit("a level lost every trial — timeline-only "
+                             "record written to BENCH_SCALING_R4.json")
 
         def best(lvl: int) -> dict:
             return min(trials[lvl], key=lambda r: r["build_sec"])
