@@ -607,6 +607,26 @@ def _q_frame_plan(spark, sf):  # pure-Catalyst video frame-sampling fan-out
     return frame_sample_plan(synth_media(spark, 50), every_ms=1000)
 
 
+def _q_frame_plan_docs(spark, sf):
+    """Hash-gated twin for the frame-sampling operator (the synth_media
+    entry above stays rows-only because numpy RNG is not reproducible in
+    SQL): the SAME ``frame_sample_plan`` operator over a media table
+    derived DETERMINISTICALLY from ``documents`` (duration_ms is integer
+    arithmetic on n_chars), so DuckDB can reproduce every planned frame
+    timestamp exactly."""
+    from search_engine_spark.functions.multimodal import frame_sample_plan
+
+    media = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("video").alias("kind"),
+            (F.pmod(F.col("n_chars") * 7, F.lit(9000)) + 500).alias("duration_ms"),
+        )
+    )
+    return frame_sample_plan(media, every_ms=750)
+
+
 def _q_image_stats(spark, sf):  # resize + channel-stat profile (decode stubbed)
     from search_engine_spark.functions.multimodal import image_channel_stats, synth_media
 
@@ -699,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_allpairs_topk": _q_allpairs_ann,
         "multimodal_features": _q_multimodal,
         "frame_sample_plan": _q_frame_plan,
+        "frame_plan_docs": _q_frame_plan_docs,
         "image_channel_stats": _q_image_stats,
         "audio_window_feats": _q_audio_windows,
     }
@@ -1010,6 +1031,15 @@ def oracle_sql() -> dict[str, str]:
            ORDER BY dot DESC, vec_id LIMIT 10""",
         "ann_allpairs_topk": _allpairs_oracle_sql(),
         "ann_lsh_topk": _lsh_ann_oracle_sql(),
+        # frame-plan twin: Spark F.sequence(0, stop, step) and DuckDB
+        # generate_series(0, stop, step) are both stop-INCLUSIVE, so the
+        # planned timestamps agree exactly (pure integer arithmetic)
+        "frame_plan_docs": """
+           SELECT doc_id AS media_id,
+                  unnest(generate_series(
+                      0, greatest((n_chars * 7) % 9000 + 500 - 1, 0), 750
+                  )) AS frame_ts_ms
+           FROM documents""",
     }
 
 
