@@ -102,3 +102,48 @@ def test_packed_build_single_partition_and_empty(spark):
     assert packed == direct
     empty = corpus.filter(F.lit(False))
     assert _blocks(spark, empty, packed=True) == {}
+
+
+def test_auto_plan_selection_by_exchange_volume(spark, tmp_path, monkeypatch):
+    """packed="auto" (the build_index default) picks the plan PER SHARD
+    from the exact exchange volume (Σ df): below PACKED_MIN_POSTINGS the
+    direct plan runs, above it the packed plan — recorded per shard as
+    ``packed_plan`` in the manifest, and both choices serve identically."""
+    import json
+
+    from search_engine_spark.plans.build_job import build_index
+    from search_engine_spark.sources.catalog import Catalog
+    from search_engine_spark.synth import make_corpus
+
+    def manifest_flags(root):
+        rows = [json.loads(x) for x in open(f"{root}/build_manifest.jsonl")]
+        return {
+            r["partition_id"]: r["packed_plan"]
+            for r in rows
+            if r["stage"] == "postings" and r["status"] == "DONE"
+        }
+
+    corpus = make_corpus(spark, 120, seed=3, partitions=4).cache()
+    kw = dict(n_shards=2, skew_df_threshold=50, salt_target_rows=40)
+
+    # tiny corpus << default 8M threshold -> every shard takes direct
+    r1 = str(tmp_path / "auto_small")
+    build_index(spark, corpus, Catalog(r1), **kw)
+    assert manifest_flags(r1) == {0: False, 1: False}
+
+    # threshold forced to 1 -> every shard takes packed
+    monkeypatch.setattr(B, "PACKED_MIN_POSTINGS", 1)
+    r2 = str(tmp_path / "auto_packed")
+    build_index(spark, corpus, Catalog(r2), **kw)
+    corpus.unpersist()
+    assert manifest_flags(r2) == {0: True, 1: True}
+
+    # and the two builds' postings tables are byte-identical
+    def blocks(root):
+        return {
+            (r["term"], r["block_id"]): (bytes(r["doc_ids"]), bytes(r["tfs"]))
+            for k in (0, 1)
+            for r in spark.read.parquet(f"{root}/postings/shard={k}").collect()
+        }
+
+    assert blocks(r1) == blocks(r2)
