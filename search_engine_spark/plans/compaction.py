@@ -1,0 +1,139 @@
+"""Shard compaction: rewrite a postings shard at optimal block packing.
+
+Incremental surgery keeps blocks bounded ABOVE (re-split at BLOCK_SIZE,
+``incremental._encode_blocks_chunked``) but not BELOW: delete batches
+shrink their covering blocks in place, so a long upsert/delete history
+leaves underfull blocks — more block-metadata rows per term, weaker
+block-max pruning, more point reads per query. The classic LSM answer is
+periodic compaction (the reference never needs one — its postings are
+MySQL `index` rows, dao/IndexDao.java — but a block-compressed layout at
+10^12 docs does).
+
+Spark-first shape: distributed decode of the shard's blocks back to
+(term, doc_id, tf, doclen) rows (mapInPandas over block rows, vectorized
+codec), then the SAME ``build_postings`` plan a fresh build uses — so a
+compacted shard is BYTE-IDENTICAL to what a from-scratch rebuild of the
+current corpus would produce (tested: ``tests/test_compaction.py``), and
+compaction inherits the build's salting/skew handling and the packed/
+direct auto plan choice. The rewrite goes through the catalog's
+crash-safe staging swap, and the block-metadata sidecar is refreshed in
+the same call. At cluster scale each shard compacts independently —
+schedule them rolling, one shard's rewrite never touches another's files.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import build as B
+from ..operators.codec import decode_counts, decode_doc_ids
+from ..sources.catalog import Catalog
+from .manifest import Manifest
+
+_TF_ROWS = "term string, doc_id long, tf long, doclen long"
+
+
+def decode_postings_rows(blocks: DataFrame) -> DataFrame:
+    """Block table → exploded (term, doc_id, tf, doclen) rows — the exact
+    input shape ``build_postings`` consumes. Per-BLOCK decode cost (the
+    codec is whole-array vectorized inside each payload), batched through
+    Arrow; one output concat per pandas batch."""
+
+    def _explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            terms, ids, tfs, dls = [], [], [], []
+            for term, did_b, tf_b, dl_b, cnt in zip(
+                pdf["term"], pdf["doc_ids"], pdf["tfs"], pdf["doclens"], pdf["count"]
+            ):
+                i = decode_doc_ids(bytes(did_b))
+                terms.append(np.full(cnt, term, dtype=object))
+                ids.append(i)
+                tfs.append(decode_counts(bytes(tf_b)))
+                dls.append(decode_counts(bytes(dl_b)))
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms),
+                    "doc_id": np.concatenate(ids),
+                    "tf": np.concatenate(tfs),
+                    "doclen": np.concatenate(dls),
+                }
+            )
+
+    return blocks.select("term", "doc_ids", "tfs", "doclens", "count").mapInPandas(
+        _explode, schema=_TF_ROWS
+    )
+
+
+def compact_shard(
+    spark: SparkSession,
+    catalog: Catalog,
+    k: int,
+    skew_df_threshold: int = B.SKEW_DF_THRESHOLD,
+    salt_target_rows: int = B.SALT_TARGET_ROWS,
+) -> dict:
+    """Rewrite ``postings/shard=k`` at optimal packing. Returns a small
+    stats dict (blocks before/after). Pass the SAME skew/salt knobs the
+    build used so salting decisions (hence block boundaries) match a
+    fresh rebuild's."""
+    from .build_job import write_shard_meta
+
+    part = f"postings/shard={k}"
+    blocks = catalog.read(spark, part)
+    n_before = blocks.count()
+
+    shard_terms = (
+        catalog.read(spark, "terms")
+        .filter((F.col("shard") == k) & (F.col("scope") == ""))
+        .select("term", "df")
+    )
+    stats = catalog.read(spark, "corpus_stats").first()
+    avgdl = float(stats["avgdl"])
+
+    # same runtime-statistics plan choice as build_index(packed="auto")
+    est = shard_terms.agg(F.sum("df").alias("p")).first()["p"] or 0
+    use_packed = int(est) >= B.PACKED_MIN_POSTINGS
+
+    man = Manifest(catalog.path("build_manifest.jsonl"), build_id=f"compact_{k}")
+    man.start("compact", partition_id=k)
+    try:
+        rebuilt = B.build_postings(
+            decode_postings_rows(blocks),
+            shard_terms,
+            avgdl,
+            skew_df_threshold=skew_df_threshold,
+            salt_target_rows=salt_target_rows,
+            packed=use_packed,
+        )
+        catalog.rewrite(rebuilt, part, sort_by=["term", "min_doc"])
+        write_shard_meta(spark, catalog, k)
+        n_after = catalog.read(spark, part).count()
+        man.done(
+            "compact",
+            partition_id=k,
+            postings=None,
+            packed_plan=use_packed,
+            blocks_before=n_before,
+            blocks_after=n_after,
+        )
+    except Exception as e:  # noqa: BLE001
+        man.fail("compact", partition_id=k, error=f"{type(e).__name__}: {e}")
+        raise
+    return {"shard": k, "blocks_before": n_before, "blocks_after": n_after}
+
+
+def compact_index(spark: SparkSession, catalog: Catalog, **kw) -> list[dict]:
+    """Compact every shard (rolling — one independent rewrite each)."""
+    import json
+    import os
+
+    meta_path = catalog.path("catalog_meta.json")
+    n_shards = 1
+    if os.path.exists(meta_path):
+        n_shards = int(json.load(open(meta_path)).get("n_shards", 1))
+    return [compact_shard(spark, catalog, k, **kw) for k in range(n_shards)]

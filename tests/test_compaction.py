@@ -1,0 +1,88 @@
+"""Shard compaction (plans/compaction.py): after incremental churn, a
+compacted shard's block table is BYTE-IDENTICAL to what a from-scratch
+rebuild of the current corpus produces — the strongest statement that
+compaction restores the canonical layout (incremental≡rebuild is asserted
+at decoded-content level in test_incremental_resume; block LAYOUT is
+allowed to drift there, and compaction is what un-drifts it)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.plans import incremental as inc
+from search_engine_spark.plans.build_job import build_index
+from search_engine_spark.plans.compaction import compact_index, decode_postings_rows
+from search_engine_spark.sources.catalog import Catalog
+from search_engine_spark.synth import make_corpus
+
+BUILD_KW = dict(n_shards=2, skew_df_threshold=50, salt_target_rows=40)
+
+
+def _block_bytes(spark, cat: Catalog, n_shards: int = 2) -> dict:
+    out = {}
+    for k in range(n_shards):
+        for r in cat.read(spark, f"postings/shard={k}").collect():
+            out[(k, r["term"], r["block_id"])] = (
+                bytes(r["doc_ids"]), bytes(r["tfs"]), bytes(r["doclens"]),
+                r["count"], r["min_doc"], r["max_doc"],
+                r["max_tf"], r["max_impact"],
+            )
+    return out
+
+
+def test_compact_restores_rebuild_identical_blocks(spark, tmp_path):
+    corpus = make_corpus(spark, 200, seed=5, partitions=4).cache()
+    rows = corpus.collect()
+
+    cat = Catalog(str(tmp_path / "churned"))
+    build_index(spark, corpus, cat, **BUILD_KW)
+
+    # churn: shrink 40 docs to near-empty content — their old postings are
+    # surgically removed from covering blocks, leaving underfull blocks
+    repl = "tiny replacement"
+    upserts = [(r["repo"], r["path"], "1" * 40, r["lang"], repl) for r in rows[:40]]
+    inc.index_docs(spark, cat, upserts)
+
+    res = compact_index(spark, cat, skew_df_threshold=50, salt_target_rows=40)
+    assert [r["shard"] for r in res] == [0, 1]
+    assert all(r["blocks_after"] <= r["blocks_before"] for r in res)
+
+    # fresh rebuild of the CURRENT corpus (same updated contents)
+    cur = [
+        (r["repo"], r["path"], "1" * 40, r["lang"], repl)
+        if i < 40
+        else (r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+        for i, r in enumerate(rows)
+    ]
+    corpus.unpersist()
+    cat2 = Catalog(str(tmp_path / "fresh"))
+    build_index(
+        spark, spark.createDataFrame(cur, corpus.schema), cat2, **BUILD_KW
+    )
+
+    assert _block_bytes(spark, cat) == _block_bytes(spark, cat2)
+
+
+def test_decode_postings_rows_roundtrip(spark, tmp_path):
+    """decode_postings_rows inverts the block encode exactly: exploding a
+    built shard yields the same (term, doc_id, tf, doclen) multiset the tf
+    table holds for that shard's terms."""
+    corpus = make_corpus(spark, 150, seed=11, partitions=4)
+    cat = Catalog(str(tmp_path / "idx"))
+    build_index(spark, corpus, cat, **BUILD_KW)
+
+    for k in range(2):
+        got = sorted(
+            tuple(r)
+            for r in decode_postings_rows(
+                cat.read(spark, f"postings/shard={k}")
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in cat.read(spark, "tf")
+            .filter(F.pmod(F.xxhash64("term"), F.lit(2)) == k)
+            .select("term", "doc_id", "tf", "doclen")
+            .collect()
+        )
+        assert got == want and len(got) > 100
