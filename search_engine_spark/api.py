@@ -160,6 +160,20 @@ class EngineAPI:
         # (title falls back to DEFAULT_TITLE, like the reference's F2)
         return self.index_docs([(repo, path, commit, lang, content)])
 
+    def compact(self, **kw) -> dict:
+        """Maintenance: re-pack every postings shard to the canonical
+        (rebuild-identical) block layout after incremental churn
+        (plans/compaction.py). No reference analogue — MySQL rows never
+        fragment; a block-compressed layout at scale does. Rolling and
+        shard-independent; serving results are unchanged (tested)."""
+        from .plans.compaction import compact_index
+
+        if self._running:
+            return {"result": False, "error": ERR_ALREADY_RUNNING}
+        stats = compact_index(self.spark, self.catalog, **kw)
+        self._get_engine(refresh=True)
+        return {"result": True, "shards": stats}
+
     # -- GET /api/search (ApiController.java:40-47) --------------------------
 
     def search(

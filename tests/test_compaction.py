@@ -86,3 +86,24 @@ def test_decode_postings_rows_roundtrip(spark, tmp_path):
             .collect()
         )
         assert got == want and len(got) > 100
+
+
+def test_api_compact_serving_unchanged(spark, tmp_path):
+    """EngineAPI.compact: maintenance facade — search results identical
+    before/after, per-shard stats reported, refused mid-build."""
+    from search_engine_spark.api import EngineAPI
+
+    corpus = make_corpus(spark, 150, seed=13, partitions=4)
+    cat = Catalog(str(tmp_path / "idx"))
+    build_index(spark, corpus, cat, **BUILD_KW)
+    app = EngineAPI(spark, cat)
+
+    before = app.search("query index", limit=5)
+    out = app.compact(skew_df_threshold=50, salt_target_rows=40)
+    assert out["result"] is True and len(out["shards"]) == 2
+    after = app.search("query index", limit=5)
+    assert before == after
+
+    app._running = True
+    assert app.compact()["result"] is False
+    app._running = False
