@@ -38,6 +38,23 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    def host_fill_probe() -> list[float]:
+        # two 400 MB first-touch fills: this VM's hypervisor intermittently
+        # throttles fresh-page faults ~100x (healthy ~0.2 s/fill, degraded
+        # 8-50 s — BASELINE.md §3.2, SURVEY §10.4). Recorded, NOT gated:
+        # a bench run inside a degraded window is then self-documenting
+        # instead of looking like an engine regression.
+        import numpy as _np
+
+        out = []
+        for _ in range(2):
+            t0 = time.time()
+            _np.ones(50_000_000)
+            out.append(round(time.time() - t0, 3))
+        return out
+
+    extras["host_fill_s_pre"] = host_fill_probe()
+
     rep_detail: dict[str, list[float]] = {}
 
     def timed(name: str, fn, reps: int = 1):
@@ -211,6 +228,7 @@ def main() -> None:
             timings[name] = -1.0
             extras[f"{name}_error"] = repr(e)[:100]
 
+    extras["host_fill_s_post"] = host_fill_probe()
     total = round(sum(v for v in timings.values() if v > 0), 3)
     print(
         json.dumps(
