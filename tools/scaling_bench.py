@@ -291,10 +291,14 @@ def main() -> None:
         from search_engine_spark.session import get_spark
         from search_engine_spark.synth import make_corpus_dist
 
-        # one SHARED wait budget across all gates (list = mutable closure)
+        # one SHARED wait budget across all gates (list = mutable closure).
+        # Corpus generation is NOT gated: it is a one-time setup cost whose
+        # wall time is never compared to anything — running it through a
+        # degraded window is fine, and doing it up front means a later
+        # healthy window is spent entirely on gated trials.
         budget = [float(HEALTH_WAIT_BUDGET_S)]
-        pre_timeline: list[dict] = []
-        _wait_healthy(pre_timeline, budget, "corpus_gen")
+        pre_timeline: list[dict] = [{"event": "probe", "at": "corpus_gen",
+                                     **_probe()}]
         spark = get_spark("scaling_gen", master="local[32]")
         # fixed partition count — both levels read byte-identical files;
         # 256 files keeps every core fed at either level
@@ -305,6 +309,28 @@ def main() -> None:
 
         trials: dict[int, list[dict]] = {lvl: [] for lvl in LEVELS}
         timeline: list[dict] = list(pre_timeline)
+
+        def _dump_partial() -> None:
+            # incremental record after EVERY trial: a series cut short by
+            # the sandbox clock (or killed mid-degradation) still leaves
+            # committed evidence — trials so far + the full probe timeline
+            with open("BENCH_SCALING_R4.json", "w") as f:
+                json.dump(
+                    {
+                        "metric": "scaling_efficiency",
+                        "protocol": "interleaved",
+                        "status": "partial",
+                        "docs": DOCS,
+                        "levels": {
+                            str(lvl): {"trials_sec": [r["build_sec"] for r in trials[lvl]]}
+                            for lvl in LEVELS
+                        },
+                        "timeline": timeline,
+                    },
+                    f,
+                    indent=1,
+                )
+
         for t in range(TRIALS):
             for lvl in LEVELS:
                 p = _wait_healthy(timeline, budget,
@@ -316,12 +342,14 @@ def main() -> None:
                 if res is None:
                     timeline.append({"event": "trial_failed", "trial": t,
                                      "level": lvl})
+                    _dump_partial()
                     continue
                 trials[lvl].append(res)
                 timeline.append({"event": "build", "trial": t, "level": lvl,
                                  "build_sec": res["build_sec"],
                                  "stage_sec": res["stage_sec"]})
                 print(json.dumps(res)[:400], file=sys.stderr)
+                _dump_partial()
         # closing probe: a degradation that began DURING the final build
         # would otherwise be invisible (earlier builds are bracketed by the
         # next trial's gate probe)
