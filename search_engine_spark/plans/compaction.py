@@ -127,13 +127,68 @@ def compact_shard(
     return {"shard": k, "blocks_before": n_before, "blocks_after": n_after}
 
 
-def compact_index(spark: SparkSession, catalog: Catalog, **kw) -> list[dict]:
-    """Compact every shard (rolling — one independent rewrite each)."""
+def _n_shards(catalog: Catalog) -> int:
     import json
     import os
 
     meta_path = catalog.path("catalog_meta.json")
-    n_shards = 1
     if os.path.exists(meta_path):
-        n_shards = int(json.load(open(meta_path)).get("n_shards", 1))
-    return [compact_shard(spark, catalog, k, **kw) for k in range(n_shards)]
+        return int(json.load(open(meta_path)).get("n_shards", 1))
+    return 1
+
+
+def fragmentation(spark: SparkSession, catalog: Catalog) -> list[dict]:
+    """Per-shard fragmentation ratio from the block-METADATA sidecar only
+    (no payload bytes touched — at 10^12 docs this is a metadata-scale
+    scan): actual block count vs the minimum a perfectly packed layout
+    needs (Σ_term ceil(postings/BLOCK_SIZE)). Freshly built shards sit at
+    ~1.0 (salting can add a block per hot-term salt boundary); churn
+    pushes the ratio up as blocks go underfull. Feed this to
+    ``compact_index(auto=True)`` to compact only the shards that need it."""
+    from ..operators.codec import BLOCK_SIZE
+
+    out = []
+    for k in range(_n_shards(catalog)):
+        row = (
+            catalog.read(spark, f"postings_meta/shard={k}")
+            .groupBy("term")
+            .agg(F.count("*").alias("blocks"), F.sum("count").alias("postings"))
+            .agg(
+                F.sum("blocks").alias("blocks"),
+                F.sum(F.ceil(F.col("postings") / BLOCK_SIZE)).alias("optimal"),
+            )
+            .first()
+        )
+        blocks, optimal = int(row["blocks"] or 0), int(row["optimal"] or 0)
+        out.append(
+            {
+                "shard": k,
+                "blocks": blocks,
+                "optimal_blocks": optimal,
+                "ratio": round(blocks / optimal, 3) if optimal else 1.0,
+            }
+        )
+    return out
+
+
+def compact_index(
+    spark: SparkSession,
+    catalog: Catalog,
+    auto: bool = False,
+    max_ratio: float = 1.2,
+    **kw,
+) -> list[dict]:
+    """Compact shards (rolling — one independent rewrite each).
+
+    ``auto=True``: consult ``fragmentation`` first and rewrite ONLY the
+    shards whose block count exceeds the perfectly-packed minimum by more
+    than ``max_ratio`` — the policy a scheduled maintenance job runs, so
+    steady-state clusters pay metadata-scan cost, not rewrite cost."""
+    if auto:
+        frag = {f["shard"]: f for f in fragmentation(spark, catalog)}
+        picked = [k for k, f in frag.items() if f["ratio"] > max_ratio]
+        return [
+            {**compact_shard(spark, catalog, k, **kw), "ratio_before": frag[k]["ratio"]}
+            for k in picked
+        ]
+    return [compact_shard(spark, catalog, k, **kw) for k in range(_n_shards(catalog))]

@@ -107,3 +107,39 @@ def test_api_compact_serving_unchanged(spark, tmp_path):
     app._running = True
     assert app.compact()["result"] is False
     app._running = False
+
+
+def test_fragmentation_metric_and_auto_policy(spark, tmp_path):
+    """fragmentation() reads only the metadata sidecar; churn raises the
+    ratio; auto-compact rewrites exactly the shards above the threshold
+    and brings them back down."""
+    from search_engine_spark.plans.compaction import compact_index, fragmentation
+
+    corpus = make_corpus(spark, 200, seed=5, partitions=4).cache()
+    rows = corpus.collect()
+    cat = Catalog(str(tmp_path / "idx"))
+    build_index(spark, corpus, cat, **BUILD_KW)
+    corpus.unpersist()
+
+    fresh = fragmentation(spark, cat)
+    assert [f["shard"] for f in fresh] == [0, 1]
+    assert all(f["ratio"] >= 1.0 for f in fresh)
+    fresh_max = max(f["ratio"] for f in fresh)
+
+    # fresh index, threshold above every fresh ratio -> nothing compacts
+    assert compact_index(spark, cat, auto=True, max_ratio=fresh_max + 0.01) == []
+
+    # churn: shrink 60 docs -> blocks lose entries, optimal drops, ratio up
+    upserts = [(r["repo"], r["path"], "1" * 40, r["lang"], "tiny") for r in rows[:60]]
+    inc.index_docs(spark, cat, upserts)
+    churned = fragmentation(spark, cat)
+    assert max(f["ratio"] for f in churned) > fresh_max
+
+    res = compact_index(
+        spark, cat, auto=True, max_ratio=fresh_max + 0.01,
+        skew_df_threshold=50, salt_target_rows=40,
+    )
+    assert res, "churned shards above threshold must be picked"
+    assert all(r["ratio_before"] > fresh_max + 0.01 for r in res)
+    after = fragmentation(spark, cat)
+    assert max(f["ratio"] for f in after) <= fresh_max + 0.01
