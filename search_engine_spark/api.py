@@ -174,6 +174,14 @@ class EngineAPI:
         self._get_engine(refresh=True)
         return {"result": True, "shards": stats}
 
+    def index_health(self) -> dict:
+        """Maintenance dashboard beyond the reference's API: per-shard
+        block fragmentation (actual vs perfectly-packed block counts, from
+        the metadata sidecar only). Feed to ``compact(auto=True)``."""
+        from .plans.compaction import fragmentation
+
+        return {"result": True, "shards": fragmentation(self.spark, self.catalog)}
+
     # -- GET /api/search (ApiController.java:40-47) --------------------------
 
     def search(

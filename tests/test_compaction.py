@@ -98,6 +98,10 @@ def test_api_compact_serving_unchanged(spark, tmp_path):
     build_index(spark, corpus, cat, **BUILD_KW)
     app = EngineAPI(spark, cat)
 
+    h = app.index_health()
+    assert h["result"] is True and len(h["shards"]) == 2
+    assert all(f["ratio"] >= 1.0 for f in h["shards"])
+
     before = app.search("query index", limit=5)
     out = app.compact(skew_df_threshold=50, salt_target_rows=40)
     assert out["result"] is True and len(out["shards"]) == 2
