@@ -52,14 +52,17 @@ FEATURES = StructType(
 )
 
 
-def _decode_image_stub(payload: bytes, dim: int = 16) -> np.ndarray:
+def _decode_image_stub(
+    payload: bytes, dim: int = 16, digest: bytes | None = None
+) -> np.ndarray:
     """Deterministic fake decoder: derives a ``dim``-float feature from the
     payload digest. Production: PIL.Image.open(BytesIO(payload)) → resize →
     channel stats / model embedding. Raises on empty payload like a real
-    decoder would on corrupt input."""
+    decoder would on corrupt input. ``digest`` lets the caller reuse an
+    already-computed sha256 (hashing dominates this stub's cost)."""
     if not payload:
         raise ValueError("empty media payload")
-    h = hashlib.sha256(payload).digest()
+    h = digest if digest is not None else hashlib.sha256(payload).digest()
     raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
     return (raw % 1000).astype(np.float32) / 1000.0
 
@@ -74,14 +77,18 @@ def extract_features(media: DataFrame, dim: int = 16, on_error: str = "skip") ->
             ids, shas, sizes, feats = [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    feat = _decode_image_stub(bytes(payload), dim)
+                    b = bytes(payload)
+                    # one sha256 per payload, shared by the feature stub
+                    # and the sha256 column (hashing is the per-item cost)
+                    dig = hashlib.sha256(b).digest() if b else b""
+                    feat = _decode_image_stub(b, dim, digest=dig or None)
                 except Exception:
                     if on_error == "raise":
                         raise
                     continue
                 ids.append(mid)
-                shas.append(hashlib.sha256(bytes(payload)).hexdigest())
-                sizes.append(len(payload))
+                shas.append(dig.hex())
+                sizes.append(len(b))
                 feats.append(feat)
             yield pd.DataFrame(
                 {"media_id": ids, "sha256": shas, "n_bytes": sizes, "feature": feats}
