@@ -405,21 +405,32 @@ def ngram_jaccard_pairs(
     near-dup signal — dropping it is the standard stop-shingle move. The
     oracle SQL twin applies the identical cap.
     """
-    from pyspark.sql.window import Window
-
+    # Shingles are built MAP-SIDE from the per-doc token array
+    # (transform over an index sequence + slice + array_join) — zero
+    # shuffle until the distinct(). The obvious window-lead formulation
+    # costs a full exchange+sort of the token stream keyed by doc_id
+    # first; at corpus scale that exchange dominates the whole operator,
+    # and it carries no information the row's own array doesn't already
+    # hold. Semantics are identical: empty tokens dropped first, shingle
+    # i = the n consecutive kept tokens starting at i.
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.lower(F.col(text_col)), token_pattern)).alias("pos", "tok"),
-    ).filter(F.length("tok") >= 1)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sh = toks
-    gram = F.col("tok")
-    for j in range(1, n):
-        sh = sh.withColumn(f"t{j}", F.lead("tok", j).over(w))
-        gram = F.concat_ws(" ", gram, F.col(f"t{j}"))
+        F.filter(
+            F.split(F.lower(F.col(text_col)), token_pattern),
+            lambda x: F.length(x) >= 1,
+        ).alias("toks"),
+    )
     shingles = (
-        sh.filter(F.col(f"t{n-1}").isNotNull())
-        .select("doc_id", gram.alias("shingle"))
+        toks.filter(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                    lambda i: F.array_join(F.slice("toks", i, n), " "),
+                )
+            ).alias("shingle"),
+        )
         .distinct()
     )
     if max_shingle_df is not None:

@@ -141,6 +141,11 @@ def test_ngram_hot_shingle_cap(spark):
     assert (100, 101) in got
     # and the uncapped run really was quadratic in the hot shingle's df
     assert n_unc > 30 * 29 / 2
+    # plan shape: shingles are built map-side from the token array — no
+    # window/sort exchange of the token stream may reappear (it would
+    # dominate the operator at corpus scale)
+    plan = capped._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan and "Sort" not in plan
 
 
 # ----------------------------------------------------- all-pairs ANN topk
