@@ -497,6 +497,17 @@ def _q_local_volume_q5(spark, sf):  # full 6-table snowflake join (Q5 shape)
     )
 
 
+def _q_returned_q10(spark, sf):  # Q10 shape: agg-then-join customer ranking
+    from search_engine_spark.operators.relational import returned_item_report
+
+    return returned_item_report(
+        _t(spark, sf, "customer"),
+        _t(spark, sf, "orders"),
+        _t(spark, sf, "lineitem"),
+        _t(spark, sf, "nation"),
+    )
+
+
 def _q_semi(spark, sf):  # S6 semi-join (IN-list scan family)
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 300000)
@@ -701,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority_q3": _q_shipping_q3,
         "nation_promo_revenue": _q_nation_promo,
         "local_supplier_volume_q5": _q_local_volume_q5,
+        "returned_item_q10": _q_returned_q10,
         "semi_join_s6": _q_semi,
         "anti_join_j7": _q_anti,
         "ann_dot_topk": _q_ann_dot,
@@ -1010,6 +1022,23 @@ def oracle_sql() -> dict[str, str]:
            JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
            GROUP BY n_name
            ORDER BY revenue DESC, n_name""",
+        "returned_item_q10": """
+           WITH rev AS (
+             SELECT o_custkey,
+                    round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                             * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE), 2)
+                      AS revenue
+             FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+                        AND o_orderdate >= TIMESTAMP '1996-01-01'
+                        AND o_orderdate <  TIMESTAMP '1996-07-01'
+             WHERE l_returnflag = 'R'
+             GROUP BY o_custkey)
+           SELECT c_custkey, c_name, n_name, c_acctbal, revenue
+           FROM rev
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           ORDER BY revenue DESC, c_custkey LIMIT 20""",
         "semi_join_s6": """
            SELECT c_custkey FROM customer c
            WHERE EXISTS (SELECT 1 FROM orders o

@@ -163,6 +163,51 @@ def local_supplier_volume(
     )
 
 
+def returned_item_report(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-07-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items, ranked per customer.
+
+    Plan shape (aggregate-then-join — the order that matters at 100 TB):
+    lineitem is scan-filtered on l_returnflag = 'R' (pushed to parquet),
+    joined once to the date-windowed orders on l_orderkey — the ONE fact
+    shuffle — and reduced to (o_custkey, revenue) BEFORE any customer
+    column appears, so the customer join's left side is bounded by the
+    customer count, not the lineitem count. customer carries no broadcast
+    hint (it grows linearly with scale — ADVICE r3; AQE still broadcasts
+    it at sandbox SFs), nation is a forced broadcast (25 rows at any
+    scale). Top-k via orderBy+limit → TakeOrderedAndProject."""
+    li = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    revenue = _money("l_extendedprice") * _one_minus("l_discount")
+    rev = (
+        li.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum(revenue).cast("double"), 2).alias("revenue"))
+    )
+    cust = customer.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_name", "n_name", "c_acctbal")
+    return (
+        rev.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "n_name", "c_acctbal", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
 def nation_promo_revenue(
     lineitem: DataFrame,
     part: DataFrame,

@@ -42,6 +42,7 @@ def _values_equal(a, b):
         "shipping_priority_q3",
         "nation_promo_revenue",
         "local_supplier_volume_q5",
+        "returned_item_q10",
     ],
 )
 def test_relational_matches_oracle(spark, name):
@@ -85,6 +86,31 @@ def test_q5_plan_broadcasts_snowflake_dims(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert plan.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_q10_aggregates_fact_before_customer_join(spark):
+    """Q10's 100 TB property: the customer join must sit ABOVE the revenue
+    aggregate (its left side bounded by customer count, not lineitem count),
+    and no join may degrade to sort-merge."""
+    import __spark_entry__ as E
+
+    df = E.queries()["returned_item_q10"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in plan
+    # the final top-k must be a TakeOrdered, never a global sort
+    assert "TakeOrderedAndProject" in plan
+    # agg-then-join: the optimized logical plan joins customer to the
+    # aggregated (o_custkey, revenue) side, so exactly one Aggregate pair
+    # (partial+final) sits BELOW the customer join in the plan tree
+    lines = plan.splitlines()
+    join_at = min(
+        i for i, ln in enumerate(lines)
+        if "Join" in ln and "c_custkey" in ln
+    )
+    agg_below = any("HashAggregate" in ln for ln in lines[join_at:])
+    assert agg_below, plan
 
 
 def test_nation_rollup_all_dims_broadcast(spark):
