@@ -604,6 +604,18 @@ def _q_ann_lsh(spark, sf):
     )
 
 
+def _q_ann_ivf(spark, sf):
+    from search_engine_spark.operators.similarity import ivf_ann_topk
+
+    emb = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    # kmeans coarse quantizer (sample-trained, deterministic), 3-of-8 cells
+    # probed — the density-adaptive twin of the LSH path above
+    return ivf_ann_topk(emb, qv, k=10, n_centroids=8, n_probes=3).select(
+        "vec_id", F.round("score", 4).alias("score")
+    )
+
+
 def _q_multimodal(spark, sf):
     from search_engine_spark.functions.multimodal import extract_features, synth_media
 
@@ -728,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # changing the engine hash: pd.util.hash_array has no DuckDB
         # equivalent, so those stay rows-only with bit-identity unit tests):
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "ann_allpairs_topk": _q_allpairs_ann,
         "multimodal_features": _q_multimodal,
         "frame_sample_plan": _q_frame_plan,

@@ -170,3 +170,114 @@ def all_pairs_cosine_topk(
 def _planes_from_df(df: DataFrame, vec_col: str, n_planes: int, seed: int) -> np.ndarray:
     dim = len(df.select(vec_col).first()[0])
     return _planes(dim, n_planes, seed)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer → cell-bucketed search.
+# The second standard scale path next to LSH: cells adapt to the data's
+# density (LSH planes are data-oblivious), so at equal probe budget IVF
+# recalls better on clustered embeddings — the common case for real model
+# embeddings.
+# ---------------------------------------------------------------------------
+
+
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 8,
+    sample_rows: int = 4096,
+    seed: int = 42,
+) -> np.ndarray:
+    """Lloyd's k-means on a DRIVER-SIDE sample — the standard IVF recipe
+    (the coarse quantizer is always trained on a bounded sample; FAISS
+    trains on ~max(10k, 39*nlist) rows no matter how big the corpus is).
+    The sample is the ``sample_rows`` smallest ids — a TakeOrdered, i.e.
+    per-partition heaps + one driver merge, deterministic under any
+    partitioning. Empty cells keep their previous centroid.
+
+    Returns (n_centroids, dim) float64; fully deterministic given seed."""
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(int(sample_rows))
+        .collect()
+    )
+    x = np.asarray([r[1] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    n = x.shape[0]
+    k = min(n_centroids, n)
+    cent = x[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(n_iters):
+        # squared L2 via the expansion; argmin per row (ties → lowest cell)
+        d2 = (
+            (x * x).sum(axis=1)[:, None]
+            - 2.0 * (x @ cent.T)
+            + (cent * cent).sum(axis=1)[None, :]
+        )
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+    return cent
+
+
+def ivf_cell_expr(vec_col: str, centroids: np.ndarray):
+    """Nearest-centroid cell id as a pure Catalyst expression (no Python in
+    the scan): cell = argmin_c ||v - c||^2 = argmax_c (v·c - |c|^2/2). The
+    centroid literals constant-fold; `array_position(arr, array_max(arr))`
+    resolves the argmax (first occurrence on ties — the same ordering the
+    numpy trainer uses). At scale this column is the partition/cluster key,
+    so probed cells become partition pruning instead of a filter."""
+    scores = F.array(
+        *[
+            _dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in c]))
+            - F.lit(float(np.dot(c, c)) / 2.0)
+            for c in centroids
+        ]
+    )
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+def ivf_probe_cells(query_vec: list[float], centroids: np.ndarray, n_probes: int) -> list[int]:
+    """The ``n_probes`` cells nearest the query, by the same v·c - |c|^2/2
+    score the assignment expression uses (so probe order matches cell
+    geometry exactly)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    score = centroids @ q - (centroids * centroids).sum(axis=1) / 2.0
+    order = np.argsort(-score, kind="stable")
+    return [int(i) for i in order[: max(1, n_probes)]]
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_probes: int = 2,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose IVF cell is among the
+    query's ``n_probes`` nearest cells. With ``n_probes == n_centroids``
+    every cell is probed and the result is EXACTLY ``brute_force_topk``
+    (tested bit-identical — the accuracy dial goes all the way to exact).
+    Pass pre-trained ``centroids`` to skip training (at scale the quantizer
+    is trained once and shipped with the index, never per query)."""
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            embeddings, n_centroids, id_col=id_col, vec_col=vec_col, seed=seed
+        )
+    probes = ivf_probe_cells(query_vec, centroids, n_probes)
+    celled = embeddings.withColumn("_cell", ivf_cell_expr(vec_col, centroids))
+    return brute_force_topk(
+        celled.filter(F.col("_cell").isin(probes)),
+        query_vec,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+    )

@@ -30,6 +30,10 @@ from search_engine_spark.operators.similarity import (
     _planes,
     all_pairs_cosine_topk,
     brute_force_topk,
+    ivf_ann_topk,
+    ivf_cell_expr,
+    ivf_probe_cells,
+    ivf_train_centroids,
     lsh_ann_topk,
     probe_buckets,
 )
@@ -275,3 +279,76 @@ def test_brute_force_topk_matches_fold(spark):
         key=lambda x: (-x[1], x[0]),
     )[:5]
     assert got == exp
+
+
+# ------------------------------------------------------------------- ivf
+
+
+def test_ivf_probe_all_is_exact_brute_force(spark):
+    """The IVF accuracy dial goes all the way to exact: probing every cell
+    must return bit-identically what brute_force_topk returns (same rows,
+    same scores, same order) — the filter passes every vector and the
+    scoring expression is shared."""
+    emb = spark.read.parquet(EMB)
+    rows = emb.collect()
+    q = list(rows[7]["embedding"])
+    exact = [(int(r["vec_id"]), float(r["score"]))
+             for r in brute_force_topk(emb, q, k=10).collect()]
+    got = [(int(r["vec_id"]), float(r["score"]))
+           for r in ivf_ann_topk(emb, q, k=10, n_centroids=8,
+                                 n_probes=8, seed=42).collect()]
+    assert got == exact
+
+
+def test_ivf_contract(spark):
+    """(a) results equal a single-node recomputation over the probed
+    cells (same centroid math, same fold order); (b) recall vs exact
+    top-k is non-decreasing in n_probes; (c) training is deterministic;
+    (d) the Spark cell expression agrees with the numpy assignment."""
+    emb = spark.read.parquet(EMB).limit(150)
+    rows = emb.collect()
+    q = list(rows[3]["embedding"])
+    cent = ivf_train_centroids(emb, 8, seed=42)
+    assert np.array_equal(cent, ivf_train_centroids(emb, 8, seed=42))
+
+    def cell_of(v):
+        x = np.asarray(v, dtype=np.float64)
+        score = cent @ x - (cent * cent).sum(axis=1) / 2.0
+        return int(score.argmax())
+
+    spark_cells = {
+        int(r["vec_id"]): int(r["_cell"])
+        for r in emb.withColumn("_cell", ivf_cell_expr("embedding", cent))
+        .select("vec_id", "_cell").collect()
+    }
+    for r in rows:
+        assert spark_cells[int(r["vec_id"])] == cell_of(r["embedding"])
+
+    exact = [
+        v for v, _ in sorted(
+            ((int(r["vec_id"]),
+              _fold_dot(r["embedding"], q)
+              / (_fold_norm(r["embedding"]) * _fold_norm(q)))
+             for r in rows),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+    ]
+    prev_recall = -1.0
+    for n_probes in (1, 3, 8):
+        probes = set(ivf_probe_cells(q, cent, n_probes))
+        got = [int(r["vec_id"])
+               for r in ivf_ann_topk(emb, q, k=10, n_probes=n_probes,
+                                     centroids=cent).collect()]
+        cands = [
+            (int(r["vec_id"]),
+             _fold_dot(r["embedding"], q)
+             / (_fold_norm(r["embedding"]) * _fold_norm(q)))
+            for r in rows if cell_of(r["embedding"]) in probes
+        ]
+        want = [v for v, _ in sorted(cands, key=lambda x: (-x[1], x[0]))[:10]]
+        assert got == want, n_probes
+        recall = len(set(got) & set(exact)) / 10
+        assert recall >= prev_recall
+        prev_recall = recall
+    # the query's own cell is probed first
+    assert ivf_probe_cells(q, cent, 1) == [cell_of(q)]
