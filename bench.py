@@ -239,6 +239,8 @@ def main() -> None:
         "shipping_priority_q3",
         "nation_promo_revenue",
         "local_supplier_volume_q5",
+        "returned_item_q10",
+        "ann_ivf_topk",
         "image_channel_stats",
         "audio_window_feats",
     ]:
