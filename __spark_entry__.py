@@ -413,6 +413,25 @@ def _q_events_stream(spark, sf):
     )
 
 
+def _q_events_dedup_stream(spark, sf):
+    """Streaming exactly-once ingest dedup, PROVEN end-to-end: the source
+    directory stages the events file TWICE, so the stream sees every row
+    in two micro-batches and must collapse them — the DuckDB oracle is the
+    single-copy DISTINCT, so a pass means the dedup actually fired (a
+    pass-through would return 2x the rows)."""
+    import shutil
+    import uuid
+
+    from search_engine_spark.streaming.events import run_stream_dedup
+
+    d = _stream_tmp(sf, "events")
+    shutil.copy(os.path.join(d, "part-0.parquet"), os.path.join(d, "part-1.parquet"))
+    return run_stream_dedup(
+        spark, d, os.path.join(d, "_ckpt"),
+        sink_table="evt_dedup_" + uuid.uuid4().hex[:8],
+    )
+
+
 def _q_sessions_stream(spark, sf):
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user gap sessionization (streaming/sessions.py). Closed sessions
@@ -718,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_stats": _q_lang_stats,
         "events_hourly": _q_events_hourly,
         "events_hourly_stream": _q_events_stream,
+        "events_dedup_stream": _q_events_dedup_stream,
         "sessions_stream": _q_sessions_stream,
         "top_orders_join_j5": _q_top_orders,
         "pricing_summary_q1": _q_pricing_q1,
@@ -950,6 +970,8 @@ def oracle_sql() -> dict[str, str]:
            SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
                   round(sum(value), 2) AS total_value
            FROM events GROUP BY 1, 2""",
+        "events_dedup_stream": """
+           SELECT DISTINCT ts, user_id, event_type FROM events""",
         "sessions_stream": """
            WITH e AS (SELECT user_id, ts, coalesce(value, 0.0) AS v
                       FROM events WHERE user_id < 8),

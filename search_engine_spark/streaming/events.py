@@ -46,6 +46,59 @@ def hourly_rollup(events: DataFrame, watermark: str | None = "2 hours") -> DataF
     )
 
 
+def dedup_events(
+    events: DataFrame,
+    key: tuple[str, ...] = ("ts", "user_id", "event_type"),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once ingest dedup: drop duplicate events by key.
+
+    Streaming: ``dropDuplicatesWithinWatermark`` — the state store holds
+    one entry per key only until the watermark passes its event time, so
+    state is bounded by (arrival rate × watermark), not corpus size; the
+    at-least-once delivery a 100 TB/day ingest bus gives (replays,
+    producer retries) collapses to exactly-once rows. Batch: plain
+    ``dropDuplicates`` — the same semantics, so one definition serves the
+    stream and its oracle twin. Only key columns flow downstream, so the
+    result is deterministic regardless of which physical duplicate the
+    state store kept."""
+    src = events.select(*key)
+    if events.isStreaming:
+        return src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            list(key)
+        )
+    return src.dropDuplicates(list(key))
+
+
+def run_stream_dedup(
+    spark: SparkSession,
+    input_path: str,
+    checkpoint_dir: str,
+    sink_table: str = "events_dedup_stream",
+    max_files_per_trigger: int = 1,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Drain a file-source events stream through the dedup (append mode —
+    a deduped row is emitted the moment it is first seen; duplicates in
+    later micro-batches emit nothing) and return the final result frame."""
+    stream = (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+    q = (
+        dedup_events(stream, watermark=watermark)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
+
+
 def run_stream_rollup(
     spark: SparkSession,
     input_path: str,

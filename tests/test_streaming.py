@@ -139,3 +139,37 @@ def test_sessionize_stream_equals_oracle(spark, tmp_path):
     got["total_value"] = got["total_value"].round(6)
     want["total_value"] = want["total_value"].round(6)
     pd.testing.assert_frame_equal(got, want, check_like=True, check_dtype=False)
+
+
+def test_stream_dedup_collapses_cross_batch_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates WITHIN a micro-batch and
+    ACROSS micro-batches both collapse; output equals the batch
+    dropDuplicates twin; and the input genuinely contained duplicates."""
+    import datetime as dt
+
+    from search_engine_spark.streaming.events import dedup_events, run_stream_dedup
+
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+    mk = lambda i, uid, et, off: (  # noqa: E731
+        i, t0 + dt.timedelta(minutes=off), uid, et, 1.0, "{}")
+    # batch 1: 4 events, one internal duplicate key (rows 2 and 3)
+    b1 = [mk(1, 10, "view", 0), mk(2, 11, "click", 5),
+          mk(3, 11, "click", 5), mk(4, 12, "view", 9)]
+    # batch 2: replays two batch-1 keys + 2 new events
+    b2 = [mk(5, 10, "view", 0), mk(6, 12, "view", 9),
+          mk(7, 13, "buy", 11), mk(8, 10, "view", 12)]
+    src = str(tmp_path / "dedup_src")
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(rows, EVENTS).coalesce(1).write.mode(
+            "append").parquet(src)
+    got = run_stream_dedup(
+        spark, src, str(tmp_path / "dedup_ckpt"),
+        sink_table="t_dedup_stream", watermark="1 hour",
+    )
+    all_rows = spark.createDataFrame(b1 + b2, EVENTS)
+    want = dedup_events(all_rows)  # batch twin: plain dropDuplicates
+    got_keys = {(r["ts"], r["user_id"], r["event_type"]) for r in got.collect()}
+    want_keys = {(r["ts"], r["user_id"], r["event_type"]) for r in want.collect()}
+    assert got.count() == len(got_keys)  # no duplicate rows emitted
+    assert got_keys == want_keys
+    assert len(got_keys) == 5  # 8 input rows → 5 unique keys: dedup fired
