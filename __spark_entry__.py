@@ -623,6 +623,25 @@ def _q_ann_lsh(spark, sf):
     )
 
 
+def _q_token_stats(spark, sf):
+    """Token counting for training-data budgeting: the whitespace-ish count
+    next to a BPE-ish pre-tokenizer count (GPT-2-family regex, RE2-safe
+    subset) and chars-per-BPE-token — the usual compression/quality signal."""
+    from search_engine_spark.functions.text_quality import bpe_token_count, token_count
+
+    d = _t(spark, sf, "documents")
+    n_bpe = bpe_token_count(F.col("text"))
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        F.round(
+            F.length("text").cast("double") / F.greatest(n_bpe, F.lit(1)).cast("double"),
+            4,
+        ).alias("chars_per_bpe_token"),
+    )
+
+
 def _q_ann_ivf(spark, sf):
     from search_engine_spark.operators.similarity import ivf_ann_topk
 
@@ -728,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "missing_term_o6": _q_missing,
         "dedup_exact": _q_dedup_exact,
         "text_profile": _q_text_profile,
+        "token_stats": _q_token_stats,
         "quality_punct": _q_quality_punct,
         "lang_id_guess": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
@@ -863,6 +883,18 @@ def oracle_sql() -> dict[str, str]:
                   round(sum(CASE WHEN term IN ('the','of','and','is','to','in')
                                  THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS stop_ratio
            FROM tok2 GROUP BY doc_id""",
+        "token_stats": """
+           SELECT doc_id,
+                  len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                  x -> length(x) >= 2)) AS n_ws_tokens,
+                  len(regexp_extract_all(lower(text),
+                      '''(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+'))
+                    AS n_bpe_tokens,
+                  round(length(text) * 1.0 /
+                        greatest(len(regexp_extract_all(lower(text),
+                          '''(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+')), 1), 4)
+                    AS chars_per_bpe_token
+           FROM documents""",
         "quality_punct": """
            WITH t AS (
              SELECT doc_id, text,

@@ -25,6 +25,21 @@ def token_count(text: Column) -> Column:
     return F.size(tokens_col(text))
 
 
+# BPE-ish pre-tokenizer regex (GPT-2 family), simplified to the subset both
+# Java regex (Spark) and RE2 (DuckDB oracle) support — no lookahead, so the
+# trailing-whitespace clauses of the original are dropped: contractions,
+# space-prefixed letter runs, digit runs, punctuation runs. Counting these
+# matches approximates the BPE token count well enough for budget/quality
+# gating (chars-per-token is the usual compression-quality signal).
+BPE_TOKEN_RE = r"'(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Approximate BPE token count via the pre-tokenizer regex above,
+    JVM-side (`regexp_count` — codegen'd, no UDF)."""
+    return F.regexp_count(F.lower(text), F.lit(BPE_TOKEN_RE))
+
+
 def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
     stops = stopwords or EN_MARKERS
     toks = tokens_col(text)

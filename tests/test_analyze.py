@@ -86,3 +86,34 @@ def test_vectorized_matches_pure(text):
     got = analyze_series_exploded(pd.Series([7]), pd.Series([text]))["term"].tolist()
     assert got == analyze(text)
     assert int(doclen_series(pd.Series([text])).iloc[0]) == len(analyze(text))
+
+
+@pytest.mark.parametrize(
+    "text,want",
+    [
+        ("", 0),
+        ("hello world", 2),                      # "hello", " world"
+        ("don't stop", 3),                       # "don", "'t", " stop"
+        ("it's 42 degrees!!", 5),                # "it", "'s", " 42", " degrees", "!!"
+        ("привет мир", 2),                       # cyrillic → two punct-class runs
+        ("   ", 0),                              # whitespace only: no matches
+        ("a'x", 2),                              # bare apostrophe skipped unmatched
+    ],
+)
+def test_bpe_token_count_edges(spark, text, want):
+    """The BPE-ish counter (RE2-safe GPT-2 pre-tokenizer subset) on edge
+    inputs, pinned against a hand-derived count — and cross-checked with
+    Python's re on the same pattern so the fixture can't drift."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.functions.text_quality import BPE_TOKEN_RE, bpe_token_count
+
+    py = len(_re.findall(BPE_TOKEN_RE, text.lower()))
+    got = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(bpe_token_count(F.col("text")).alias("n"))
+        .first()["n"]
+    )
+    assert got == py == want, (text, got, py, want)
