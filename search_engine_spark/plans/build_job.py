@@ -84,7 +84,8 @@ def build_index(
         build_id=build_id or uuid.uuid4().hex[:12],
     )
     # per-stage shuffle-write bytes/records (committed-task metrics) land in
-    # every DONE row — the TF stage's 0 proves the shuffle-free TF claim,
+    # every DONE row — the TF stage's near-zero (count() partials + input
+    # lineage only, never the tf stream) proves the shuffle-free TF claim,
     # and the terms/postings numbers make exchange growth a manifest diff
     meter = StageShuffleMeter(spark)
 

@@ -163,6 +163,33 @@ def test_count_matches(engine, naive):
         assert engine.count_matches(q) == naive.count_matches(q)
 
 
+def test_manifest_shuffle_metrics(spark, built):
+    """Every DONE build stage records committed-task shuffle-write metrics
+    (VERDICT r03 next-#9): the TF stage's record count stays orders of
+    magnitude below the tf row count (no corpus-sized exchange — the
+    shuffle-free TF claim as arithmetic), while the terms and postings
+    exchanges record real volume."""
+    rows = [
+        json.loads(l) for l in open(built.path("build_manifest.jsonl"))
+    ]
+    done = {
+        (r["stage"], r.get("partition_id", -1)): r
+        for r in rows
+        if r["status"] == "DONE"
+    }
+    for stage in ("tf", "doc_stats", "docs", "terms"):
+        r = done[(stage, -1)]
+        assert r["shuffle_write_bytes"] is not None, stage
+        assert r["shuffle_write_records"] is not None, stage
+    n_tf = built.read(spark, "tf").count()
+    # tf's delta holds only count() partials + synthetic-corpus lineage —
+    # never the tf stream itself (which mapInPandas produces in place)
+    assert done[("tf", -1)]["shuffle_write_records"] < n_tf / 10
+    assert done[("terms", -1)]["shuffle_write_bytes"] > 0
+    post = [r for (s, _), r in done.items() if s == "postings"]
+    assert post and all(r["shuffle_write_bytes"] > 0 for r in post)
+
+
 def test_resume_equivalence(spark, tmp_path):
     """Kill-after-stage restart must converge to the identical index and
     must not redo finished shards (north_rule resumability)."""
