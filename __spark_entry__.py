@@ -642,6 +642,17 @@ def _q_token_stats(spark, sf):
     )
 
 
+def _q_curation(spark, sf):
+    """Training-data curation in one declarative pass (lang gate → quality
+    gate → token-length band → exact-dedup collapse → token budget): the
+    composed pipeline the individual text-quality/dedup gates feed. One
+    scan-stage select (pure Catalyst, zero UDFs) + one digest-keyed
+    aggregate — the only shuffle carries already-filtered rows."""
+    from search_engine_spark.operators.curation import curate_corpus
+
+    return curate_corpus(_t(spark, sf, "documents"))
+
+
 def _q_ann_ivf(spark, sf):
     from search_engine_spark.operators.similarity import ivf_ann_topk
 
@@ -746,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scoped_and_o5": _q_scoped,
         "missing_term_o6": _q_missing,
         "dedup_exact": _q_dedup_exact,
+        "curation_pipeline": _q_curation,
         "text_profile": _q_text_profile,
         "token_stats": _q_token_stats,
         "quality_punct": _q_quality_punct,
@@ -878,6 +890,42 @@ def oracle_sql() -> dict[str, str]:
            SELECT sha256(text) AS fingerprint, count(*) AS n_docs,
                   min(doc_id) AS keep_doc_id
            FROM documents GROUP BY sha256(text)""",
+        "curation_pipeline": """
+           WITH t AS (
+             SELECT doc_id, text, sha256(text) AS digest,
+                    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                x -> length(x) >= 2) AS toks
+             FROM documents),
+           m AS (
+             SELECT doc_id, digest, len(toks) AS n_tok,
+                    len(regexp_extract_all(lower(text),
+                        '''(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+'))
+                      AS n_bpe,
+                    CASE WHEN length(text) > 0
+                         THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text)
+                         ELSE 0.0 END AS pr,
+                    CASE WHEN len(toks) > 0
+                         THEN len(list_filter(toks, x -> x IN ('the','a','an','of','and','is','to','in'))) * 1.0 / len(toks)
+                         ELSE 0.0 END AS sr,
+                    len(list_filter(toks, x -> x IN ('the','a','an','of','and','is','to','in'))) AS en,
+                    len(list_filter(regexp_split_to_array(lower(text), '[^а-яё]+'),
+                                    x -> x IN ('и','в','на','не','что','это'))) AS ru
+             FROM t),
+           q AS (
+             SELECT doc_id, digest, n_tok, n_bpe,
+                    CASE WHEN en = 0 AND ru = 0 THEN 'unknown'
+                         WHEN en >= ru THEN 'en' ELSE 'ru' END AS lang,
+                    round(CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 0.4 ELSE 0.0 END
+                          + CASE WHEN pr < 0.2 THEN 0.3 ELSE 0.0 END
+                          + CASE WHEN sr > 0.01 AND sr < 0.7 THEN 0.3 ELSE 0.0 END, 2) AS quality
+             FROM m)
+           SELECT min(doc_id) AS doc_id, lang,
+                  CAST(quality AS DOUBLE) AS quality,
+                  n_tok AS n_ws_tokens, n_bpe AS n_bpe_tokens,
+                  count(*) AS n_copies
+           FROM q
+           WHERE lang = 'en' AND quality >= 0.7 AND n_tok BETWEEN 10 AND 100000
+           GROUP BY digest, lang, quality, n_tok, n_bpe""",
         "text_profile": _TOK_CTE
         + """SELECT doc_id, count(*) AS n_tokens,
                   round(sum(CASE WHEN term IN ('the','of','and','is','to','in')

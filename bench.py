@@ -226,6 +226,7 @@ def main() -> None:
         "and_intersect_j4",
         "statistics_a6",
         "dedup_exact",
+        "curation_pipeline",
         "doc_fingerprint",
         "ngram_jaccard",
         "minhash_lsh_pairs",

@@ -1,0 +1,68 @@
+"""Training-data curation pipeline: one declarative pass chaining the
+text-quality primitives (`functions/text_quality.py`) and exact dedup
+(`operators/dedup.py`) into the filter a pretraining corpus build actually
+runs — language gate, quality gate, token-length band, duplicate collapse,
+token-budget accounting.
+
+Plan shape at 100 TB (the reason this is one `select` + one `groupBy`):
+
+* every per-doc column (lang guess, quality score, token counts, content
+  digest) is a pure Catalyst expression — codegen'd JVM-side, zero UDFs —
+  computed in the SCAN stage;
+* the language/quality/length filters apply in that same stage, so
+  rejected documents never reach an exchange (at real-world reject rates
+  that is most of the corpus);
+* the ONLY shuffle is the exact-dedup aggregate keyed on the sha256
+  digest. The computed columns ride the exchange as grouping keys —
+  they are constant within a digest group (duplicates share the text
+  byte-for-byte) — so the aggregate stays map-side combinable and the
+  exchange carries one row per (already-filtered) document.
+
+Survivor choice is min(doc_id) per digest: deterministic under any
+partitioning, same rule as ``dedup.exact_dups``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text_quality import (
+    bpe_token_count,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.7,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+) -> DataFrame:
+    """Curated-survivor rows: one per unique kept document —
+    ``(doc_id, lang, quality, n_ws_tokens, n_bpe_tokens, n_copies)``
+    where ``doc_id`` is the smallest id among the exact copies and
+    ``n_copies`` the collapsed duplicate count (the dedup audit number
+    a curation report wants next to the token budget)."""
+    t = F.col(text_col)
+    enriched = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(t, 256).alias("digest"),
+        lang_id(t).alias("lang"),
+        F.round(quality_score(t), 2).alias("quality"),
+        token_count(t).cast("long").alias("n_ws_tokens"),
+        bpe_token_count(t).cast("long").alias("n_bpe_tokens"),
+    ).filter(
+        F.col("lang").isin(list(langs))
+        & (F.col("quality") >= min_quality)
+        & F.col("n_ws_tokens").between(min_tokens, max_tokens)
+    )
+    return (
+        enriched.groupBy("digest", "lang", "quality", "n_ws_tokens", "n_bpe_tokens")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "lang", "quality", "n_ws_tokens", "n_bpe_tokens", "n_copies")
+    )

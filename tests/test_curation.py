@@ -1,0 +1,90 @@
+"""Curation-pipeline contracts the sf0.01 oracle gate can't see: the
+documents table has no exact duplicates, so duplicate collapse, survivor
+choice, and each filter branch are pinned here on a hand-built corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.curation import curate_corpus
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and runs to the river "
+    "in the morning light with a steady pace of ten good miles"
+)
+RU = "и в на не что это случилось вчера вечером когда все уже спали дома"
+SHORT = "the cat"  # 2 tokens < min_tokens → len band + quality both fail
+PUNCTY = "the!!! of??? and### is$$$ to%%% in^^^ " * 20  # punct_ratio ≥ 0.2
+
+
+def _df(spark):
+    rows = [
+        (1, GOOD),
+        (7, GOOD),          # exact copy — must collapse into doc_id 1
+        (3, GOOD),          # second copy
+        (4, GOOD + " extra words here for a distinct digest of the text"),
+        (5, RU),
+        (6, SHORT),
+        (8, PUNCTY),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_collapse_and_filters(spark):
+    out = {r["doc_id"]: r.asDict() for r in curate_corpus(_df(spark)).collect()}
+    # survivors: min doc_id per digest; ru/short/puncty rejected
+    assert set(out) == {1, 4}
+    assert out[1]["n_copies"] == 3
+    assert out[4]["n_copies"] == 1
+    for r in out.values():
+        assert r["lang"] == "en"
+        assert r["quality"] >= 0.7
+        assert 10 <= r["n_ws_tokens"] <= 100_000
+        assert r["n_bpe_tokens"] >= r["n_ws_tokens"]  # BPE-ish never coarser
+
+
+def test_composition_matches_components(spark):
+    """The one-pass pipeline equals filtering + collapsing with the
+    primitives it composes (applied separately)."""
+    from search_engine_spark.functions.text_quality import (
+        bpe_token_count,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    df = _df(spark)
+    t = F.col("text")
+    manual = (
+        df.select(
+            "doc_id",
+            F.sha2(t, 256).alias("digest"),
+            lang_id(t).alias("lang"),
+            F.round(quality_score(t), 2).alias("quality"),
+            token_count(t).cast("long").alias("n_ws_tokens"),
+            bpe_token_count(t).cast("long").alias("n_bpe_tokens"),
+        )
+        .filter("lang = 'en' AND quality >= 0.7 AND n_ws_tokens BETWEEN 10 AND 100000")
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.first("lang").alias("lang"),
+            F.first("quality").alias("quality"),
+            F.first("n_ws_tokens").alias("n_ws_tokens"),
+            F.first("n_bpe_tokens").alias("n_bpe_tokens"),
+            F.count("*").alias("n_copies"),
+        )
+        .drop("digest")
+    )
+    cols = ["doc_id", "lang", "quality", "n_ws_tokens", "n_bpe_tokens", "n_copies"]
+    got = sorted(tuple(r[c] for c in cols) for r in curate_corpus(df).collect())
+    want = sorted(tuple(r[c] for c in cols) for r in manual.collect())
+    assert got == want
+
+
+def test_scan_stage_filter_no_udf(spark):
+    """Plan contract: filters live in the scan stage (no exchange below
+    them) and the whole pipeline is UDF-free — one shuffle total."""
+    plan = curate_corpus(_df(spark))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") == 1
