@@ -181,6 +181,18 @@ def _q_bm25(spark, sf, toks=None):
     n_docs and avgdl all come from the scoped token set — identical to an
     index built over that site alone (reference lemma keyed per site,
     model/Lemma.java:12-30)."""
+    return _bm25_scored(spark, sf, toks=toks, mode="all")
+
+
+def _q_bm25_or(spark, sf):
+    """Disjunctive (ranked-union) BM25 top-20: every doc matching ANY query
+    term is scored over the terms it contains — the OR mode the reference's
+    AND-only intersection (services/SearchServiceImpl.java:84-101) lacks.
+    `nt` (match arity) rides along so callers can post-filter coverage."""
+    return _bm25_scored(spark, sf, toks=None, mode="any")
+
+
+def _bm25_scored(spark, sf, toks=None, mode="all"):
     if toks is None:
         toks = _tokens(spark, sf)
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
@@ -211,9 +223,13 @@ def _q_bm25(spark, sf, toks=None):
         )
         .groupBy("doc_id")
         .agg(F.countDistinct("term").alias("nt"), F.sum("contrib").alias("s"))
-        .filter(F.col("nt") == 3)
-        .select("doc_id", F.round("s", 4).alias("score"))
     )
+    if mode == "all":
+        scored = scored.filter(F.col("nt") == 3).select(
+            "doc_id", F.round("s", 4).alias("score")
+        )
+    else:
+        scored = scored.select("doc_id", "nt", F.round("s", 4).alias("score"))
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
 
 
@@ -365,6 +381,20 @@ def _q_embed_near_dup(spark, sf):
     from search_engine_spark.operators.dedup import embedding_cosine_pairs
 
     return embedding_cosine_pairs(_t(spark, sf, "embeddings"), min_cosine=0.4)
+
+
+def _q_dup_clusters(spark, sf):
+    """Transitive near-dup clusters: cosine pairs → connected components →
+    (vec_id, cluster_id, cluster_size, is_survivor). Oracle = the same pair
+    SQL fed through a DuckDB recursive CTE (reach = reflexive-transitive
+    closure of the symmetric edge set, cluster_id = min reachable id)."""
+    from search_engine_spark.operators.dedup import (
+        dup_cluster_report,
+        embedding_cosine_pairs,
+    )
+
+    pairs = embedding_cosine_pairs(_t(spark, sf, "embeddings"), min_cosine=0.4)
+    return dup_cluster_report(pairs)
 
 
 def _q_lang_stats(spark, sf):
@@ -750,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_t1": _q_topk,
         "pagination_t2": _q_page2,
         "bm25_topk": _q_bm25,
+        "bm25_or_topk": _q_bm25_or,
         "bm25_scoped_topk": _q_bm25_scoped,
         "scoped_df_a3": _q_scoped_df,
         "site_stats_rollup": _q_site_stats,
@@ -766,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "html_strip_f1": _q_html_strip,
         "embed_near_dup": _q_embed_near_dup,
+        "dup_clusters": _q_dup_clusters,
         "lang_stats": _q_lang_stats,
         "events_hourly": _q_events_hourly,
         "events_hourly_stream": _q_events_stream,
@@ -849,6 +881,22 @@ def oracle_sql() -> dict[str, str]:
              WHERE tf.term IN {q3}
              GROUP BY tf.doc_id)
            SELECT doc_id, round(s, 4) AS score FROM sc WHERE nt = 3
+           ORDER BY score DESC, doc_id LIMIT 20""",
+        "bm25_or_topk": _TOK_CTE
+        + f""", tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
+           dl AS (SELECT doc_id, count(*) AS doclen FROM tok2 GROUP BY doc_id),
+           dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY term),
+           st AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+           sc AS (
+             SELECT tf.doc_id,
+                    count(DISTINCT tf.term) AS nt,
+                    sum(ln((st.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                        * 2.2 * tf.tf
+                        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl))) AS s
+             FROM tf JOIN dl USING (doc_id) JOIN dft USING (term) CROSS JOIN st
+             WHERE tf.term IN {q3}
+             GROUP BY tf.doc_id)
+           SELECT doc_id, nt, round(s, 4) AS score FROM sc
            ORDER BY score DESC, doc_id LIMIT 20""",
         "bm25_scoped_topk": _TOK_CTE
         + f""", tokS AS (SELECT * FROM tok2 WHERE source = 'src3'),
@@ -1039,6 +1087,27 @@ def oracle_sql() -> dict[str, str]:
                  FROM e a JOIN e b USING (i) WHERE a.vec_id < b.vec_id
                  GROUP BY 1, 2)
            SELECT va, vb, round(cos, 4) AS cosine FROM p WHERE cos >= 0.4""",
+        "dup_clusters": """
+           WITH RECURSIVE e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                                       generate_subscripts(embedding, 1) AS i
+                                FROM embeddings),
+           p AS (SELECT a.vec_id AS va, b.vec_id AS vb
+                 FROM e a JOIN e b USING (i) WHERE a.vec_id < b.vec_id
+                 GROUP BY 1, 2
+                 HAVING sum(a.x*b.x)
+                        / (sqrt(sum(a.x*a.x)) * sqrt(sum(b.x*b.x))) >= 0.4),
+           edges AS (SELECT va AS src, vb AS dst FROM p
+                     UNION ALL SELECT vb, va FROM p),
+           reach(a, b) AS (
+               SELECT src, src FROM edges
+             UNION
+               SELECT r.a, e2.dst FROM reach r JOIN edges e2 ON e2.src = r.b
+           ),
+           cc AS (SELECT a AS vec_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+           SELECT vec_id, cluster_id,
+                  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+                  (vec_id = cluster_id) AS is_survivor
+           FROM cc ORDER BY vec_id""",
         "lang_stats": """
            SELECT lang, count(*) AS docs, round(avg(n_chars), 2) AS avg_chars
            FROM documents GROUP BY lang""",

@@ -498,3 +498,98 @@ def embedding_cosine_pairs(
         .filter(F.col("cosine") >= F.lit(min_cosine))
         .select("va", "vb", F.round("cosine", 4).alias("cosine"))
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "va",
+    b_col: str = "vb",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Transitive closure of near-duplicate pairs → ``(node, cluster_id)``.
+
+    The step every pair generator above feeds at pipeline scale: MinHash /
+    SimHash / cosine emit PAIRS, but "keep one copy" needs the component —
+    A~B and B~C must collapse A,B,C together even though (A,C) was never a
+    candidate pair. ``cluster_id`` is the component's minimum node id, which
+    doubles as the deterministic survivor key (reference dedupe keeps the
+    first-seen page, utils/SiteCrawler.java:110-113; min-id is the
+    order-free analogue).
+
+    Algorithm: iterative min-label propagation over the symmetrized edge
+    set. Each round is one shuffle join (neighbor labels) + one shuffle
+    aggregate (min per node); ``localCheckpoint`` truncates lineage so round
+    r does not replay rounds 0..r-1, and the loop stops at the exact
+    fixpoint (changed-label count == 0). Rounds = component diameter:
+    near-dup components are small and star-shaped (a boilerplate template
+    and its copies), so a handful of rounds suffices. At adversarial scale
+    (10^9-node chains) swap the body for the two-phase large-star /
+    small-star rounds of Kiveris et al., "Connected Components in MapReduce
+    and Beyond" (SoCC'14) — O(log² n) rounds over the same (node, label)
+    dataflow with the same convergence test; the driver loop here is
+    already shaped for it.
+    """
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = fwd.union(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    # pairs are unique (a < b) so the symmetric union is duplicate-free and
+    # already contains every node in its src column.
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                F.col("label").alias("old_label"),
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.filter(F.col("label") != F.col("old_label")).count()
+        labels = stepped.select("node", "label")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+        )
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def dup_cluster_report(
+    pairs: DataFrame,
+    a_col: str = "va",
+    b_col: str = "vb",
+    id_name: str = "vec_id",
+) -> DataFrame:
+    """Per-node duplicate-cluster assignment with survivor flag:
+    ``(id, cluster_id, cluster_size, is_survivor)`` for every node that
+    appears in at least one pair (singletons are trivially their own
+    survivors and are omitted — at corpus scale they are ~all rows).
+
+    The output is exactly what a curation job consumes: anti-join
+    ``is_survivor = false`` rows against the corpus to drop transitive
+    near-duplicates while keeping one representative per component.
+    """
+    from pyspark.sql import Window
+
+    cc = connected_components(pairs, a_col=a_col, b_col=b_col)
+    w = Window.partitionBy("cluster_id")
+    return cc.select(
+        F.col("node").alias(id_name),
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("node") == F.col("cluster_id")).alias("is_survivor"),
+    ).orderBy(id_name)

@@ -615,8 +615,13 @@ class SearchEngine:
                 self._site_ids_cache.popitem(last=False)
         return self._site_ids_cache[site]
 
-    def _resolve(self, q_terms: list[str], site: str | None) -> _Ctx | None:
-        """→ scoring context, or None for the O6 empty short-circuit."""
+    def _resolve(
+        self, q_terms: list[str], site: str | None, require_all: bool = True
+    ) -> _Ctx | None:
+        """→ scoring context, or None for the O6 empty short-circuit.
+        ``require_all=False`` (disjunctive mode) drops vocabulary-missing
+        terms instead of short-circuiting — the ctx then carries df only
+        for the present terms; None only when NO term is present."""
         if not q_terms:
             return None
         if site is None:
@@ -624,7 +629,10 @@ class SearchEngine:
             # metadata, which is unbounded for hot terms (the blockmax
             # paths load metadata separately, behind the df pre-check)
             dfs = self._global_dfs(q_terms)
-            if any(v is None for v in dfs.values()):
+            if require_all and any(v is None for v in dfs.values()):
+                return None
+            dfs = {t: v for t, v in dfs.items() if v is not None}
+            if not dfs:
                 return None
             drift = max(1.0, self.avgdl / self.avgdl_build) * _BOUND_SLACK
             return _Ctx(dfs, self.n_docs, self.avgdl, drift, None, None)
@@ -633,8 +641,10 @@ class SearchEngine:
             return None
         n_docs_s, avgdl_s = ss
         dfs = self._terms_rows(site, q_terms)
-        if len(dfs) < len(q_terms):
+        if require_all and len(dfs) < len(q_terms):
             return None  # O6 against the per-site lemma rows
+        if not dfs:
+            return None
         drift = max(1.0, avgdl_s / self.avgdl_build) * _BOUND_SLACK
         return _Ctx(dfs, n_docs_s, avgdl_s, drift, site, None)
 
@@ -666,11 +676,19 @@ class SearchEngine:
         )
 
     def _score(
-        self, decoded: DataFrame, q_terms: list[str], ctx: _Ctx, scorer: str
+        self,
+        decoded: DataFrame,
+        q_terms: list[str],
+        ctx: _Ctx,
+        scorer: str,
+        match_all: bool = True,
     ) -> DataFrame:
-        """Decoded rows → (doc_id, score) AND-matches; deterministic
-        sorted-term float summation (shared with the oracle)."""
-        return (
+        """Decoded rows → (doc_id, score); deterministic sorted-term float
+        summation (shared with the oracle). ``match_all=True`` keeps only
+        k-way AND matches (J4); ``False`` is the disjunctive (ranked-union)
+        mode — every doc containing ANY query term is scored over the terms
+        it contains."""
+        scored = (
             decoded.withColumn("contrib", self._contrib_col(q_terms, ctx, scorer))
             .groupBy("doc_id")
             .agg(
@@ -681,22 +699,25 @@ class SearchEngine:
                     lambda acc, x: acc + x["contrib"],
                 ).alias("score"),
             )
-            .filter(F.col("nt") == F.lit(len(q_terms)))  # J4 k-way AND
-            .select("doc_id", "score")
         )
+        if match_all:
+            scored = scored.filter(
+                F.col("nt") == F.lit(len(q_terms))
+            )  # J4 k-way AND
+        return scored.select("doc_id", "score")
 
     def _scoped_ids_df(self, site: str) -> DataFrame:
         return self.docs.filter(F.col("repo") == site).select("doc_id")
 
     def _exhaustive_scored(
-        self, q_terms: list[str], ctx: _Ctx, scorer: str
+        self, q_terms: list[str], ctx: _Ctx, scorer: str, match_all: bool = True
     ) -> DataFrame:
         decoded = decode_blocks(self.postings.filter(F.col("term").isin(q_terms)))
         if ctx.site is not None:
             decoded = decoded.join(
                 self._scoped_ids_df(ctx.site), "doc_id", "left_semi"
             )
-        return self._score(decoded, q_terms, ctx, scorer)
+        return self._score(decoded, q_terms, ctx, scorer, match_all=match_all)
 
     # -- driver-side block-max WAND ----------------------------------------
 
@@ -906,6 +927,150 @@ class SearchEngine:
         except _CapTripped:
             return None
 
+    def _driver_or(
+        self, q_terms: list[str], ctx: _Ctx, need: int, scorer: str
+    ) -> list[tuple[int, float]] | None:
+        """Disjunctive (ranked-union) block-max WAND, driver-orchestrated.
+
+        Candidate generation is block-granular: every (term, block) gets an
+        admission upper bound ub(b) = bound_t(b) + Σ_{t'≠t} max_bound(t')
+        — any doc inside b scores at most ub(b), because each per-term
+        contribution is bounded by that term's covering-block bound ≤ the
+        term max. Blocks are decoded in ub-descending order; every decoded
+        doc is scored EXACTLY over all query terms (covering-block tf
+        lookups, absent term ⇒ +0.0, sorted-term summation — bit-identical
+        to the exhaustive plan's match_all=False aggregate), and the loop
+        stops when θ (the need-th best exact score) strictly exceeds the
+        best remaining ub: an unscored doc lives only in undecoded blocks
+        and is bounded by each of their ubs. Replacing the global cross-term
+        max with a per-doc-range block max is the classic BMW refinement;
+        the global max is already tight where it matters because hot terms
+        carry near-zero idf and hence near-zero bounds. Returns None when a
+        driver cap trips (→ distributed exhaustive fallback).
+        """
+        metas = self._get_meta(q_terms)
+        # OR semantics: a term with no posting blocks contributes nothing
+        # (vocabulary-missing terms were already dropped by _resolve)
+        terms = sorted({t for t in q_terms if metas[t] is not None})
+        if not terms:
+            return []
+        if any(metas[t] is _TOO_HOT for t in terms):
+            return None
+        if sum(metas[t].n_blocks for t in terms) > MAX_WAND_META_BLOCKS:
+            return None
+        site_ids = None
+        if ctx.site is not None:
+            site_ids = self._site_doc_ids(ctx.site)
+            if site_ids is None:
+                return None
+
+        bounds = {t: self._block_bound(metas[t], ctx, t, scorer) for t in terms}
+        tmax = {
+            t: (float(bounds[t].max()) if len(bounds[t]) else 0.0) for t in terms
+        }
+        total_max = sum(tmax[t] for t in terms)
+        ti_of = np.concatenate(
+            [np.full(metas[t].n_blocks, i, dtype=np.int64)
+             for i, t in enumerate(terms)]
+        )
+        bid_of = np.concatenate([metas[t].block_id for t in terms])
+        ub = np.concatenate(
+            [bounds[t] + (total_max - tmax[t]) for t in terms]
+        )
+        order = np.lexsort((bid_of, ti_of, -ub))  # ub desc, deterministic ties
+
+        def _score_ids(ids: np.ndarray, budget: list[int]) -> np.ndarray:
+            """Exact OR scores for sorted candidate ids: per term, fetch the
+            covering blocks, look up tf (absent ⇒ 0 contribution), sum in
+            sorted-term order — same float op order as the Catalyst plan."""
+            wanted: dict[str, np.ndarray] = {}
+            cover: dict[str, np.ndarray] = {}
+            for t in terms:
+                m = metas[t]
+                j = np.searchsorted(m.min_doc, ids, side="right") - 1
+                jc = np.clip(j, 0, None)
+                covered = (j >= 0) & (ids <= m.max_doc[jc])
+                cover[t] = np.where(covered, m.block_id[jc], -1)
+                w = np.unique(cover[t][covered])
+                if len(w):
+                    wanted[t] = w
+                    budget[0] -= len(w)
+            if budget[0] < 0:
+                raise _CapTripped()
+            self._fetch_blocks(wanted)
+            acc = np.zeros(len(ids), dtype=np.float64)
+            for t in terms:  # frozen summation order (terms is sorted)
+                arr_i, arr_t, arr_d = self._concat_term(
+                    metas[t], set(map(int, wanted.get(t, ()))), t
+                )
+                c = np.zeros(len(ids), dtype=np.float64)
+                if len(arr_i):
+                    p = np.searchsorted(arr_i, ids)
+                    pc = np.clip(p, 0, len(arr_i) - 1)
+                    ok = (p < len(arr_i)) & (arr_i[pc] == ids)
+                    c[ok] = _np_contrib(
+                        ctx.idf(t) if scorer != "legacy" else 0.0,
+                        arr_t[pc][ok], arr_d[pc][ok], ctx.avgdl, scorer,
+                    )
+                acc = acc + c
+            return acc
+
+        best_ids = np.array([], dtype=np.int64)
+        best_sc = np.array([], dtype=np.float64)
+        seen = np.array([], dtype=np.int64)  # sorted ids already handled
+        budget = [MAX_FETCH_BLOCKS]
+        pos, chunk = 0, max(need, WAND_CHUNK0 // 64)
+        try:
+            while pos < len(order):
+                sel = order[pos: pos + chunk]
+                pos += len(sel)
+                chunk *= 2
+                budget[0] -= len(sel)
+                if budget[0] < 0:
+                    raise _CapTripped()
+                wanted = {
+                    t: np.unique(bid_of[sel][ti_of[sel] == i])
+                    for i, t in enumerate(terms)
+                    if np.any(ti_of[sel] == i)
+                }
+                self._fetch_blocks(wanted)
+                ids = np.unique(np.concatenate(
+                    [self._blocks[(t, int(b))][0]
+                     for t, bs in wanted.items() for b in bs]
+                ))
+                if len(seen):
+                    p = np.searchsorted(seen, ids)
+                    pc = np.clip(p, 0, len(seen) - 1)
+                    ids = ids[~((p < len(seen)) & (seen[pc] == ids))]
+                seen = np.union1d(seen, ids)
+                if len(seen) > MAX_WAND_CANDIDATES:
+                    raise _CapTripped()
+                if site_ids is not None and len(ids):
+                    p = np.searchsorted(site_ids, ids)
+                    pc = np.clip(p, 0, max(len(site_ids) - 1, 0))
+                    m = (
+                        (p < len(site_ids)) & (site_ids[pc] == ids)
+                        if len(site_ids)
+                        else np.zeros(len(ids), dtype=bool)
+                    )
+                    ids = ids[m]
+                if len(ids):
+                    sc = _score_ids(ids, budget)
+                    best_ids = np.concatenate([best_ids, ids])
+                    best_sc = np.concatenate([best_sc, sc])
+                    top = np.lexsort((best_ids, -best_sc))[:need]
+                    best_ids, best_sc = best_ids[top], best_sc[top]
+                if len(best_ids) >= need and pos < len(order):
+                    theta = best_sc[need - 1]
+                    if theta > ub[order[pos]]:
+                        break  # OR θ-termination
+            o = np.lexsort((best_ids, -best_sc))
+            return [
+                (int(best_ids[i]), float(best_sc[i])) for i in o[:need]
+            ]
+        except _CapTripped:
+            return None
+
     # -- public entry ------------------------------------------------------
 
     def _from_pairs(self, pairs: list[tuple[int, float]]) -> DataFrame:
@@ -933,8 +1098,16 @@ class SearchEngine:
         site: str | None = None,
         strategy: str = "blockmax",
         scorer: str = "bm25",
+        mode: str = "all",
     ) -> DataFrame:
-        """→ DataFrame(doc_id, score) — top (offset+k) AND-matches.
+        """→ DataFrame(doc_id, score) — top (offset+k) matches.
+
+        ``mode='all'`` (default) keeps AND semantics — the reference's
+        intersection contract (SearchServiceImpl.java:84-101), including
+        the O6 missing-term short-circuit. ``mode='any'`` is the ranked
+        union the reference lacks: docs matching ANY query term are scored
+        over the terms they contain, and vocabulary-missing terms are
+        dropped instead of emptying the result.
 
         ``site`` scopes results to one repo (O5, SearchServiceImpl.java:57-60)
         AND scores with the per-site df/n_docs/avgdl (scoped index
@@ -943,14 +1116,18 @@ class SearchEngine:
         the API facade, F6).
         """
         q_terms = analyze_query(query, code=self.code)
-        ctx = self._resolve(q_terms, site)
+        ctx = self._resolve(q_terms, site, require_all=(mode == "all"))
         if ctx is None:
             return self._empty()
+        if mode == "any":
+            q_terms = [t for t in q_terms if t in ctx.dfs]
         need = offset + k
 
         if strategy == "blockmax":
             if len(q_terms) == 1:
                 res = self._driver_single(q_terms[0], ctx, need, scorer)
+            elif mode == "any":
+                res = self._driver_or(q_terms, ctx, need, scorer)
             else:
                 out = self._driver_multi(q_terms, ctx, need, scorer, False)
                 res = out[0] if out is not None else None
@@ -959,7 +1136,9 @@ class SearchEngine:
 
         # exhaustive (or fallback): decode all blocks of the query terms
         return (
-            self._exhaustive_scored(q_terms, ctx, scorer)
+            self._exhaustive_scored(
+                q_terms, ctx, scorer, match_all=(mode == "all")
+            )
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(need)
         )

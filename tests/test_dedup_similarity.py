@@ -352,3 +352,66 @@ def test_ivf_contract(spark):
         prev_recall = recall
     # the query's own cell is probed first
     assert ivf_probe_cells(q, cent, 1) == [cell_of(q)]
+
+
+def _uf_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Single-node union-find oracle: node -> min-id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_chain_multi_round(spark):
+    # A 6-node path graph forces label propagation across multiple rounds
+    # (diameter 5 — a single neighbor-min pass cannot finish it), plus a
+    # disjoint 2-cycle component and an isolated pair.
+    from search_engine_spark.operators.dedup import connected_components
+
+    pairs = [(2, 3), (3, 5), (5, 8), (8, 13), (13, 21), (40, 41), (100, 90)]
+    df = spark.createDataFrame(pairs, "va long, vb long")
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(df).collect()
+    }
+    assert got == _uf_components(pairs)
+    assert got[21] == 2 and got[41] == 40 and got[100] == 90
+
+
+def test_connected_components_random_vs_union_find(spark):
+    from search_engine_spark.operators.dedup import connected_components
+
+    rng = np.random.default_rng(7)
+    raw = rng.integers(0, 60, size=(80, 2))
+    pairs = sorted({(int(min(a, b)), int(max(a, b))) for a, b in raw if a != b})
+    df = spark.createDataFrame(pairs, "va long, vb long")
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(df).collect()
+    }
+    assert got == _uf_components(pairs)
+
+
+def test_dup_cluster_report_sizes_and_survivors(spark):
+    from search_engine_spark.operators.dedup import dup_cluster_report
+
+    pairs = [(10, 11), (11, 12), (30, 31)]
+    df = spark.createDataFrame(pairs, "va long, vb long")
+    rows = dup_cluster_report(df).collect()
+    by_id = {r["vec_id"]: r for r in rows}
+    assert set(by_id) == {10, 11, 12, 30, 31}
+    assert all(by_id[i]["cluster_id"] == 10 for i in (10, 11, 12))
+    assert all(by_id[i]["cluster_size"] == 3 for i in (10, 11, 12))
+    assert by_id[30]["cluster_size"] == 2
+    survivors = {i for i, r in by_id.items() if r["is_survivor"]}
+    assert survivors == {10, 30}

@@ -95,3 +95,88 @@ def test_wand_prunes_uncovered_candidates(engine):
     a = _pairs(engine.topk("varint собака", k=10, strategy="blockmax"))
     b = _pairs(engine.topk("varint собака", k=10, strategy="exhaustive"))
     assert a == b
+
+
+# -- disjunctive (mode='any') ranked union ---------------------------------
+
+OR_CASES = [
+    ("import varint", 15, 0, None, "bm25"),       # hot + rare union
+    ("import def the", 20, 0, None, "bm25"),      # all-hot union
+    ("engine query scan", 20, 10, None, "bm25"),  # deep pagination
+    ("import data", 20, 0, None, "legacy"),       # legacy Σtf ties
+    ("varint", 10, 0, None, "bm25"),              # single term: OR == AND
+]
+
+
+@pytest.mark.parametrize("query,k,offset,site,scorer", OR_CASES)
+def test_or_blockmax_equals_exhaustive(engine, query, k, offset, site, scorer):
+    a = _pairs(engine.topk(query, k=k, offset=offset, site=site,
+                           strategy="blockmax", scorer=scorer, mode="any"))
+    b = _pairs(engine.topk(query, k=k, offset=offset, site=site,
+                           strategy="exhaustive", scorer=scorer, mode="any"))
+    assert [d for d, _ in a] == [d for d, _ in b]
+    assert np.array_equal(
+        np.array([s for _, s in a]), np.array([s for _, s in b])
+    ), "OR scores must be bit-identical to the distributed ranked union"
+
+
+def test_or_missing_term_dropped(engine):
+    """mode='any' drops vocabulary-missing terms; mode='all' keeps the O6
+    short-circuit (SearchServiceImpl.java:50-54)."""
+    base = _pairs(engine.topk("varint", k=10, mode="any"))
+    with_missing = _pairs(engine.topk("varint zzzqqqxxx", k=10, mode="any"))
+    assert with_missing == base
+    assert engine.topk("varint zzzqqqxxx", k=10, mode="all").count() == 0
+
+
+def test_or_single_term_equals_and(engine):
+    assert _pairs(engine.topk("varint", k=10, mode="any")) == _pairs(
+        engine.topk("varint", k=10, mode="all")
+    )
+
+
+def test_or_site_scoped(engine):
+    repos = [
+        r["repo"]
+        for r in engine.docs.select("repo").distinct().limit(2).collect()
+    ]
+    for repo in repos:
+        a = _pairs(engine.topk("import varint", k=10, site=repo,
+                               strategy="blockmax", mode="any"))
+        b = _pairs(engine.topk("import varint", k=10, site=repo,
+                               strategy="exhaustive", mode="any"))
+        assert a == b
+
+
+def test_or_fallback_when_caps_trip(engine, monkeypatch):
+    base = _pairs(engine.topk("import data", k=10, strategy="exhaustive",
+                              mode="any"))
+    monkeypatch.setattr(Q, "MAX_WAND_CANDIDATES", 1)
+    assert _pairs(engine.topk("import data", k=10, strategy="blockmax",
+                              mode="any")) == base
+    monkeypatch.setattr(Q, "MAX_WAND_CANDIDATES", 500_000)
+    monkeypatch.setattr(Q, "MAX_WAND_META_BLOCKS", 0)
+    assert _pairs(engine.topk("import data", k=10, strategy="blockmax",
+                              mode="any")) == base
+
+
+def test_or_theta_termination_small_chunks(engine, monkeypatch):
+    """Tiny first chunk forces many θ-check rounds on the OR path."""
+    monkeypatch.setattr(Q, "WAND_CHUNK0", 64)
+    a = _pairs(engine.topk("import varint the", k=5, strategy="blockmax",
+                           mode="any"))
+    b = _pairs(engine.topk("import varint the", k=5, strategy="exhaustive",
+                           mode="any"))
+    assert a == b
+
+
+def test_or_result_is_superset_family_of_and(engine):
+    """Every AND match appears in the full OR ranking with the SAME score
+    (the AND filter only removes rows, never changes the sum)."""
+    and_full = dict(_pairs(engine.topk("import data", k=10_000, mode="all",
+                                       strategy="exhaustive")))
+    or_full = dict(_pairs(engine.topk("import data", k=10_000, mode="any",
+                                      strategy="exhaustive")))
+    assert set(and_full) <= set(or_full)
+    for d, s in and_full.items():
+        assert or_full[d] == s
