@@ -192,18 +192,38 @@ class EngineAPI:
         limit: int = 20,
         scorer: str = "bm25",
         strategy: str = "blockmax",
+        mode: str = "all",
     ) -> dict:
+        """``mode='all'`` (default) is the reference AND contract with an
+        exact count. ``mode='any'`` is the ranked union (missing terms
+        dropped, docs matching any term scored); its response adds
+        ``countExact`` — True for single-term (count = df), False when the
+        count is the clamped independence estimate (an exact |union| would
+        decode every hot term's full list just for the banner)."""
         if not query or not query.strip():
             return {"result": False, "error": ERR_EMPTY_QUERY}
         eng = self._get_engine()
         q_lemmas = analyze_query(query, code=self.code)
-        # ONE serving round yields top-k AND the exact A7 count — the count
-        # never re-decodes posting lists the top-k pass skipped
-        topk, count = eng.search_with_count(
-            query, offset + limit, site=site, scorer=scorer, strategy=strategy
-        )
+        count_exact = True
+        if mode == "any":
+            rows = eng.topk(
+                query, k=limit, offset=offset, site=site,
+                strategy=strategy, scorer=scorer, mode="any",
+            ).collect()
+            topk = [(int(r["doc_id"]), float(r["score"])) for r in rows]
+            count, count_exact = eng.or_match_count(query, site)
+        else:
+            # ONE serving round yields top-k AND the exact A7 count — the
+            # count never re-decodes posting lists the top-k pass skipped
+            topk, count = eng.search_with_count(
+                query, offset + limit, site=site, scorer=scorer,
+                strategy=strategy,
+            )
         if not topk:
-            return {"result": True, "count": 0, "data": []}
+            out = {"result": True, "count": 0, "data": []}
+            if mode == "any":
+                out["countExact"] = count_exact
+            return out
 
         page = topk[offset : offset + limit]
         max_score = max(s for _, s in topk) or 1.0
@@ -231,7 +251,10 @@ class EngineAPI:
                     "relevance": float(score) / float(max_score),
                 }
             )
-        return {"result": True, "count": count, "data": data}
+        out = {"result": True, "count": count, "data": data}
+        if mode == "any":
+            out["countExact"] = count_exact
+        return out
 
     def matching_words(self, doc_content: str, query: str) -> list[str]:
         """F8 exposed for tests/debugging (SearchServiceImpl.java:192-205)."""

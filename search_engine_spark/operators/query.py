@@ -1206,6 +1206,31 @@ class SearchEngine:
         hi = min(ctx.dfs.values())
         return int(min(max(round(est), lo), hi))
 
+    def or_match_count(
+        self, query: str, site: str | None = None
+    ) -> tuple[int, bool]:
+        """Match count for disjunctive (mode='any') queries → (count,
+        exact). Single present term: the count IS its df (exact, zero
+        decodes). Multi-term: |union| would need a full decode of every
+        term's list (hot terms ⇒ corpus-scale — the thing a 10^12-doc
+        serving path must never do for a count banner), so return the
+        independence estimate n·(1 − Π(1 − df_i/n)) clamped into the
+        feasible union bounds [max(df_i), min(n, Σ df_i)], flagged
+        inexact."""
+        q_terms = analyze_query(query, code=self.code)
+        ctx = self._resolve(q_terms, site, require_all=False)
+        if ctx is None:
+            return 0, True
+        dfs = list(ctx.dfs.values())
+        if len(dfs) == 1:
+            return dfs[0], True
+        n = max(ctx.n_docs, 1)
+        miss = 1.0
+        for d in dfs:
+            miss *= 1.0 - d / n
+        est = n * (1.0 - miss)
+        return int(min(max(round(est), max(dfs)), min(n, sum(dfs)))), False
+
     def count_matches(self, query: str, site: str | None = None) -> int:
         """A7: number of AND-matching docs (pre-pagination)."""
         q_terms = analyze_query(query, code=self.code)

@@ -110,6 +110,29 @@ def test_search_missing_term_empty(api):
     assert resp == {"result": True, "count": 0, "data": []}
 
 
+def test_search_or_mode(api):
+    """mode='any': missing terms dropped (no O6 empty), single-term count
+    exact (df), multi-term count flagged as estimate within union bounds."""
+    single = api.search("import", limit=5, mode="any")
+    assert single["result"] is True and single["countExact"] is True
+    base = api.search("import", limit=5)
+    assert [d["uri"] for d in single["data"]] == [d["uri"] for d in base["data"]]
+    assert single["count"] == base["count"]  # single term: OR == AND == df
+
+    multi = api.search("import varint", limit=5, mode="any")
+    assert multi["result"] is True and multi["countExact"] is False
+    and_resp = api.search("import varint", limit=5)
+    # union count ≥ intersection count; estimate clamped ≥ max per-term df
+    assert multi["count"] >= and_resp["count"]
+    assert len(multi["data"]) == 5
+
+    dropped = api.search("import zzzznotaterm", limit=5, mode="any")
+    assert dropped["count"] == single["count"]
+    assert [d["uri"] for d in dropped["data"]] == [d["uri"] for d in single["data"]]
+    # AND keeps the O6 short-circuit
+    assert api.search("import zzzznotaterm", limit=5)["count"] == 0
+
+
 def test_search_site_scoped(api):
     full = api.search("import", limit=50)
     sites = {d["site"] for d in full["data"]}
