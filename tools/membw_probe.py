@@ -1,0 +1,139 @@
+"""Host DRAM-bandwidth ceiling vs thread count — the denominator the
+2-vs-8 scaling number must be read against.
+
+An index build's heavy stages move bytes: the TF stage streams the corpus
+through Arrow, the postings stage writes+reads a multi-GB exchange and
+parquet-encodes the result. On a box whose memory bus saturates below the
+upper parallelism level, NO implementation of a byte-moving job can reach
+efficiency 0.8 between those levels — the achievable ceiling for a
+bandwidth-bound stage from N to M busy cores is BW(M)/(M/N * BW(N)), a
+host property. This probe measures that ceiling directly so the scaling
+record compares the engine against what the host can physically deliver,
+instead of against a linear ideal the hardware does not offer.
+
+Method (STREAM-style copy, warm pages):
+  * one pinned worker process per core (taskset -c <cpu>), distinct cores;
+  * each worker allocates src+dst buffers (default 384 MiB each — far
+    over the 260 MiB shared L3 once several workers run), touches every
+    page FIRST (so the hypervisor's fresh-page fault throttle — see
+    BASELINE.md §3.5 — is paid before timing starts), then busy-waits
+    until a shared start epoch;
+  * for the measured window every worker loops ``np.copyto(dst, src)``
+    and reports bytes moved (2 x buffer per pass: one read + one write);
+  * aggregate GB/s per level = sum over workers. Levels are interleaved
+    (1,2,4,8,... then repeated R times round-robin) and the per-level
+    MAX aggregate is kept — max, not min, because the quantity being
+    estimated is a CEILING and every contamination (host drift, page
+    faults) only pushes observations down.
+
+Output: one JSON to stdout + BENCH_MEMBW.json —
+  {"levels": {"2": gbps, "8": gbps, ...},
+   "pair_ceilings": {"2->8": eff, "1->4": eff, ...}}
+where pair_ceilings[N->M] = BW(M) / ((M/N) * BW(N)) is the best
+efficiency a perfectly-scaling bandwidth-bound job could record.
+
+Usage:
+  python tools/membw_probe.py                    # levels 1,2,4,8,16 x3
+  MEMBW_LEVELS=2,8 MEMBW_REPS=4 python tools/membw_probe.py
+  python tools/membw_probe.py --worker <cpu> <mib> <epoch> <secs>  # internal
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def worker(cpu: int, mib: int, epoch: float, secs: float) -> None:
+    import numpy as np
+
+    n = mib * (1 << 20)
+    src = np.empty(n, dtype=np.uint8)
+    dst = np.empty(n, dtype=np.uint8)
+    src[:] = 1  # first-touch both buffers BEFORE the timed window
+    dst[:] = 2
+    np.copyto(dst, src)  # one warm pass (TLB, page tables)
+    while time.time() < epoch:  # busy-wait barrier: all workers start hot
+        pass
+    t0 = time.perf_counter()
+    passes = 0
+    while True:
+        np.copyto(dst, src)
+        passes += 1
+        el = time.perf_counter() - t0
+        if el >= secs:
+            break
+    print(json.dumps({"cpu": cpu, "bytes": 2 * n * passes, "secs": el}))
+
+
+def run_level(cpus: int, mib: int, secs: float) -> float:
+    """Spawn one pinned worker per core, aggregate GB/s."""
+    epoch = time.time() + max(3.0, 0.35 * cpus)  # pre-touch headroom
+    procs = []
+    for c in range(cpus):
+        procs.append(
+            subprocess.Popen(
+                ["taskset", "-c", str(c), sys.executable, __file__,
+                 "--worker", str(c), str(mib), repr(epoch), str(secs)],
+                stdout=subprocess.PIPE, text=True,
+            )
+        )
+    total_bytes, max_secs = 0, 0.0
+    for p in procs:
+        out, _ = p.communicate()
+        r = json.loads(out.strip().splitlines()[-1])
+        total_bytes += r["bytes"]
+        max_secs = max(max_secs, r["secs"])
+    return total_bytes / max_secs / 1e9
+
+
+def main() -> None:
+    levels = [
+        int(x)
+        for x in os.environ.get("MEMBW_LEVELS", "1,2,4,8,16").split(",")
+    ]
+    reps = int(os.environ.get("MEMBW_REPS", "3"))
+    mib = int(os.environ.get("MEMBW_MIB", "384"))
+    secs = float(os.environ.get("MEMBW_SECS", "4"))
+    obs: dict[int, list[float]] = {lv: [] for lv in levels}
+    trials = []
+    for rep in range(reps):  # interleaved: every rep visits every level
+        for lv in levels:
+            g = run_level(lv, mib, secs)
+            obs[lv].append(round(g, 3))
+            trials.append({"rep": rep, "cpus": lv, "gbps": round(g, 3)})
+            print(f"rep{rep} cpus={lv}: {g:.2f} GB/s", file=sys.stderr)
+    best = {str(lv): max(v) for lv, v in obs.items()}
+    pairs = {}
+    slv = sorted(levels)
+    for i, a in enumerate(slv):
+        for b in slv[i + 1 :]:
+            pairs[f"{a}->{b}"] = round(
+                float(best[str(b)]) / ((b / a) * float(best[str(a)])), 3
+            )
+    out = {
+        "metric": "membw_gbps",
+        "method": "pinned per-core np.copyto over warm pages, "
+                  "2x buffer bytes per pass, interleaved reps, max-of-reps",
+        "buffer_mib_per_worker": mib,
+        "window_secs": secs,
+        "levels": best,
+        "all_trials": trials,
+        "pair_ceilings": pairs,
+    }
+    with open(os.path.join(REPO, "BENCH_MEMBW.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), int(sys.argv[3]), float(sys.argv[4]),
+               float(sys.argv[5]))
+    else:
+        main()
