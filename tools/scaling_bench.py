@@ -79,6 +79,8 @@ SHM_DIR = os.environ.get("SCALING_SHM", "/dev/shm/se_scaling")
 HEALTH_FILL_S = float(os.environ.get("SCALING_HEALTH_FILL_S", "1.5"))
 HEALTH_WAIT_BUDGET_S = int(os.environ.get("SCALING_HEALTH_WAIT_S", "5400"))
 HEALTH_POLL_S = int(os.environ.get("SCALING_HEALTH_POLL_S", "60"))
+# record path: keep distinct level pairs as distinct committed records
+OUT = os.environ.get("SCALING_OUT", "BENCH_SCALING_R4.json")
 
 # frozen latency query subset (mix of rare/hot/AND/russian — FIXTURES.md §4)
 LATENCY_QUERIES = [
@@ -314,7 +316,7 @@ def main() -> None:
             # incremental record after EVERY trial: a series cut short by
             # the sandbox clock (or killed mid-degradation) still leaves
             # committed evidence — trials so far + the full probe timeline
-            with open("BENCH_SCALING_R4.json", "w") as f:
+            with open(OUT, "w") as f:
                 json.dump(
                     {
                         "metric": "scaling_efficiency",
@@ -356,12 +358,12 @@ def main() -> None:
         timeline.append({"event": "probe", "at": "final", **_probe()})
 
         if any(not trials[lvl] for lvl in LEVELS):
-            with open("BENCH_SCALING_R4.json", "w") as f:
+            with open(OUT, "w") as f:
                 json.dump({"metric": "scaling_efficiency",
                            "error": "a level lost every trial",
                            "timeline": timeline}, f, indent=1)
             raise SystemExit("a level lost every trial — timeline-only "
-                             "record written to BENCH_SCALING_R4.json")
+                             f"record written to {OUT}")
 
         def best(lvl: int) -> dict:
             return min(trials[lvl], key=lambda r: r["build_sec"])
@@ -409,7 +411,7 @@ def main() -> None:
             "timeline": timeline,
         }
         print(json.dumps({k: v for k, v in summary.items() if k != "timeline"}))
-        with open("BENCH_SCALING_R4.json", "w") as f:
+        with open(OUT, "w") as f:
             json.dump(summary, f, indent=1)
         if summary["build_efficiency"] >= 0.8:
             # promote to the official north-rule record (the prior record —
