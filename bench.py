@@ -146,6 +146,7 @@ def main() -> None:
         timed("engine_bm25_exhaustive", lambda: eng.topk(q, 20, strategy="exhaustive").collect(), reps=2)
         timed("engine_bm25_blockmax", lambda: eng.topk(q, 20, strategy="blockmax").collect(), reps=2)
         timed("engine_single_term", lambda: eng.topk("vector", 20).collect(), reps=2)
+        timed("engine_bm25_or", lambda: eng.topk(q, 20, strategy="blockmax", mode="any").collect(), reps=2)
 
         # query p95 latency over a frozen mixed query set (BASELINE.json
         # metric: "query p95 latency with rank-identical BM25 top-k")
