@@ -68,9 +68,17 @@ def get_spark(
     # VM; on a real cluster it is still fewer soft faults + TLB misses per
     # task). Set in our env BEFORE the JVM starts (local-mode workers fork
     # with the JVM's env) and mirrored to executorEnv for cluster mode.
+    # ARROW_DEFAULT_MEMORY_POOL=system routes pyarrow allocations (every
+    # Arrow IPC batch a mapInArrow/mapInPandas worker receives or emits)
+    # through the SAME tuned glibc arena instead of pyarrow's bundled
+    # jemalloc, whose decay timer hands pages back to the OS between
+    # batches — so under jemalloc each batch re-faults its buffers.
+    # Measured on the packed-postings merge microbench (3M postings/worker,
+    # 2 pinned workers): merge 7.2 s -> 1.5 s per worker (BASELINE.md §3.4).
     _malloc_env = {
         "MALLOC_MMAP_THRESHOLD_": str(1 << 30),
         "MALLOC_TRIM_THRESHOLD_": str(1 << 30),
+        "ARROW_DEFAULT_MEMORY_POOL": "system",
     }
     for k, v in _malloc_env.items():
         os.environ.setdefault(k, v)
