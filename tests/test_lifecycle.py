@@ -179,3 +179,35 @@ def test_batch_index_docs_equals_rebuild(spark, tmp_path):
     a = [(r["doc_id"], r["score"]) for r in ei.topk("zzbatch", 10).collect()]
     b = [(r["doc_id"], r["score"]) for r in ef.topk("zzbatch", 10).collect()]
     assert a == b and len(a) == 3
+
+
+def test_worker_allocator_env(spark):
+    """The session factory must route worker allocations through the tuned
+    glibc arena (BASELINE §3.5): pyarrow's bundled jemalloc re-faults its
+    Arrow IPC buffers every batch on this host's slow-fault hypervisor.
+    Local-mode workers fork with the JVM env; cluster mode needs the
+    executorEnv mirror — pin both."""
+    import os
+
+    assert os.environ["ARROW_DEFAULT_MEMORY_POOL"] == "system"
+    assert int(os.environ["MALLOC_TRIM_THRESHOLD_"]) >= (1 << 30)
+    conf = spark.sparkContext.getConf()
+    assert conf.get("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL") == "system"
+    # and the worker actually sees it (mapInPandas body runs in a worker)
+    import pandas as pd
+
+    def probe(batches):
+        import os as _os
+        import pyarrow as _pa
+        for b in batches:
+            yield pd.DataFrame({
+                "pool": [_pa.default_memory_pool().backend_name],
+                "env": [_os.environ.get("ARROW_DEFAULT_MEMORY_POOL", "")],
+            })
+
+    row = (
+        spark.range(1).mapInPandas(probe, schema="pool string, env string")
+        .collect()[0]
+    )
+    assert row["env"] == "system"
+    assert row["pool"] == "system"
