@@ -49,10 +49,31 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def worker(cpu: int, mib: int, epoch: float, secs: float) -> None:
+def worker(cpu: int, mib: int, epoch: float, secs: float, mode: str) -> None:
     import numpy as np
 
     n = mib * (1 << 20)
+    if mode == "fill":
+        # FRESH-PAGE path: every pass mmaps a new buffer and first-touches
+        # it (then frees) — measures the kernel/hypervisor page-fault +
+        # zeroing service, the path every allocation-heavy stage (tmpfs
+        # shuffle writes, Arrow buffers, JVM heap growth) rides. On a real
+        # cluster each node has its own; on a one-box substitution all
+        # "executors" share it.
+        while time.time() < epoch:
+            pass
+        t0 = time.perf_counter()
+        moved = 0
+        while True:
+            a = np.empty(n, dtype=np.uint8)
+            a[:] = 1
+            moved += n
+            del a
+            el = time.perf_counter() - t0
+            if el >= secs:
+                break
+        print(json.dumps({"cpu": cpu, "bytes": moved, "secs": el}))
+        return
     src = np.empty(n, dtype=np.uint8)
     dst = np.empty(n, dtype=np.uint8)
     src[:] = 1  # first-touch both buffers BEFORE the timed window
@@ -71,7 +92,7 @@ def worker(cpu: int, mib: int, epoch: float, secs: float) -> None:
     print(json.dumps({"cpu": cpu, "bytes": 2 * n * passes, "secs": el}))
 
 
-def run_level(cpus: int, mib: int, secs: float) -> float:
+def run_level(cpus: int, mib: int, secs: float, mode: str) -> float:
     """Spawn one pinned worker per core, aggregate GB/s."""
     epoch = time.time() + max(3.0, 0.35 * cpus)  # pre-touch headroom
     procs = []
@@ -79,7 +100,8 @@ def run_level(cpus: int, mib: int, secs: float) -> float:
         procs.append(
             subprocess.Popen(
                 ["taskset", "-c", str(c), sys.executable, __file__,
-                 "--worker", str(c), str(mib), repr(epoch), str(secs)],
+                 "--worker", str(c), str(mib), repr(epoch), str(secs),
+                 mode],
                 stdout=subprocess.PIPE, text=True,
             )
         )
@@ -100,14 +122,16 @@ def main() -> None:
     reps = int(os.environ.get("MEMBW_REPS", "3"))
     mib = int(os.environ.get("MEMBW_MIB", "384"))
     secs = float(os.environ.get("MEMBW_SECS", "4"))
+    mode = os.environ.get("MEMBW_MODE", "copy")  # copy | fill
     obs: dict[int, list[float]] = {lv: [] for lv in levels}
     trials = []
     for rep in range(reps):  # interleaved: every rep visits every level
         for lv in levels:
-            g = run_level(lv, mib, secs)
+            g = run_level(lv, mib, secs, mode)
             obs[lv].append(round(g, 3))
             trials.append({"rep": rep, "cpus": lv, "gbps": round(g, 3)})
-            print(f"rep{rep} cpus={lv}: {g:.2f} GB/s", file=sys.stderr)
+            print(f"rep{rep} cpus={lv} mode={mode}: {g:.2f} GB/s",
+                  file=sys.stderr)
     best = {str(lv): max(v) for lv, v in obs.items()}
     pairs = {}
     slv = sorted(levels)
@@ -118,6 +142,7 @@ def main() -> None:
             )
     out = {
         "metric": "membw_gbps",
+        "mode": mode,
         "method": "pinned per-core np.copyto over warm pages, "
                   "2x buffer bytes per pass, interleaved reps, max-of-reps",
         "buffer_mib_per_worker": mib,
@@ -126,7 +151,8 @@ def main() -> None:
         "all_trials": trials,
         "pair_ceilings": pairs,
     }
-    with open(os.path.join(REPO, "BENCH_MEMBW.json"), "w") as f:
+    name = "BENCH_MEMBW.json" if mode == "copy" else "BENCH_MEMBW_FILL.json"
+    with open(os.path.join(REPO, name), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
@@ -134,6 +160,6 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]), int(sys.argv[3]), float(sys.argv[4]),
-               float(sys.argv[5]))
+               float(sys.argv[5]), sys.argv[6] if len(sys.argv) > 6 else "copy")
     else:
         main()
