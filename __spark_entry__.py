@@ -569,6 +569,25 @@ def _q_anti(spark, sf):  # J7 anti-join (insert-side lemma detection)
     return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select("c_custkey")
 
 
+def _q_frontier(spark, sf):  # S2 crawl frontier BFS (utils/SiteCrawler.java:42-87)
+    """Deterministic link graph over `documents` (doc i → (2i+1)%n and
+    (3i+2)%n — expressible identically in Spark and DuckDB), BFS from
+    doc 0 bounded at 6 waves. First-visit wave == min distance, which is
+    exactly what the oracle's RECURSIVE CTE + MIN(depth) computes; real
+    href extraction is covered by tests/test_frontier.py (no SQL twin
+    exists for parsing HTML)."""
+    from search_engine_spark.plans.frontier import crawl_frontier
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    n = d.count()
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 2 + 1) % n).alias("dst"),
+    ).union(d.select(F.col("doc_id"), ((F.col("doc_id") * 3 + 2) % n)))
+    out = crawl_frontier(spark, edges, [0], max_depth=6, node_col="doc_id")
+    return out.select(F.col("doc_id").cast("long"), "depth").orderBy("doc_id")
+
+
 def _q_ann_dot(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -811,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_item_q10": _q_returned_q10,
         "semi_join_s6": _q_semi,
         "anti_join_j7": _q_anti,
+        "crawl_frontier_s2": _q_frontier,
         "ann_dot_topk": _q_ann_dot,
         # rows-only (no oracle_sql entry):
         "engine_bm25_topk": _q_engine_bm25,
@@ -1232,6 +1252,23 @@ def oracle_sql() -> dict[str, str]:
            WHERE NOT EXISTS (SELECT 1 FROM orders o
                              WHERE o.o_custkey = c.c_custkey
                                AND o.o_totalprice > 400000)""",
+        "crawl_frontier_s2": """
+           WITH RECURSIVE e AS (
+             SELECT doc_id AS src,
+                    (doc_id * 2 + 1) % (SELECT count(*) FROM documents) AS dst
+             FROM documents
+             UNION ALL
+             SELECT doc_id,
+                    (doc_id * 3 + 2) % (SELECT count(*) FROM documents)
+             FROM documents
+           ), bfs(node, depth) AS (
+             SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
+             UNION
+             SELECT e.dst, b.depth + 1
+             FROM bfs b JOIN e ON e.src = b.node WHERE b.depth < 6
+           )
+           SELECT node AS doc_id, CAST(MIN(depth) AS BIGINT) AS depth
+           FROM bfs GROUP BY node ORDER BY doc_id""",
         "ann_dot_topk": """
            WITH q AS (SELECT unnest(embedding)::DOUBLE AS x,
                              generate_subscripts(embedding, 1) AS i

@@ -1,0 +1,174 @@
+"""S2 crawl frontier: recursive link expansion as iterative DataFrame BFS.
+
+Reference behavior (utils/SiteCrawler.java:42-87): each fetched page's
+HTML is scanned for ``<a href>`` links (utils/HtmlParser.java:34-39),
+links are normalized against the site root (SiteCrawler.java:130-144 —
+fragments dropped, externals dropped, relative paths resolved), deduped
+against a process-shared visited set, and a child fetch task forks per
+new link (ForkJoinPool recursion).
+
+Spark-first re-expression: the fork/join recursion becomes synchronous
+BFS WAVES over a DataFrame frontier —
+
+    wave d:  frontier(d) ⋈ edges  →  anti-join visited  →  frontier(d+1)
+
+one shuffle join plus one anti-join per wave, which is the standard BSP
+crawl-scheduler shape. Scale notes (the properties a 10^12-edge frontier
+needs, each load-bearing here):
+
+* the per-wave cost is driven by |frontier| × out-degree, never by the
+  full visited set: the anti-join's build side is the (small) candidate
+  wave whenever AQE sees it is broadcastable, and ``edges`` keeps ONE
+  partitioning (by ``src``) that every wave's join reuses;
+* ``visited`` grows monotonically across waves, so each union is
+  ``localCheckpoint``-ed (same lineage-truncation move as
+  ``operators/dedup.connected_components``) — wave k's plan never
+  re-derives waves 0..k-1;
+* the politeness budget (``host_cap``) is a per-wave window over the
+  link's host — rank-by-url inside each host, deterministic under any
+  partitioning — which is exactly the per-host fetch-rate cap a real
+  crawler enforces; over-budget links are NOT enqueued but stay
+  undiscovered, so a later wave may legitimately re-propose them.
+
+The fetch itself is out of scope in this sandbox (no network; the corpus
+replaces crawling — SURVEY §2.1 S2): ``extract_links`` consumes pages
+already holding HTML, and ``crawl_frontier`` consumes any (src, dst)
+edge set, so the operator is the crawl SCHEDULER, which is the part the
+reference implements in SiteCrawler and the part Spark re-expresses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+# href value capture: the reference's HtmlParser collects a[href]
+# attribute values; the regex accepts single/double-quoted attributes.
+_HREF_RE = r"""(?i)<a\s[^>]*href\s*=\s*["']([^"']*)["']"""
+
+
+def extract_links(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(page url, html) → distinct (src, dst) same-site link edges.
+
+    Normalization mirrors SiteCrawler.java:130-144, pure Catalyst (one
+    ``regexp_extract_all`` + array ops; no UDF):
+
+    * fragment suffix stripped (``a#x`` → ``a``), empty / ``mailto:`` /
+      ``javascript:`` / ``tel:`` hrefs dropped;
+    * absolute ``http(s)://`` links kept only when their host equals the
+      page's host (the reference crawls one site at a time);
+    * root-relative ``/path`` resolved against the page's scheme+host;
+    * other relative paths resolved against the page's directory (no
+      dot-segment collapse — the synthetic corpora emit none; a real
+      fetch layer canonicalizes before this operator);
+    * self-links dropped, edges deduped.
+    """
+    src = F.col(url_col)
+    # scheme+host prefix of the page url, e.g. "https://host"; '' when the
+    # url is not absolute (then only relative links resolve).
+    origin = F.regexp_extract(src, r"^(https?://[^/]+)", 1)
+    # directory prefix of the page url ("https://host/a/b.html" → ".../a")
+    parent = F.regexp_replace(src, r"/[^/]*$", "")
+
+    raw = F.regexp_extract_all(F.col(html_col), F.lit(_HREF_RE), F.lit(1))
+    href = F.explode(raw).alias("href")
+
+    out = (
+        pages.select(src.alias("src"), origin.alias("origin"),
+                     parent.alias("parent"), href)
+        .withColumn("href", F.substring_index("href", "#", 1))
+        .filter(
+            (F.length("href") > 0)
+            & ~F.col("href").rlike(r"(?i)^(mailto:|javascript:|tel:)")
+        )
+        .withColumn(
+            "dst",
+            F.when(
+                F.col("href").rlike(r"^https?://"),
+                # absolute: keep only same-host
+                F.when(
+                    F.regexp_extract("href", r"^(https?://[^/]+)", 1)
+                    == F.col("origin"),
+                    F.col("href"),
+                ),
+            )
+            .when(
+                F.col("href").startswith("/"),
+                F.concat(F.col("origin"), F.col("href")),
+            )
+            .otherwise(F.concat(F.col("parent"), F.lit("/"), F.col("href"))),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        .select("src", "dst")
+        .distinct()
+    )
+    return out
+
+
+def crawl_frontier(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds,
+    max_depth: int = 8,
+    host_cap: int | None = None,
+    node_col: str = "url",
+) -> DataFrame:
+    """BFS over (src, dst) ``edges`` from ``seeds`` → (node_col, depth).
+
+    ``seeds`` is a one-column DataFrame (named ``node_col``) or a Python
+    list of node values. Each node appears once with its FIRST-visit wave
+    index, which for synchronous BFS is its minimum distance — the same
+    contract a visited-set crawler gives. ``host_cap`` caps how many NEW
+    urls per host a single wave may admit (rank by url — deterministic);
+    nodes a cap drops are not marked visited and may be re-proposed by a
+    later wave. ``max_depth`` bounds the recursion exactly like the
+    reference's implicit site-tree depth.
+    """
+    if not isinstance(seeds, DataFrame):
+        seeds = spark.createDataFrame(
+            [(s,) for s in seeds], [node_col]
+        )
+    edges = (
+        edges.select(F.col("src"), F.col("dst"))
+        # one partitioning, reused by every wave's join
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+
+    visited = (
+        seeds.select(F.col(node_col)).distinct()
+        .withColumn("depth", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select(node_col)
+
+    for d in range(1, max_depth + 1):
+        wave = (
+            frontier.join(edges, frontier[node_col] == edges["src"])
+            .select(F.col("dst").alias(node_col))
+            .distinct()
+            .join(visited.select(node_col), node_col, "left_anti")
+        )
+        if host_cap is not None:
+            host = F.regexp_extract(F.col(node_col), r"^https?://([^/]+)", 1)
+            wave = (
+                wave.withColumn(
+                    "_rank",
+                    F.row_number().over(
+                        Window.partitionBy(host).orderBy(F.col(node_col))
+                    ),
+                )
+                .filter(F.col("_rank") <= host_cap)
+                .drop("_rank")
+            )
+        wave = wave.withColumn("depth", F.lit(d).cast("long")).localCheckpoint(
+            eager=True
+        )
+        if wave.isEmpty():
+            break
+        visited = visited.union(wave).localCheckpoint(eager=True)
+        frontier = wave.select(node_col)
+
+    return visited

@@ -1,0 +1,164 @@
+"""S2 crawl frontier: link extraction + BFS scheduler contracts.
+
+Reference: utils/SiteCrawler.java:42-87 (recursive crawl, shared visited
+set), utils/HtmlParser.java:34-39 (a[href] collection),
+SiteCrawler.java:130-144 (link normalization). The Spark operator is the
+crawl SCHEDULER (wave BFS + visited anti-join + politeness cap); fetch is
+corpus-replaced in this sandbox (SURVEY §2.1 S2).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.plans.frontier import crawl_frontier, extract_links
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["src", "dst"])
+
+
+# ------------------------------------------------------------ extraction
+
+
+def test_extract_links_normalization(spark):
+    html = (
+        '<p><a href="https://site.io/b.html">same host</a>'
+        '<a href="https://other.io/x">external (dropped)</a>'
+        '<A HREF="/rooted.html">root-relative</A>'
+        "<a href='rel/c.html'>dir-relative</a>"
+        '<a href="d.html#frag">fragment stripped</a>'
+        '<a href="mailto:x@y.z">mail (dropped)</a>'
+        '<a href="javascript:void(0)">js (dropped)</a>'
+        '<a href="https://site.io/a/page.html">self (dropped)</a>'
+        '<a href="#">empty after fragment strip (dropped)</a></p>'
+    )
+    pages = spark.createDataFrame(
+        [("https://site.io/a/page.html", html)], ["url", "html"]
+    )
+    got = {
+        (r.src, r.dst) for r in extract_links(pages).collect()
+    }
+    src = "https://site.io/a/page.html"
+    assert got == {
+        (src, "https://site.io/b.html"),
+        (src, "https://site.io/rooted.html"),
+        (src, "https://site.io/a/rel/c.html"),
+        (src, "https://site.io/a/d.html"),
+    }
+
+
+def test_extract_links_dedupes(spark):
+    html = '<a href="/x">one</a><a href="/x">twice</a>'
+    pages = spark.createDataFrame([("https://s.io/p", html)], ["url", "html"])
+    assert extract_links(pages).count() == 1
+
+
+# ------------------------------------------------------------------- BFS
+
+
+def _py_bfs(pairs, seeds, max_depth):
+    adj: dict = {}
+    for s, d in pairs:
+        adj.setdefault(s, []).append(d)
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if dist[u] >= max_depth:
+            continue
+        for v in adj.get(u, []):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def test_bfs_matches_python_oracle_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    pairs = list({(rng.randrange(40), rng.randrange(40)) for _ in range(80)})
+    got = {
+        (r["url"], r["depth"])
+        for r in crawl_frontier(
+            spark, _edges(spark, pairs), [0, 1], max_depth=4
+        ).collect()
+    }
+    assert got == set(_py_bfs(pairs, [0, 1], 4).items())
+
+
+def test_bfs_cycle_first_visit_depth(spark):
+    # 6-ring: depth == ring distance, each node exactly once, cycle halts
+    pairs = [(i, (i + 1) % 6) for i in range(6)]
+    got = dict(
+        (r["url"], r["depth"])
+        for r in crawl_frontier(spark, _edges(spark, pairs), [0], max_depth=10).collect()
+    )
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5}
+
+
+def test_bfs_depth_bound_excludes_deeper_nodes(spark):
+    pairs = [(i, i + 1) for i in range(10)]  # chain 0→…→10
+    out = crawl_frontier(spark, _edges(spark, pairs), [0], max_depth=3)
+    assert {r["url"] for r in out.collect()} == {0, 1, 2, 3}
+
+
+def test_host_cap_deterministic_per_wave(spark):
+    seed = "https://a.io/"
+    links = [f"https://a.io/p{i}" for i in range(5)] + [
+        f"https://b.io/q{i}" for i in range(3)
+    ]
+    pairs = [(seed, u) for u in links]
+    out = crawl_frontier(
+        spark, _edges(spark, pairs), [seed], max_depth=2, host_cap=2
+    )
+    got = sorted(r["url"] for r in out.collect() if r["depth"] == 1)
+    # rank-by-url within each host: lowest 2 of each admitted, rest dropped
+    assert got == [
+        "https://a.io/p0", "https://a.io/p1",
+        "https://b.io/q0", "https://b.io/q1",
+    ]
+
+
+def test_capped_link_rediscovered_by_later_wave(spark):
+    # wave 1 admits only p0 (cap=1); p1 stays unvisited, then wave 2
+    # re-proposes it via p0 → p1 — the documented politeness semantics.
+    pairs = [
+        ("https://a.io/", "https://a.io/p0"),
+        ("https://a.io/", "https://a.io/p1"),
+        ("https://a.io/p0", "https://a.io/p1"),
+    ]
+    out = crawl_frontier(
+        spark, _edges(spark, pairs), ["https://a.io/"], max_depth=3, host_cap=1
+    )
+    got = dict((r["url"], r["depth"]) for r in out.collect())
+    assert got == {
+        "https://a.io/": 0,
+        "https://a.io/p0": 1,
+        "https://a.io/p1": 2,
+    }
+
+
+def test_frontier_over_extracted_links_end_to_end(spark):
+    # 4-page site built from real HTML; page d is orphaned from the seed
+    site = {
+        "https://s.io/index.html": '<a href="/a.html"></a><a href="b.html"></a>',
+        "https://s.io/a.html": '<a href="https://s.io/c.html"></a>',
+        "https://s.io/b.html": '<a href="/a.html"></a>',
+        "https://s.io/c.html": "",
+        "https://s.io/d.html": '<a href="/index.html"></a>',
+    }
+    pages = spark.createDataFrame(list(site.items()), ["url", "html"])
+    out = crawl_frontier(
+        spark, extract_links(pages), ["https://s.io/index.html"], max_depth=5
+    )
+    got = dict((r["url"], r["depth"]) for r in out.collect())
+    assert got == {
+        "https://s.io/index.html": 0,
+        "https://s.io/a.html": 1,
+        "https://s.io/b.html": 1,
+        "https://s.io/c.html": 2,
+    }
