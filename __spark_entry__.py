@@ -588,6 +588,38 @@ def _q_frontier(spark, sf):  # S2 crawl frontier BFS (utils/SiteCrawler.java:42-
     return out.select(F.col("doc_id").cast("long"), "depth").orderBy("doc_id")
 
 
+def _q_corpus_split(spark, sf):
+    """Deterministic hash-based train/val/test assignment rolled up per
+    (split, lang) — the LCG split hash is exactly expressible in DuckDB
+    integer arithmetic, so engine and oracle assign every doc_id the
+    identical split (operators/curation.py assign_split)."""
+    from search_engine_spark.operators.curation import assign_split
+
+    d = _t(spark, sf, "documents")
+    return (
+        assign_split(d, id_col="doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
+def _q_mixture(spark, sf):
+    """Temperature-based per-source sampling weights (alpha=0.5) over the
+    shared whitespace-token count spec."""
+    from search_engine_spark.functions.text_quality import token_count
+    from search_engine_spark.operators.curation import mixture_weights
+
+    d = _t(spark, sf, "documents").select(
+        "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    return mixture_weights(d, group_col="source").withColumnRenamed(
+        "group", "source"
+    )
+
+
 def _q_ann_dot(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -831,6 +863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_s6": _q_semi,
         "anti_join_j7": _q_anti,
         "crawl_frontier_s2": _q_frontier,
+        "corpus_split": _q_corpus_split,
+        "mixture_weights": _q_mixture,
         "ann_dot_topk": _q_ann_dot,
         # rows-only (no oracle_sql entry):
         "engine_bm25_topk": _q_engine_bm25,
@@ -1269,6 +1303,38 @@ def oracle_sql() -> dict[str, str]:
            )
            SELECT node AS doc_id, CAST(MIN(depth) AS BIGINT) AS depth
            FROM bfs GROUP BY node ORDER BY doc_id""",
+        "corpus_split": """
+           WITH s AS (
+             SELECT lang, n_chars,
+                    CASE WHEN u < 0.90 THEN 'train'
+                         WHEN u < 0.95 THEN 'val'
+                         ELSE 'test' END AS split
+             FROM (SELECT lang, n_chars,
+                          ((((doc_id % 2147483647) + 2147483647) % 2147483647)
+                             * 630360016 + 7) % 2147483647 / 2147483647.0 AS u
+                   FROM documents)
+           )
+           SELECT split, lang, count(*) AS n_docs,
+                  CAST(sum(n_chars) AS BIGINT) AS n_chars
+           FROM s GROUP BY split, lang""",
+        "mixture_weights": """
+           WITH t AS (
+             SELECT source,
+                    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                    x -> length(x) >= 2)) AS nt
+             FROM documents
+           ), g AS (
+             SELECT source, count(*) AS n_docs,
+                    CAST(sum(nt) AS BIGINT) AS n_tokens
+             FROM t GROUP BY source
+           ), tot AS (
+             SELECT sum(n_tokens) AS tt,
+                    sum(power(n_tokens, 0.5)) AS zz FROM g
+           )
+           SELECT source, n_docs, n_tokens,
+                  round(n_tokens / tt, 6) AS p,
+                  round(power(n_tokens, 0.5) / zz, 6) AS weight
+           FROM g, tot""",
         "ann_dot_topk": """
            WITH q AS (SELECT unnest(embedding)::DOUBLE AS x,
                              generate_subscripts(embedding, 1) AS i

@@ -66,3 +66,87 @@ def curate_corpus(
         .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
         .select("doc_id", "lang", "quality", "n_ws_tokens", "n_bpe_tokens", "n_copies")
     )
+
+
+# Lehmer/LCG step as the split hash: ((id mod P)*A + salt) mod P with
+# P = 2^31-1 and the full-period multiplier A = 630360016 (Fishman-Moore).
+# Chosen over xxhash64/sha because it is EXACTLY expressible in every
+# engine's 64-bit integer arithmetic ((P-1)*A ≈ 1.35e18 < 2^63, no
+# overflow) so the Spark assignment and any SQL oracle/consumer compute
+# the identical split for every id — the property a train/test boundary
+# must keep across engines and years. h/P is exact in double (h < 2^31).
+# A must be LARGE: u is affine in id with slope A/P mod 1, so consecutive
+# ids step ~0.2935 through the unit interval (Weyl-equidistributed);
+# a small multiplier like MINSTD's 48271 maps any sequential-id corpus
+# below ~45k docs entirely into [0, 0.023) — i.e. 100% train.
+SPLIT_P = 2147483647
+SPLIT_A = 630360016
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bounds: tuple[tuple[str, float], ...] = (
+        ("train", 0.90),
+        ("val", 0.95),
+        ("test", 1.0),
+    ),
+    salt: int = 7,
+) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment: adds ``split``
+    and ``split_u`` (the unit-interval hash) columns.
+
+    ``bounds`` are CUMULATIVE upper bounds on [0,1] (exact literals, no
+    float accumulation), last must be 1.0. The split depends only on the
+    id — stable under corpus growth, repartitioning, and re-runs, and a
+    pure map-side projection (zero shuffles) at any scale. Leakage-free
+    by construction: exact duplicates deduped upstream share a survivor
+    id, hence a split."""
+    if bounds[-1][1] != 1.0:
+        raise ValueError("last bound must be 1.0")
+    idc = F.col(id_col)
+    h = ((idc % SPLIT_P + SPLIT_P) % SPLIT_P * SPLIT_A + salt) % SPLIT_P
+    u = h / F.lit(float(SPLIT_P))
+    # when-chain front-to-back: first matching bound wins
+    expr = None
+    for name, hi in bounds[:-1]:
+        expr = F.when(u < hi, name) if expr is None else expr.when(u < hi, name)
+    expr = F.lit(bounds[0][0]) if expr is None else expr.otherwise(bounds[-1][0])
+    return df.withColumn("split_u", u).withColumn("split", expr)
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    token_col: str = "n_tokens",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based sampling weights per corpus source —
+    ``(group, n_docs, n_tokens, p, weight)`` with ``weight ∝ p^alpha``
+    normalized to 1 (alpha=1 → proportional, alpha=0 → uniform; 0.5 is
+    the usual multilingual-pretraining compromise that up-samples small
+    sources without letting them dominate).
+
+    Plan: one map-side-combinable aggregate down to |sources| rows, then
+    a broadcast cross-join against the 1-row total — nothing downstream
+    of the first agg depends on corpus size."""
+    g = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col(token_col)).cast("long").alias("n_tokens"),
+    )
+    tot = g.agg(
+        F.sum("n_tokens").alias("_tot"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias("_zsum"),
+    )
+    p = F.col("n_tokens").cast("double") / F.col("_tot")
+    w = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) / F.col("_zsum")
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "group",
+            "n_docs",
+            "n_tokens",
+            F.round(p, 6).alias("p"),
+            F.round(w, 6).alias("weight"),
+        )
+    )

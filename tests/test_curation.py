@@ -88,3 +88,82 @@ def test_scan_stage_filter_no_udf(spark):
     plan = curate_corpus(_df(spark))._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange") == 1
+
+
+# ------------------------------------------------- split + mixture (r4)
+
+
+def test_assign_split_matches_python_lcg(spark):
+    from search_engine_spark.operators.curation import (
+        SPLIT_A,
+        SPLIT_P,
+        assign_split,
+    )
+
+    ids = list(range(0, 2000, 7)) + [-5, -2147483650, 9_223_372_036_854_775_000]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: (r["split"], r["split_u"]) for r in assign_split(df).collect()}
+
+    def py_split(i):
+        u = ((i % SPLIT_P + SPLIT_P) % SPLIT_P * SPLIT_A + 7) % SPLIT_P / float(SPLIT_P)
+        return ("train" if u < 0.90 else "val" if u < 0.95 else "test"), u
+
+    for i in ids:
+        assert got[i] == py_split(i), i
+
+
+def test_assign_split_stable_under_partitioning_and_subset(spark):
+    from search_engine_spark.operators.curation import assign_split
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in assign_split(df.repartition(17)).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(df.filter(F.col("doc_id") % 3 == 0).coalesce(1)).collect()
+    }
+    assert all(a[k] == v for k, v in b.items())
+    # rough proportions on 1000 ids (LCG is uniform enough for ±5%)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 850 <= c["train"] <= 950 and c["val"] + c["test"] == 1000 - c["train"]
+
+
+def test_assign_split_is_map_side_only(spark):
+    from search_engine_spark.operators.curation import assign_split
+
+    plan = (
+        assign_split(spark.range(10).withColumnRenamed("id", "doc_id"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_mixture_weights_numpy_oracle(spark):
+    import math
+
+    from search_engine_spark.operators.curation import mixture_weights
+
+    rows = [("a", 100), ("a", 300), ("b", 50), ("c", 5000)]
+    df = spark.createDataFrame(rows, "source string, n_tokens long")
+    got = {r["group"]: r.asDict() for r in mixture_weights(df, group_col="source").collect()}
+    toks = {"a": 400, "b": 50, "c": 5000}
+    tot = sum(toks.values())
+    z = sum(math.pow(v, 0.5) for v in toks.values())
+    for s, v in toks.items():
+        assert got[s]["n_tokens"] == v
+        assert got[s]["p"] == round(v / tot, 6)
+        assert got[s]["weight"] == round(math.pow(v, 0.5) / z, 6)
+    assert abs(sum(g["weight"] for g in got.values()) - 1.0) < 1e-5
+
+
+def test_mixture_weights_alpha_limits(spark):
+    from search_engine_spark.operators.curation import mixture_weights
+
+    df = spark.createDataFrame(
+        [("a", 100), ("b", 900)], "source string, n_tokens long"
+    )
+    prop = {r["group"]: r for r in mixture_weights(df, alpha=1.0).collect()}
+    assert prop["a"]["weight"] == prop["a"]["p"] == 0.1
+    unif = {r["group"]: r for r in mixture_weights(df, alpha=0.0).collect()}
+    assert unif["a"]["weight"] == unif["b"]["weight"] == 0.5
