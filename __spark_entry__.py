@@ -233,6 +233,59 @@ def _bm25_scored(spark, sf, toks=None, mode="all"):
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
 
 
+def _q_bm25_collapse(spark, sf):
+    """Site-collapsed BM25 top-10: best-scoring doc per source, globally
+    ordered — the relational twin of SearchEngine.topk_collapsed (rounded
+    score BEFORE the per-site window in both engines so tie-breaks are
+    identical)."""
+    scored = _bm25_scored_all(spark, sf)
+    src = _t(spark, sf, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.join(src, "doc_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("source", "doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _bm25_scored_all(spark, sf):
+    """AND-mode BM25 scores for Q3 over ALL matching docs (no top-k
+    limit) — shared by the collapse twin."""
+    toks = _tokens(spark, sf)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("doclen"))
+    dft = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("doclen").alias("avgdl"))
+    q = tf.filter(F.col("term").isin(Q3))
+    return (
+        q.join(dl, "doc_id")
+        .join(dft, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            )
+            * F.lit(2.2)
+            * F.col("tf").cast("double")
+            / (
+                F.col("tf").cast("double")
+                + F.lit(1.2)
+                * (F.lit(0.25) + F.lit(0.75) * F.col("doclen") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("nt"), F.sum("contrib").alias("s"))
+        .filter(F.col("nt") == 3)
+        .select("doc_id", F.round("s", 4).alias("score"))
+    )
+
+
 def _q_bm25_scoped(spark, sf):
     """Site-scoped BM25 (O5 + per-site lemma stats): the engine's
     SearchEngine.topk(site=…) semantics — per-site df / n_docs / avgdl
@@ -832,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagination_t2": _q_page2,
         "bm25_topk": _q_bm25,
         "bm25_or_topk": _q_bm25_or,
+        "bm25_collapse_topk": _q_bm25_collapse,
         "bm25_scoped_topk": _q_bm25_scoped,
         "scoped_df_a3": _q_scoped_df,
         "site_stats_rollup": _q_site_stats,
@@ -952,6 +1006,27 @@ def oracle_sql() -> dict[str, str]:
              GROUP BY tf.doc_id)
            SELECT doc_id, nt, round(s, 4) AS score FROM sc
            ORDER BY score DESC, doc_id LIMIT 20""",
+        "bm25_collapse_topk": _TOK_CTE
+        + f""", tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
+           dl AS (SELECT doc_id, count(*) AS doclen FROM tok2 GROUP BY doc_id),
+           dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY term),
+           st AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+           sc AS (
+             SELECT tf.doc_id,
+                    count(DISTINCT tf.term) AS nt,
+                    sum(ln((st.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                        * 2.2 * tf.tf
+                        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl))) AS s
+             FROM tf JOIN dl USING (doc_id) JOIN dft USING (term) CROSS JOIN st
+             WHERE tf.term IN {q3}
+             GROUP BY tf.doc_id),
+           base AS (SELECT doc_id, round(s, 4) AS score FROM sc WHERE nt = 3),
+           j AS (SELECT d.source, b.doc_id, b.score,
+                        row_number() OVER (PARTITION BY d.source
+                                           ORDER BY b.score DESC, b.doc_id) AS rn
+                 FROM base b JOIN documents d USING (doc_id))
+           SELECT source, doc_id, score FROM j WHERE rn = 1
+           ORDER BY score DESC, doc_id LIMIT 10""",
         "bm25_scoped_topk": _TOK_CTE
         + f""", tokS AS (SELECT * FROM tok2 WHERE source = 'src3'),
            tf AS (SELECT doc_id, term, count(*) AS tf FROM tokS GROUP BY doc_id, term),

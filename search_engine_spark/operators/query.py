@@ -1143,6 +1143,93 @@ class SearchEngine:
             .limit(need)
         )
 
+    def topk_collapsed(
+        self,
+        query: str,
+        k: int = 20,
+        offset: int = 0,
+        site: str | None = None,
+        strategy: str = "blockmax",
+        scorer: str = "bm25",
+        mode: str = "all",
+        pool_factor: int = 10,
+    ) -> DataFrame:
+        """Site-collapsed top-k → DataFrame(repo, doc_id, score): the
+        best-scoring doc per repo, globally ordered — the result-diversity
+        control ("one hit per site") every production SERP applies.
+
+        Exactness contract (the Lucene grouping-collector trade):
+        ``strategy='exhaustive'`` scores EVERY match and collapses
+        distributed (one window shuffle keyed on repo, bounded by the
+        match count, never the corpus) — always exact. The default
+        blockmax path over-fetches a ``pool_factor * (offset+k)``
+        candidate pool via the driver-native top-k and collapses on the
+        driver; exact whenever the pool covers the winners of the repos
+        on the page (guaranteed when total matches <= pool; tested
+        bit-identical to exhaustive on that regime). The pool keeps the
+        serving path O(k) at 10^12 docs — an always-exact collapse would
+        decode every posting of every query term per query.
+        """
+        if strategy == "exhaustive":
+            q_terms = analyze_query(query, code=self.code)
+            ctx = self._resolve(q_terms, site, require_all=(mode == "all"))
+            if ctx is None:
+                return self._empty_collapsed()
+            if mode == "any":
+                q_terms = [t for t in q_terms if t in ctx.dfs]
+            from pyspark.sql.window import Window
+
+            scored = self._exhaustive_scored(
+                q_terms, ctx, scorer, match_all=(mode == "all")
+            )
+            w = Window.partitionBy("repo").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+            return (
+                scored.join(self.docs.select("doc_id", "repo"), "doc_id")
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("repo", "doc_id", "score")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .offset(offset)
+                .limit(k)
+            )
+
+        pool = self.topk(
+            query, k=pool_factor * (offset + k), offset=0, site=site,
+            strategy=strategy, scorer=scorer, mode=mode,
+        ).collect()
+        if not pool:
+            return self._empty_collapsed()
+        ids = [int(r["doc_id"]) for r in pool]
+        repo_of = {
+            r["doc_id"]: r["repo"]
+            for r in self.docs.filter(F.col("doc_id").isin(ids))
+            .select("doc_id", "repo")
+            .collect()
+        }
+        best: dict[str, tuple[int, float]] = {}
+        for r in pool:  # pool is (score desc, doc_id asc) — first wins
+            repo = repo_of[int(r["doc_id"])]
+            if repo not in best:
+                best[repo] = (int(r["doc_id"]), float(r["score"]))
+        rows = sorted(
+            ((repo, d, s) for repo, (d, s) in best.items()),
+            key=lambda t: (-t[2], t[1]),
+        )[offset : offset + k]
+        if not rows:
+            return self._empty_collapsed()
+        return self.spark.createDataFrame(
+            rows, "repo string, doc_id long, score double"
+        )
+
+    def _empty_collapsed(self) -> DataFrame:
+        return self.spark.range(0).select(
+            F.lit("").alias("repo"),
+            F.col("id").alias("doc_id"),
+            F.lit(0.0).alias("score"),
+        )
+
     def search_with_count(
         self,
         query: str,

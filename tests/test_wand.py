@@ -180,3 +180,54 @@ def test_or_result_is_superset_family_of_and(engine):
     assert set(and_full) <= set(or_full)
     for d, s in and_full.items():
         assert or_full[d] == s
+
+
+# ----------------------------------------------------- site collapse (r4)
+
+
+def _crows(df):
+    return [(r["repo"], r["doc_id"], r["score"]) for r in df.collect()]
+
+
+def test_collapse_blockmax_matches_exhaustive(engine):
+    """Pool-based driver collapse ≡ distributed exhaustive collapse when
+    the pool covers all matches (250-doc corpus ≪ pool)."""
+    for q in ("import data", "varint", "engine query scan"):
+        a = _crows(engine.topk_collapsed(q, k=10))
+        b = _crows(engine.topk_collapsed(q, k=10, strategy="exhaustive"))
+        assert a == b, q
+
+
+def test_collapse_one_hit_per_repo_and_winner_is_repo_max(engine):
+    full = engine.topk(
+        "import data", k=10_000, strategy="exhaustive"
+    ).collect()
+    ids = [int(r["doc_id"]) for r in full]
+    repo_of = {
+        r["doc_id"]: r["repo"]
+        for r in engine.docs.filter(
+            engine.docs.doc_id.isin(ids)
+        ).select("doc_id", "repo").collect()
+    }
+    best = {}
+    for r in full:  # already (score desc, doc_id asc)
+        repo = repo_of[int(r["doc_id"])]
+        best.setdefault(repo, (int(r["doc_id"]), float(r["score"])))
+    want = sorted(
+        ((repo, d, s) for repo, (d, s) in best.items()),
+        key=lambda t: (-t[2], t[1]),
+    )[:10]
+    got = _crows(engine.topk_collapsed("import data", k=10))
+    assert got == want
+    assert len({repo for repo, _, _ in got}) == len(got)
+
+
+def test_collapse_pagination_and_empty(engine):
+    page0 = _crows(engine.topk_collapsed("import data", k=3))
+    page1 = _crows(engine.topk_collapsed("import data", k=3, offset=3))
+    all6 = _crows(engine.topk_collapsed("import data", k=6))
+    assert page0 + page1 == all6
+    assert engine.topk_collapsed("zzzznotaterm", k=5).count() == 0
+    assert engine.topk_collapsed(
+        "zzzznotaterm", k=5, strategy="exhaustive"
+    ).count() == 0
