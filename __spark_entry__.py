@@ -641,6 +641,58 @@ def _q_frontier(spark, sf):  # S2 crawl frontier BFS (utils/SiteCrawler.java:42-
     return out.select(F.col("doc_id").cast("long"), "depth").orderBy("doc_id")
 
 
+def _q_pagerank(spark, sf):
+    """PageRank (d=0.85, 10 fixed iterations) over the same deterministic
+    doc link graph crawl_frontier_s2 walks. Every node has out-degree 2
+    (1/odeg = 0.5, exact in binary) and the oracle mirrors the engine's
+    float op order (base + d*contrib, rank*(1/odeg)), so the only cross-
+    engine difference is summation order — ulp-level, absorbed by
+    round(rank*n, 6)."""
+    from search_engine_spark.operators.graph import pagerank
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    n = d.count()
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 2 + 1) % n).alias("dst"),
+    ).union(d.select(F.col("doc_id"), ((F.col("doc_id") * 3 + 2) % n)))
+    r = pagerank(spark, edges, damping=0.85, iters=10)
+    return r.select(
+        F.col("node").alias("doc_id"),
+        F.round(F.col("rank") * n, 6).alias("rank_n"),
+    )
+
+
+def _pagerank_oracle_sql(iters: int = 10) -> str:
+    head = """
+       WITH e AS (
+         SELECT doc_id AS src,
+                (doc_id * 2 + 1) % (SELECT count(*) FROM documents) AS dst
+         FROM documents
+         UNION ALL
+         SELECT doc_id, (doc_id * 3 + 2) % (SELECT count(*) FROM documents)
+         FROM documents
+       ), nn AS (SELECT count(*) AS n FROM documents),
+       odeg AS (SELECT src AS node, count(*) AS odeg FROM e GROUP BY src),
+       r0 AS (SELECT doc_id AS node, 1.0 / (SELECT n FROM nn) AS rank
+              FROM documents)"""
+    body, prev = "", "r0"
+    for i in range(1, iters + 1):
+        body += f""", r{i} AS (
+         SELECT d.doc_id AS node,
+                (1.0 - 0.85) / (SELECT n FROM nn)
+                  + 0.85 * coalesce(c.contrib, 0.0) AS rank
+         FROM documents d LEFT JOIN (
+           SELECT e.dst AS node, sum(p.rank * (1.0 / o.odeg)) AS contrib
+           FROM {prev} p JOIN e ON e.src = p.node
+                         JOIN odeg o ON o.node = p.node
+           GROUP BY e.dst) c ON c.node = d.doc_id)"""
+        prev = f"r{i}"
+    return head + body + f"""
+       SELECT node AS doc_id,
+              round(rank * (SELECT n FROM nn), 6) AS rank_n FROM {prev}"""
+
+
 def _q_corpus_split(spark, sf):
     """Deterministic hash-based train/val/test assignment rolled up per
     (split, lang) — the LCG split hash is exactly expressible in DuckDB
@@ -917,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_s6": _q_semi,
         "anti_join_j7": _q_anti,
         "crawl_frontier_s2": _q_frontier,
+        "pagerank_scores": _q_pagerank,
         "corpus_split": _q_corpus_split,
         "mixture_weights": _q_mixture,
         "ann_dot_topk": _q_ann_dot,
@@ -1378,6 +1431,7 @@ def oracle_sql() -> dict[str, str]:
            )
            SELECT node AS doc_id, CAST(MIN(depth) AS BIGINT) AS depth
            FROM bfs GROUP BY node ORDER BY doc_id""",
+        "pagerank_scores": _pagerank_oracle_sql(),
         "corpus_split": """
            WITH s AS (
              SELECT lang, n_chars,

@@ -1,0 +1,90 @@
+"""Link-graph rank signal: PageRank as iterative DataFrame joins.
+
+Rounds out the crawl-graph suite (`plans/frontier.py` discovers the
+edges, `operators/dedup.connected_components` closes duplicate clusters,
+this ranks) — the authority signal a web-scale engine mixes into its
+relevance score. The reference has no analogue (its corpus is one site);
+this is a training-data/serving extension like the dedup family.
+
+Plan shape per iteration (the properties that hold at 10^12 edges):
+
+* ``edges`` carry a precomputed ``1/out_degree`` weight and keep ONE
+  src-partitioning reused by every iteration's join (same move as
+  ``frontier.crawl_frontier``);
+* one shuffle join (ranks ⋈ edges on src) + one shuffle agg (sum per
+  dst) per iteration — the textbook Pregel-style cost;
+* the ranks vector is O(nodes), orders of magnitude smaller than edges;
+  ``localCheckpoint`` truncates lineage so iteration k's plan never
+  replays iterations 0..k-1;
+* dangling mass (nodes with no out-links) is folded back uniformly via
+  a 1-row scalar aggregate per iteration — never a corpus-sized
+  broadcast.
+
+Fixed iteration count (default 10) rather than convergence-delta: the
+deterministic stopping rule is what lets a DuckDB chained-CTE oracle
+replay the exact computation (`__spark_entry__.pagerank_scores`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+) -> DataFrame:
+    """(src, dst) edges → (node, rank); Σrank = 1.
+
+    r_{t+1}(v) = (1-d)/N + d·Σ_{u→v} r_t(u)/outdeg(u) + d·D_t/N
+    with D_t the total rank mass on dangling nodes. Nodes = src ∪ dst.
+    """
+    edges = edges.select("src", "dst")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+        .repartition("node")
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    odeg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("odeg")
+    )
+    # weighted edges: one src-partitioned checkpoint every iteration reuses
+    wedges = (
+        edges.join(odeg, edges["src"] == odeg["node"])
+        .select("src", "dst", (F.lit(1.0) / F.col("odeg")).alias("w"))
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    has_out = wedges.select(F.col("src").alias("node")).distinct()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
+        eager=True
+    )
+    d = damping
+    for _ in range(iters):
+        dangling = (
+            ranks.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contrib = (
+            ranks.join(wedges, ranks["node"] == wedges["src"])
+            .select(F.col("dst").alias("node"), (F.col("rank") * F.col("w")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        base = (1.0 - d) / n + d * dangling / n
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(d) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -1,0 +1,61 @@
+"""PageRank contracts: numpy power-iteration oracle, analytic cases,
+mass conservation with dangling nodes."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from search_engine_spark.operators.graph import pagerank
+
+
+def _np_pagerank(pairs, d=0.85, iters=10):
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for s, _ in pairs:
+        out[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dang = r[out == 0].sum()
+        contrib = np.zeros(n)
+        for s, t in pairs:
+            contrib[idx[t]] += r[idx[s]] / out[idx[s]]
+        r = (1.0 - d) / n + d * dang / n + d * contrib
+    return {v: r[idx[v]] for v in nodes}
+
+
+def _run(spark, pairs, **kw):
+    df = spark.createDataFrame(pairs, ["src", "dst"])
+    return {r["node"]: r["rank"] for r in pagerank(spark, df, **kw).collect()}
+
+
+def test_pagerank_matches_numpy_with_dangling(spark):
+    import random
+
+    rng = random.Random(11)
+    pairs = list({(rng.randrange(30), rng.randrange(30)) for _ in range(60)})
+    # ensure genuinely dangling sinks exist
+    pairs = [(s, t) for s, t in pairs if s not in (27, 28, 29)] + [
+        (0, 27), (1, 28), (2, 29)
+    ]
+    got = _run(spark, pairs)
+    want = _np_pagerank(pairs)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, v
+
+
+def test_pagerank_ring_is_uniform(spark):
+    pairs = [(i, (i + 1) % 8) for i in range(8)]
+    got = _run(spark, pairs)
+    for v, r in got.items():
+        assert abs(r - 1.0 / 8) < 1e-12, v
+
+
+def test_pagerank_mass_conserved_and_star_ordering(spark):
+    # star: every leaf points at hub → hub outranks leaves; Σrank = 1
+    pairs = [(i, 0) for i in range(1, 6)]
+    got = _run(spark, pairs)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert all(got[0] > got[i] for i in range(1, 6))
