@@ -245,6 +245,10 @@ def main() -> None:
         "ann_ivf_topk",
         "image_channel_stats",
         "audio_window_feats",
+        "crawl_frontier_s2",
+        "pagerank_scores",
+        "corpus_split",
+        "bm25_collapse_topk",
     ]:
         fn = qs[name]
         try:
