@@ -69,8 +69,13 @@ def extract_links(
     # scheme+host prefix of the page url, e.g. "https://host"; '' when the
     # url is not absolute (then only relative links resolve).
     origin = F.regexp_extract(src, r"^(https?://[^/]+)", 1)
-    # directory prefix of the page url ("https://host/a/b.html" → ".../a")
-    parent = F.regexp_replace(src, r"/[^/]*$", "")
+    # directory prefix of the page url ("https://host/a/b.html" → ".../a");
+    # floored at the origin so a path-less page url ("https://host") does
+    # not strip into the scheme ("https:/")
+    parent_raw = F.regexp_replace(src, r"/[^/]*$", "")
+    parent = F.when(
+        F.length(parent_raw) < F.length(origin), origin
+    ).otherwise(parent_raw)
 
     raw = F.regexp_extract_all(F.col(html_col), F.lit(_HREF_RE), F.lit(1))
     href = F.explode(raw).alias("href")

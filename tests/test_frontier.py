@@ -50,6 +50,17 @@ def test_extract_links_normalization(spark):
     }
 
 
+def test_extract_links_pathless_page_url(spark):
+    # a page url with no path must resolve dir-relative links against the
+    # origin, not strip into the scheme ("https:/x")
+    pages = spark.createDataFrame(
+        [("https://s.io", '<a href="x.html"></a><a href="/y.html"></a>')],
+        ["url", "html"],
+    )
+    got = {r.dst for r in extract_links(pages).collect()}
+    assert got == {"https://s.io/x.html", "https://s.io/y.html"}
+
+
 def test_extract_links_dedupes(spark):
     html = '<a href="/x">one</a><a href="/x">twice</a>'
     pages = spark.createDataFrame([("https://s.io/p", html)], ["url", "html"])
