@@ -641,6 +641,16 @@ def _q_frontier(spark, sf):  # S2 crawl frontier BFS (utils/SiteCrawler.java:42-
     return out.select(F.col("doc_id").cast("long"), "depth").orderBy("doc_id")
 
 
+def _q_heavy_hitters(spark, sf):
+    """Exact heavy-hitter terms (count > 0.002·n) via the Misra-Gries
+    prune + exact recount (operators/sketch.py) — the oracle is the plain
+    GROUP BY HAVING the sketch path must reproduce exactly."""
+    from search_engine_spark.operators.sketch import heavy_hitters
+
+    toks = _tokens(spark, sf).select("term")
+    return heavy_hitters(toks, "term", 0.002)
+
+
 def _q_pagerank(spark, sf):
     """PageRank (d=0.85, 10 fixed iterations) over the same deterministic
     doc link graph crawl_frontier_s2 walks. Every node has out-degree 2
@@ -970,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_j7": _q_anti,
         "crawl_frontier_s2": _q_frontier,
         "pagerank_scores": _q_pagerank,
+        "heavy_hitter_terms": _q_heavy_hitters,
         "corpus_split": _q_corpus_split,
         "mixture_weights": _q_mixture,
         "ann_dot_topk": _q_ann_dot,
@@ -1432,6 +1443,9 @@ def oracle_sql() -> dict[str, str]:
            SELECT node AS doc_id, CAST(MIN(depth) AS BIGINT) AS depth
            FROM bfs GROUP BY node ORDER BY doc_id""",
         "pagerank_scores": _pagerank_oracle_sql(),
+        "heavy_hitter_terms": _TOK_CTE
+        + """SELECT term, count(*) AS cnt FROM tok2 GROUP BY term
+           HAVING count(*) > 0.002 * (SELECT count(*) FROM tok2)""",
         "corpus_split": """
            WITH s AS (
              SELECT lang, n_chars,

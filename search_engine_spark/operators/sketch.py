@@ -1,0 +1,89 @@
+"""Bounded-memory heavy hitters: Misra-Gries candidate pruning + exact
+recount.
+
+The 100 TB shape this encodes: a full ``groupBy(term).count()`` over a
+10^12-token stream shuffles the whole vocabulary to find the handful of
+items above a frequency threshold. Misra-Gries gives the standard
+two-pass exact alternative:
+
+1. every partition runs a capacity-``c`` Misra-Gries summary in one
+   sequential scan (state = c counters regardless of partition size —
+   the spill-free property an arbitrarily fat partition needs), and by
+   the MG guarantee any item with *partition* frequency > n_p/c survives
+   its partition's summary. Pigeonhole lifts this globally: an item with
+   global frequency > n/c must exceed n_p/c in at least one partition,
+   so the UNION of per-partition survivors is a guaranteed superset of
+   every global heavy hitter — no false negatives, ever.
+2. the exact recount scans again but filters to the candidate set FIRST
+   (a broadcast IN-filter in the scan stage), so the only exchange
+   carries |candidates| ≤ c × partitions keys instead of the vocabulary.
+   Exact counts then drop MG's false positives.
+
+Result: exact ``count(x) > threshold_frac·n`` answers with a shuffle
+bounded by the sketch capacity, not the data. Per-batch work inside the
+summary is vectorized (``value_counts``); the merge loop touches only
+the bounded counter dict, never rows.
+
+Reference: Misra & Gries 1982; the distributed-union superset argument
+is the standard mergeable-summaries observation (Agarwal et al., PODS'12).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _mg_partition(col: str, capacity: int):
+    """mapInPandas body: one Misra-Gries summary per PARTITION (the
+    generator sees every batch of its partition; state persists across
+    batches and is emitted once, at end-of-partition)."""
+    import pandas as pd
+
+    def run(batches):
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf[col].value_counts()  # vectorized per batch
+            for item, cnt in vc.items():
+                counters[item] = counters.get(item, 0) + int(cnt)
+            while len(counters) > capacity:
+                dec = min(counters.values())
+                counters = {
+                    k: v - dec for k, v in counters.items() if v > dec
+                }
+        if counters:
+            yield pd.DataFrame({col: list(counters.keys())})
+
+    return run
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, threshold_frac: float, capacity: int | None = None
+) -> DataFrame:
+    """→ (col, cnt): EXACTLY the items with count > threshold_frac · n.
+
+    ``capacity`` defaults to ceil(2/threshold_frac) — twice the bound the
+    superset guarantee needs, halving MG's false-positive surplus so the
+    recount's IN-list stays small."""
+    if not 0.0 < threshold_frac < 1.0:
+        raise ValueError("threshold_frac must be in (0, 1)")
+    c = capacity or math.ceil(2.0 / threshold_frac)
+    src = df.select(col)
+    import pyspark.sql.types as T
+
+    field = src.schema[col]
+    cands_df = src.mapInPandas(
+        _mg_partition(col, c), T.StructType([field])
+    ).distinct()
+    n = src.count()
+    thresh = threshold_frac * n
+    # candidate set is ≤ c·partitions rows: broadcast semi-join keeps the
+    # prune distributed (never materialized on the driver), and the only
+    # full-width exchange aggregates |candidates| keys
+    return (
+        src.join(F.broadcast(cands_df), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > thresh)
+    )

@@ -1,0 +1,76 @@
+"""Heavy-hitters (Misra-Gries prune + exact recount) contracts: exact
+equivalence to the full groupBy under every capacity/partitioning the
+superset guarantee covers."""
+
+from __future__ import annotations
+
+import math
+import random
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.sketch import heavy_hitters
+
+
+def _zipf_words(n=20_000, seed=13):
+    rng = random.Random(seed)
+    words = [f"w{i}" for i in range(500)]
+    return [words[min(int(rng.paretovariate(1.1)) - 1, 499)] for _ in range(n)]
+
+
+def _exact(items, frac):
+    n = len(items)
+    return {w: c for w, c in Counter(items).items() if c > frac * n}
+
+
+@pytest.mark.parametrize("frac", [0.01, 0.002])
+def test_heavy_hitters_exact_on_zipf(spark, frac):
+    items = _zipf_words()
+    df = spark.createDataFrame([(w,) for w in items], ["term"]).repartition(7)
+    got = {r["term"]: r["cnt"] for r in heavy_hitters(df, "term", frac).collect()}
+    assert got == _exact(items, frac)
+
+
+def test_heavy_hitters_tight_capacity(spark):
+    """capacity = ceil(1/frac), the minimum the superset guarantee
+    needs — no false negatives even without the 2x margin."""
+    items = _zipf_words(seed=29)
+    frac = 0.01
+    df = spark.createDataFrame([(w,) for w in items], ["term"]).repartition(5)
+    got = {
+        r["term"]: r["cnt"]
+        for r in heavy_hitters(
+            df, "term", frac, capacity=math.ceil(1.0 / frac)
+        ).collect()
+    }
+    assert got == _exact(items, frac)
+
+
+def test_heavy_hitters_boundary_is_strict(spark):
+    # 100 rows: "a"x11, "b"x10, rest unique; frac=0.1 → only a (cnt > 10)
+    items = ["a"] * 11 + ["b"] * 10 + [f"u{i}" for i in range(79)]
+    df = spark.createDataFrame([(w,) for w in items], ["term"]).repartition(3)
+    got = {r["term"]: r["cnt"] for r in heavy_hitters(df, "term", 0.1).collect()}
+    assert got == {"a": 11}
+
+
+def test_heavy_hitters_partitioning_invariant(spark):
+    items = _zipf_words(n=5000, seed=7)
+    a = None
+    for parts in (1, 4, 13):
+        df = spark.createDataFrame([(w,) for w in items], ["term"]).repartition(parts)
+        got = sorted(
+            (r["term"], r["cnt"])
+            for r in heavy_hitters(df, "term", 0.005).collect()
+        )
+        if a is None:
+            a = got
+        assert got == a, parts
+
+
+def test_heavy_hitters_bad_frac(spark):
+    df = spark.createDataFrame([("x",)], ["term"])
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "term", 0.0)
