@@ -70,6 +70,18 @@ def test_heavy_hitters_partitioning_invariant(spark):
         assert got == a, parts
 
 
+def test_heavy_hitters_recount_is_broadcast_semi_join(spark):
+    """Plan contract: the candidate prune is a broadcast semi-join (the
+    candidate set must never drive a sort-merge shuffle of the stream)."""
+    df = spark.createDataFrame([(w,) for w in _zipf_words(n=2000)], ["term"])
+    plan = (
+        heavy_hitters(df, "term", 0.01)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_heavy_hitters_bad_frac(spark):
     df = spark.createDataFrame([("x",)], ["term"])
     with pytest.raises(ValueError):
