@@ -249,6 +249,8 @@ def main() -> None:
         "pagerank_scores",
         "corpus_split",
         "bm25_collapse_topk",
+        "heavy_hitter_terms",
+        "mixture_weights",
     ]:
         fn = qs[name]
         try:
