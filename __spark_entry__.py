@@ -599,6 +599,12 @@ def _q_local_volume_q5(spark, sf):  # full 6-table snowflake join (Q5 shape)
     )
 
 
+def _q_forecast_q6(spark, sf):  # Q6 shape: pure-pushdown filter aggregate
+    from search_engine_spark.operators.relational import forecast_revenue
+
+    return forecast_revenue(_t(spark, sf, "lineitem"))
+
+
 def _q_returned_q10(spark, sf):  # Q10 shape: agg-then-join customer ranking
     from search_engine_spark.operators.relational import returned_item_report
 
@@ -976,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_promo_revenue": _q_nation_promo,
         "local_supplier_volume_q5": _q_local_volume_q5,
         "returned_item_q10": _q_returned_q10,
+        "forecast_revenue_q6": _q_forecast_q6,
         "semi_join_s6": _q_semi,
         "anti_join_j7": _q_anti,
         "crawl_frontier_s2": _q_frontier,
@@ -1399,6 +1406,17 @@ def oracle_sql() -> dict[str, str]:
            JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
            GROUP BY n_name
            ORDER BY revenue DESC, n_name""",
+        "forecast_revenue_q6": """
+           SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                                 * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE), 2)
+                    AS revenue,
+                  count(*) AS n_lineitems
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+             AND l_shipdate <  TIMESTAMP '1996-01-01'
+             AND CAST(l_discount AS DECIMAL(8,4)) >= CAST('0.05' AS DECIMAL(8,4))
+             AND CAST(l_discount AS DECIMAL(8,4)) <= CAST('0.07' AS DECIMAL(8,4))
+             AND l_quantity < 24""",
         "returned_item_q10": """
            WITH rev AS (
              SELECT o_custkey,

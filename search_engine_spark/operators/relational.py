@@ -236,3 +236,36 @@ def nation_promo_revenue(
         )
         .orderBy(F.desc("promo_revenue"), "n_name")
     )
+
+
+def forecast_revenue(
+    lineitem: DataFrame,
+    date_from: str = "1995-01-01",
+    date_to: str = "1996-01-01",
+    disc_lo: str = "0.05",
+    disc_hi: str = "0.07",
+    max_qty: int = 24,
+) -> DataFrame:
+    """TPC-H Q6 shape: the pure predicate-pushdown probe. Every filter
+    (shipdate range, discount band, quantity cap) reaches the parquet scan
+    as PushedFilters, the projection prunes to the 4 referenced columns,
+    and the plan's ONLY exchange carries the 1-row final sum of map-side
+    decimal partials — at 100 TB this query costs the scan of matching
+    row groups and nothing else (asserted in tests/test_relational.py).
+    Discount band compared in decimal(8,4) on BOTH engines so the banded
+    boundary rows can't straddle a double-literal ulp."""
+    rev = _money("l_extendedprice") * F.col("l_discount").cast(_RATE)
+    d = F.col("l_discount").cast(_RATE)
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+            & (d >= F.lit(disc_lo).cast(_RATE))
+            & (d <= F.lit(disc_hi).cast(_RATE))
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )

@@ -120,3 +120,20 @@ def test_nation_rollup_all_dims_broadcast(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_q6_pure_pushdown_single_exchange(spark):
+    """Q6 plan contract: predicates reach the parquet scan (PushedFilters
+    non-empty on shipdate/quantity), no join anywhere, and the only
+    exchange carries the 1-row final aggregate."""
+    import __spark_entry__ as E
+
+    df = E.queries()["forecast_revenue_q6"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed, pushed
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+    row = df.collect()[0]
+    assert row["n_lineitems"] > 0 and row["revenue"] > 0
