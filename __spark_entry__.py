@@ -616,6 +616,20 @@ def _q_returned_q10(spark, sf):  # Q10 shape: agg-then-join customer ranking
     )
 
 
+def _q_priority_bands_q12(spark, sf):  # Q12 shape: large⋈large + CASE bands
+    from search_engine_spark.operators.relational import priority_line_bands
+
+    return priority_line_bands(_t(spark, sf, "orders"), _t(spark, sf, "lineitem"))
+
+
+def _q_cust_dist_q13(spark, sf):  # Q13 shape: outer join + double aggregation
+    from search_engine_spark.operators.relational import customer_order_distribution
+
+    return customer_order_distribution(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    )
+
+
 def _q_semi(spark, sf):  # S6 semi-join (IN-list scan family)
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 300000)
@@ -983,6 +997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume_q5": _q_local_volume_q5,
         "returned_item_q10": _q_returned_q10,
         "forecast_revenue_q6": _q_forecast_q6,
+        "priority_bands_q12": _q_priority_bands_q12,
+        "customer_order_dist_q13": _q_cust_dist_q13,
         "semi_join_s6": _q_semi,
         "anti_join_j7": _q_anti,
         "crawl_frontier_s2": _q_frontier,
@@ -1179,7 +1195,7 @@ def oracle_sql() -> dict[str, str]:
                   round(sum(CASE WHEN term IN ('the','of','and','is','to','in')
                                  THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS stop_ratio
            FROM tok2 GROUP BY doc_id""",
-        "token_stats": """
+        "token_stats": r"""
            SELECT doc_id,
                   len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                                   x -> length(x) >= 2)) AS n_ws_tokens,
@@ -1434,6 +1450,28 @@ def oracle_sql() -> dict[str, str]:
            JOIN customer ON o_custkey = c_custkey
            JOIN nation ON c_nationkey = n_nationkey
            ORDER BY revenue DESC, c_custkey LIMIT 20""",
+        "priority_bands_q12": """
+           SELECT l_linestatus,
+                  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count,
+                  count(*) AS n_lines
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate <  TIMESTAMP '1997-01-01'
+           GROUP BY l_linestatus
+           ORDER BY l_linestatus""",
+        "customer_order_dist_q13": """
+           SELECT c_count, count(*) AS custdist
+           FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                 FROM customer
+                 LEFT JOIN orders ON c_custkey = o_custkey
+                                 AND o_orderpriority <> '4-NOT SPECIFIED'
+                 GROUP BY c_custkey)
+           GROUP BY c_count
+           ORDER BY custdist DESC, c_count DESC""",
         "semi_join_s6": """
            SELECT c_custkey FROM customer c
            WHERE EXISTS (SELECT 1 FROM orders o

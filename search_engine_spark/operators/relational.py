@@ -269,3 +269,83 @@ def forecast_revenue(
             F.count("*").alias("n_lineitems"),
         )
     )
+
+
+_HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def priority_line_bands(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q12 shape: conditional aggregation over a LARGE⋈LARGE join —
+    the one plan in the family where broadcasting is NOT the answer.
+
+    orders and lineitem both grow linearly with scale, so the join is a
+    genuine shuffle join on the shared key (AQE may still broadcast at
+    sandbox SFs; at 100 TB both sides exchange-partition on
+    o_orderkey = l_orderkey and nothing else moves). The aggregation is
+    the CASE-WHEN band-count pattern: both bands ride ONE map-side
+    partial aggregate — a second scan per band (the naive UNION
+    formulation) would double the fact I/O exactly like the pre-round-4
+    terms stage did (SURVEY §10.2). Grouped by l_linestatus (the
+    testdata's stand-in for Q12's l_shipmode, which the synthetic
+    lineitem does not carry); date-windowed on l_shipdate at the scan."""
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    o = orders.select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin(*_HIGH_PRIORITIES)
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(high, F.lit(0)).otherwise(F.lit(1)))
+            .cast("long")
+            .alias("low_line_count"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def customer_order_distribution(
+    customer: DataFrame,
+    orders: DataFrame,
+    exclude_priority: str = "4-NOT SPECIFIED",
+) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join + two-level aggregation — the
+    customers-with-zero-orders histogram an inner join silently drops.
+
+    The predicate on orders belongs to the JOIN (filter the right side
+    BEFORE the outer join), not a WHERE after it — a post-join WHERE on
+    an orders column would erase the NULL rows that carry the zero-order
+    customers, the classic outer-join bug. count(o_orderkey) counts
+    non-null matches, so unmatched customers land in the c_count = 0
+    bucket.
+
+    Scale shape: ONE exchange of the (c_custkey ⋈ o_custkey) join keys,
+    a per-customer count (bounded by |customer|), then the second
+    aggregate reduces to |distinct counts| rows — tens of groups at any
+    scale, so the final exchange is ~KB at 100 TB. Ordering
+    (custdist DESC, c_count DESC) is total: c_count is the group key."""
+    o = orders.filter(F.col("o_orderpriority") != exclude_priority).select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        customer.select("c_custkey")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )

@@ -43,6 +43,8 @@ def _values_equal(a, b):
         "nation_promo_revenue",
         "local_supplier_volume_q5",
         "returned_item_q10",
+        "priority_bands_q12",
+        "customer_order_dist_q13",
     ],
 )
 def test_relational_matches_oracle(spark, name):
@@ -120,6 +122,36 @@ def test_nation_rollup_all_dims_broadcast(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_q12_bands_ride_one_aggregate(spark):
+    """Q12's 100 TB property: both priority bands come out of ONE partial+
+    final aggregate pair over the joined stream — a per-band second scan
+    (the naive UNION formulation) would double the fact I/O."""
+    import __spark_entry__ as E
+
+    df = E.queries()["priority_bands_q12"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    # exactly one aggregate pair (partial + final); one pushed date filter
+    assert plan.count("HashAggregate") == 2, plan
+    assert "SortMergeJoin" not in plan
+    assert "l_shipdate" in plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+
+
+def test_q13_outer_join_keeps_zero_order_customers(spark):
+    """Q13's correctness cliff: the priority predicate must filter orders
+    BEFORE the left join, so customers whose every order is excluded land
+    in the c_count = 0 bucket instead of vanishing. The bucket counts must
+    therefore sum to the full customer count."""
+    import __spark_entry__ as E
+
+    df = E.queries()["customer_order_dist_q13"](spark, SF)
+    rows = df.collect()
+    total = sum(r["custdist"] for r in rows)
+    n_cust = spark.read.parquet(f"{SF}/customer.parquet").count()
+    assert total == n_cust
 
 
 def test_q6_pure_pushdown_single_exchange(spark):
