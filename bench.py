@@ -242,6 +242,9 @@ def main() -> None:
         "nation_promo_revenue",
         "local_supplier_volume_q5",
         "returned_item_q10",
+        "forecast_revenue_q6",
+        "priority_bands_q12",
+        "customer_order_dist_q13",
         "ann_ivf_topk",
         "image_channel_stats",
         "audio_window_feats",
