@@ -954,6 +954,25 @@ def _q_allpairs_ann(spark, sf):
     ).select("vec_id", "neighbor_id", F.round("cosine", 4).alias("cosine"))
 
 
+PHRASE2 = ["table", "hash"]  # frozen oracle-spec phrase over `documents`
+
+
+def _q_phrase(spark, sf):
+    """Exact phrase adjacency over the kept-token position stream (ASCII
+    oracle spec) — a single-pass Catalyst window scan over the token
+    array, no self-join (operators/phrase.py)."""
+    from search_engine_spark.operators.phrase import phrase_match
+
+    return phrase_match(_t(spark, sf, "documents"), PHRASE2, text_col="text")
+
+
+def _q_engine_phrase(spark, sf):
+    """Engine phrase top-k: index AND-prune (one analyzed normal form per
+    phrase word — a necessary condition) + exact verify-by-content; tested
+    identical to the exhaustive distributed scan in tests/test_phrase.py."""
+    return _engine(spark, sf).phrase_topk("slow hash batch", k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tf_a1": _q_tf,
@@ -1007,7 +1026,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": _q_corpus_split,
         "mixture_weights": _q_mixture,
         "ann_dot_topk": _q_ann_dot,
+        "phrase_match": _q_phrase,
         # rows-only (no oracle_sql entry):
+        "engine_phrase_topk": _q_engine_phrase,
         "engine_bm25_topk": _q_engine_bm25,
         "engine_wand_topk": _q_engine_wand,
         "engine_postings_blocks": _q_engine_postings,
@@ -1546,6 +1567,30 @@ def oracle_sql() -> dict[str, str]:
            ORDER BY dot DESC, vec_id LIMIT 10""",
         "ann_allpairs_topk": _allpairs_oracle_sql(),
         "ann_lsh_topk": _lsh_ann_oracle_sql(),
+        # phrase twin: DuckDB's scalar generate_series(1, n) returns [] for
+        # n < 1 (Spark's F.sequence DESCENDS there — the Spark side guards
+        # with a CASE-equivalent F.when, mirrored by CASE here), and list
+        # indexing inside the lambda reads the same positions element_at
+        # reads; both sides count start positions over identical kept-token
+        # streams
+        "phrase_match": f"""
+           WITH ptok AS (
+             SELECT doc_id,
+                    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                t -> length(t) >= 2) AS toks
+             FROM documents
+           ), hit AS (
+             SELECT doc_id,
+                    CASE WHEN len(toks) >= 2
+                         THEN CAST(len(list_filter(
+                                  generate_series(1, len(toks) - 1),
+                                  i -> toks[i] = '{PHRASE2[0]}'
+                                       AND toks[i+1] = '{PHRASE2[1]}'))
+                              AS BIGINT)
+                         ELSE 0 END AS hits
+             FROM ptok
+           )
+           SELECT doc_id, hits FROM hit WHERE hits > 0""",
         # frame-plan twin: Spark F.sequence(0, stop, step) and DuckDB
         # generate_series(0, stop, step) are both stop-INCLUSIVE, so the
         # planned timestamps agree exactly (pure integer arithmetic)

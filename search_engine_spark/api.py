@@ -205,7 +205,16 @@ class EngineAPI:
         eng = self._get_engine()
         q_lemmas = analyze_query(query, code=self.code)
         count_exact = True
-        if mode == "any":
+        if mode == "phrase":
+            # exact token-adjacency search (operators/phrase.py): score =
+            # phrase occurrence count; the banner count is exact only when
+            # the page wasn't truncated at k (a full phrase count would
+            # verify every candidate — the top-k path stops at k)
+            rows = eng.phrase_topk(query, k=offset + limit).collect()
+            topk = [(int(r["doc_id"]), float(r["hits"])) for r in rows]
+            count = len(topk)
+            count_exact = len(topk) < offset + limit
+        elif mode == "any":
             rows = eng.topk(
                 query, k=limit, offset=offset, site=site,
                 strategy=strategy, scorer=scorer, mode="any",
@@ -221,7 +230,7 @@ class EngineAPI:
             )
         if not topk:
             out = {"result": True, "count": 0, "data": []}
-            if mode == "any":
+            if mode in ("any", "phrase"):
                 out["countExact"] = count_exact
             return out
 
@@ -252,7 +261,7 @@ class EngineAPI:
                 }
             )
         out = {"result": True, "count": count, "data": data}
-        if mode == "any":
+        if mode in ("any", "phrase"):
             out["countExact"] = count_exact
         return out
 

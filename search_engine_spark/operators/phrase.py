@@ -1,0 +1,194 @@
+"""Phrase search: exact token-adjacency semantics over the corpus.
+
+A phrase [w1..wk] matches a document wherever the document's KEPT-token
+sequence (tokenize → legality filter; NOT the lemmatized stream) contains
+w1..wk at consecutive positions. Dropped tokens (len<2 / apostrophes /
+— in the engine spec — mixed-script words) do not occupy positions, so
+"data x query" matches the phrase "data query": the industry-standard
+analyzer contract (Lucene removes non-emitted tokens from the position
+stream the same way).
+
+Two physical forms, identical semantics:
+
+``phrase_match`` (exhaustive, pure Catalyst)
+    One pass over the corpus: tokenize into an array column, then count
+    start positions with ``F.filter`` over a position ``sequence`` — a
+    single projection, no self-join, no shuffle beyond the scan. This is
+    the oracle-gated form (DuckDB twin: ``list_filter`` over
+    ``generate_series`` with list indexing) and the distributed verifier
+    the engine path delegates to above its driver caps.
+
+``SearchEngine.phrase_topk`` (index-pruned + verify-by-content)
+    The inverted index cannot answer adjacency (postings carry no
+    positions — a deliberate trade: position payloads double index size
+    and the build exchange), so the engine prunes with a NECESSARY
+    condition and verifies exactly: every raw occurrence of word w emits
+    ALL of analyze(w)'s normal forms into the indexed stream, so a doc
+    containing the raw phrase must AND-match one chosen form per phrase
+    word. Candidates from that index AND-intersection get their content
+    point-fetched and adjacency-verified vectorized (numpy over the
+    batch token stream). Stopword phrase words emit no forms and cannot
+    prune — verification keeps the result exact regardless. This is the
+    prune+re-check architecture code-search engines use for positional
+    and regex queries over trigram/posting indexes (Cox, "Regular
+    Expression Matching with a Trigram Index", swtch.com/~rsc/regexp4 —
+    public design note).
+
+The reference engine has no phrase operator (SearchServiceImpl.java:84-101
+is bag-of-lemmas AND) — this is a §2-beyond extension.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.analyze import CAMEL_RE, TOKEN_RE
+
+# Oracle-shared ASCII spec (mirrors __spark_entry__.TOK — lower, split on
+# non-alphanumeric, keep len>=2). The ENGINE spec instead reuses the frozen
+# analyzer tokenizer (functions/analyze.py TOKEN_RE + legality filter).
+ASCII_SPLIT = "[^a-z0-9]+"
+
+
+def tokens_array(text_col: Column, split_re: str = ASCII_SPLIT,
+                 min_len: int = 2) -> Column:
+    """text → array<string> of kept tokens (the position stream)."""
+    return F.filter(
+        F.split(F.lower(text_col), split_re),
+        lambda t: F.length(t) >= min_len,
+    )
+
+
+def phrase_hits(toks: Column, words: list[str]) -> Column:
+    """Number of start positions where ``words`` occurs consecutively in
+    the token array — one Catalyst expression, evaluated per row inside
+    whole-stage codegen (no UDF, no join).
+
+    Guarded for short docs: ``F.sequence(1, n-k+1)`` DESCENDS when
+    n-k+1 < 1 (Spark sequence semantics), so the window scan only runs
+    when the doc holds at least k tokens.
+    """
+    if not words:
+        raise ValueError("empty phrase")
+    k = len(words)
+    n = F.size(toks)
+
+    def _at(i: Column, j: int) -> Column:
+        return F.element_at(toks, i + F.lit(j)) if j else F.element_at(toks, i)
+
+    def _pred(i: Column) -> Column:
+        cond = _at(i, 0) == F.lit(words[0])
+        for j, w in enumerate(words[1:], start=1):
+            cond = cond & (_at(i, j) == F.lit(w))
+        return cond
+
+    starts = F.sequence(F.lit(1), n - F.lit(k - 1))
+    return (
+        F.when(n >= F.lit(k), F.size(F.filter(starts, _pred)))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+
+
+def phrase_match(
+    docs: DataFrame,
+    words: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split_re: str = ASCII_SPLIT,
+    min_len: int = 2,
+) -> DataFrame:
+    """Exhaustive phrase scan → DataFrame(doc_id, hits), matches only.
+
+    100 TB shape: a single projection+filter over the corpus scan —
+    column-pruned to (id, text), no shuffle, trivially partition-parallel.
+    The engine path exists precisely so interactive queries never pay
+    this scan; it remains the correctness backstop and the batch form.
+    """
+    toks = tokens_array(F.col(text_col), split_re, min_len)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            phrase_hits(toks, words).alias("hits"),
+        )
+        .filter(F.col("hits") > 0)
+    )
+
+
+# ---------------------------------------------------------------- verifier
+
+
+def tokenize_batch(texts: pd.Series, code: bool = False
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Batch ENGINE-spec tokenization → (flat token array, per-doc counts).
+
+    Same vectorized chain as the index build (analyze_series_exploded):
+    camelCase split (code corpora), lower, TOKEN_RE findall, legality
+    filter (len>=2, no apostrophe) — the kept-token position stream the
+    phrase contract is defined over.
+    """
+    s = texts.astype(str)
+    if code:
+        s = s.str.replace(CAMEL_RE, r"\1 \2", regex=True)
+    token_lists = s.str.lower().str.findall(TOKEN_RE)
+    counts = token_lists.str.len().fillna(0).astype(np.int64).to_numpy()
+    if counts.sum() == 0:
+        return np.array([], dtype=object), counts
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in token_lists])
+    tok_s = pd.Series(flat)
+    legal = ((tok_s.str.len() >= 2)
+             & ~tok_s.str.contains("'", regex=False)).to_numpy()
+    # re-count per doc after the legality filter
+    doc_of = np.repeat(np.arange(len(counts)), counts)[legal]
+    counts = np.bincount(doc_of, minlength=len(counts)).astype(np.int64)
+    return flat[legal], counts
+
+
+def phrase_hits_batch(texts: pd.Series, words: list[str],
+                      code: bool = False) -> np.ndarray:
+    """Vectorized engine-spec verifier: per-text count of phrase starts.
+
+    k-1 shifted equality passes over the batch's FLAT token array (one
+    object-array compare per phrase word, not per token), then a
+    same-document mask (start and end positions must share a doc segment)
+    and one bincount — O(batch tokens · k), no per-row Python.
+    """
+    flat, counts = tokenize_batch(texts, code=code)
+    k = len(words)
+    n = len(flat)
+    out_len = len(counts)
+    if n < k or k == 0:
+        return np.zeros(out_len, dtype=np.int64)
+    m = flat[: n - k + 1] == words[0]
+    for j in range(1, k):
+        m = m & (flat[j: n - k + 1 + j] == words[j])
+    seg = np.repeat(np.arange(out_len), counts)
+    m = m & (seg[: n - k + 1] == seg[k - 1:])
+    return np.bincount(seg[: n - k + 1][m], minlength=out_len).astype(np.int64)
+
+
+def phrase_match_engine(docs: DataFrame, words: list[str],
+                        code: bool = False) -> DataFrame:
+    """Distributed ENGINE-spec phrase scan → DataFrame(doc_id, hits),
+    matches only — mapInPandas over (doc_id, content) batches running the
+    same vectorized verifier the driver path uses, so the two physical
+    plans are verifier-identical by construction."""
+    ws = list(words)
+
+    def _verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hits = phrase_hits_batch(pdf["content"], ws, code=code)
+            keep = hits > 0
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy()[keep],
+                "hits": hits[keep],
+            })
+
+    return docs.select("doc_id", "content").mapInPandas(
+        _verify, schema="doc_id long, hits long"
+    )

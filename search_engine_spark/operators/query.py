@@ -87,7 +87,7 @@ from pyspark.sql.types import (
 )
 
 from ..functions import scoring
-from ..functions.analyze import analyze_query
+from ..functions.analyze import analyze, analyze_query, tokenize
 from ..schemas import CORPUS_STATS, POSTINGS, SITE_STATS, TERMS
 from ..sources.catalog import Catalog
 
@@ -117,6 +117,9 @@ MAX_FETCH_BLOCKS = 16_384  # per query, decoded payload blocks
 # lists big enough to exceed this
 SMALL_QUERY_BLOCKS = 1024
 MAX_SITE_IDS = 500_000  # scoped driver path: site doc-id set cap
+# phrase serving: content point-fetches stay driver-bounded; above this
+# many verified candidates the adjacency check runs distributed instead
+PHRASE_DRIVER_CANDIDATES = 200_000
 WAND_CHUNK0 = 1024
 SINGLE_TERM_BLOCK_BATCH = 256
 META_CACHE_BLOCKS = 4_000_000  # LRU budget (≈192 MB of numpy metadata)
@@ -1339,6 +1342,148 @@ class SearchEngine:
             .agg(F.count("*").alias("nt"))
             .filter(F.col("nt") == F.lit(len(q_terms)))
             .count()
+        )
+
+    # -- phrase serving (index-pruned + verify-by-content) -----------------
+
+    def _and_ids(self, q_terms: list[str]) -> np.ndarray | None:
+        """Exact AND-matching doc_id set on the driver — the candidate
+        half of _driver_multi without any scoring (same metadata AND
+        prune, then per-candidate presence via covering blocks only).
+        Returns a sorted int64 array; None when any driver cap trips
+        (caller falls back to the distributed intersection)."""
+        metas = self._get_meta(q_terms)
+        if any(m is None for m in metas.values()):
+            return np.array([], dtype=np.int64)
+        if any(m is _TOO_HOT for m in metas.values()):
+            return None
+        if sum(m.n_blocks for m in metas.values()) > MAX_WAND_META_BLOCKS:
+            return None
+        rarest = min(q_terms, key=lambda t: (metas[t].df, t))
+        rmeta = metas[rarest]
+        if rmeta.df > MAX_WAND_CANDIDATES or rmeta.n_blocks > MAX_FETCH_BLOCKS:
+            return None
+        self._fetch_blocks({rarest: rmeta.block_id})
+        r_ids, _, _ = self._concat_term(
+            rmeta, set(map(int, rmeta.block_id)), rarest
+        )
+        others = sorted(t for t in q_terms if t != rarest)
+        alive = np.ones(len(r_ids), dtype=bool)
+        cover_block: dict[str, np.ndarray] = {}
+        for t in others:
+            m = metas[t]
+            j = np.searchsorted(m.min_doc, r_ids, side="right") - 1
+            jc = np.clip(j, 0, None)
+            covered = (j >= 0) & (r_ids <= m.max_doc[jc])
+            alive &= covered
+            cover_block[t] = np.where(covered, m.block_id[jc], -1)
+        r_ids = r_ids[alive]
+        if len(r_ids) == 0:
+            return r_ids
+        wanted = {t: np.unique(cover_block[t][alive]) for t in others}
+        if sum(len(v) for v in wanted.values()) > MAX_FETCH_BLOCKS:
+            return None
+        self._fetch_blocks(wanted)
+        present = np.ones(len(r_ids), dtype=bool)
+        for t in others:
+            arr_i, _, _ = self._concat_term(
+                metas[t], set(map(int, wanted[t])), t
+            )
+            if len(arr_i) == 0:
+                return np.array([], dtype=np.int64)
+            p = np.searchsorted(arr_i, r_ids)
+            pc = np.clip(p, 0, len(arr_i) - 1)
+            present &= (p < len(arr_i)) & (arr_i[pc] == r_ids)
+        return r_ids[present]
+
+    def _empty_phrase(self) -> DataFrame:
+        return self.spark.range(0).select(
+            F.col("id").alias("doc_id"), F.lit(0).cast("long").alias("hits")
+        )
+
+    def phrase_topk(self, phrase: str, k: int = 20) -> DataFrame:
+        """Exact phrase top-k → DataFrame(doc_id, hits), ordered
+        (hits desc, doc_id asc) — hits = number of positions where the
+        phrase's kept-token sequence occurs consecutively (engine
+        tokenizer spec; see operators/phrase.py for the contract).
+
+        Plan: postings carry no positions (the size trade documented in
+        operators/phrase.py), so the index supplies a NECESSARY AND
+        condition — per phrase word, its rarest analyzed normal form
+        (every raw occurrence of the word emits all its forms, so a
+        missing form anywhere proves the phrase impossible: O6 extended
+        to phrases). Candidates verify by content: driver-side when the
+        intersection fits PHRASE_DRIVER_CANDIDATES (pyarrow point
+        fetch + the vectorized batch verifier, zero Spark jobs on the
+        fetch when local), else a distributed mapInPandas verify over a
+        broadcast-semi-joined docs scan — the SAME verifier body either
+        way. Stopword phrase words emit no forms and never prune;
+        correctness is verification's job, pruning is only speed."""
+        from .phrase import phrase_hits_batch, phrase_match_engine
+
+        words = tokenize(phrase, code=self.code)
+        if not words:
+            return self._empty_phrase()
+        prune: list[str] = []
+        for w in dict.fromkeys(words):
+            forms = sorted(set(analyze(w, code=self.code)))
+            if not forms:
+                continue  # stopword/illegal — cannot prune
+            dfs = self._global_dfs(forms)
+            if any(dfs[f] is None for f in forms):
+                return self._empty_phrase()  # word occurs nowhere
+            prune.append(min(forms, key=lambda f: (dfs[f], f)))
+        prune = sorted(set(prune))
+
+        cand = self._and_ids(prune) if prune else None
+        if cand is not None:
+            if len(cand) == 0:
+                return self._empty_phrase()
+            if len(cand) <= PHRASE_DRIVER_CANDIDATES:
+                import pyarrow.dataset as pads
+
+                pdf = self._pa_read(
+                    "docs",
+                    ["doc_id", "content"],
+                    pads.field("doc_id").isin([int(i) for i in cand]),
+                )
+                if pdf is not None:
+                    hits = phrase_hits_batch(
+                        pdf["content"], words, code=self.code
+                    )
+                    keep = hits > 0
+                    ids, h = pdf["doc_id"].to_numpy()[keep], hits[keep]
+                    if len(ids) == 0:
+                        return self._empty_phrase()
+                    order = np.lexsort((ids, -h))[:k]
+                    return self.spark.createDataFrame(
+                        [(int(ids[i]), int(h[i])) for i in order],
+                        "doc_id long, hits long",
+                    )
+        # distributed verify: candidate semi-join (driver ids if we have
+        # them, else the distributed AND over decoded postings), then the
+        # mapInPandas verifier over the pruned docs scan
+        docs = self.docs
+        if cand is not None:
+            cand_df = self.spark.createDataFrame(
+                pd.DataFrame({"doc_id": cand.astype(np.int64)})
+            )
+            docs = docs.join(F.broadcast(cand_df), "doc_id", "left_semi")
+        elif prune:
+            dec = decode_blocks(
+                self.postings.filter(F.col("term").isin(prune))
+            )
+            ids_df = (
+                dec.groupBy("doc_id")
+                .agg(F.countDistinct("term").alias("nt"))
+                .filter(F.col("nt") == F.lit(len(prune)))
+                .select("doc_id")
+            )
+            docs = docs.join(ids_df, "doc_id", "left_semi")
+        return (
+            phrase_match_engine(docs, words, code=self.code)
+            .orderBy(F.desc("hits"), F.asc("doc_id"))
+            .limit(k)
         )
 
 

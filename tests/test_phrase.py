@@ -1,0 +1,206 @@
+"""Phrase-search contract (operators/phrase.py + SearchEngine.phrase_topk).
+
+A pure-Python list-scan over the frozen tokenizer is the independent
+oracle; the Catalyst single-pass scan, the vectorized batch verifier, the
+distributed mapInPandas scan and the index-pruned engine path must all
+agree with it — including the analyzer position contract (dropped tokens
+don't occupy positions), overlapping matches, repeated words, and the
+stopword/missing-word pruning edges.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.functions.analyze import analyze, tokenize
+from search_engine_spark.operators.phrase import (
+    phrase_hits_batch,
+    phrase_match,
+    phrase_match_engine,
+)
+from search_engine_spark.operators.query import SearchEngine
+from search_engine_spark.plans.build_job import build_index
+from search_engine_spark.sources.catalog import Catalog
+from search_engine_spark.synth import make_corpus
+
+
+def _ref_hits(text: str, words: list[str], code: bool = False) -> int:
+    """Independent oracle: explicit list scan over the kept-token stream."""
+    toks = tokenize(text, code=code)
+    k = len(words)
+    return sum(
+        1 for i in range(len(toks) - k + 1) if toks[i : i + k] == list(words)
+    )
+
+
+# alphabetic ASCII only, so the engine tokenizer and the ASCII oracle spec
+# produce identical streams and one reference serves both
+TEXTS = [
+    "data x query scan",  # len-1 token dropped → adjacency across it holds
+    "data query data query data",  # overlapping / repeated words
+    "aa bb aa bb aa",
+    "",
+    "the data query THE Data Query",  # case fold; stopwords keep positions
+    "nodata query data queryx",  # no substring false-positives
+]
+PHRASES = (
+    ["data", "query"],
+    ["aa", "bb", "aa"],  # overlapping k=3 starts
+    ["query"],  # k=1 degenerates to occurrence count
+    ["data", "query", "data"],
+    ["the", "data"],  # stopword inside the phrase
+)
+
+
+def test_batch_verifier_matches_reference():
+    for words in PHRASES:
+        got = phrase_hits_batch(pd.Series(TEXTS), words)
+        exp = [_ref_hits(t, words) for t in TEXTS]
+        assert got.tolist() == exp, words
+
+
+def test_catalyst_scan_matches_reference(spark):
+    df = spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id long, text string"
+    )
+    for words in PHRASES:
+        got = {
+            r["doc_id"]: r["hits"]
+            for r in phrase_match(df, words, text_col="text").collect()
+        }
+        for i, t in enumerate(TEXTS):
+            assert got.get(i, 0) == _ref_hits(t, words), (words, t)
+
+
+def test_distributed_scan_matches_reference(spark):
+    df = spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id long, content string"
+    )
+    for words in PHRASES:
+        got = {
+            r["doc_id"]: r["hits"]
+            for r in phrase_match_engine(df, words).collect()
+        }
+        for i, t in enumerate(TEXTS):
+            assert got.get(i, 0) == _ref_hits(t, words), (words, t)
+
+
+# ---------------------------------------------------------------- engine
+
+
+@pytest.fixture(scope="module")
+def peng(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("phrase_idx"))
+    corpus = make_corpus(spark, 150, seed=11, partitions=4)
+    cat = Catalog(root)
+    build_index(spark, corpus, cat, n_shards=2)
+    eng = SearchEngine(spark, cat, code=True)
+    yield eng, corpus
+    eng.close()
+
+
+def _pick_phrase(corpus, k: int = 2) -> list[str]:
+    """A phrase that actually occurs: k consecutive kept tokens (all with
+    non-empty analyzed forms, so the index CAN prune) from a real doc."""
+    for r in corpus.select("content").limit(30).collect():
+        toks = tokenize(r["content"], code=True)
+        for i in range(len(toks) - k + 1):
+            ws = toks[i : i + k]
+            if all(analyze(w, code=True) for w in ws):
+                return ws
+    raise AssertionError("no phrase found in fixture corpus")
+
+
+def _exhaustive_topk(eng, words: list[str], k: int) -> list[tuple[int, int]]:
+    rows = (
+        phrase_match_engine(eng.docs, words, code=True)
+        .orderBy(F.desc("hits"), F.asc("doc_id"))
+        .limit(k)
+        .collect()
+    )
+    return [(int(r["doc_id"]), int(r["hits"])) for r in rows]
+
+
+def test_engine_phrase_matches_exhaustive(peng):
+    eng, corpus = peng
+    words = _pick_phrase(corpus)
+    got = [
+        (int(r["doc_id"]), int(r["hits"]))
+        for r in eng.phrase_topk(" ".join(words), k=50).collect()
+    ]
+    assert got, "picked phrase must match at least its source doc"
+    assert got == _exhaustive_topk(eng, words, 50)
+
+
+def test_engine_phrase_k3_matches_exhaustive(peng):
+    eng, corpus = peng
+    words = _pick_phrase(corpus, k=3)
+    got = [
+        (int(r["doc_id"]), int(r["hits"]))
+        for r in eng.phrase_topk(" ".join(words), k=50).collect()
+    ]
+    assert got == _exhaustive_topk(eng, words, 50)
+
+
+def test_distributed_path_identical_to_driver(peng, monkeypatch):
+    import search_engine_spark.operators.query as Q
+
+    eng, corpus = peng
+    words = _pick_phrase(corpus)
+    phrase = " ".join(words)
+    driver = [tuple(r) for r in eng.phrase_topk(phrase, k=50).collect()]
+    monkeypatch.setattr(Q, "PHRASE_DRIVER_CANDIDATES", -1)
+    dist = [tuple(r) for r in eng.phrase_topk(phrase, k=50).collect()]
+    assert driver == dist and driver
+
+
+def test_missing_word_short_circuits_empty(peng):
+    eng, _ = peng
+    # O6 extended to phrases: a word whose forms are absent from the
+    # vocabulary proves zero matches without touching content
+    assert eng.phrase_topk("zzzqqqxxx scan", k=5).count() == 0
+
+
+def test_stopword_only_phrase_still_exact(peng):
+    """All-stopword phrase: no index pruning possible — the engine must
+    fall back to the full verify scan and still agree with exhaustive."""
+    eng, _ = peng
+    words = ["the", "of"]
+    got = [
+        (int(r["doc_id"]), int(r["hits"]))
+        for r in eng.phrase_topk("the of", k=20).collect()
+    ]
+    assert got == _exhaustive_topk(eng, words, 20)
+
+
+def test_single_word_phrase_counts_occurrences(peng):
+    eng, corpus = peng
+    words = _pick_phrase(corpus, k=1)
+    got = dict(
+        (int(r["doc_id"]), int(r["hits"]))
+        for r in eng.phrase_topk(words[0], k=10).collect()
+    )
+    assert got
+    # spot-verify the top doc's count against the reference scan
+    top_id = max(got, key=lambda d: (got[d], -d))
+    content = (
+        eng.docs.filter(F.col("doc_id") == top_id).select("content").collect()
+    )[0]["content"]
+    assert got[top_id] == _ref_hits(content, words, code=True)
+
+
+def test_api_phrase_mode(peng, spark):
+    from search_engine_spark.api import EngineAPI
+
+    eng, corpus = peng
+    words = _pick_phrase(corpus)
+    api = EngineAPI(spark, eng.catalog, code=True)
+    resp = api.search(" ".join(words), mode="phrase", limit=5)
+    assert resp["result"] is True and resp["count"] >= 1
+    assert {"site", "uri", "title", "snippet", "relevance"} <= set(
+        resp["data"][0]
+    )
+    assert "countExact" in resp
