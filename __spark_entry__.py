@@ -954,6 +954,57 @@ def _q_allpairs_ann(spark, sf):
     ).select("vec_id", "neighbor_id", F.round("cosine", 4).alias("cosine"))
 
 
+# trigram-index searchers cached per sf_dir (build once, serve many)
+_TRI_CACHE: dict[str, object] = {}
+SUBSTR_NEEDLE = "merge order"  # frozen case-sensitive substring
+REGEX_PATTERN = "merge [a-z]+ scan"  # frozen regex (Python-re ∩ RE2 subset)
+
+
+def _tri(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir) the trigram index over `documents` — with
+    the ORIGINAL doc_ids, so results gate directly against plain SQL
+    contains/regexp_matches over the same table."""
+    from search_engine_spark.operators.trigram import (
+        TrigramSearcher,
+        build_trigram_index,
+    )
+    from search_engine_spark.sources.catalog import Catalog
+
+    key = os.path.abspath(sf_dir)
+    if key in _TRI_CACHE:
+        return _TRI_CACHE[key]
+    root = os.path.join(
+        tempfile.gettempdir(), "se_spark_tri_v1",
+        key.strip("/").replace("/", "_"),
+    )
+    cat = Catalog(root)
+    if not cat.exists("tri_postings"):
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").alias("content")
+        )
+        cat.write(docs, "docs")
+        build_trigram_index(spark, cat.read(spark, "docs"), cat)
+    s = TrigramSearcher(spark, cat)
+    _TRI_CACHE[key] = s
+    return s
+
+
+def _q_tri_substring(spark, sf):
+    """Trigram-pruned exact substring search (operators/trigram.py): the
+    index supplies a candidate superset from the needle's rarest
+    trigrams; verification is exact, so the result equals plain SQL
+    `contains` and gates against it directly."""
+    return _tri(spark, sf).substring_search(SUBSTR_NEEDLE)
+
+
+def _q_tri_regex(spark, sf):
+    """Trigram-pruned exact regex search: prunes via conservatively
+    extracted required literals ('merge ', ' scan'), verifies with the
+    real regex engine; gated against DuckDB regexp_matches (the frozen
+    pattern sits in the Python-re ∩ RE2 common subset)."""
+    return _tri(spark, sf).regex_search(REGEX_PATTERN)
+
+
 PHRASE2 = ["table", "hash"]  # frozen oracle-spec phrase over `documents`
 
 
@@ -1027,6 +1078,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": _q_mixture,
         "ann_dot_topk": _q_ann_dot,
         "phrase_match": _q_phrase,
+        "trigram_substring": _q_tri_substring,
+        "trigram_regex": _q_tri_regex,
         # rows-only (no oracle_sql entry):
         "engine_phrase_topk": _q_engine_phrase,
         "engine_bm25_topk": _q_engine_bm25,
@@ -1591,6 +1644,23 @@ def oracle_sql() -> dict[str, str]:
              FROM ptok
            )
            SELECT doc_id, hits FROM hit WHERE hits > 0""",
+        # trigram twins: the index is only a pruning accelerator —
+        # verification makes engine results EQUAL plain contains /
+        # regexp_matches semantics, so the twins are one-liners. hits =
+        # non-overlapping occurrence count (length/replace identity;
+        # regexp_extract_all and Python re.findall both scan
+        # left-to-right non-overlapping)
+        "trigram_substring": f"""
+           SELECT doc_id,
+                  CAST((length(text) - length(replace(text, '{SUBSTR_NEEDLE}', '')))
+                       // {len(SUBSTR_NEEDLE)} AS BIGINT) AS hits
+           FROM documents
+           WHERE contains(text, '{SUBSTR_NEEDLE}')""",
+        "trigram_regex": f"""
+           SELECT doc_id,
+                  CAST(len(regexp_extract_all(text, '{REGEX_PATTERN}')) AS BIGINT) AS hits
+           FROM documents
+           WHERE regexp_matches(text, '{REGEX_PATTERN}')""",
         # frame-plan twin: Spark F.sequence(0, stop, step) and DuckDB
         # generate_series(0, stop, step) are both stop-INCLUSIVE, so the
         # planned timestamps agree exactly (pure integer arithmetic)

@@ -1,0 +1,591 @@
+"""Trigram-index substring & regex search over source-code content.
+
+The classic code-search architecture (Cox, "Regular Expression Matching
+with a Trigram Index", swtch.com/~rsc/regexp4 — the public Google Code
+Search design note): index every document's DISTINCT byte trigrams; a
+substring query s requires every 3-byte window of s, so the AND of a few
+RAREST required trigrams' posting lists is a small candidate superset;
+candidates verify EXACTLY against their content. Regexes prune through
+conservatively-extracted required literals and verify with the real
+regex engine. The index is only an accelerator — results are exact by
+verification, so every query here is directly oracle-gatable against
+plain SQL (`contains` / `regexp_matches`) semantics.
+
+Scale design (10^12 files):
+  * byte trigrams (UTF-8) — vocabulary bounded by 2^24, independent of
+    corpus size; necessary-condition pruning is boundary-safe because
+    any substring's encoded windows are windows of the encoded text.
+  * hot trigrams (``df > max_df``) are DROPPED from the postings and
+    only recorded in ``tri_vocab`` — they prune nothing and their lists
+    are corpus-scale (Cox's same trade). The searcher just skips them;
+    a query whose every required trigram is hot verifies by scan.
+  * posting lists store delta-gap varint doc_id blocks (the same codec
+    as the term index) segmented at ``block_docs``, hash-clustered and
+    sorted by trigram so point reads prune parquet row groups.
+  * serving mirrors the term path's cap discipline: bounded list
+    decodes and bounded content point-fetches on the driver, with a
+    distributed semi-join + scan fallback above every cap.
+
+The reference engine has no substring/regex operator — §2-beyond,
+motivated by the code-corpus input shape (BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import OrderedDict
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.catalog import Catalog
+from .codec import decode_doc_ids, encode_doc_ids
+
+TRI_BLOCK_DOCS = 8192  # doc_ids per postings block
+# a trigram present in more docs than this fraction of the corpus is not
+# indexed — it prunes (1 - frac) of nothing and its list is corpus-scale
+DEFAULT_MAX_DF_FRAC = 0.5
+MAX_PRUNE_TRIGRAMS = 4  # rarest-k AND (Cox: a few rare trigrams suffice)
+LIST_DECODE_CAP = 2_000_000  # max postings decoded per query trigram
+DRIVER_VERIFY_CAP = 200_000  # max content point-fetches on the driver
+
+
+# ---------------------------------------------------------------- extract
+
+
+def _codes_u32(b: np.ndarray) -> np.ndarray:
+    """uint8[n] → uint32[n-2] sliding 3-byte window codes."""
+    return (
+        (b[:-2].astype(np.uint32) << 16)
+        | (b[1:-1].astype(np.uint32) << 8)
+        | b[2:].astype(np.uint32)
+    )
+
+
+def needle_codes(needle: str) -> np.ndarray:
+    """Distinct required trigram codes of a (sub)string, int32."""
+    raw = needle.encode("utf-8")
+    if len(raw) < 3:
+        return np.array([], dtype=np.int32)
+    return np.unique(_codes_u32(np.frombuffer(raw, dtype=np.uint8))).astype(
+        np.int32
+    )
+
+
+def trigram_pairs(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "content") -> DataFrame:
+    """docs → distinct (trigram:int, doc_id:long) pairs, one vectorized
+    pass per Arrow batch: the batch's contents concatenate into one byte
+    buffer, every 3-byte window becomes a code, windows crossing doc
+    boundaries mask out, and per-doc dedup is one np.unique over
+    (doc_index << 24 | code) — no per-row Python."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            enc = pdf[text_col].astype(str).str.encode("utf-8")
+            lens = enc.str.len().to_numpy(dtype=np.int64)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            total = int(lens.sum())
+            if total < 3:
+                continue
+            buf = np.frombuffer(b"".join(enc.tolist()), dtype=np.uint8)
+            codes = _codes_u32(buf)
+            doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+            same_doc = doc_idx[:-2] == doc_idx[2:]
+            packed = (doc_idx[:-2][same_doc] << 24) | codes[same_doc].astype(
+                np.int64
+            )
+            uniq = np.unique(packed)
+            yield pd.DataFrame(
+                {
+                    "trigram": (uniq & 0xFFFFFF).astype(np.int32),
+                    "doc_id": ids[(uniq >> 24)],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        _extract, schema="trigram int, doc_id long"
+    )
+
+
+# ---------------------------------------------------------------- build
+
+
+def _encode_block_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Partition-sorted (trigram, doc_id) stream → encoded block rows.
+    State carries across Arrow batches inside one partition (a trigram's
+    run may span batches); hash partitioning on trigram guarantees a
+    trigram never spans partitions."""
+    cur: int | None = None
+    pend: list[np.ndarray] = []
+    out: dict[str, list] = {k: [] for k in
+                            ("trigram", "block_id", "min_doc", "max_doc",
+                             "count", "doc_ids")}
+
+    def _flush() -> None:
+        if cur is None or not pend:
+            return
+        ids = np.concatenate(pend) if len(pend) > 1 else pend[0]
+        for b, lo in enumerate(range(0, len(ids), TRI_BLOCK_DOCS)):
+            chunk = ids[lo: lo + TRI_BLOCK_DOCS]
+            out["trigram"].append(cur)
+            out["block_id"].append(b)
+            out["min_doc"].append(int(chunk[0]))
+            out["max_doc"].append(int(chunk[-1]))
+            out["count"].append(len(chunk))
+            out["doc_ids"].append(encode_doc_ids(chunk))
+        pend.clear()
+
+    def _frame() -> pd.DataFrame:
+        pdf = pd.DataFrame(
+            {
+                "trigram": np.asarray(out["trigram"], dtype=np.int32),
+                "block_id": np.asarray(out["block_id"], dtype=np.int32),
+                "min_doc": np.asarray(out["min_doc"], dtype=np.int64),
+                "max_doc": np.asarray(out["max_doc"], dtype=np.int64),
+                "count": np.asarray(out["count"], dtype=np.int32),
+                "doc_ids": pd.Series(out["doc_ids"], dtype=object),
+            }
+        )
+        for v in out.values():
+            v.clear()
+        return pdf
+
+    for pdf in batches:
+        tris = pdf["trigram"].to_numpy()
+        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        if len(tris) == 0:
+            continue
+        # group boundaries within the (sorted) batch
+        starts = np.flatnonzero(np.concatenate(([True], tris[1:] != tris[:-1])))
+        ends = np.concatenate((starts[1:], [len(tris)]))
+        for s, e in zip(starts, ends):
+            t = int(tris[s])
+            if t != cur:
+                _flush()
+                cur = t
+            pend.append(ids[s:e])
+        if out["trigram"]:
+            yield _frame()
+    _flush()
+    if out["trigram"]:
+        yield _frame()
+
+
+TRI_POSTINGS_SCHEMA = (
+    "trigram int, block_id int, min_doc long, max_doc long, "
+    "count int, doc_ids binary"
+)
+
+
+def build_trigram_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    catalog: Catalog,
+    max_df: int | None = None,
+    max_df_frac: float = DEFAULT_MAX_DF_FRAC,
+    partitions: int | None = None,
+) -> dict:
+    """Build ``tri_vocab`` (trigram, df, indexed) + ``tri_postings``
+    (delta-varint doc_id blocks) over docs(doc_id, content).
+
+    Plan shape: one mapInPandas extract pass, ONE shuffle keyed on
+    trigram serving both the df aggregate and the block encode
+    (hash-repartition + in-partition sort — a trigram never spans
+    partitions, so block encoding is a linear pass), and a broadcast
+    anti-join dropping the few hot trigrams from the postings. Hot-key
+    skew is bounded BY CONSTRUCTION: any trigram hotter than
+    ``max_df`` is excluded, so no reduce partition ever materializes a
+    corpus-scale list."""
+    pairs = trigram_pairs(docs)
+    n = partitions or spark.sparkContext.defaultParallelism
+    if max_df is None:
+        n_docs = docs.count()
+        max_df = max(int(n_docs * max_df_frac), 1)
+    vocab = pairs.groupBy("trigram").agg(F.count("*").alias("df")).withColumn(
+        "indexed", F.col("df") <= F.lit(max_df)
+    )
+    catalog.write(
+        vocab.repartitionByRange(max(n // 4, 1), "trigram")
+        .sortWithinPartitions("trigram"),
+        "tri_vocab",
+    )
+    hot = (
+        catalog.read(spark, "tri_vocab")
+        .filter(~F.col("indexed"))
+        .select("trigram")
+    )
+    blocks = (
+        pairs.join(F.broadcast(hot), "trigram", "left_anti")
+        .repartition(n, "trigram")
+        .sortWithinPartitions("trigram", "doc_id")
+        .mapInPandas(_encode_block_rows, schema=TRI_POSTINGS_SCHEMA)
+    )
+    catalog.write(blocks, "tri_postings")
+    stats = (
+        catalog.read(spark, "tri_postings")
+        .agg(
+            F.count("*").alias("blocks"),
+            F.countDistinct("trigram").alias("trigrams"),
+            F.sum("count").alias("postings"),
+        )
+        .collect()[0]
+    )
+    return {
+        "max_df": max_df,
+        "blocks": int(stats["blocks"]),
+        "trigrams": int(stats["trigrams"]),
+        "postings": int(stats["postings"]),
+    }
+
+
+# ---------------------------------------------------------------- regex
+
+
+_QUANT = "*?{"  # quantifiers that make the preceding atom optional
+
+
+def regex_literals(pattern: str) -> list[str]:
+    """Conservative required-literal extraction from a regex.
+
+    SOUND, not complete: every returned string provably occurs in every
+    match (so its trigrams may prune), but patterns this simple parser
+    can't reason about yield fewer/no literals and just prune less.
+    Rules: top-level alternation → nothing is certainly required;
+    ``* ? {m,n}`` make the preceding ATOM optional — a literal char
+    drops one char, a dot/class/escape drops nothing extra (it
+    contributed no literal), a group drops every fragment it produced;
+    ``+`` keeps its atom (required at least once) but breaks the run;
+    classes, groups, anchors, escapes and ``.`` break runs. Only
+    fragments of >= 3 encoded bytes carry a full trigram."""
+    if "|" in pattern:
+        return []
+    frags: list[str] = []
+    cur: list[str] = []
+    # what the NEXT quantifier would make optional:
+    #   "char" → pop cur's last char; ("group", i) → del frags[i:];
+    #   "zero" (dot/class/escape/anchor) → nothing literal to drop
+    atom: object = "zero"
+    group_starts: list[int] = []
+
+    def _flush() -> None:
+        if cur:
+            frags.append("".join(cur))
+            cur.clear()
+
+    i, in_class = 0, False
+    while i < len(pattern):
+        c = pattern[i]
+        if in_class:
+            if c == "\\":
+                i += 1
+            elif c == "]":
+                in_class = False
+            i += 1
+            continue
+        if c == "\\":
+            _flush()
+            atom = "zero"
+            i += 2
+            continue
+        if c == "[":
+            _flush()
+            in_class = True
+            atom = "zero"
+            i += 1
+            continue
+        if c in _QUANT:
+            if atom == "char" and cur:
+                cur.pop()
+            elif isinstance(atom, tuple):  # quantified group
+                _flush()
+                del frags[atom[1]:]
+            _flush()
+            atom = "zero"
+            if c == "{":
+                j = pattern.find("}", i)
+                i = (j if j >= 0 else len(pattern) - 1) + 1
+                continue
+            i += 1
+            continue
+        if c == "+":
+            _flush()
+            atom = "zero"
+            i += 1
+            continue
+        if c == "(":
+            _flush()
+            group_starts.append(len(frags))
+            atom = "zero"
+            i += 1
+            continue
+        if c == ")":
+            _flush()
+            atom = ("group", group_starts.pop() if group_starts else 0)
+            i += 1
+            continue
+        if c in ".^$":
+            _flush()
+            atom = "zero"
+            i += 1
+            continue
+        cur.append(c)
+        atom = "char"
+        i += 1
+    _flush()
+    return [f for f in frags if len(f.encode("utf-8")) >= 3]
+
+
+# ---------------------------------------------------------------- serve
+
+
+def substring_scan(docs: DataFrame, needle: str,
+                   text_col: str = "content") -> DataFrame:
+    """Exhaustive Catalyst substring scan → (doc_id, hits), matches only.
+    hits = non-overlapping occurrence count via the length/replace
+    identity — the exact expression the SQL oracle uses."""
+    nlen = len(needle)
+    hits = (
+        (F.length(text_col)
+         - F.length(F.replace(F.col(text_col), F.lit(needle), F.lit(""))))
+        / F.lit(nlen)
+    ).cast("long")
+    return (
+        docs.select("doc_id", hits.alias("hits")).filter(F.col("hits") > 0)
+    )
+
+
+def regex_scan(docs: DataFrame, pattern: str,
+               text_col: str = "content") -> DataFrame:
+    """Exhaustive regex scan → (doc_id, hits), matches only — mapInPandas
+    with Python ``re`` (the SAME engine the driver verify path uses, so
+    the two physical plans can never disagree on dialect). hits =
+    non-overlapping match count (re.findall semantics — what DuckDB's
+    regexp_extract_all counts for twin-gating)."""
+    rx = re.compile(pattern)
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hits = np.fromiter(
+                (len(rx.findall(t)) for t in pdf[text_col].astype(str)),
+                dtype=np.int64,
+                count=len(pdf),
+            )
+            keep = hits > 0
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy()[keep], "hits": hits[keep]}
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        _scan, schema="doc_id long, hits long"
+    )
+
+
+class TrigramSearcher:
+    """Serving facade over a built trigram index.
+
+    Driver-side: per-trigram df resolution and posting-list decodes are
+    pyarrow point reads with LRU caches (same serving-node design as the
+    term index); content verification point-fetches candidates. Every
+    cap falls back to the distributed scan over a candidate semi-join —
+    results identical by construction (verification is exact)."""
+
+    def __init__(self, spark: SparkSession, catalog: Catalog):
+        self.spark = spark
+        self.catalog = catalog
+        self._vocab: OrderedDict[int, tuple[int, bool] | None] = OrderedDict()
+        self._lists: OrderedDict[int, np.ndarray] = OrderedDict()
+        self._pa_cache: dict[str, object] = {}
+
+    # point-read helpers (mirrors SearchEngine._pa_dataset/_pa_read)
+
+    def _pa_read(self, name: str, columns: list[str], filt):
+        import os
+
+        if name not in self._pa_cache:
+            ds = None
+            try:
+                p = self.catalog.path(name)
+                if os.path.isdir(p):
+                    import pyarrow.dataset as pads
+
+                    ds = pads.dataset(p, format="parquet")
+            except Exception:  # noqa: BLE001
+                ds = None
+            self._pa_cache[name] = ds
+        ds = self._pa_cache[name]
+        if ds is None:
+            return None
+        try:
+            return ds.to_table(columns=columns, filter=filt).to_pandas()
+        except Exception:  # noqa: BLE001
+            self._pa_cache.pop(name, None)
+            return None
+
+    def _vocab_rows(self, codes: list[int]) -> dict[int, tuple[int, bool] | None]:
+        missing = [c for c in codes if c not in self._vocab]
+        if missing:
+            import pyarrow.dataset as pads
+
+            pdf = self._pa_read(
+                "tri_vocab",
+                ["trigram", "df", "indexed"],
+                pads.field("trigram").isin(missing),
+            )
+            if pdf is None:
+                rows = (
+                    self.catalog.read(self.spark, "tri_vocab")
+                    .filter(F.col("trigram").isin(missing))
+                    .collect()
+                )
+                pdf = pd.DataFrame(
+                    [(r["trigram"], r["df"], r["indexed"]) for r in rows],
+                    columns=["trigram", "df", "indexed"],
+                )
+            found = {
+                int(t): (int(d), bool(ix))
+                for t, d, ix in zip(pdf["trigram"], pdf["df"], pdf["indexed"])
+            }
+            for c in missing:
+                self._vocab[c] = found.get(c)
+            while len(self._vocab) > 1_000_000:
+                self._vocab.popitem(last=False)
+        return {c: self._vocab[c] for c in codes}
+
+    def _doc_list(self, code: int) -> np.ndarray | None:
+        """Full sorted doc_id list of one indexed trigram (LRU-cached);
+        None on a non-local catalog (caller goes distributed)."""
+        if code in self._lists:
+            self._lists.move_to_end(code)
+            return self._lists[code]
+        import pyarrow.dataset as pads
+
+        pdf = self._pa_read(
+            "tri_postings",
+            ["block_id", "doc_ids"],
+            pads.field("trigram") == code,
+        )
+        if pdf is None:
+            return None
+        order = np.argsort(pdf["block_id"].to_numpy())
+        parts = [decode_doc_ids(pdf["doc_ids"].iloc[i]) for i in order]
+        ids = (
+            np.concatenate(parts) if parts else np.array([], dtype=np.int64)
+        )
+        self._lists[code] = ids
+        while len(self._lists) > 4096:
+            self._lists.popitem(last=False)
+        return ids
+
+    def candidates(self, required: np.ndarray) -> np.ndarray | None:
+        """Exact-superset candidate doc_ids from the rarest required
+        trigrams, or None when the index cannot prune (all required
+        trigrams hot/capped, or non-local reads)."""
+        if len(required) == 0:
+            return None
+        vocab = self._vocab_rows([int(c) for c in required])
+        if any(v is None for v in vocab.values()):
+            # a required trigram occurs in NO document — exact empty
+            return np.array([], dtype=np.int64)
+        usable = sorted(
+            (df, c)
+            for c, (df, indexed) in vocab.items()
+            if indexed and df <= LIST_DECODE_CAP
+        )
+        if not usable:
+            return None
+        cand: np.ndarray | None = None
+        for _, c in usable[:MAX_PRUNE_TRIGRAMS]:
+            ids = self._doc_list(c)
+            if ids is None:
+                return None
+            cand = ids if cand is None else cand[
+                np.isin(cand, ids, assume_unique=True)
+            ]
+            if len(cand) == 0:
+                return cand
+        return cand
+
+    def _docs_for(self, cand: np.ndarray | None) -> DataFrame:
+        docs = self.catalog.read(self.spark, "docs")
+        if cand is not None:
+            cand_df = self.spark.createDataFrame(
+                pd.DataFrame({"doc_id": cand.astype(np.int64)})
+            )
+            docs = docs.join(F.broadcast(cand_df), "doc_id", "left_semi")
+        return docs
+
+    def _empty(self) -> DataFrame:
+        return self.spark.range(0).select(
+            F.col("id").alias("doc_id"), F.lit(0).cast("long").alias("hits")
+        )
+
+    def _verify_driver(self, cand: np.ndarray, count_fn) -> DataFrame | None:
+        import pyarrow.dataset as pads
+
+        pdf = self._pa_read(
+            "docs",
+            ["doc_id", "content"],
+            pads.field("doc_id").isin([int(i) for i in cand]),
+        )
+        if pdf is None:
+            return None
+        hits = count_fn(pdf["content"].astype(str))
+        keep = hits > 0
+        ids, h = pdf["doc_id"].to_numpy()[keep], hits[keep]
+        rows = sorted(zip(ids, h), key=lambda t: (-t[1], t[0]))
+        if not rows:
+            return self._empty()
+        return self.spark.createDataFrame(
+            [(int(d), int(x)) for d, x in rows], "doc_id long, hits long"
+        )
+
+    def substring_search(self, needle: str) -> DataFrame:
+        """Exact substring search → DataFrame(doc_id, hits), all matches.
+        hits = non-overlapping occurrence count (the length/replace
+        identity — identical on every physical path and in SQL)."""
+        cand = (
+            self.candidates(needle_codes(needle))
+            if len(needle.encode("utf-8")) >= 3
+            else None
+        )
+        if cand is not None and len(cand) == 0:
+            return self._empty()  # a required trigram occurs nowhere
+        if cand is not None and len(cand) <= DRIVER_VERIFY_CAP:
+            out = self._verify_driver(
+                cand,
+                lambda s: s.str.count(re.escape(needle)).to_numpy(np.int64),
+            )
+            if out is not None:
+                return out
+        return substring_scan(self._docs_for(cand), needle)
+
+    def regex_search(self, pattern: str) -> DataFrame:
+        """Exact regex search (Python ``re`` semantics on every path) →
+        DataFrame(doc_id, hits = non-overlapping match count). Prunes
+        via the trigrams of conservatively-extracted required literals;
+        patterns yielding no usable literal scan the corpus (with a
+        candidate semi-join when a partial prune exists)."""
+        req: list[np.ndarray] = [needle_codes(w) for w in
+                                 regex_literals(pattern)]
+        codes = (
+            np.unique(np.concatenate(req)) if req
+            else np.array([], dtype=np.int32)
+        )
+        cand = self.candidates(codes)
+        if cand is not None and len(cand) == 0:
+            return self._empty()  # a required literal occurs nowhere
+        if cand is not None and len(cand) <= DRIVER_VERIFY_CAP:
+            rx = re.compile(pattern)
+            out = self._verify_driver(
+                cand,
+                lambda s: np.fromiter(
+                    (len(rx.findall(t)) for t in s), np.int64, count=len(s)
+                ),
+            )
+            if out is not None:
+                return out
+        return regex_scan(self._docs_for(cand), pattern)

@@ -1,0 +1,192 @@
+"""Trigram-index substring/regex search contract (operators/trigram.py).
+
+The index is a pruning accelerator only — every physical path (driver
+point-read verify, distributed semi-join scan, index-less full scan)
+must return the exact `contains` / regex semantics. Python's str ops
+over collected content are the independent oracle.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.trigram import (
+    TrigramSearcher,
+    build_trigram_index,
+    needle_codes,
+    regex_literals,
+    regex_scan,
+    substring_scan,
+    trigram_pairs,
+)
+from search_engine_spark.sources.catalog import Catalog
+from search_engine_spark.synth import make_corpus
+
+
+def test_needle_codes():
+    assert needle_codes("ab").tolist() == []
+    got = needle_codes("abcd")
+    # windows: abc, bcd
+    exp = sorted(
+        (ord(s[0]) << 16) | (ord(s[1]) << 8) | ord(s[2]) for s in ("abc", "bcd")
+    )
+    assert sorted(got.tolist()) == exp
+    # unicode: required byte windows of the encoding
+    assert len(needle_codes("ёж")) > 0  # 4 utf-8 bytes → 2 windows
+
+
+def test_regex_literals_sound():
+    cases = {
+        "merge [a-z]+ scan": ["merge ", " scan"],
+        "data.*query": ["data", "query"],
+        "abc(def)?ghi": ["abc", "ghi"],
+        "foo|bar": [],
+        "colou?r": ["colo"],
+        "plain literal": ["plain literal"],
+        r"\d+ rows": [" rows"],
+    }
+    for pat, exp in cases.items():
+        assert regex_literals(pat) == exp, pat
+    # soundness on a broader sample: each literal occurs in every match
+    for pat in cases:
+        rx = re.compile(pat)
+        for text in ("merge big scan", "data x query", "abcghi", "colour",
+                     "plain literal", "12 rows", "foo", "none here"):
+            m = rx.search(text)
+            if m:
+                for lit in regex_literals(pat):
+                    assert lit in text, (pat, lit, text)
+
+
+def test_trigram_pairs_distinct_and_boundary(spark):
+    df = spark.createDataFrame(
+        [(1, "abcabc"), (2, "xyz"), (3, "ab")], "doc_id long, content string"
+    )
+    rows = {(r["trigram"], r["doc_id"])
+            for r in trigram_pairs(df).collect()}
+    code = lambda s: (ord(s[0]) << 16) | (ord(s[1]) << 8) | ord(s[2])  # noqa: E731
+    exp = {(code(t), 1) for t in ("abc", "bca", "cab")} | {(code("xyz"), 2)}
+    assert rows == exp  # distinct per doc; doc 3 too short; no cross-doc
+
+
+@pytest.fixture(scope="module")
+def tri(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("tri_idx"))
+    cat = Catalog(root)
+    docs = make_corpus(spark, 200, seed=7, partitions=4).select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"), "content"
+    )
+    cat.write(docs, "docs")
+    stats = build_trigram_index(spark, cat.read(spark, "docs"), cat)
+    assert stats["postings"] > 0 and stats["trigrams"] > 0
+    return TrigramSearcher(spark, cat), cat
+
+
+def _truth_substring(spark, cat, needle):
+    rows = cat.read(spark, "docs").select("doc_id", "content").collect()
+    out = {}
+    for r in rows:
+        n = r["content"].count(needle)
+        if n:
+            out[r["doc_id"]] = n
+    return out
+
+
+def _pick_needle(spark, cat, min_len=8):
+    r = cat.read(spark, "docs").select("content").limit(1).collect()[0]
+    return r["content"][3 : 3 + min_len]
+
+
+def test_substring_search_exact(tri, spark):
+    s, cat = tri
+    needle = _pick_needle(spark, cat)
+    got = {r["doc_id"]: r["hits"]
+           for r in s.substring_search(needle).collect()}
+    assert got == _truth_substring(spark, cat, needle) and got
+
+
+def test_substring_distributed_path_identical(tri, spark, monkeypatch):
+    import search_engine_spark.operators.trigram as T
+
+    s, cat = tri
+    needle = _pick_needle(spark, cat)
+    driver = {r["doc_id"]: r["hits"]
+              for r in s.substring_search(needle).collect()}
+    monkeypatch.setattr(T, "DRIVER_VERIFY_CAP", -1)
+    dist = {r["doc_id"]: r["hits"]
+            for r in s.substring_search(needle).collect()}
+    assert driver == dist and driver
+
+
+def test_short_needle_full_scan_exact(tri, spark):
+    s, cat = tri
+    got = {r["doc_id"]: r["hits"] for r in s.substring_search("qu").collect()}
+    assert got == _truth_substring(spark, cat, "qu") and got
+
+
+def test_absent_trigram_short_circuits(tri):
+    s, _ = tri
+    assert s.substring_search("\x01\x02\x03\x04").count() == 0
+
+
+def test_hot_trigrams_dropped_still_exact(spark, tmp_path_factory):
+    """max_df=1 drops almost every trigram from the postings — searches
+    must fall back (partially or fully) and stay exact."""
+    root = str(tmp_path_factory.mktemp("tri_hot"))
+    cat = Catalog(root)
+    docs = make_corpus(spark, 60, seed=13, partitions=2).select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"), "content"
+    )
+    cat.write(docs, "docs")
+    stats = build_trigram_index(spark, cat.read(spark, "docs"), cat, max_df=1)
+    s = TrigramSearcher(spark, cat)
+    needle = _pick_needle(spark, cat)
+    got = {r["doc_id"]: r["hits"]
+           for r in s.substring_search(needle).collect()}
+    assert got == _truth_substring(spark, cat, needle)
+    assert stats["max_df"] == 1
+
+
+def test_regex_search_exact(tri, spark):
+    s, cat = tri
+    pat = "scan [a-z]+ merge"
+    rx = re.compile(pat)
+    rows = cat.read(spark, "docs").select("doc_id", "content").collect()
+    exp = {
+        r["doc_id"]: len(rx.findall(r["content"]))
+        for r in rows
+        if rx.search(r["content"])
+    }
+    got = {r["doc_id"]: r["hits"] for r in s.regex_search(pat).collect()}
+    assert got == exp
+    # distributed scan agrees too
+    scan = {r["doc_id"]: r["hits"]
+            for r in regex_scan(cat.read(spark, "docs"), pat).collect()}
+    assert scan == exp
+
+
+def test_unprunable_regex_full_scan(tri, spark):
+    s, cat = tri
+    pat = "a[a-z]c"  # no literal of >= 3 bytes
+    assert regex_literals(pat) == []
+    rx = re.compile(pat)
+    rows = cat.read(spark, "docs").select("doc_id", "content").collect()
+    exp = {
+        r["doc_id"]: len(rx.findall(r["content"]))
+        for r in rows
+        if rx.search(r["content"])
+    }
+    got = {r["doc_id"]: r["hits"] for r in s.regex_search(pat).collect()}
+    assert got == exp and got
+
+
+def test_catalyst_substring_scan_matches_python(tri, spark):
+    s, cat = tri
+    needle = _pick_needle(spark, cat, min_len=5)
+    got = {r["doc_id"]: r["hits"]
+           for r in substring_scan(cat.read(spark, "docs"), needle).collect()}
+    assert got == _truth_substring(spark, cat, needle)
