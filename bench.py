@@ -147,6 +147,7 @@ def main() -> None:
         timed("engine_bm25_blockmax", lambda: eng.topk(q, 20, strategy="blockmax").collect(), reps=2)
         timed("engine_single_term", lambda: eng.topk("vector", 20).collect(), reps=2)
         timed("engine_bm25_or", lambda: eng.topk(q, 20, strategy="blockmax", mode="any").collect(), reps=2)
+        timed("engine_phrase", lambda: eng.phrase_topk("data query", 20).collect(), reps=2)
 
         # query p95 latency over a frozen mixed query set (BASELINE.json
         # metric: "query p95 latency with rank-identical BM25 top-k")
@@ -254,6 +255,11 @@ def main() -> None:
         "bm25_collapse_topk",
         "heavy_hitter_terms",
         "mixture_weights",
+        "phrase_match",
+        # rep 1 includes the one-time trigram index build (cached per
+        # sf_dir); rep 2 is the warm pruned serve — timing_reps shows both
+        "trigram_substring",
+        "trigram_regex",
     ]:
         fn = qs[name]
         try:
