@@ -1006,6 +1006,8 @@ def _q_tri_regex(spark, sf):
 
 
 PHRASE2 = ["table", "hash"]  # frozen oracle-spec phrase over `documents`
+NEAR2 = ["merge", "scan"]  # frozen NEAR pair
+NEAR_WINDOW = 4
 
 
 def _q_phrase(spark, sf):
@@ -1015,6 +1017,23 @@ def _q_phrase(spark, sf):
     from search_engine_spark.operators.phrase import phrase_match
 
     return phrase_match(_t(spark, sf, "documents"), PHRASE2, text_col="text")
+
+
+def _q_near(spark, sf):
+    """Ordered proximity (NEAR): anchors whose words occur in order
+    within a fixed window — nested higher-order exists filters, single
+    projection (operators/phrase.py proximity_match)."""
+    from search_engine_spark.operators.phrase import proximity_match
+
+    return proximity_match(
+        _t(spark, sf, "documents"), NEAR2, NEAR_WINDOW, text_col="text"
+    )
+
+
+def _q_engine_near(spark, sf):
+    """Engine NEAR top-k (index AND-prune + greedy-chain verify);
+    identity with the exhaustive scan tested in tests/test_phrase.py."""
+    return _engine(spark, sf).near_topk(" ".join(NEAR2), NEAR_WINDOW, k=20)
 
 
 def _q_engine_phrase(spark, sf):
@@ -1078,10 +1097,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": _q_mixture,
         "ann_dot_topk": _q_ann_dot,
         "phrase_match": _q_phrase,
+        "phrase_near": _q_near,
         "trigram_substring": _q_tri_substring,
         "trigram_regex": _q_tri_regex,
         # rows-only (no oracle_sql entry):
         "engine_phrase_topk": _q_engine_phrase,
+        "engine_near_topk": _q_engine_near,
         "engine_bm25_topk": _q_engine_bm25,
         "engine_wand_topk": _q_engine_wand,
         "engine_postings_blocks": _q_engine_postings,
@@ -1641,6 +1662,26 @@ def oracle_sql() -> dict[str, str]:
                                        AND toks[i+1] = '{PHRASE2[1]}'))
                               AS BIGINT)
                          ELSE 0 END AS hits
+             FROM ptok
+           )
+           SELECT doc_id, hits FROM hit WHERE hits > 0""",
+        # NEAR twin: nested list lambdas mirror the Spark nested exists
+        # chain; hits = anchors with an in-order assignment inside the
+        # window (existential on both sides)
+        "phrase_near": f"""
+           WITH ptok AS (
+             SELECT doc_id,
+                    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                t -> length(t) >= 2) AS toks
+             FROM documents
+           ), hit AS (
+             SELECT doc_id,
+                    CAST(len(list_filter(generate_series(1, len(toks)),
+                         i -> toks[i] = '{NEAR2[0]}'
+                              AND len(list_filter(
+                                    generate_series(i+1, least(i+{NEAR_WINDOW}, len(toks))),
+                                    q -> toks[q] = '{NEAR2[1]}')) > 0))
+                         AS BIGINT) AS hits
              FROM ptok
            )
            SELECT doc_id, hits FROM hit WHERE hits > 0""",

@@ -120,6 +120,66 @@ def phrase_match(
     )
 
 
+def proximity_hits(toks: Column, words: list[str], window: int) -> Column:
+    """Ordered-proximity (NEAR) hit count: positions i = q1 < q2 < … < qk
+    with toks[qj] = wj and qk ≤ i + window. hits = number of anchor
+    positions i for which such an assignment EXISTS — one Catalyst
+    expression of nested higher-order ``exists`` filters (existential
+    semantics exactly; the vectorized verifier uses greedy
+    earliest-match, equivalent by the standard exchange argument).
+
+    Every ``sequence`` is guarded against Spark's descending-sequence
+    behavior (lo > hi descends instead of yielding empty)."""
+    k = len(words)
+    if k == 0:
+        raise ValueError("empty phrase")
+    if window < k - 1:
+        raise ValueError("window too small for the word count")
+    n = F.size(toks)
+
+    def _chain(j: int, prev: Column, anchor: Column) -> Column:
+        if j == k:
+            return F.lit(True)
+        ub = F.least(anchor + F.lit(window), n)
+        return F.when(
+            prev + F.lit(1) <= ub,
+            F.exists(
+                F.sequence(prev + F.lit(1), ub),
+                lambda q: (F.element_at(toks, q) == F.lit(words[j]))
+                & _chain(j + 1, q, anchor),
+            ),
+        ).otherwise(F.lit(False))
+
+    def _pred(i: Column) -> Column:
+        return (F.element_at(toks, i) == F.lit(words[0])) & _chain(1, i, i)
+
+    hits = F.size(F.filter(F.sequence(F.lit(1), n), _pred))
+    return (
+        F.when(n >= F.lit(k), hits).otherwise(F.lit(0)).cast("long")
+    )
+
+
+def proximity_match(
+    docs: DataFrame,
+    words: list[str],
+    window: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split_re: str = ASCII_SPLIT,
+    min_len: int = 2,
+) -> DataFrame:
+    """Exhaustive NEAR scan → DataFrame(doc_id, hits), matches only —
+    same single-projection shape as ``phrase_match``."""
+    toks = tokens_array(F.col(text_col), split_re, min_len)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            proximity_hits(toks, words, window).alias("hits"),
+        )
+        .filter(F.col("hits") > 0)
+    )
+
+
 # ---------------------------------------------------------------- verifier
 
 
@@ -170,6 +230,63 @@ def phrase_hits_batch(texts: pd.Series, words: list[str],
     seg = np.repeat(np.arange(out_len), counts)
     m = m & (seg[: n - k + 1] == seg[k - 1:])
     return np.bincount(seg[: n - k + 1][m], minlength=out_len).astype(np.int64)
+
+
+def proximity_hits_batch(texts: pd.Series, words: list[str], window: int,
+                         code: bool = False) -> np.ndarray:
+    """Vectorized engine-spec NEAR verifier: per-text anchor count.
+
+    Greedy earliest-match chain over the flat batch token stream: for
+    each anchor (a w1 position) take the FIRST w2 position after it,
+    then the first w3 after that, … — existence-equivalent to the
+    nested-exists contract (taking the earliest feasible q_j only
+    enlarges the room for q_{j+1}..q_k). One global flatnonzero +
+    searchsorted per word; doc boundaries enforced by segment equality,
+    the span bound by q_j ≤ anchor + window."""
+    flat, counts = tokenize_batch(texts, code=code)
+    out_len = len(counts)
+    k = len(words)
+    if len(flat) < k or k == 0:
+        return np.zeros(out_len, dtype=np.int64)
+    seg = np.repeat(np.arange(out_len), counts)
+    anchors = np.flatnonzero(flat == words[0])
+    if len(anchors) == 0:
+        return np.zeros(out_len, dtype=np.int64)
+    ok = np.ones(len(anchors), dtype=bool)
+    prev = anchors
+    for j in range(1, k):
+        pos_j = np.flatnonzero(flat == words[j])
+        if len(pos_j) == 0:
+            return np.zeros(out_len, dtype=np.int64)
+        nxt = np.searchsorted(pos_j, prev, side="right")
+        valid = nxt < len(pos_j)
+        cand = pos_j[np.clip(nxt, 0, len(pos_j) - 1)]
+        valid &= cand <= anchors + window
+        valid &= seg[np.clip(cand, 0, len(seg) - 1)] == seg[anchors]
+        ok &= valid
+        prev = np.where(valid, cand, prev)
+    good = anchors[ok]
+    return np.bincount(seg[good], minlength=out_len).astype(np.int64)
+
+
+def proximity_match_engine(docs: DataFrame, words: list[str], window: int,
+                           code: bool = False) -> DataFrame:
+    """Distributed ENGINE-spec NEAR scan — mapInPandas over the same
+    vectorized verifier the driver path uses."""
+    ws, w = list(words), int(window)
+
+    def _verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hits = proximity_hits_batch(pdf["content"], ws, w, code=code)
+            keep = hits > 0
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy()[keep],
+                "hits": hits[keep],
+            })
+
+    return docs.select("doc_id", "content").mapInPandas(
+        _verify, schema="doc_id long, hits long"
+    )
 
 
 def phrase_match_engine(docs: DataFrame, words: list[str],

@@ -1401,41 +1401,41 @@ class SearchEngine:
             F.col("id").alias("doc_id"), F.lit(0).cast("long").alias("hits")
         )
 
-    def phrase_topk(self, phrase: str, k: int = 20) -> DataFrame:
-        """Exact phrase top-k → DataFrame(doc_id, hits), ordered
-        (hits desc, doc_id asc) — hits = number of positions where the
-        phrase's kept-token sequence occurs consecutively (engine
-        tokenizer spec; see operators/phrase.py for the contract).
-
-        Plan: postings carry no positions (the size trade documented in
-        operators/phrase.py), so the index supplies a NECESSARY AND
-        condition — per phrase word, its rarest analyzed normal form
-        (every raw occurrence of the word emits all its forms, so a
-        missing form anywhere proves the phrase impossible: O6 extended
-        to phrases). Candidates verify by content: driver-side when the
-        intersection fits PHRASE_DRIVER_CANDIDATES (pyarrow point
-        fetch + the vectorized batch verifier, zero Spark jobs on the
-        fetch when local), else a distributed mapInPandas verify over a
-        broadcast-semi-joined docs scan — the SAME verifier body either
-        way. Stopword phrase words emit no forms and never prune;
-        correctness is verification's job, pruning is only speed."""
-        from .phrase import phrase_hits_batch, phrase_match_engine
-
-        words = tokenize(phrase, code=self.code)
-        if not words:
-            return self._empty_phrase()
+    def _phrase_candidates(
+        self, words: list[str]
+    ) -> tuple[np.ndarray | None, list[str], bool]:
+        """(candidate ids | None, prune terms, impossible) for a word
+        sequence: per distinct word, its rarest analyzed normal form is a
+        NECESSARY AND condition (every raw occurrence emits all forms —
+        a vocabulary-missing form proves zero matches: O6 extended).
+        Stopword words emit no forms and never prune."""
         prune: list[str] = []
         for w in dict.fromkeys(words):
             forms = sorted(set(analyze(w, code=self.code)))
             if not forms:
-                continue  # stopword/illegal — cannot prune
+                continue
             dfs = self._global_dfs(forms)
             if any(dfs[f] is None for f in forms):
-                return self._empty_phrase()  # word occurs nowhere
+                return None, [], True  # word occurs nowhere
             prune.append(min(forms, key=lambda f: (dfs[f], f)))
         prune = sorted(set(prune))
-
         cand = self._and_ids(prune) if prune else None
+        return cand, prune, False
+
+    def _serve_verified(
+        self,
+        words: list[str],
+        k: int,
+        cand: np.ndarray | None,
+        prune: list[str],
+        batch_hits,
+        dist_plan,
+    ) -> DataFrame:
+        """Shared verify-by-content serving: driver point-fetch + the
+        vectorized ``batch_hits`` verifier when the candidate set fits,
+        else ``dist_plan(docs)`` (the SAME verifier body, mapInPandas)
+        over a candidate semi-join — driver ids broadcast when known,
+        the distributed AND over decoded postings when not."""
         if cand is not None:
             if len(cand) == 0:
                 return self._empty_phrase()
@@ -1448,9 +1448,7 @@ class SearchEngine:
                     pads.field("doc_id").isin([int(i) for i in cand]),
                 )
                 if pdf is not None:
-                    hits = phrase_hits_batch(
-                        pdf["content"], words, code=self.code
-                    )
+                    hits = batch_hits(pdf["content"])
                     keep = hits > 0
                     ids, h = pdf["doc_id"].to_numpy()[keep], hits[keep]
                     if len(ids) == 0:
@@ -1460,9 +1458,6 @@ class SearchEngine:
                         [(int(ids[i]), int(h[i])) for i in order],
                         "doc_id long, hits long",
                     )
-        # distributed verify: candidate semi-join (driver ids if we have
-        # them, else the distributed AND over decoded postings), then the
-        # mapInPandas verifier over the pruned docs scan
         docs = self.docs
         if cand is not None:
             cand_df = self.spark.createDataFrame(
@@ -1481,9 +1476,62 @@ class SearchEngine:
             )
             docs = docs.join(ids_df, "doc_id", "left_semi")
         return (
-            phrase_match_engine(docs, words, code=self.code)
+            dist_plan(docs)
             .orderBy(F.desc("hits"), F.asc("doc_id"))
             .limit(k)
+        )
+
+    def phrase_topk(self, phrase: str, k: int = 20) -> DataFrame:
+        """Exact phrase top-k → DataFrame(doc_id, hits), ordered
+        (hits desc, doc_id asc) — hits = number of positions where the
+        phrase's kept-token sequence occurs consecutively (engine
+        tokenizer spec; see operators/phrase.py for the contract).
+
+        Plan: postings carry no positions (the size trade documented in
+        operators/phrase.py), so the index supplies the necessary AND
+        condition (_phrase_candidates) and verification by content makes
+        the result exact (_serve_verified) — the same verifier body on
+        the driver and the distributed fallback."""
+        from .phrase import phrase_hits_batch, phrase_match_engine
+
+        words = tokenize(phrase, code=self.code)
+        if not words:
+            return self._empty_phrase()
+        cand, prune, impossible = self._phrase_candidates(words)
+        if impossible:
+            return self._empty_phrase()
+        return self._serve_verified(
+            words, k, cand, prune,
+            lambda texts: phrase_hits_batch(texts, words, code=self.code),
+            lambda docs: phrase_match_engine(docs, words, code=self.code),
+        )
+
+    def near_topk(self, phrase: str, window: int, k: int = 20) -> DataFrame:
+        """Ordered-proximity (NEAR) top-k → DataFrame(doc_id, hits):
+        hits = anchor positions i where the words occur in order with
+        the last one at most ``window`` positions after i
+        (operators/phrase.py proximity contract). Same index pruning and
+        verify-by-content serving as phrase_topk — word ORDER matters
+        but the AND prune is order-free, so the candidate math is
+        identical."""
+        from .phrase import proximity_hits_batch, proximity_match_engine
+
+        words = tokenize(phrase, code=self.code)
+        if not words:
+            return self._empty_phrase()
+        if window < len(words) - 1:
+            raise ValueError("window too small for the word count")
+        cand, prune, impossible = self._phrase_candidates(words)
+        if impossible:
+            return self._empty_phrase()
+        return self._serve_verified(
+            words, k, cand, prune,
+            lambda texts: proximity_hits_batch(
+                texts, words, window, code=self.code
+            ),
+            lambda docs: proximity_match_engine(
+                docs, words, window, code=self.code
+            ),
         )
 
 

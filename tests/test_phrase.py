@@ -192,6 +192,98 @@ def test_single_word_phrase_counts_occurrences(peng):
     assert got[top_id] == _ref_hits(content, words, code=True)
 
 
+# ---------------------------------------------------------------- NEAR
+
+
+def _ref_near(text: str, words: list[str], window: int,
+              code: bool = False) -> int:
+    """Independent existential-semantics oracle: recursive scan."""
+    toks = tokenize(text, code=code)
+
+    def rest(j: int, prev: int, anchor: int) -> bool:
+        if j == len(words):
+            return True
+        for q in range(prev + 1, min(anchor + window, len(toks) - 1) + 1):
+            if toks[q] == words[j] and rest(j + 1, q, anchor):
+                return True
+        return False
+
+    return sum(
+        1
+        for i in range(len(toks))
+        if toks[i] == words[0] and rest(1, i, i)
+    )
+
+
+NEAR_CASES = (
+    (["data", "query"], 3),
+    (["data", "query"], 1),  # window 1 == exact bigram adjacency
+    (["aa", "bb", "aa"], 4),
+    (["data", "scan"], 2),
+)
+
+
+def test_near_batch_verifier_matches_reference():
+    from search_engine_spark.operators.phrase import proximity_hits_batch
+
+    texts = TEXTS + ["data aa bb query data zz yy query", "scan data scan"]
+    for words, w in NEAR_CASES:
+        got = proximity_hits_batch(pd.Series(texts), words, w)
+        exp = [_ref_near(t, words, w) for t in texts]
+        assert got.tolist() == exp, (words, w)
+
+
+def test_near_catalyst_matches_reference(spark):
+    from search_engine_spark.operators.phrase import proximity_match
+
+    texts = TEXTS + ["data aa bb query data zz yy query"]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    for words, w in NEAR_CASES:
+        got = {
+            r["doc_id"]: r["hits"]
+            for r in proximity_match(df, words, w, text_col="text").collect()
+        }
+        for i, t in enumerate(texts):
+            assert got.get(i, 0) == _ref_near(t, words, w), (words, w, t)
+
+
+def test_near_window1_equals_phrase():
+    from search_engine_spark.operators.phrase import (
+        phrase_hits_batch,
+        proximity_hits_batch,
+    )
+
+    texts = pd.Series(TEXTS)
+    # with window = k-1 the only feasible assignment is consecutive — but
+    # NEAR counts anchors (not start positions of distinct matches), so
+    # for a 2-word phrase the two contracts coincide exactly
+    assert (
+        proximity_hits_batch(texts, ["data", "query"], 1).tolist()
+        == phrase_hits_batch(texts, ["data", "query"]).tolist()
+    )
+
+
+def test_engine_near_matches_exhaustive(peng):
+    from search_engine_spark.operators.phrase import proximity_match_engine
+
+    eng, corpus = peng
+    words = _pick_phrase(corpus)  # adjacent somewhere → NEAR(4) matches too
+    got = [
+        (int(r["doc_id"]), int(r["hits"]))
+        for r in eng.near_topk(" ".join(words), 4, k=50).collect()
+    ]
+    exp = [
+        (int(r["doc_id"]), int(r["hits"]))
+        for r in proximity_match_engine(eng.docs, words, 4, code=True)
+        .orderBy(F.desc("hits"), F.asc("doc_id"))
+        .limit(50)
+        .collect()
+    ]
+    assert got == exp and got
+
+
 def test_api_phrase_mode(peng, spark):
     from search_engine_spark.api import EngineAPI
 
