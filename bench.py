@@ -256,6 +256,7 @@ def main() -> None:
         "heavy_hitter_terms",
         "mixture_weights",
         "phrase_match",
+        "phrase_near",
         # rep 1 includes the one-time trigram index build (cached per
         # sf_dir); rep 2 is the warm pruned serve — timing_reps shows both
         "trigram_substring",
