@@ -181,6 +181,30 @@ TRI_POSTINGS_SCHEMA = (
 )
 
 
+def _docs_signature(path: str) -> str | None:
+    """Content signature of a docs table directory (sorted relpath:size
+    of every parquet part — rewrites produce new part names/sizes, so
+    any committed change flips it). None when not stat-able (non-local
+    storage) — staleness then can't be checked locally and the caller
+    documents trust."""
+    import hashlib
+    import os
+
+    if not os.path.isdir(path):
+        return None
+    try:
+        h = hashlib.sha256()
+        for root, _, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    rel = os.path.relpath(p, path)
+                    h.update(f"{rel}:{os.stat(p).st_size};".encode())
+        return h.hexdigest()
+    except OSError:
+        return None
+
+
 def build_trigram_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -225,6 +249,16 @@ def build_trigram_index(
         .mapInPandas(_encode_block_rows, schema=TRI_POSTINGS_SCHEMA)
     )
     catalog.write(blocks, "tri_postings")
+    # staleness sentinel: the docs-table content signature AT BUILD TIME.
+    # The searcher re-computes it; a mismatch (incremental upserts since
+    # the build) disables pruning — a stale index would silently MISS new
+    # docs, and exactness beats speed. Rebuild restores pruning (the
+    # trigram index is a derived accelerator, rebuilt on compact — the
+    # same trade Cox's codesearch makes).
+    sig = _docs_signature(catalog.path("docs"))
+    catalog.write(
+        spark.createDataFrame([(sig,)], "docs_signature string"), "tri_meta"
+    )
     stats = (
         catalog.read(spark, "tri_postings")
         .agg(
@@ -399,6 +433,21 @@ class TrigramSearcher:
         self._vocab: OrderedDict[int, tuple[int, bool] | None] = OrderedDict()
         self._lists: OrderedDict[int, np.ndarray] = OrderedDict()
         self._pa_cache: dict[str, object] = {}
+        # staleness: docs changed since the index build → candidates()
+        # would MISS new docs, so pruning is disabled (every search runs
+        # the exact scan) until a rebuild. Signature unavailable (either
+        # side) on non-local storage → trust the index, documented.
+        self.stale = False
+        try:
+            if catalog.exists("tri_meta"):
+                row = catalog.read(spark, "tri_meta").collect()[0]
+                built = row["docs_signature"]
+                now = _docs_signature(catalog.path("docs"))
+                self.stale = (
+                    built is not None and now is not None and built != now
+                )
+        except Exception:  # noqa: BLE001 — unreadable meta = trust
+            self.stale = False
 
     # point-read helpers (mirrors SearchEngine._pa_dataset/_pa_read)
 
@@ -484,7 +533,7 @@ class TrigramSearcher:
         """Exact-superset candidate doc_ids from the rarest required
         trigrams, or None when the index cannot prune (all required
         trigrams hot/capped, or non-local reads)."""
-        if len(required) == 0:
+        if len(required) == 0 or self.stale:
             return None
         vocab = self._vocab_rows([int(c) for c in required])
         if any(v is None for v in vocab.values()):

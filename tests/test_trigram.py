@@ -184,6 +184,61 @@ def test_unprunable_regex_full_scan(tri, spark):
     assert got == exp and got
 
 
+def test_stale_index_disables_pruning_stays_exact(spark, tmp_path_factory):
+    """Docs rewritten after the build → the searcher must detect drift
+    and fall back to the exact scan (a stale candidate set would MISS
+    the new doc); rebuild restores pruning."""
+    root = str(tmp_path_factory.mktemp("tri_stale"))
+    cat = Catalog(root)
+    docs = make_corpus(spark, 40, seed=29, partitions=2).select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"), "content"
+    )
+    cat.write(docs, "docs")
+    build_trigram_index(spark, cat.read(spark, "docs"), cat)
+    fresh = TrigramSearcher(spark, cat)
+    assert not fresh.stale
+
+    marker = "zzuniquemarkerzz"
+    extra = spark.createDataFrame(
+        [(999_999, f"one doc holding {marker} only")],
+        "doc_id long, content string",
+    )
+    cat.write(cat.read(spark, "docs").unionByName(extra), "docs_new")
+    # swap the docs table (rewrite-in-place semantics)
+    import shutil as _sh
+
+    _sh.rmtree(cat.path("docs"))
+    _sh.move(cat.path("docs_new"), cat.path("docs"))
+
+    s = TrigramSearcher(spark, cat)
+    assert s.stale
+    got = {r["doc_id"]: r["hits"]
+           for r in s.substring_search(marker).collect()}
+    assert got == {999_999: 1}  # found despite the index predating it
+
+    build_trigram_index(spark, cat.read(spark, "docs"), cat)
+    s2 = TrigramSearcher(spark, cat)
+    assert not s2.stale
+    got2 = {r["doc_id"]: r["hits"]
+            for r in s2.substring_search(marker).collect()}
+    assert got2 == {999_999: 1}
+
+
+def test_distributed_verify_broadcasts_candidates(tri, spark, monkeypatch):
+    """Above the driver cap the verify scan must semi-join candidates
+    via a BROADCAST (never a shuffled join on the corpus-side scan)."""
+    import search_engine_spark.operators.trigram as T
+
+    s, cat = tri
+    needle = _pick_needle(spark, cat)
+    monkeypatch.setattr(T, "DRIVER_VERIFY_CAP", -1)
+    cand = s.candidates(needle_codes(needle))
+    assert cand is not None and len(cand) > 0
+    plan = s._docs_for(cand)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_catalyst_substring_scan_matches_python(tri, spark):
     s, cat = tri
     needle = _pick_needle(spark, cat, min_len=5)
