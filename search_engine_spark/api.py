@@ -69,6 +69,7 @@ class EngineAPI:
         self.repos = repos  # configured "sites"; None = accept any repo
         self.code = code
         self._engine: SearchEngine | None = None
+        self._tri = None  # TrigramSearcher | None (built on demand)
         self._running = False
         self._cancel = threading.Event()
         self._lock = threading.Lock()
@@ -99,6 +100,7 @@ class EngineAPI:
                         code=self.code, cancel_check=self._cancel.is_set,
                         **build_kw)
             self._get_engine(refresh=True)
+            self._tri = None  # staleness guard re-evaluates on next use
             return {"result": True}
         except Exception as e:  # noqa: BLE001
             if "cancelled" in f"{e!r} {e}".lower():
@@ -140,6 +142,9 @@ class EngineAPI:
                 return {"result": False, "error": ERR_OUT_OF_SCOPE}
         _index_docs_plan(self.spark, self.catalog, docs, code=self.code)
         self._get_engine(refresh=True)
+        # drop the cached trigram searcher so its staleness guard
+        # re-evaluates against the rewritten docs table
+        self._tri = None
         return {"result": True}
 
     def index_page(self, url: str, commit: str, lang: str, content: str) -> dict:
@@ -269,6 +274,102 @@ class EngineAPI:
         """F8 exposed for tests/debugging (SearchServiceImpl.java:192-205)."""
         return find_matching_words(
             doc_content, analyze_query(query, code=self.code), code=self.code
+        )
+
+    # -- code search (no reference analogue — trigram index, §2-beyond) ------
+
+    def build_code_index(self, **kw) -> dict:
+        """Build/rebuild the trigram substring/regex index over this
+        catalog's docs table (operators/trigram.py). Like the term index
+        it is derived state; rebuild after incremental churn restores
+        pruning (the searcher's staleness guard keeps results exact —
+        just unpruned — in between)."""
+        from .operators.trigram import TrigramSearcher, build_trigram_index
+
+        stats = build_trigram_index(
+            self.spark, self.catalog.read(self.spark, "docs"), self.catalog,
+            **kw,
+        )
+        self._tri = TrigramSearcher(self.spark, self.catalog)
+        return {"result": True, **stats}
+
+    def _get_tri(self):
+        from .operators.trigram import TrigramSearcher
+
+        if getattr(self, "_tri", None) is None:
+            if not self.catalog.exists("tri_postings"):
+                return None
+            self._tri = TrigramSearcher(self.spark, self.catalog)
+        return self._tri
+
+    def _code_hits_response(self, hits_df, limit: int, needle: str) -> dict:
+        rows = hits_df.orderBy(
+            F.desc("hits"), F.asc("doc_id")
+        ).limit(limit).collect()
+        if not rows:
+            return {"result": True, "count": 0, "data": []}
+        ids = [int(r["doc_id"]) for r in rows]
+        eng = self._get_engine()
+        doc_rows = {
+            r["doc_id"]: r
+            for r in eng.docs.filter(F.col("doc_id").isin(ids))
+            .select("doc_id", "repo", "path", "content")
+            .collect()
+        }
+        data = []
+        for r in rows:
+            d = doc_rows[int(r["doc_id"])]
+            pos = d["content"].find(needle) if needle else -1
+            lo = max(pos - 60, 0)
+            snippet = (
+                d["content"][lo: pos + len(needle) + 60] if pos >= 0
+                else d["content"][:120]
+            )
+            data.append(
+                {
+                    "site": d["repo"],
+                    "uri": d["path"],
+                    "title": d["path"].rsplit("/", 1)[-1] or DEFAULT_TITLE,
+                    "snippet": snippet,
+                    "hits": int(r["hits"]),
+                }
+            )
+        return {"result": True, "count": len(rows), "data": data}
+
+    def grep(self, needle: str, limit: int = 20) -> dict:
+        """Exact substring search over indexed content (trigram-pruned,
+        verification-exact). Falls back to the full scan when no trigram
+        index is built — identical results, unaccelerated."""
+        if not needle:
+            return {"result": False, "error": ERR_EMPTY_QUERY}
+        tri = self._get_tri()
+        if tri is not None:
+            hits = tri.substring_search(needle)
+        else:
+            from .operators.trigram import substring_scan
+
+            hits = substring_scan(
+                self.catalog.read(self.spark, "docs"), needle
+            )
+        return self._code_hits_response(hits, limit, needle)
+
+    def egrep(self, pattern: str, limit: int = 20) -> dict:
+        """Exact regex search (Python `re` semantics on every path),
+        trigram-pruned through required literals when an index exists."""
+        if not pattern:
+            return {"result": False, "error": ERR_EMPTY_QUERY}
+        tri = self._get_tri()
+        if tri is not None:
+            hits = tri.regex_search(pattern)
+        else:
+            from .operators.trigram import regex_scan
+
+            hits = regex_scan(self.catalog.read(self.spark, "docs"), pattern)
+        from .operators.trigram import regex_literals
+
+        lits = regex_literals(pattern)
+        return self._code_hits_response(
+            hits, limit, lits[0] if lits else ""
         )
 
     # -- GET /api/statistics (ApiController.java:20-23) ----------------------

@@ -239,6 +239,39 @@ def test_distributed_verify_broadcasts_candidates(tri, spark, monkeypatch):
     assert "SortMergeJoin" not in plan
 
 
+def test_api_grep_egrep(spark, tmp_path_factory):
+    """EngineAPI code-search facade: scan fallback without an index,
+    identical results after build_code_index, decorated response."""
+    from search_engine_spark.api import EngineAPI
+    from search_engine_spark.plans.build_job import build_index
+    from search_engine_spark.synth import make_corpus
+
+    root = str(tmp_path_factory.mktemp("tri_api"))
+    cat = Catalog(root)
+    corpus = make_corpus(spark, 80, seed=31, partitions=2)
+    build_index(spark, corpus, cat, n_shards=1)
+    api = EngineAPI(spark, cat, code=True)
+
+    needle = (
+        cat.read(spark, "docs").select("content").limit(1).collect()[0]
+    )["content"][4:14]
+    before = api.grep(needle, limit=10)
+    assert before["result"] and before["count"] >= 1
+    assert {"site", "uri", "title", "snippet", "hits"} <= set(
+        before["data"][0]
+    )
+    assert needle in before["data"][0]["snippet"]
+
+    built = api.build_code_index()
+    assert built["result"] and built["postings"] > 0
+    after = api.grep(needle, limit=10)
+    assert after["data"] == before["data"]
+
+    rx = api.egrep("scan [a-z]+ data", limit=10)
+    assert rx["result"]
+    assert api.grep("")["result"] is False
+
+
 def test_catalyst_substring_scan_matches_python(tri, spark):
     s, cat = tri
     needle = _pick_needle(spark, cat, min_len=5)
