@@ -7,6 +7,7 @@ the same logic is expressible in ANSI SQL for the DuckDB oracle.
 
 from __future__ import annotations
 
+from .hof import bind_once
 from pyspark.sql import Column, DataFrame, functions as F
 
 SQL_TOKEN_SPLIT = "[^a-z0-9]+"  # ASCII tokenizer shared with oracle SQL
@@ -42,9 +43,15 @@ def bpe_token_count(text: Column) -> Column:
 
 def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
     stops = stopwords or EN_MARKERS
-    toks = tokens_col(text)
-    hits = F.size(F.filter(toks, lambda t: t.isin(stops)))
-    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+    def _ratio(toks: Column) -> Column:
+        hits = F.size(F.filter(toks, lambda t: t.isin(stops)))
+        return F.when(
+            F.size(toks) > 0, hits.cast("double") / F.size(toks)
+        ).otherwise(F.lit(0.0))
+
+    # let-bound: Catalyst would otherwise re-tokenize per reference (3×)
+    return bind_once(tokens_col(text), _ratio)
 
 
 def punct_ratio(text: Column) -> Column:
@@ -68,17 +75,25 @@ def quality_score(text: Column) -> Column:
 
 def lang_id(text: Column) -> Column:
     """n-gram/marker language-ID heuristic: count EN vs RU marker hits."""
-    toks = tokens_col(text)
-    en = F.size(F.filter(toks, lambda t: t.isin(EN_MARKERS)))
-    ru_toks = F.filter(
-        F.split(F.lower(text), "[^а-яё]+"), lambda t: t.isin(RU_MARKERS)
+    en = F.size(
+        F.filter(tokens_col(text), lambda t: t.isin(EN_MARKERS))
     )
-    ru = F.size(ru_toks)
-    return (
-        F.when((en == 0) & (ru == 0), F.lit("unknown"))
-        .when(en >= ru, F.lit("en"))
-        .otherwise(F.lit("ru"))
+    ru = F.size(
+        F.filter(
+            F.split(F.lower(text), "[^а-яё]+"), lambda t: t.isin(RU_MARKERS)
+        )
     )
+
+    def _pick(counts: Column) -> Column:
+        e, r = F.element_at(counts, 1), F.element_at(counts, 2)
+        return (
+            F.when((e == 0) & (r == 0), F.lit("unknown"))
+            .when(e >= r, F.lit("en"))
+            .otherwise(F.lit("ru"))
+        )
+
+    # let-bound pair: each marker count evaluates once, not per reference
+    return bind_once(F.array(en, ru), _pick)
 
 
 def doc_fingerprint(text: Column) -> Column:

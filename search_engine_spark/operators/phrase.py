@@ -48,6 +48,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.analyze import CAMEL_RE, TOKEN_RE
+from ..functions.hof import bind_once
 
 # Oracle-shared ASCII spec (mirrors __spark_entry__.TOK — lower, split on
 # non-alphanumeric, keep len>=2). The ENGINE spec instead reuses the frozen
@@ -62,17 +63,6 @@ def tokens_array(text_col: Column, split_re: str = ASCII_SPLIT,
         F.split(F.lower(text_col), split_re),
         lambda t: F.length(t) >= min_len,
     )
-
-
-def bind_once(col: Column, fn) -> Column:
-    """Evaluate ``col`` ONCE per row and feed it to ``fn``: higher-order
-    lambdas bind their variable to a MATERIALIZED value, so
-    ``transform(array(col), v -> fn(v))[1]`` is a let-binding. Without
-    it, Catalyst inlines a multiply-referenced expression textually into
-    every ``element_at`` inside the scan lambdas — the token array would
-    be recomputed per POSITION (O(n²) per doc; measured 12× slower on
-    phrase_match at sf0.01)."""
-    return F.element_at(F.transform(F.array(col), fn), 1)
 
 
 def phrase_hits(toks: Column, words: list[str]) -> Column:
