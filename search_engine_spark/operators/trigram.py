@@ -114,65 +114,100 @@ def trigram_pairs(docs: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------- build
 
 
-def _encode_block_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Partition-sorted (trigram, doc_id) stream → encoded block rows.
-    State carries across Arrow batches inside one partition (a trigram's
-    run may span batches); hash partitioning on trigram guarantees a
-    trigram never spans partitions."""
-    cur: int | None = None
-    pend: list[np.ndarray] = []
-    out: dict[str, list] = {k: [] for k in
-                            ("trigram", "block_id", "min_doc", "max_doc",
-                             "count", "doc_ids")}
+def _make_block_encoder(max_df: int):
+    """Partition-sorted (trigram, doc_id) stream → encoded block rows,
+    ONE pass. State carries across Arrow batches inside a partition (a
+    trigram's run may span batches); hash partitioning guarantees a
+    trigram never spans partitions.
 
-    def _flush() -> None:
-        if cur is None or not pend:
-            return
-        ids = np.concatenate(pend) if len(pend) > 1 else pend[0]
-        for b, lo in enumerate(range(0, len(ids), TRI_BLOCK_DOCS)):
-            chunk = ids[lo: lo + TRI_BLOCK_DOCS]
-            out["trigram"].append(cur)
-            out["block_id"].append(b)
-            out["min_doc"].append(int(chunk[0]))
-            out["max_doc"].append(int(chunk[-1]))
-            out["count"].append(len(chunk))
-            out["doc_ids"].append(encode_doc_ids(chunk))
-        pend.clear()
+    Hot-trigram handling is inline: once a group's buffered ids exceed
+    ``max_df`` the encoder switches to COUNT-ONLY mode — the buffer is
+    dropped and only the df keeps accumulating, so per-group memory is
+    bounded by ``max_df`` ids regardless of how hot the trigram is. A
+    hot group emits ONE sentinel row (block_id = -1, count = exact df,
+    empty payload) instead of blocks; the vocabulary (df + indexed
+    flag) then derives entirely from the written block rows — no second
+    corpus scan, no separate df aggregate."""
 
-    def _frame() -> pd.DataFrame:
-        pdf = pd.DataFrame(
-            {
-                "trigram": np.asarray(out["trigram"], dtype=np.int32),
-                "block_id": np.asarray(out["block_id"], dtype=np.int32),
-                "min_doc": np.asarray(out["min_doc"], dtype=np.int64),
-                "max_doc": np.asarray(out["max_doc"], dtype=np.int64),
-                "count": np.asarray(out["count"], dtype=np.int32),
-                "doc_ids": pd.Series(out["doc_ids"], dtype=object),
-            }
-        )
-        for v in out.values():
-            v.clear()
-        return pdf
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur: int | None = None
+        pend: list[np.ndarray] = []
+        pend_n = 0
+        hot_df = 0  # >0 → count-only mode for the current group
+        out: dict[str, list] = {k: [] for k in
+                                ("trigram", "block_id", "min_doc",
+                                 "max_doc", "count", "doc_ids")}
 
-    for pdf in batches:
-        tris = pdf["trigram"].to_numpy()
-        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        if len(tris) == 0:
-            continue
-        # group boundaries within the (sorted) batch
-        starts = np.flatnonzero(np.concatenate(([True], tris[1:] != tris[:-1])))
-        ends = np.concatenate((starts[1:], [len(tris)]))
-        for s, e in zip(starts, ends):
-            t = int(tris[s])
-            if t != cur:
-                _flush()
-                cur = t
-            pend.append(ids[s:e])
+        def _emit(trigram: int, block_id: int, lo: int, hi: int,
+                  count: int, payload: bytes) -> None:
+            out["trigram"].append(trigram)
+            out["block_id"].append(block_id)
+            out["min_doc"].append(lo)
+            out["max_doc"].append(hi)
+            out["count"].append(count)
+            out["doc_ids"].append(payload)
+
+        def _flush() -> None:
+            nonlocal pend_n, hot_df
+            if cur is None:
+                return
+            if hot_df:
+                _emit(cur, -1, 0, 0, hot_df, b"")
+            elif pend:
+                ids = (np.concatenate(pend) if len(pend) > 1 else pend[0])
+                for b, lo in enumerate(range(0, len(ids), TRI_BLOCK_DOCS)):
+                    chunk = ids[lo: lo + TRI_BLOCK_DOCS]
+                    _emit(cur, b, int(chunk[0]), int(chunk[-1]),
+                          len(chunk), encode_doc_ids(chunk))
+            pend.clear()
+            pend_n = 0
+            hot_df = 0
+
+        def _frame() -> pd.DataFrame:
+            pdf = pd.DataFrame(
+                {
+                    "trigram": np.asarray(out["trigram"], dtype=np.int32),
+                    "block_id": np.asarray(out["block_id"], dtype=np.int32),
+                    "min_doc": np.asarray(out["min_doc"], dtype=np.int64),
+                    "max_doc": np.asarray(out["max_doc"], dtype=np.int64),
+                    "count": np.asarray(out["count"], dtype=np.int32),
+                    "doc_ids": pd.Series(out["doc_ids"], dtype=object),
+                }
+            )
+            for v in out.values():
+                v.clear()
+            return pdf
+
+        for pdf in batches:
+            tris = pdf["trigram"].to_numpy()
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            if len(tris) == 0:
+                continue
+            starts = np.flatnonzero(
+                np.concatenate(([True], tris[1:] != tris[:-1]))
+            )
+            ends = np.concatenate((starts[1:], [len(tris)]))
+            for s, e in zip(starts, ends):
+                t = int(tris[s])
+                if t != cur:
+                    _flush()
+                    cur = t
+                if hot_df:
+                    hot_df += e - s
+                else:
+                    pend.append(ids[s:e])
+                    pend_n += e - s
+                    if pend_n > max_df:  # went hot: drop ids, keep df
+                        hot_df = pend_n
+                        pend.clear()
+                        pend_n = 0
+            if out["trigram"]:
+                yield _frame()
+        _flush()
         if out["trigram"]:
             yield _frame()
-    _flush()
-    if out["trigram"]:
-        yield _frame()
+
+    return _encode
 
 
 TRI_POSTINGS_SCHEMA = (
@@ -216,39 +251,43 @@ def build_trigram_index(
     """Build ``tri_vocab`` (trigram, df, indexed) + ``tri_postings``
     (delta-varint doc_id blocks) over docs(doc_id, content).
 
-    Plan shape: one mapInPandas extract pass, ONE shuffle keyed on
-    trigram serving both the df aggregate and the block encode
-    (hash-repartition + in-partition sort — a trigram never spans
-    partitions, so block encoding is a linear pass), and a broadcast
-    anti-join dropping the few hot trigrams from the postings. Hot-key
-    skew is bounded BY CONSTRUCTION: any trigram hotter than
-    ``max_df`` is excluded, so no reduce partition ever materializes a
-    corpus-scale list."""
+    Plan shape — ONE corpus scan, ONE shuffle: the mapInPandas extract
+    feeds a hash-repartition on trigram + in-partition sort (a trigram
+    never spans partitions, so block encoding is a linear pass), and
+    the encoder itself handles hot trigrams inline (count-only mode
+    past ``max_df`` — per-group memory bounded by ``max_df`` ids, hot
+    lists never buffered OR stored, just a 1-row df sentinel). The
+    vocabulary then derives from the WRITTEN block rows — a tiny
+    metadata-sized aggregate, not a second corpus pass.
+
+    ``max_df`` defaults to min(max_df_frac·n_docs, LIST_DECODE_CAP):
+    the searcher never decodes a list longer than LIST_DECODE_CAP, so
+    indexing one would be pure storage waste — and the cap is what
+    bounds encoder memory at corpus scale."""
     pairs = trigram_pairs(docs)
     n = partitions or spark.sparkContext.defaultParallelism
     if max_df is None:
         n_docs = docs.count()
-        max_df = max(int(n_docs * max_df_frac), 1)
-    vocab = pairs.groupBy("trigram").agg(F.count("*").alias("df")).withColumn(
-        "indexed", F.col("df") <= F.lit(max_df)
+        max_df = max(min(int(n_docs * max_df_frac), LIST_DECODE_CAP), 1)
+    blocks = (
+        pairs.repartition(n, "trigram")
+        .sortWithinPartitions("trigram", "doc_id")
+        .mapInPandas(_make_block_encoder(max_df), schema=TRI_POSTINGS_SCHEMA)
+    )
+    catalog.write(blocks, "tri_postings")
+    vocab = (
+        catalog.read(spark, "tri_postings")
+        .groupBy("trigram")
+        .agg(
+            F.sum("count").alias("df"),
+            (F.max("block_id") >= 0).alias("indexed"),
+        )
     )
     catalog.write(
         vocab.repartitionByRange(max(n // 4, 1), "trigram")
         .sortWithinPartitions("trigram"),
         "tri_vocab",
     )
-    hot = (
-        catalog.read(spark, "tri_vocab")
-        .filter(~F.col("indexed"))
-        .select("trigram")
-    )
-    blocks = (
-        pairs.join(F.broadcast(hot), "trigram", "left_anti")
-        .repartition(n, "trigram")
-        .sortWithinPartitions("trigram", "doc_id")
-        .mapInPandas(_encode_block_rows, schema=TRI_POSTINGS_SCHEMA)
-    )
-    catalog.write(blocks, "tri_postings")
     # staleness sentinel: the docs-table content signature AT BUILD TIME.
     # The searcher re-computes it; a mismatch (incremental upserts since
     # the build) disables pruning — a stale index would silently MISS new
@@ -261,6 +300,7 @@ def build_trigram_index(
     )
     stats = (
         catalog.read(spark, "tri_postings")
+        .filter(F.col("block_id") >= 0)  # sentinels carry df, not payload
         .agg(
             F.count("*").alias("blocks"),
             F.countDistinct("trigram").alias("trigrams"),
@@ -270,9 +310,9 @@ def build_trigram_index(
     )
     return {
         "max_df": max_df,
-        "blocks": int(stats["blocks"]),
-        "trigrams": int(stats["trigrams"]),
-        "postings": int(stats["postings"]),
+        "blocks": int(stats["blocks"] or 0),
+        "trigrams": int(stats["trigrams"] or 0),
+        "postings": int(stats["postings"] or 0),
     }
 
 
@@ -515,7 +555,7 @@ class TrigramSearcher:
         pdf = self._pa_read(
             "tri_postings",
             ["block_id", "doc_ids"],
-            pads.field("trigram") == code,
+            (pads.field("trigram") == code) & (pads.field("block_id") >= 0),
         )
         if pdf is None:
             return None
