@@ -217,6 +217,36 @@ def main() -> None:
                 reps=2,
             )
             extras["rare_term_df"] = int(trow["df"])
+
+        # --- trigram code-search showcase at the same 20k-doc scale:
+        # index build, then pruned serve vs the exhaustive scan for an
+        # identical (deterministic, rare-ish) needle — the accelerator
+        # ratio the trigram index exists for.
+        from search_engine_spark.operators.trigram import (
+            TrigramSearcher, build_trigram_index, substring_scan,
+        )
+
+        sdocs = scat.read(spark, "docs")
+        tstats = timed(
+            "trigram_build_20k",
+            lambda: build_trigram_index(spark, sdocs, scat),
+        )
+        extras["trigram_postings_20k"] = tstats["postings"]
+        needle = (
+            sdocs.select("content").limit(1).collect()[0]["content"][8:24]
+        )
+        tsearch = TrigramSearcher(spark, scat)
+        tsearch.substring_search(needle).count()  # warm vocab/list caches
+        timed(
+            "grep_pruned_20k",
+            lambda: tsearch.substring_search(needle).count(),
+            reps=2,
+        )
+        timed(
+            "grep_scan_20k",
+            lambda: substring_scan(sdocs, needle).count(),
+            reps=2,
+        )
     finally:
         shutil.rmtree(synth_root, ignore_errors=True)
 
