@@ -62,6 +62,55 @@ def test_regex_literals_sound():
                     assert lit in text, (pat, lit, text)
 
 
+def test_regex_literals_soundness_fuzz():
+    """Constructive fuzz: build a random pattern AND a text that matches
+    it by walking the same structure (literal → emit, class → pick one,
+    optional group → coin flip, dot-star → junk). SOUNDNESS means every
+    extracted literal occurs in every matching text — 500 seeded cases."""
+    import random
+
+    rng = random.Random(1234)
+    lits = ["scan", "merge", "table ", "qq", "hash join", "x"]
+    classes = ["[a-z]", "[0-9]", "[xy]"]
+
+    def gen(depth: int = 0) -> tuple[str, str]:
+        pat, txt = [], []
+        for _ in range(rng.randint(1, 5)):
+            kind = rng.random()
+            if kind < 0.45:
+                w = rng.choice(lits)
+                pat.append(w)
+                txt.append(w)
+            elif kind < 0.6:
+                c = rng.choice(classes)
+                q = rng.choice(["", "+", "?"])
+                pat.append(c + q)
+                if q != "?" or rng.random() < 0.5:
+                    txt.append({"[a-z]": "k", "[0-9]": "7", "[xy]": "x"}[c])
+            elif kind < 0.7:
+                pat.append(".*")
+                txt.append(rng.choice(["", "zz9 ", "@@"]))
+            elif kind < 0.85 and depth < 2:
+                sub_p, sub_t = gen(depth + 1)
+                opt = rng.random() < 0.5
+                pat.append(f"({sub_p})" + ("?" if opt else ""))
+                if not opt or rng.random() < 0.5:
+                    txt.append(sub_t)
+            else:
+                w = rng.choice(lits)
+                q = rng.choice(["+", "?"])
+                pat.append(w + q)  # quantifier binds the LAST char only
+                txt.append(w if q == "+" else w[:-1])
+        return "".join(pat), "".join(txt)
+
+    for _ in range(500):
+        pattern, text = gen()
+        m = re.search(pattern, text)
+        assert m is not None, (pattern, text)  # generator invariant
+        for lit in regex_literals(pattern):
+            assert lit in text, (pattern, text, lit)
+
+
 def test_trigram_pairs_distinct_and_boundary(spark):
     df = spark.createDataFrame(
         [(1, "abcabc"), (2, "xyz"), (3, "ab")], "doc_id long, content string"
