@@ -215,7 +215,7 @@ class EngineAPI:
             # phrase occurrence count; the banner count is exact only when
             # the page wasn't truncated at k (a full phrase count would
             # verify every candidate — the top-k path stops at k)
-            rows = eng.phrase_topk(query, k=offset + limit).collect()
+            rows = eng.phrase_topk(query, k=offset + limit, site=site).collect()
             topk = [(int(r["doc_id"]), float(r["hits"])) for r in rows]
             count = len(topk)
             count_exact = len(topk) < offset + limit

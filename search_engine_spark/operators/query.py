@@ -1430,23 +1430,25 @@ class SearchEngine:
         prune: list[str],
         batch_hits,
         dist_plan,
+        site: str | None = None,
     ) -> DataFrame:
         """Shared verify-by-content serving: driver point-fetch + the
         vectorized ``batch_hits`` verifier when the candidate set fits,
         else ``dist_plan(docs)`` (the SAME verifier body, mapInPandas)
         over a candidate semi-join — driver ids broadcast when known,
-        the distributed AND over decoded postings when not."""
+        the distributed AND over decoded postings when not. ``site``
+        scopes to one repo (O5): the driver fetch filters on the repo
+        column, the distributed scan on a pushed repo predicate."""
         if cand is not None:
             if len(cand) == 0:
                 return self._empty_phrase()
             if len(cand) <= PHRASE_DRIVER_CANDIDATES:
                 import pyarrow.dataset as pads
 
-                pdf = self._pa_read(
-                    "docs",
-                    ["doc_id", "content"],
-                    pads.field("doc_id").isin([int(i) for i in cand]),
-                )
+                filt = pads.field("doc_id").isin([int(i) for i in cand])
+                if site is not None:
+                    filt = filt & (pads.field("repo") == site)
+                pdf = self._pa_read("docs", ["doc_id", "content"], filt)
                 if pdf is not None:
                     hits = batch_hits(pdf["content"])
                     keep = hits > 0
@@ -1459,6 +1461,8 @@ class SearchEngine:
                         "doc_id long, hits long",
                     )
         docs = self.docs
+        if site is not None:
+            docs = docs.filter(F.col("repo") == site)
         if cand is not None:
             cand_df = self.spark.createDataFrame(
                 pd.DataFrame({"doc_id": cand.astype(np.int64)})
@@ -1481,7 +1485,9 @@ class SearchEngine:
             .limit(k)
         )
 
-    def phrase_topk(self, phrase: str, k: int = 20) -> DataFrame:
+    def phrase_topk(
+        self, phrase: str, k: int = 20, site: str | None = None
+    ) -> DataFrame:
         """Exact phrase top-k → DataFrame(doc_id, hits), ordered
         (hits desc, doc_id asc) — hits = number of positions where the
         phrase's kept-token sequence occurs consecutively (engine
@@ -1504,9 +1510,12 @@ class SearchEngine:
             words, k, cand, prune,
             lambda texts: phrase_hits_batch(texts, words, code=self.code),
             lambda docs: phrase_match_engine(docs, words, code=self.code),
+            site=site,
         )
 
-    def near_topk(self, phrase: str, window: int, k: int = 20) -> DataFrame:
+    def near_topk(
+        self, phrase: str, window: int, k: int = 20, site: str | None = None
+    ) -> DataFrame:
         """Ordered-proximity (NEAR) top-k → DataFrame(doc_id, hits):
         hits = anchor positions i where the words occur in order with
         the last one at most ``window`` positions after i
@@ -1532,6 +1541,7 @@ class SearchEngine:
             lambda docs: proximity_match_engine(
                 docs, words, window, code=self.code
             ),
+            site=site,
         )
 
 

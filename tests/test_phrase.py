@@ -284,6 +284,33 @@ def test_engine_near_matches_exhaustive(peng):
     assert got == exp and got
 
 
+def test_scoped_phrase_matches_scoped_exhaustive(peng):
+    from search_engine_spark.operators.phrase import phrase_match_engine
+
+    eng, corpus = peng
+    words = _pick_phrase(corpus)
+    # a repo that actually holds a match
+    top = eng.phrase_topk(" ".join(words), k=1).collect()
+    repo = (
+        eng.docs.filter(F.col("doc_id") == top[0]["doc_id"])
+        .select("repo").collect()[0]["repo"]
+    )
+    got = [
+        (int(r["doc_id"]), int(r["hits"]))
+        for r in eng.phrase_topk(" ".join(words), k=50, site=repo).collect()
+    ]
+    exp_rows = (
+        phrase_match_engine(
+            eng.docs.filter(F.col("repo") == repo), words, code=True
+        )
+        .orderBy(F.desc("hits"), F.asc("doc_id"))
+        .limit(50)
+        .collect()
+    )
+    exp = [(int(r["doc_id"]), int(r["hits"])) for r in exp_rows]
+    assert got == exp and got
+
+
 def test_api_phrase_mode(peng, spark):
     from search_engine_spark.api import EngineAPI
 
