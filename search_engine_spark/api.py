@@ -336,35 +336,42 @@ class EngineAPI:
             )
         return {"result": True, "count": len(rows), "data": data}
 
-    def grep(self, needle: str, limit: int = 20) -> dict:
+    def grep(self, needle: str, limit: int = 20,
+             site: str | None = None) -> dict:
         """Exact substring search over indexed content (trigram-pruned,
         verification-exact). Falls back to the full scan when no trigram
-        index is built — identical results, unaccelerated."""
+        index is built — identical results, unaccelerated. ``site``
+        scopes to one repo."""
         if not needle:
             return {"result": False, "error": ERR_EMPTY_QUERY}
         tri = self._get_tri()
         if tri is not None:
-            hits = tri.substring_search(needle)
+            hits = tri.substring_search(needle, site=site)
         else:
             from .operators.trigram import substring_scan
 
-            hits = substring_scan(
-                self.catalog.read(self.spark, "docs"), needle
-            )
+            docs = self.catalog.read(self.spark, "docs")
+            if site is not None:
+                docs = docs.filter(F.col("repo") == site)
+            hits = substring_scan(docs, needle)
         return self._code_hits_response(hits, limit, needle)
 
-    def egrep(self, pattern: str, limit: int = 20) -> dict:
+    def egrep(self, pattern: str, limit: int = 20,
+              site: str | None = None) -> dict:
         """Exact regex search (Python `re` semantics on every path),
         trigram-pruned through required literals when an index exists."""
         if not pattern:
             return {"result": False, "error": ERR_EMPTY_QUERY}
         tri = self._get_tri()
         if tri is not None:
-            hits = tri.regex_search(pattern)
+            hits = tri.regex_search(pattern, site=site)
         else:
             from .operators.trigram import regex_scan
 
-            hits = regex_scan(self.catalog.read(self.spark, "docs"), pattern)
+            docs = self.catalog.read(self.spark, "docs")
+            if site is not None:
+                docs = docs.filter(F.col("repo") == site)
+            hits = regex_scan(docs, pattern)
         from .operators.trigram import regex_literals
 
         lits = regex_literals(pattern)

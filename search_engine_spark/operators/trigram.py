@@ -598,8 +598,11 @@ class TrigramSearcher:
                 return cand
         return cand
 
-    def _docs_for(self, cand: np.ndarray | None) -> DataFrame:
+    def _docs_for(self, cand: np.ndarray | None,
+                  site: str | None = None) -> DataFrame:
         docs = self.catalog.read(self.spark, "docs")
+        if site is not None:
+            docs = docs.filter(F.col("repo") == site)
         if cand is not None:
             cand_df = self.spark.createDataFrame(
                 pd.DataFrame({"doc_id": cand.astype(np.int64)})
@@ -612,14 +615,14 @@ class TrigramSearcher:
             F.col("id").alias("doc_id"), F.lit(0).cast("long").alias("hits")
         )
 
-    def _verify_driver(self, cand: np.ndarray, count_fn) -> DataFrame | None:
+    def _verify_driver(self, cand: np.ndarray, count_fn,
+                       site: str | None = None) -> DataFrame | None:
         import pyarrow.dataset as pads
 
-        pdf = self._pa_read(
-            "docs",
-            ["doc_id", "content"],
-            pads.field("doc_id").isin([int(i) for i in cand]),
-        )
+        filt = pads.field("doc_id").isin([int(i) for i in cand])
+        if site is not None:
+            filt = filt & (pads.field("repo") == site)
+        pdf = self._pa_read("docs", ["doc_id", "content"], filt)
         if pdf is None:
             return None
         hits = count_fn(pdf["content"].astype(str))
@@ -632,10 +635,13 @@ class TrigramSearcher:
             [(int(d), int(x)) for d, x in rows], "doc_id long, hits long"
         )
 
-    def substring_search(self, needle: str) -> DataFrame:
+    def substring_search(self, needle: str,
+                         site: str | None = None) -> DataFrame:
         """Exact substring search → DataFrame(doc_id, hits), all matches.
         hits = non-overlapping occurrence count (the length/replace
-        identity — identical on every physical path and in SQL)."""
+        identity — identical on every physical path and in SQL).
+        ``site`` scopes to one repo — a repo filter on the driver fetch
+        / a pushed predicate on the distributed scan."""
         cand = (
             self.candidates(needle_codes(needle))
             if len(needle.encode("utf-8")) >= 3
@@ -647,12 +653,14 @@ class TrigramSearcher:
             out = self._verify_driver(
                 cand,
                 lambda s: s.str.count(re.escape(needle)).to_numpy(np.int64),
+                site=site,
             )
             if out is not None:
                 return out
-        return substring_scan(self._docs_for(cand), needle)
+        return substring_scan(self._docs_for(cand, site), needle)
 
-    def regex_search(self, pattern: str) -> DataFrame:
+    def regex_search(self, pattern: str,
+                     site: str | None = None) -> DataFrame:
         """Exact regex search (Python ``re`` semantics on every path) →
         DataFrame(doc_id, hits = non-overlapping match count). Prunes
         via the trigrams of conservatively-extracted required literals;
@@ -674,7 +682,8 @@ class TrigramSearcher:
                 lambda s: np.fromiter(
                     (len(rx.findall(t)) for t in s), np.int64, count=len(s)
                 ),
+                site=site,
             )
             if out is not None:
                 return out
-        return regex_scan(self._docs_for(cand), pattern)
+        return regex_scan(self._docs_for(cand, site), pattern)

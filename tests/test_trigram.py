@@ -320,6 +320,21 @@ def test_api_grep_egrep(spark, tmp_path_factory):
     assert rx["result"]
     assert api.grep("")["result"] is False
 
+    # site scoping: results restricted to the repo, still exact
+    repo = after["data"][0]["site"]
+    scoped = api.grep(needle, limit=10, site=repo)
+    assert scoped["count"] >= 1
+    assert all(d["site"] == repo for d in scoped["data"])
+    truth = {
+        r["doc_id"]
+        for r in cat.read(spark, "docs")
+        .filter(F.col("repo") == repo)
+        .select("doc_id", "content")
+        .collect()
+        if needle in r["content"]
+    }
+    assert scoped["count"] == len(truth)
+
 
 def test_catalyst_substring_scan_matches_python(tri, spark):
     s, cat = tri
