@@ -198,6 +198,7 @@ class EngineAPI:
         scorer: str = "bm25",
         strategy: str = "blockmax",
         mode: str = "all",
+        near_window: int = 8,
     ) -> dict:
         """``mode='all'`` (default) is the reference AND contract with an
         exact count. ``mode='any'`` is the ranked union (missing terms
@@ -210,12 +211,19 @@ class EngineAPI:
         eng = self._get_engine()
         q_lemmas = analyze_query(query, code=self.code)
         count_exact = True
-        if mode == "phrase":
-            # exact token-adjacency search (operators/phrase.py): score =
-            # phrase occurrence count; the banner count is exact only when
-            # the page wasn't truncated at k (a full phrase count would
-            # verify every candidate — the top-k path stops at k)
-            rows = eng.phrase_topk(query, k=offset + limit, site=site).collect()
+        if mode in ("phrase", "near"):
+            # exact token-adjacency / ordered-proximity search
+            # (operators/phrase.py): score = hit count; the banner count
+            # is exact only when the page wasn't truncated at k (a full
+            # count would verify every candidate — top-k stops at k)
+            if mode == "phrase":
+                rows = eng.phrase_topk(
+                    query, k=offset + limit, site=site
+                ).collect()
+            else:
+                rows = eng.near_topk(
+                    query, near_window, k=offset + limit, site=site
+                ).collect()
             topk = [(int(r["doc_id"]), float(r["hits"])) for r in rows]
             count = len(topk)
             count_exact = len(topk) < offset + limit
@@ -235,7 +243,7 @@ class EngineAPI:
             )
         if not topk:
             out = {"result": True, "count": 0, "data": []}
-            if mode in ("any", "phrase"):
+            if mode in ("any", "phrase", "near"):
                 out["countExact"] = count_exact
             return out
 
@@ -266,7 +274,7 @@ class EngineAPI:
                 }
             )
         out = {"result": True, "count": count, "data": data}
-        if mode in ("any", "phrase"):
+        if mode in ("any", "phrase", "near"):
             out["countExact"] = count_exact
         return out
 

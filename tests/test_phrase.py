@@ -323,3 +323,5 @@ def test_api_phrase_mode(peng, spark):
         resp["data"][0]
     )
     assert "countExact" in resp
+    near = api.search(" ".join(words), mode="near", near_window=6, limit=5)
+    assert near["result"] is True and near["count"] >= resp["count"]
