@@ -205,7 +205,10 @@ class EngineAPI:
         dropped, docs matching any term scored); its response adds
         ``countExact`` — True for single-term (count = df), False when the
         count is the clamped independence estimate (an exact |union| would
-        decode every hot term's full list just for the banner)."""
+        decode every hot term's full list just for the banner).
+        ``mode='phrase'`` is exact token adjacency and ``mode='near'``
+        ordered proximity within ``near_window`` positions (both scored
+        by hit count, verification-exact; operators/phrase.py)."""
         if not query or not query.strip():
             return {"result": False, "error": ERR_EMPTY_QUERY}
         eng = self._get_engine()
