@@ -1019,6 +1019,17 @@ def _q_phrase(spark, sf):
     return phrase_match(_t(spark, sf, "documents"), PHRASE2, text_col="text")
 
 
+def _q_decontaminate(spark, sf):
+    """Benchmark decontamination (operators/curation.py contamination):
+    docs sharing any token n-gram with the frozen benchmark subset
+    (doc_id % 97 == 0). Gated at n=3 for a rich multi-match result set;
+    the operator defaults to the real-world n=8."""
+    from search_engine_spark.operators.curation import contamination
+
+    d = _t(spark, sf, "documents")
+    return contamination(d, d.filter(F.col("doc_id") % 97 == 0), n=3)
+
+
 def _q_near(spark, sf):
     """Ordered proximity (NEAR): anchors whose words occur in order
     within a fixed window — nested higher-order exists filters, single
@@ -1098,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_dot_topk": _q_ann_dot,
         "phrase_match": _q_phrase,
         "phrase_near": _q_near,
+        "decontaminate": _q_decontaminate,
         "trigram_substring": _q_tri_substring,
         "trigram_regex": _q_tri_regex,
         # rows-only (no oracle_sql entry):
@@ -1685,6 +1697,25 @@ def oracle_sql() -> dict[str, str]:
              FROM ptok
            )
            SELECT doc_id, hits FROM hit WHERE hits > 0""",
+        # decontamination twin: identical gram boundaries (DuckDB list
+        # slicing toks[i:i+n-1] is end-INCLUSIVE = Spark slice(toks,i,n))
+        "decontaminate": """
+           WITH ptok AS (
+             SELECT doc_id,
+                    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                t -> length(t) >= 2) AS toks
+             FROM documents
+           ), grams AS (
+             SELECT doc_id,
+                    unnest(list_transform(generate_series(1, len(toks) - 2),
+                           i -> array_to_string(toks[i:i+2], ' '))) AS g
+             FROM ptok WHERE len(toks) >= 3
+           ), bench AS (
+             SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+           )
+           SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS hit_grams
+           FROM grams WHERE g IN (SELECT g FROM bench)
+           GROUP BY doc_id""",
         # trigram twins: the index is only a pruning accelerator —
         # verification makes engine results EQUAL plain contains /
         # regexp_matches semantics, so the twins are one-liners. hits =

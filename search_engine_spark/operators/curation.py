@@ -24,7 +24,7 @@ partitioning, same rule as ``dedup.exact_dups``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.text_quality import (
     bpe_token_count,
@@ -149,4 +149,59 @@ def mixture_weights(
             F.round(p, 6).alias("p"),
             F.round(w, 6).alias("weight"),
         )
+    )
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag every doc sharing at least one
+    token ``n``-gram with the benchmark set → DataFrame(doc_id,
+    hit_grams = distinct shared n-grams). The standard pretraining
+    hygiene pass (n=8..13 in published pipelines; default 8).
+
+    Plan at 100 TB: benchmark n-grams are BENCHMARK-sized (bounded by
+    the eval suite, not the corpus) → distinct once and broadcast; the
+    corpus side is one scan whose n-gram explode feeds a broadcast hash
+    join + a map-side-combinable countDistinct — rejected docs never
+    shuffle. Gram keys join as strings here (exact, oracle-twinnable);
+    at petabyte scale hash both sides with ``xxhash64(g)`` first to
+    shrink the exchange — same plan shape, 64-bit collision risk only.
+
+    Tokenization is the oracle-shared ASCII spec (operators/phrase.py
+    ``tokens_array``), so the DuckDB twin reproduces gram boundaries
+    exactly.
+    """
+    from ..functions.hof import bind_once
+    from .phrase import tokens_array
+
+    def grams_col(text: Column) -> Column:
+        def _grams(toks: Column) -> Column:
+            starts = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+            g = F.transform(
+                starts, lambda i: F.array_join(F.slice(toks, i, n), " ")
+            )
+            return F.when(F.size(toks) >= n, g).otherwise(
+                F.array().cast("array<string>")
+            )
+
+        return bind_once(tokens_array(text), _grams)
+
+    bench_grams = (
+        benchmark.select(
+            F.explode(grams_col(F.col(text_col))).alias("g")
+        ).distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(grams_col(F.col(text_col))).alias("g"),
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").cast("long").alias("hit_grams"))
     )

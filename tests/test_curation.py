@@ -167,3 +167,39 @@ def test_mixture_weights_alpha_limits(spark):
     assert prop["a"]["weight"] == prop["a"]["p"] == 0.1
     unif = {r["group"]: r for r in mixture_weights(df, alpha=0.0).collect()}
     assert unif["a"]["weight"] == unif["b"]["weight"] == 0.5
+
+
+def test_contamination_exact_ngram_semantics(spark):
+    from search_engine_spark.operators.curation import contamination
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd ee ff gg hh tail words here"),  # bench doc
+            (2, "prefix aa bb cc dd ee ff gg hh suffix"),    # full 8-gram copy
+            (3, "aa bb cc dd ee ff gg zz"),                  # only 7 shared
+            (4, "totally different text with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id = 1")
+    got = {
+        r["doc_id"]: r["hit_grams"]
+        for r in contamination(docs, bench, n=8).collect()
+    }
+    # doc 1 matches itself (all 4 of its own 8-grams: 11 tokens), doc 2
+    # shares exactly one benchmark 8-gram, doc 3's 7-token overlap must
+    # NOT flag
+    assert got[2] == 1 and 3 not in got and 4 not in got and got[1] == 4
+
+
+def test_contamination_plan_broadcasts_benchmark(spark):
+    from search_engine_spark.operators.curation import contamination
+
+    docs = spark.createDataFrame(
+        [(i, "w%d aa bb cc dd ee ff gg hh" % i) for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = contamination(docs, docs.filter("doc_id = 0"), n=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert out.count() == 20  # the shared 8-gram flags every doc
