@@ -287,6 +287,7 @@ def main() -> None:
         "mixture_weights",
         "phrase_match",
         "phrase_near",
+        "decontaminate",
         # rep 1 includes the one-time trigram index build (cached per
         # sf_dir); rep 2 is the warm pruned serve — timing_reps shows both
         "trigram_substring",
