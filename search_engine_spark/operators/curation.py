@@ -42,13 +42,29 @@ def curate_corpus(
     min_quality: float = 0.7,
     min_tokens: int = 10,
     max_tokens: int = 100_000,
+    benchmark: DataFrame | None = None,
+    decontaminate_n: int = 8,
 ) -> DataFrame:
     """Curated-survivor rows: one per unique kept document —
     ``(doc_id, lang, quality, n_ws_tokens, n_bpe_tokens, n_copies)``
     where ``doc_id`` is the smallest id among the exact copies and
     ``n_copies`` the collapsed duplicate count (the dedup audit number
-    a curation report wants next to the token budget)."""
+    a curation report wants next to the token budget).
+
+    ``benchmark`` (optional) chains decontamination in: docs sharing
+    any ``decontaminate_n``-gram with the benchmark set are dropped
+    BEFORE the dedup aggregate via an anti-join on the flagged ids —
+    contaminated docs never reach the exchange. No forced broadcast:
+    the flagged set is usually tiny (AQE broadcasts it at runtime) but
+    is corpus-bounded in the worst case, the r3-ADVICE lesson on
+    forcing broadcasts of scale-growing sides."""
     t = F.col(text_col)
+    if benchmark is not None:
+        flagged = contamination(
+            df, benchmark, n=decontaminate_n,
+            id_col=id_col, text_col=text_col,
+        ).select(F.col("doc_id").alias(id_col))
+        df = df.join(flagged, id_col, "left_anti")
     enriched = df.select(
         F.col(id_col).alias("doc_id"),
         F.sha2(t, 256).alias("digest"),

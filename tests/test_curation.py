@@ -192,6 +192,30 @@ def test_contamination_exact_ngram_semantics(spark):
     assert got[2] == 1 and 3 not in got and 4 not in got and got[1] == 4
 
 
+def test_curate_with_benchmark_drops_contaminated(spark):
+    from search_engine_spark.operators.curation import curate_corpus
+
+    base = "the data of an is to in and a query scan merge sort row batch"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " unique one ending here now"),
+            (2, base + " other words trail off differently"),
+            (3, "the data of an is to unrelated totally different doc body"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id = 1")
+    kept_plain = {r["doc_id"] for r in curate_corpus(
+        docs, min_quality=0.0, min_tokens=1).collect()}
+    kept = {r["doc_id"] for r in curate_corpus(
+        docs, min_quality=0.0, min_tokens=1,
+        benchmark=bench, decontaminate_n=8).collect()}
+    # docs 1 and 2 share the 15-token base prefix (8-grams overlap);
+    # doc 3 shares only 6 leading tokens — survives
+    assert kept_plain == {1, 2, 3}
+    assert kept == {3}
+
+
 def test_contamination_plan_broadcasts_benchmark(spark):
     from search_engine_spark.operators.curation import contamination
 
