@@ -1019,6 +1019,31 @@ def _q_phrase(spark, sf):
     return phrase_match(_t(spark, sf, "documents"), PHRASE2, text_col="text")
 
 
+PREFIX1 = "s"  # frozen prefix (6 vocabulary expansions at sf0.01)
+
+
+def _q_prefix(spark, sf):
+    """Prefix (trailing-wildcard) match profile per doc: distinct
+    matching terms + their total tf — the oracle-spec twin of the
+    engine's expansion semantics (every token with the prefix counts)."""
+    return (
+        _tokens(spark, sf)
+        .filter(F.col("term").startswith(PREFIX1))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.count("*").alias("total_tf"),
+        )
+    )
+
+
+def _q_engine_prefix(spark, sf):
+    """Engine prefix top-k: rarest-first capped vocabulary expansion +
+    ranked-union scoring (blockmax ≡ exhaustive tested in
+    tests/test_wand.py)."""
+    return _engine(spark, sf).topk_prefix(PREFIX1, k=20)
+
+
 def _q_decontaminate(spark, sf):
     """Benchmark decontamination (operators/curation.py contamination):
     docs sharing any token n-gram with the frozen benchmark subset
@@ -1110,11 +1135,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": _q_phrase,
         "phrase_near": _q_near,
         "decontaminate": _q_decontaminate,
+        "prefix_match": _q_prefix,
         "trigram_substring": _q_tri_substring,
         "trigram_regex": _q_tri_regex,
         # rows-only (no oracle_sql entry):
         "engine_phrase_topk": _q_engine_phrase,
         "engine_near_topk": _q_engine_near,
+        "engine_prefix_topk": _q_engine_prefix,
         "engine_bm25_topk": _q_engine_bm25,
         "engine_wand_topk": _q_engine_wand,
         "engine_postings_blocks": _q_engine_postings,
@@ -1697,6 +1724,11 @@ def oracle_sql() -> dict[str, str]:
              FROM ptok
            )
            SELECT doc_id, hits FROM hit WHERE hits > 0""",
+        "prefix_match": _TOK_CTE
+        + f"""
+           SELECT doc_id, count(DISTINCT term) AS n_terms,
+                  count(*) AS total_tf
+           FROM tok2 WHERE term LIKE '{PREFIX1}%' GROUP BY doc_id""",
         # decontamination twin: identical gram boundaries (DuckDB list
         # slicing toks[i:i+n-1] is end-INCLUSIVE = Spark slice(toks,i,n))
         "decontaminate": """

@@ -120,6 +120,8 @@ MAX_SITE_IDS = 500_000  # scoped driver path: site doc-id set cap
 # phrase serving: content point-fetches stay driver-bounded; above this
 # many verified candidates the adjacency check runs distributed instead
 PHRASE_DRIVER_CANDIDATES = 200_000
+# prefix queries: vocabulary expansion cap (Lucene's rewrite bound)
+PREFIX_MAX_EXPANSIONS = 64
 WAND_CHUNK0 = 1024
 SINGLE_TERM_BLOCK_BATCH = 256
 META_CACHE_BLOCKS = 4_000_000  # LRU budget (≈192 MB of numpy metadata)
@@ -1342,6 +1344,80 @@ class SearchEngine:
             .agg(F.count("*").alias("nt"))
             .filter(F.col("nt") == F.lit(len(q_terms)))
             .count()
+        )
+
+    # -- prefix (wildcard) queries ------------------------------------------
+
+    def expand_prefix(
+        self, prefix: str, limit: int = PREFIX_MAX_EXPANSIONS
+    ) -> list[str]:
+        """Vocabulary terms starting with ``prefix`` — a RANGE read over
+        the term-sorted global terms rows (parquet row-group pruned;
+        Spark range-filter fallback), capped at ``limit`` expansions
+        RAREST-FIRST (Lucene's top-terms scoring rewrite keeps the
+        highest-weight = highest-idf terms; deterministic term
+        tie-break). The prefix addresses the analyzed-lemma vocabulary
+        directly (lowercased, not lemmatized) — PrefixQuery semantics."""
+        p = prefix.strip().lower()
+        if not p:
+            return []
+        hi = p[:-1] + chr(ord(p[-1]) + 1)
+        import pyarrow.dataset as pads
+
+        pdf = self._pa_read(
+            "terms",
+            ["term", "df"],
+            (pads.field("scope") == "")
+            & (pads.field("term") >= p)
+            & (pads.field("term") < hi),
+        )
+        if pdf is not None:
+            pairs = list(zip(pdf["term"], pdf["df"].astype(int)))
+        else:
+            pairs = [
+                (r["term"], int(r["df"]))
+                for r in self.terms.filter(
+                    (F.col("scope") == "")
+                    & (F.col("term") >= p)
+                    & (F.col("term") < hi)
+                ).select("term", "df").collect()
+            ]
+        pairs.sort(key=lambda t: (t[1], t[0]))
+        return [t for t, _ in pairs[:limit]]
+
+    def topk_prefix(
+        self,
+        prefix: str,
+        k: int = 20,
+        site: str | None = None,
+        strategy: str = "blockmax",
+        scorer: str = "bm25",
+    ) -> DataFrame:
+        """Prefix (trailing-wildcard) top-k → DataFrame(doc_id, score):
+        the ranked union (mode='any' scoring) over the prefix's capped
+        vocabulary expansions — docs are scored over every expansion
+        they contain, exactly as if the user typed the expansions as a
+        disjunctive query. Same serving discipline as topk: driver
+        block-max OR with caps, distributed exhaustive fallback
+        (blockmax ≡ exhaustive tested)."""
+        terms = self.expand_prefix(prefix)
+        if not terms:
+            return self._empty()
+        ctx = self._resolve(terms, site, require_all=False)
+        if ctx is None:
+            return self._empty()
+        terms = sorted(t for t in terms if t in ctx.dfs)
+        if strategy == "blockmax":
+            if len(terms) == 1:
+                res = self._driver_single(terms[0], ctx, k, scorer)
+            else:
+                res = self._driver_or(terms, ctx, k, scorer)
+            if res is not None:
+                return self._from_pairs(res)
+        return (
+            self._exhaustive_scored(terms, ctx, scorer, match_all=False)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
         )
 
     # -- phrase serving (index-pruned + verify-by-content) -----------------

@@ -231,3 +231,38 @@ def test_collapse_pagination_and_empty(engine):
     assert engine.topk_collapsed(
         "zzzznotaterm", k=5, strategy="exhaustive"
     ).count() == 0
+
+
+# -- prefix (trailing wildcard) queries --------------------------------------
+
+
+def test_expand_prefix_range_and_cap(engine):
+    exp = engine.expand_prefix("va")
+    assert exp and all(t.startswith("va") for t in exp)
+    dfs = engine._global_dfs(exp)
+    assert all(dfs[t] is not None for t in exp)
+    # rarest-first cap: limit=1 keeps the (df, term)-minimal expansion
+    assert engine.expand_prefix("va", limit=1) == [
+        min(exp, key=lambda t: (dfs[t], t))
+    ]
+    assert engine.expand_prefix("zzzqqq") == []
+    assert engine.expand_prefix("") == []
+
+
+def test_prefix_blockmax_equals_exhaustive(engine):
+    for p in ("va", "im", "q"):
+        a = _pairs(engine.topk_prefix(p, k=15, strategy="blockmax"))
+        b = _pairs(engine.topk_prefix(p, k=15, strategy="exhaustive"))
+        assert [d for d, _ in a] == [d for d, _ in b], p
+        assert np.array_equal(
+            np.array([s for _, s in a]), np.array([s for _, s in b])
+        ), p
+        assert a, p
+
+
+def test_prefix_single_expansion_equals_or_query(engine):
+    exp = engine.expand_prefix("varint")
+    assert exp == ["varint"]
+    assert _pairs(engine.topk_prefix("varint", k=10)) == _pairs(
+        engine.topk("varint", k=10, mode="any")
+    )
