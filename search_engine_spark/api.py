@@ -142,8 +142,23 @@ class EngineAPI:
                 return {"result": False, "error": ERR_OUT_OF_SCOPE}
         _index_docs_plan(self.spark, self.catalog, docs, code=self.code)
         self._get_engine(refresh=True)
-        # drop the cached trigram searcher so its staleness guard
-        # re-evaluates against the rewritten docs table
+        if self.catalog.exists("tri_postings"):
+            # keep the trigram index live with an append (false-positives-
+            # only; operators/trigram.py append_trigram_docs) instead of
+            # letting the staleness guard demote every grep to a scan
+            from .operators.trigram import append_trigram_docs
+
+            delta = self.spark.createDataFrame(
+                docs,
+                "repo string, path string, commit string, "
+                "lang string, content string",
+            ).select(
+                F.xxhash64("repo", "path", "commit").alias("doc_id"),
+                "content",
+            )
+            append_trigram_docs(self.spark, delta, self.catalog)
+        # fresh searcher either way: re-reads vocab/meta (or re-evaluates
+        # staleness when no index exists)
         self._tri = None
         return {"result": True}
 

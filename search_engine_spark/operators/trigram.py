@@ -240,6 +240,78 @@ def _docs_signature(path: str) -> str | None:
         return None
 
 
+def _rewrite_vocab_and_meta(spark: SparkSession, catalog: Catalog,
+                            n: int) -> None:
+    """Recompute ``tri_vocab`` from the written block rows (a
+    metadata-sized aggregate — block rows, never postings) and stamp
+    ``tri_meta`` with the docs-table content signature.
+
+    ``indexed`` = min(block_id) >= 0: a trigram is usable for pruning
+    ONLY if NO sentinel exists anywhere in its rows — after an append,
+    a trigram that was hot at build time (old sentinel) has an
+    incomplete list even if the delta appended real blocks, and using
+    it would cause FALSE NEGATIVES. The min-rule disables exactly those.
+
+    The staleness sentinel: the searcher re-computes the docs signature;
+    a mismatch (docs rewritten without a matching index append) disables
+    pruning — a stale candidate set would silently MISS new docs, and
+    exactness beats speed."""
+    vocab = (
+        catalog.read(spark, "tri_postings")
+        .groupBy("trigram")
+        .agg(
+            F.sum("count").alias("df"),
+            (F.min("block_id") >= 0).alias("indexed"),
+        )
+    )
+    catalog.write(
+        vocab.repartitionByRange(max(n // 4, 1), "trigram")
+        .sortWithinPartitions("trigram"),
+        "tri_vocab",
+    )
+    sig = _docs_signature(catalog.path("docs"))
+    catalog.write(
+        spark.createDataFrame([(sig,)], "docs_signature string"), "tri_meta"
+    )
+
+
+def append_trigram_docs(
+    spark: SparkSession,
+    docs_delta: DataFrame,
+    catalog: Catalog,
+    partitions: int | None = None,
+) -> dict:
+    """Append-only incremental maintenance: index a docs DELTA (new or
+    re-indexed documents) without rebuilding.
+
+    Correctness argument — appends can only create FALSE POSITIVES,
+    which exact verification removes: (a) a new/updated doc's trigrams
+    all land in the appended blocks, so no candidate is ever missed for
+    content that exists; (b) an updated doc's OLD trigram rows remain
+    and may nominate it spuriously — the verify step reads the CURRENT
+    content and drops it; (c) a deleted doc's ids nominate nothing the
+    content fetch can return. The one trap is an INCOMPLETE list being
+    trusted: the vocab rewrite's min(block_id) rule (above) disables any
+    trigram with a sentinel anywhere, and delta-hot trigrams sentinel
+    exactly like build-hot ones. df counts drift upward for re-indexed
+    docs (duplicate pairs) — they steer only rarest-first selection.
+    Rebuild (`build_trigram_index`) re-compacts; this is the same
+    append-then-compact lifecycle the term index's incremental merge
+    uses, at a fraction of the cost because blocks never rewrite."""
+    pairs = trigram_pairs(docs_delta)
+    n = partitions or spark.sparkContext.defaultParallelism
+    blocks = (
+        pairs.repartition(n, "trigram")
+        .sortWithinPartitions("trigram", "doc_id")
+        .mapInPandas(
+            _make_block_encoder(LIST_DECODE_CAP), schema=TRI_POSTINGS_SCHEMA
+        )
+    )
+    catalog.write(blocks, "tri_postings", mode="append")
+    _rewrite_vocab_and_meta(spark, catalog, n)
+    return {"appended_docs": docs_delta.count()}
+
+
 def build_trigram_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -275,29 +347,7 @@ def build_trigram_index(
         .mapInPandas(_make_block_encoder(max_df), schema=TRI_POSTINGS_SCHEMA)
     )
     catalog.write(blocks, "tri_postings")
-    vocab = (
-        catalog.read(spark, "tri_postings")
-        .groupBy("trigram")
-        .agg(
-            F.sum("count").alias("df"),
-            (F.max("block_id") >= 0).alias("indexed"),
-        )
-    )
-    catalog.write(
-        vocab.repartitionByRange(max(n // 4, 1), "trigram")
-        .sortWithinPartitions("trigram"),
-        "tri_vocab",
-    )
-    # staleness sentinel: the docs-table content signature AT BUILD TIME.
-    # The searcher re-computes it; a mismatch (incremental upserts since
-    # the build) disables pruning — a stale index would silently MISS new
-    # docs, and exactness beats speed. Rebuild restores pruning (the
-    # trigram index is a derived accelerator, rebuilt on compact — the
-    # same trade Cox's codesearch makes).
-    sig = _docs_signature(catalog.path("docs"))
-    catalog.write(
-        spark.createDataFrame([(sig,)], "docs_signature string"), "tri_meta"
-    )
+    _rewrite_vocab_and_meta(spark, catalog, n)
     stats = (
         catalog.read(spark, "tri_postings")
         .filter(F.col("block_id") >= 0)  # sentinels carry df, not payload
@@ -564,6 +614,9 @@ class TrigramSearcher:
         ids = (
             np.concatenate(parts) if parts else np.array([], dtype=np.int64)
         )
+        # unique: appended deltas may repeat a re-indexed doc's id, and
+        # the candidate intersection's assume_unique contract needs it
+        ids = np.unique(ids)
         self._lists[code] = ids
         while len(self._lists) > 4096:
             self._lists.popitem(last=False)

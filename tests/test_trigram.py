@@ -288,6 +288,112 @@ def test_distributed_verify_broadcasts_candidates(tri, spark, monkeypatch):
     assert "SortMergeJoin" not in plan
 
 
+def test_unicode_substring_exact(tri, spark):
+    """Multi-byte UTF-8 needle: byte-trigram pruning must stay a sound
+    superset and verification exact (synth corpus holds ~10% RU docs)."""
+    s, cat = tri
+    rows = cat.read(spark, "docs").select("content").collect()
+    ru = next(
+        (r["content"] for r in rows if any("а" <= c <= "я" for c in r["content"])),
+        None,
+    )
+    assert ru is not None, "fixture corpus should contain russian docs"
+    i = next(j for j, c in enumerate(ru) if "а" <= c <= "я")
+    needle = ru[i : i + 7]
+    got = {r["doc_id"]: r["hits"]
+           for r in s.substring_search(needle).collect()}
+    assert got == _truth_substring(spark, cat, needle) and got
+
+
+def test_append_incremental_stays_pruned_and_exact(spark, tmp_path_factory):
+    from search_engine_spark.operators.trigram import (
+        append_trigram_docs,
+        needle_codes,
+    )
+
+    root = str(tmp_path_factory.mktemp("tri_app"))
+    cat = Catalog(root)
+    docs = make_corpus(spark, 50, seed=37, partitions=2).select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"), "content"
+    )
+    cat.write(docs, "docs")
+    build_trigram_index(spark, cat.read(spark, "docs"), cat)
+
+    marker = "freshmarkertext"
+    delta = spark.createDataFrame(
+        [(7_000_001, f"a new doc carrying {marker} twice {marker}")],
+        "doc_id long, content string",
+    )
+    # docs-table rewrite (union) then index APPEND — the lifecycle order
+    new_docs = cat.read(spark, "docs").unionByName(delta)
+    cat.write(new_docs, "docs_new")
+    import shutil as _sh
+
+    _sh.rmtree(cat.path("docs"))
+    _sh.move(cat.path("docs_new"), cat.path("docs"))
+    append_trigram_docs(spark, delta, cat)
+
+    s = TrigramSearcher(spark, cat)
+    assert not s.stale  # meta re-stamped by the append
+    cand = s.candidates(needle_codes(marker))
+    assert cand is not None and 7_000_001 in set(cand.tolist())  # pruned path
+    got = {r["doc_id"]: r["hits"]
+           for r in s.substring_search(marker).collect()}
+    assert got == {7_000_001: 2}
+
+    # re-index the same doc with DIFFERENT content: old trigram rows
+    # become false candidates only — verification must drop the old
+    # needle and find the new one
+    delta2 = spark.createDataFrame(
+        [(7_000_001, "replacement body with differentmarker now")],
+        "doc_id long, content string",
+    )
+    kept = cat.read(spark, "docs").filter(F.col("doc_id") != 7_000_001)
+    cat.write(kept.unionByName(delta2), "docs_new")
+    _sh.rmtree(cat.path("docs"))
+    _sh.move(cat.path("docs_new"), cat.path("docs"))
+    append_trigram_docs(spark, delta2, cat)
+    s2 = TrigramSearcher(spark, cat)
+    assert not s2.stale
+    assert s2.substring_search(marker).count() == 0  # false positive removed
+    got2 = {r["doc_id"]: r["hits"]
+            for r in s2.substring_search("differentmarker").collect()}
+    assert got2 == {7_000_001: 1}
+
+
+def test_append_hot_trigram_disabled_not_wrong(spark, tmp_path_factory):
+    """A trigram hot at BUILD time (sentinel) must stay unusable for
+    pruning after a delta appends real blocks for it — using the
+    incomplete list would silently drop pre-delta matches."""
+    from search_engine_spark.operators.trigram import (
+        append_trigram_docs,
+        needle_codes,
+    )
+
+    root = str(tmp_path_factory.mktemp("tri_hot2"))
+    cat = Catalog(root)
+    docs = spark.createDataFrame(
+        [(i, "sharedrun unique%d tail" % i) for i in range(30)],
+        "doc_id long, content string",
+    )
+    cat.write(docs, "docs")
+    build_trigram_index(spark, cat.read(spark, "docs"), cat, max_df=5)
+    delta = spark.createDataFrame(
+        [(999, "sharedrun appended body")], "doc_id long, content string"
+    )
+    cat.write(cat.read(spark, "docs").unionByName(delta), "docs_new")
+    import shutil as _sh
+
+    _sh.rmtree(cat.path("docs"))
+    _sh.move(cat.path("docs_new"), cat.path("docs"))
+    append_trigram_docs(spark, delta, cat)
+    s = TrigramSearcher(spark, cat)
+    # every trigram of 'sharedrun' is build-hot → unusable → no pruning
+    assert s.candidates(needle_codes("sharedrun")) is None
+    got = {r["doc_id"] for r in s.substring_search("sharedrun").collect()}
+    assert got == set(range(30)) | {999}  # scan fallback, exact
+
+
 def test_api_grep_egrep(spark, tmp_path_factory):
     """EngineAPI code-search facade: scan fallback without an index,
     identical results after build_code_index, decorated response."""
@@ -319,6 +425,16 @@ def test_api_grep_egrep(spark, tmp_path_factory):
     rx = api.egrep("scan [a-z]+ data", limit=10)
     assert rx["result"]
     assert api.grep("")["result"] is False
+
+    # incremental upsert keeps the index live: the appended doc is
+    # found through the PRUNED path (searcher not stale)
+    marker = "incrementalmarkerxyz"
+    r = api.index_doc("org0/repo0", "src/new.py", "f" * 40, "py",
+                      f"def f():\n    return '{marker}'")
+    assert r["result"] is True
+    inc = api.grep(marker, limit=5)
+    assert inc["count"] == 1 and marker in inc["data"][0]["snippet"]
+    assert api._get_tri() is not None and not api._get_tri().stale
 
     # site scoping: results restricted to the repo, still exact
     repo = after["data"][0]["site"]
