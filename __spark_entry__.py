@@ -630,6 +630,30 @@ def _q_cust_dist_q13(spark, sf):  # Q13 shape: outer join + double aggregation
     )
 
 
+def _q_order_priority_q4(spark, sf):  # Q4 shape: EXISTS semi-join on the fact
+    from search_engine_spark.operators.relational import order_priority_check
+
+    return order_priority_check(
+        _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    )
+
+
+def _q_small_qty_q17(spark, sf):  # Q17 shape: correlated per-group average
+    from search_engine_spark.operators.relational import small_quantity_revenue
+
+    return small_quantity_revenue(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "part")
+    )
+
+
+def _q_dormant_q22(spark, sf):  # Q22 shape: anti-join + scalar subquery
+    from search_engine_spark.operators.relational import dormant_customers
+
+    return dormant_customers(
+        _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    )
+
+
 def _q_semi(spark, sf):  # S6 semi-join (IN-list scan family)
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 300000)
@@ -1123,6 +1147,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_item_q10": _q_returned_q10,
         "forecast_revenue_q6": _q_forecast_q6,
         "priority_bands_q12": _q_priority_bands_q12,
+        "order_priority_q4": _q_order_priority_q4,
+        "small_qty_revenue_q17": _q_small_qty_q17,
+        "dormant_customers_q22": _q_dormant_q22,
         "customer_order_dist_q13": _q_cust_dist_q13,
         "semi_join_s6": _q_semi,
         "anti_join_j7": _q_anti,
@@ -1606,6 +1633,52 @@ def oracle_sql() -> dict[str, str]:
                  GROUP BY c_custkey)
            GROUP BY c_count
            ORDER BY custdist DESC, c_count DESC""",
+        # Q4/Q17/Q22 shapes: EXISTS semi, correlated per-group average,
+        # anti + scalar subquery. All sub-average / above-average
+        # comparisons use the exact integer-decimal cross form
+        # (qty·5·cnt < sum; bal·cnt > sum) — no division near a filter,
+        # so both engines agree bit-for-bit; the only divisions happen
+        # once, in double, after the exact decimal sum
+        "order_priority_q4": """
+           SELECT o_orderpriority, count(*) AS order_count
+           FROM orders o
+           WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+             AND o.o_orderdate < TIMESTAMP '1995-04-01'
+             AND EXISTS (SELECT 1 FROM lineitem l
+                         WHERE l.l_orderkey = o.o_orderkey
+                           AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+           GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        "small_qty_revenue_q17": """
+           WITH p AS (SELECT p_partkey FROM part
+                      WHERE p_brand = 'Brand#1' AND p_size <= 10),
+           agg AS (SELECT l_partkey,
+                          SUM(CAST(l_quantity AS DECIMAL(12,4))) AS sum_qty,
+                          COUNT(*) AS cnt_qty
+                   FROM lineitem JOIN p ON l_partkey = p_partkey
+                   GROUP BY l_partkey),
+           small AS (SELECT l.l_extendedprice
+                     FROM lineitem l JOIN agg USING (l_partkey)
+                     WHERE CAST(l.l_quantity AS DECIMAL(12,4)) * 5 * cnt_qty
+                           < sum_qty)
+           SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)))
+                        AS DOUBLE) / 7.0, 2) AS avg_yearly
+           FROM small""",
+        "dormant_customers_q22": """
+           WITH a AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS sum_bal,
+                             COUNT(*) AS cnt_bal
+                      FROM customer WHERE c_acctbal > 0),
+           rich AS (SELECT c.* FROM customer c, a
+                    WHERE CAST(c_acctbal AS DECIMAL(12,4)) * cnt_bal
+                          > sum_bal * 1),
+           d AS (SELECT * FROM rich r
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_custkey = r.c_custkey
+                                     AND o.o_orderdate >= TIMESTAMP '2000-06-01'))
+           SELECT c_nationkey % 5 AS nation_band,
+                  COUNT(*) AS n_customers,
+                  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE), 2)
+                      AS total_bal
+           FROM d GROUP BY 1 ORDER BY 1""",
         "semi_join_s6": """
            SELECT c_custkey FROM customer c
            WHERE EXISTS (SELECT 1 FROM orders o

@@ -349,3 +349,129 @@ def customer_order_distribution(
         .agg(F.count("*").alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+def order_priority_check(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1995-01-01",
+    date_to: str = "1995-04-01",
+    late_days: int = 60,
+) -> DataFrame:
+    """TPC-H Q4 shape (adapted to this schema: no l_commitdate, so "late"
+    = shipped more than ``late_days`` after the order date): per
+    o_orderpriority, the number of orders in the date band with AT LEAST
+    ONE late lineitem — the EXISTS discipline.
+
+    Plan: LEFT SEMI join — the one join type the family still lacked.
+    Both sides are fact-scale, so (like Q12) broadcast is NOT the
+    answer: both exchange-partition on o_orderkey, and the semi join
+    emits each order at most once BEFORE the aggregate, so the
+    exchange after the join carries |matching orders| rows, never
+    |lineitem|. The date filter pushes into the orders scan."""
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    )
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+    )
+    return (
+        o.join(
+            lineitem.select("l_orderkey", "l_shipdate"),
+            (F.col("l_orderkey") == F.col("o_orderkey")) & late,
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str = "Brand#1",
+    max_size: int = 10,
+) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders (below 20% of the part's average quantity) were not filled —
+    the CORRELATED PER-GROUP AVERAGE discipline.
+
+    Plan: the fact aggregates per l_partkey once (sum+count — NOT avg:
+    the sub-average comparison is done in exact integer-decimal cross
+    form ``5·qty·cnt < sum`` so Spark and the SQL oracle agree bit-for-
+    bit with no division anywhere near the filter), then joins back to
+    the fact on the SAME partkey partitioning (one exchange reused) with
+    the filtered part dim broadcast. Final: one scalar aggregate; the
+    only division (/7.0) happens once, in double, after the exact sum."""
+    p = part.filter(
+        (F.col("p_brand") == brand) & (F.col("p_size") <= max_size)
+    ).select("p_partkey")
+    per_part = (
+        lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast(_MONEY)).alias("sum_qty"),
+            F.count("*").alias("cnt_qty"),
+        )
+    )
+    small = (
+        lineitem.join(
+            per_part,
+            "l_partkey",
+        )
+        .filter(
+            F.col("l_quantity").cast(_MONEY) * F.lit(5) * F.col("cnt_qty")
+            < F.col("sum_qty") * F.lit(1)
+        )
+    )
+    total = small.agg(
+        F.sum(F.col("l_extendedprice").cast(_MONEY)).alias("s")
+    )
+    return total.select(
+        F.round(F.col("s").cast("double") / F.lit(7.0), 2).alias("avg_yearly")
+    )
+
+
+def dormant_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    n_bands: int = 5,
+    since: str = "2000-06-01",
+) -> DataFrame:
+    """TPC-H Q22 shape (adapted: nationkey bands stand in for phone
+    country codes, and "no orders" is scoped to ``since`` — this
+    corpus's customers all have lifetime orders): customers with
+    ABOVE-AVERAGE account balance and NO RECENT orders, per nation
+    band — the ANTI-JOIN + SCALAR-SUBQUERY discipline.
+
+    Plan: the positive-balance average is a 1-row scalar aggregate
+    (sum+count, broadcast by a cross join); the above-average filter is
+    the exact cross form ``bal·cnt > sum`` (decimal both sides — no
+    division, so both engines agree exactly); then LEFT ANTI against
+    orders on c_custkey (both sides exchange on the key — customer and
+    orders grow together, the Q13 lesson) and a tens-of-groups final
+    aggregate."""
+    bal = F.col("c_acctbal").cast(_MONEY)
+    pos = customer.filter(F.col("c_acctbal") > 0)
+    avg_row = pos.agg(
+        F.sum(bal).alias("sum_bal"), F.count("*").alias("cnt_bal")
+    )
+    rich = (
+        customer.crossJoin(F.broadcast(avg_row))
+        .filter(bal * F.col("cnt_bal") > F.col("sum_bal") * F.lit(1))
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(since).cast("timestamp")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    dormant = rich.join(recent, "c_custkey", "left_anti")
+    return (
+        dormant.groupBy((F.col("c_nationkey") % n_bands).alias("nation_band"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum(bal).cast("double"), 2).alias("total_bal"),
+        )
+        .orderBy("nation_band")
+    )

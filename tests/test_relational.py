@@ -45,6 +45,9 @@ def _values_equal(a, b):
         "returned_item_q10",
         "priority_bands_q12",
         "customer_order_dist_q13",
+        "order_priority_q4",
+        "small_qty_revenue_q17",
+        "dormant_customers_q22",
     ],
 )
 def test_relational_matches_oracle(spark, name):
@@ -169,3 +172,47 @@ def test_q6_pure_pushdown_single_exchange(spark):
     assert plan.count("Exchange") == 1
     row = df.collect()[0]
     assert row["n_lineitems"] > 0 and row["revenue"] > 0
+
+
+def test_q4_semi_join_emits_orders_once(spark):
+    """Q4's 100 TB property: the EXISTS is a LEFT SEMI join (each order
+    emitted at most once before the aggregate), never an inner join +
+    distinct, and no join degrades to sort-merge."""
+    import __spark_entry__ as E
+
+    df = E.queries()["order_priority_q4"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q17_aggregates_fact_per_partkey_before_self_join(spark):
+    """Q17's 100 TB property: the per-part average comes from ONE
+    aggregate over the (part-filtered) fact, joined back on the same
+    key -- the sub-average filter must sit above a HashAggregate, and
+    the part dim join must broadcast."""
+    import __spark_entry__ as E
+
+    df = E.queries()["small_qty_revenue_q17"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_q22_scalar_broadcast_and_anti_join(spark):
+    """Q22's 100 TB property: the balance average is a 1-row broadcast
+    (nested-loop/broadcast cross), the dormancy check a LEFT ANTI join --
+    never a sort-merge anywhere."""
+    import __spark_entry__ as E
+
+    df = E.queries()["dormant_customers_q22"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
