@@ -276,6 +276,9 @@ def main() -> None:
         "forecast_revenue_q6",
         "priority_bands_q12",
         "customer_order_dist_q13",
+        "order_priority_q4",
+        "small_qty_revenue_q17",
+        "dormant_customers_q22",
         "ann_ivf_topk",
         "image_channel_stats",
         "audio_window_feats",
