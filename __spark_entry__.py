@@ -1068,6 +1068,28 @@ def _q_engine_prefix(spark, sf):
     return _engine(spark, sf).topk_prefix(PREFIX1, k=20)
 
 
+SAMPLE_FRACS = {"en": 0.5, "zh": 1.0}  # frozen per-lang fractions
+SAMPLE_DEFAULT = 0.25
+SAMPLE_SALT = 11
+
+
+def _q_stratified_sample(spark, sf):
+    """Deterministic per-stratum downsampling (the mixture-weights
+    APPLY step): engine-portable Lehmer hash, keep iff u < fraction(lang)
+    — exactly reproducible in any SQL engine, zero shuffles before the
+    audit aggregate (operators/curation.py stratified_sample)."""
+    from search_engine_spark.operators.curation import stratified_sample
+
+    kept = stratified_sample(
+        _t(spark, sf, "documents"), SAMPLE_FRACS, strat_col="lang",
+        salt=SAMPLE_SALT, default_fraction=SAMPLE_DEFAULT,
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 def _q_decontaminate(spark, sf):
     """Benchmark decontamination (operators/curation.py contamination):
     docs sharing any token n-gram with the frozen benchmark subset
@@ -1162,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": _q_phrase,
         "phrase_near": _q_near,
         "decontaminate": _q_decontaminate,
+        "stratified_sample": _q_stratified_sample,
         "prefix_match": _q_prefix,
         "trigram_substring": _q_tri_substring,
         "trigram_regex": _q_tri_regex,
@@ -1797,6 +1820,22 @@ def oracle_sql() -> dict[str, str]:
              FROM ptok
            )
            SELECT doc_id, hits FROM hit WHERE hits > 0""",
+        # sampler twin: the Lehmer hash is exact int64 arithmetic in both
+        # engines; h/P exact in double (h < 2^31), fractions are literals
+        "stratified_sample": f"""
+           WITH s AS (
+             SELECT lang, doc_id,
+                    (((doc_id % 2147483647 + 2147483647) % 2147483647)
+                     * 630360016 + {SAMPLE_SALT}) % 2147483647 AS h
+             FROM documents
+           )
+           SELECT lang, count(*) AS n_kept,
+                  CAST(sum(doc_id) AS BIGINT) AS id_sum
+           FROM s
+           WHERE h / 2147483647.0 <
+                 (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 1.0
+                            ELSE {SAMPLE_DEFAULT} END)
+           GROUP BY lang""",
         "prefix_match": _TOK_CTE
         + f"""
            SELECT doc_id, count(DISTINCT term) AS n_terms,

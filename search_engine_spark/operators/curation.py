@@ -221,3 +221,40 @@ def contamination(
         .groupBy("doc_id")
         .agg(F.countDistinct("g").cast("long").alias("hit_grams"))
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: int = 11,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the step that APPLIES
+    the mixture weights: keep a row iff its Lehmer unit-interval hash
+    (the same engine-portable arithmetic as ``assign_split``, different
+    salt stream) falls below its stratum's fraction.
+
+    Properties a training-data sampler needs and ``df.sampleBy`` lacks:
+    exactly reproducible across engines (the hash is exact int64
+    arithmetic — any SQL engine computes the identical keep set),
+    stable under corpus growth / repartitioning / re-runs (keep depends
+    only on the id), and consistent with the split assignment (dedup
+    upstream ⇒ one survivor id ⇒ one decision). Pure map-side filter —
+    zero shuffles at any scale; strata absent from ``fractions`` keep
+    ``default_fraction`` (0 = drop)."""
+    idc = F.col(id_col)
+    h = ((idc % SPLIT_P + SPLIT_P) % SPLIT_P * SPLIT_A + salt) % SPLIT_P
+    u = h / F.lit(float(SPLIT_P))
+    frac = None
+    for s, f in sorted(fractions.items()):
+        cond = F.col(strat_col) == s
+        frac = F.when(cond, F.lit(float(f))) if frac is None else frac.when(
+            cond, F.lit(float(f))
+        )
+    frac = (
+        F.lit(float(default_fraction)) if frac is None
+        else frac.otherwise(F.lit(float(default_fraction)))
+    )
+    return df.filter(u < frac)

@@ -227,3 +227,44 @@ def test_contamination_plan_broadcasts_benchmark(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
     assert out.count() == 20  # the shared 8-gram flags every doc
+
+
+def test_stratified_sample_deterministic_and_stable(spark):
+    from search_engine_spark.operators.curation import (
+        SPLIT_A, SPLIT_P, stratified_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else "ru") for i in range(300)],
+        "doc_id long, lang string",
+    )
+    fr = {"en": 0.4, "ru": 1.0}
+    kept = {r["doc_id"] for r in
+            stratified_sample(docs, fr, salt=11).collect()}
+    # python reference of the exact arithmetic
+    exp = set()
+    for i in range(300):
+        u = ((i % SPLIT_P * SPLIT_A + 11) % SPLIT_P) / SPLIT_P
+        if u < fr["en" if i % 3 else "ru"]:
+            exp.add(i)
+    assert kept == exp
+    # ru fraction 1.0 keeps every ru row; repartition-stability
+    assert {i for i in exp if i % 3 == 0} == {i for i in range(300) if i % 3 == 0}
+    kept2 = {r["doc_id"] for r in
+             stratified_sample(docs.repartition(13), fr, salt=11).collect()}
+    assert kept2 == kept
+    # default_fraction=0 drops unlisted strata
+    kept3 = {r["doc_id"] for r in
+             stratified_sample(docs, {"ru": 1.0}, salt=11).collect()}
+    assert kept3 == {i for i in range(300) if i % 3 == 0}
+
+
+def test_stratified_sample_plan_is_map_side(spark):
+    from search_engine_spark.operators.curation import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en") for i in range(50)], "doc_id long, lang string"
+    )
+    plan = stratified_sample(docs, {"en": 0.5})._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan  # pure filter, zero shuffles
