@@ -496,6 +496,29 @@ def _q_events_stream(spark, sf):
     )
 
 
+def _q_view_purchase(spark, sf):
+    """Interval-join attribution (batch form of the stream-stream join —
+    one definition, streaming/events.py view_purchase_pairs)."""
+    from search_engine_spark.streaming.events import view_purchase_pairs
+
+    return view_purchase_pairs(_t(spark, sf, "events"))
+
+
+def _q_view_purchase_stream(spark, sf):
+    """STREAM-STREAM interval join executed as real Structured Streaming
+    (watermarks on both sides, bounded state) drained with availableNow —
+    gated against the plain batch-join SQL twin."""
+    import uuid
+
+    from search_engine_spark.streaming.events import run_stream_join
+
+    d = _stream_tmp(sf, "events")
+    return run_stream_join(
+        spark, d, os.path.join(d, "_ckpt_join"),
+        sink_table="evt_join_" + uuid.uuid4().hex[:8],
+    )
+
+
 def _q_events_dedup_stream(spark, sf):
     """Streaming exactly-once ingest dedup, PROVEN end-to-end: the source
     directory stages the events file TWICE, so the stream sees every row
@@ -1160,6 +1183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "events_hourly_stream": _q_events_stream,
         "events_dedup_stream": _q_events_dedup_stream,
+        "view_purchase_attrib": _q_view_purchase,
+        "view_purchase_stream": _q_view_purchase_stream,
         "sessions_stream": _q_sessions_stream,
         "top_orders_join_j5": _q_top_orders,
         "pricing_summary_q1": _q_pricing_q1,
@@ -1521,6 +1546,20 @@ def oracle_sql() -> dict[str, str]:
            FROM events GROUP BY 1, 2""",
         "events_dedup_stream": """
            SELECT DISTINCT ts, user_id, event_type FROM events""",
+        # interval-join twin: the same plain join gates BOTH the batch
+        # form and the drained stream-stream execution
+        "view_purchase_attrib": """
+           SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+           FROM events v JOIN events p
+             ON v.user_id = p.user_id
+            AND v.event_type = 'view' AND p.event_type = 'purchase'
+            AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 6 HOUR""",
+        "view_purchase_stream": """
+           SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+           FROM events v JOIN events p
+             ON v.user_id = p.user_id
+            AND v.event_type = 'view' AND p.event_type = 'purchase'
+            AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 6 HOUR""",
         "sessions_stream": """
            WITH e AS (SELECT user_id, ts, coalesce(value, 0.0) AS v
                       FROM events WHERE user_id < 8),

@@ -124,3 +124,73 @@ def run_stream_rollup(
     )
     q.awaitTermination()
     return spark.table(sink_table)
+
+
+def view_purchase_pairs(
+    events: DataFrame,
+    window: str = "6 hours",
+    watermark: str = "12 hours",
+) -> DataFrame:
+    """Stream-STREAM interval join: attribute each purchase to every view
+    by the same user within ``window`` before it →
+    (user_id, view_id, purchase_id).
+
+    Works on a batch OR streaming DataFrame (one definition = its own
+    oracle twin). Streaming: both sides carry watermarks and the join
+    condition bounds event time on BOTH ends, so the state store can
+    evict a buffered view once no future purchase can reach it —
+    state is O(arrival rate × (window + watermark)), never O(stream).
+    This is the advanced watermark feature the rollup/sessionization/
+    dedup trio doesn't exercise: two unbounded sides joined with
+    bounded state."""
+    v = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if events.isStreaming:
+        v = v.withWatermark("view_ts", watermark)
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {window}")
+        )
+    )
+    return v.join(p, cond).select("user_id", "view_id", "purchase_id")
+
+
+def run_stream_join(
+    spark: SparkSession,
+    input_path: str,
+    checkpoint_dir: str,
+    sink_table: str = "events_join_stream",
+    max_files_per_trigger: int = 1,
+    window: str = "6 hours",
+) -> DataFrame:
+    """Drain the events file stream through the stream-stream interval
+    join (append mode — inner interval joins emit as soon as both sides
+    arrive) and return the final result frame."""
+    stream = (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+    q = (
+        view_purchase_pairs(stream, window=window)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)

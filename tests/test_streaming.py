@@ -173,3 +173,37 @@ def test_stream_dedup_collapses_cross_batch_duplicates(spark, tmp_path):
     assert got.count() == len(got_keys)  # no duplicate rows emitted
     assert got_keys == want_keys
     assert len(got_keys) == 5  # 8 input rows → 5 unique keys: dedup fired
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    """Stream-STREAM interval join (watermarks on both sides, bounded
+    state) drained over a time-split two-batch source must equal the
+    batch join — including pairs whose view and purchase arrive in
+    DIFFERENT micro-batches (the buffered-state case)."""
+    from search_engine_spark.streaming.events import (
+        run_stream_join,
+        view_purchase_pairs,
+    )
+
+    events = spark.read.parquet(EVENTS_PARQUET)
+    mid = events.select(
+        F.expr("percentile_approx(ts, 0.5)").alias("m")
+    ).first()["m"]
+    stream_dir = str(tmp_path / "evj_in")
+    os.makedirs(stream_dir, exist_ok=True)
+    events.filter(F.col("ts") <= mid).coalesce(1).write.mode(
+        "append").parquet(stream_dir)
+    events.filter(F.col("ts") > mid).coalesce(1).write.mode(
+        "append").parquet(stream_dir)
+
+    got = run_stream_join(
+        spark, stream_dir, str(tmp_path / "ckpt_join"), sink_table="t_join"
+    ).toPandas()
+    want = view_purchase_pairs(
+        spark.read.schema(EVENTS).parquet(stream_dir)
+    ).toPandas()
+    key = ["user_id", "view_id", "purchase_id"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_like=True)
+    assert len(got) > 5
