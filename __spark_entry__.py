@@ -1091,6 +1091,14 @@ def _q_engine_prefix(spark, sf):
     return _engine(spark, sf).topk_prefix(PREFIX1, k=20)
 
 
+def _q_repetition(spark, sf):
+    """Gopher-style intra-doc repetition signals over token 2-grams
+    (operators/curation.py repetition_signals)."""
+    from search_engine_spark.operators.curation import repetition_signals
+
+    return repetition_signals(_t(spark, sf, "documents"), n=2)
+
+
 SAMPLE_FRACS = {"en": 0.5, "zh": 1.0}  # frozen per-lang fractions
 SAMPLE_DEFAULT = 0.25
 SAMPLE_SALT = 11
@@ -1210,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_near": _q_near,
         "decontaminate": _q_decontaminate,
         "stratified_sample": _q_stratified_sample,
+        "repetition_signals": _q_repetition,
         "prefix_match": _q_prefix,
         "trigram_substring": _q_tri_substring,
         "trigram_regex": _q_tri_regex,
@@ -1859,6 +1868,27 @@ def oracle_sql() -> dict[str, str]:
              FROM ptok
            )
            SELECT doc_id, hits FROM hit WHERE hits > 0""",
+        # repetition twin: same gram boundaries as the decontamination
+        # twin; the two ratios divide exact BIGINT counts in double
+        "repetition_signals": """
+           WITH ptok AS (
+             SELECT doc_id,
+                    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                t -> length(t) >= 2) AS toks
+             FROM documents
+           ), grams AS (
+             SELECT doc_id,
+                    unnest(list_transform(generate_series(1, len(toks) - 1),
+                           i -> array_to_string(toks[i:i+1], ' '))) AS g
+             FROM ptok WHERE len(toks) >= 2
+           ), per AS (
+             SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+           )
+           SELECT doc_id,
+                  CAST(sum(c) AS BIGINT) AS n_grams,
+                  round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 4) AS dup_frac,
+                  round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_frac
+           FROM per GROUP BY doc_id""",
         # sampler twin: the Lehmer hash is exact int64 arithmetic in both
         # engines; h/P exact in double (h < 2^31), fractions are literals
         "stratified_sample": f"""

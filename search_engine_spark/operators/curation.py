@@ -258,3 +258,47 @@ def stratified_sample(
         else frac.otherwise(F.lit(float(default_fraction)))
     )
     return df.filter(u < frac)
+
+
+def repetition_signals(
+    docs: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Intra-document repetition signals (the Gopher/RefinedWeb
+    repetition rules): per doc, over its token ``n``-grams —
+    ``dup_frac`` = fraction of n-gram occurrences that are repeats
+    (1 − distinct/total) and ``top_frac`` = the most frequent n-gram's
+    share. High values flag boilerplate/spam/generated loops that
+    length and stopword ratios miss.
+
+    Plan: explode n-grams (the let-bound token array — one tokenize per
+    row), ONE exchange keyed (doc, gram) for the inner count, then a
+    map-side-combinable per-doc rollup. Both aggregates are
+    partial-agg-friendly; nothing is corpus-held."""
+    from ..functions.hof import bind_once
+    from .phrase import tokens_array
+
+    def _grams(toks: Column) -> Column:
+        starts = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+        g = F.transform(
+            starts, lambda i: F.array_join(F.slice(toks, i, n), " ")
+        )
+        return F.when(F.size(toks) >= n, g).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            bind_once(tokens_array(F.col(text_col)), _grams)
+        ).alias("g"),
+    )
+    per = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    total = F.sum("c").cast("double")
+    return per.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        F.round(F.lit(1.0) - F.count("*") / total, 4).alias("dup_frac"),
+        F.round(F.max("c") / total, 4).alias("top_frac"),
+    )

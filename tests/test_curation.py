@@ -268,3 +268,23 @@ def test_stratified_sample_plan_is_map_side(spark):
     plan = stratified_sample(docs, {"en": 0.5})._jdf.queryExecution(
     ).executedPlan().toString()
     assert "Exchange" not in plan  # pure filter, zero shuffles
+
+
+def test_repetition_signals_reference(spark):
+    from search_engine_spark.operators.curation import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb aa bb aa bb"),      # 2-grams: ab,ba,ab,ba,ab → 5 total, 2 distinct
+            (2, "aa bb cc dd ee"),         # all distinct
+            (3, "xx"),                     # 1 token → no 2-grams → absent
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in
+           repetition_signals(docs, n=2).collect()}
+    assert got[1]["n_grams"] == 5
+    assert got[1]["dup_frac"] == round(1 - 2 / 5, 4)
+    assert got[1]["top_frac"] == round(3 / 5, 4)
+    assert got[2]["dup_frac"] == 0.0 and got[2]["top_frac"] == round(1 / 4, 4)
+    assert 3 not in got
