@@ -293,6 +293,7 @@ def main() -> None:
         "phrase_near",
         "decontaminate",
         "stratified_sample",
+        "repetition_signals",
         "prefix_match",
         # rep 1 includes the one-time trigram index build (cached per
         # sf_dir); rep 2 is the warm pruned serve — timing_reps shows both
