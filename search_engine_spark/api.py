@@ -223,13 +223,29 @@ class EngineAPI:
         decode every hot term's full list just for the banner).
         ``mode='phrase'`` is exact token adjacency and ``mode='near'``
         ordered proximity within ``near_window`` positions (both scored
-        by hit count, verification-exact; operators/phrase.py)."""
+        by hit count, verification-exact; operators/phrase.py).
+        ``mode='prefix'`` treats the query as a trailing wildcard
+        (``quer*``) — the ranked union over its capped vocabulary
+        expansions (rarest-first, Lucene top-terms rewrite)."""
         if not query or not query.strip():
             return {"result": False, "error": ERR_EMPTY_QUERY}
         eng = self._get_engine()
         q_lemmas = analyze_query(query, code=self.code)
         count_exact = True
-        if mode in ("phrase", "near"):
+        if mode == "prefix":
+            # truncation-aware banner count, same discipline as phrase:
+            # exact only when the page wasn't cut at k
+            rows = eng.topk_prefix(
+                query.rstrip("*"), k=offset + limit, site=site,
+                strategy=strategy, scorer=scorer,
+            ).collect()
+            topk = [(int(r["doc_id"]), float(r["score"])) for r in rows]
+            count = len(topk)
+            count_exact = len(topk) < offset + limit
+            # snippet highlighting matches the capped expansion set the
+            # scorer actually used, not the unbounded vocabulary range
+            q_lemmas = eng.expand_prefix(query.rstrip("*"))
+        elif mode in ("phrase", "near"):
             # exact token-adjacency / ordered-proximity search
             # (operators/phrase.py): score = hit count; the banner count
             # is exact only when the page wasn't truncated at k (a full
@@ -261,7 +277,7 @@ class EngineAPI:
             )
         if not topk:
             out = {"result": True, "count": 0, "data": []}
-            if mode in ("any", "phrase", "near"):
+            if mode in ("any", "phrase", "near", "prefix"):
                 out["countExact"] = count_exact
             return out
 
@@ -292,9 +308,22 @@ class EngineAPI:
                 }
             )
         out = {"result": True, "count": count, "data": data}
-        if mode in ("any", "phrase", "near"):
+        if mode in ("any", "phrase", "near", "prefix"):
             out["countExact"] = count_exact
         return out
+
+    def suggest(self, prefix: str, k: int = 10) -> dict:
+        """Autocomplete endpoint: top-k vocabulary completions of
+        ``prefix`` by descending document frequency (no reference
+        analogue — §2-beyond serving surface). Response mirrors the
+        search envelope: ``{result, data: [{term, df}]}``."""
+        if not prefix or not prefix.strip():
+            return {"result": False, "error": ERR_EMPTY_QUERY}
+        pairs = self._get_engine().suggest(prefix, k=k)
+        return {
+            "result": True,
+            "data": [{"term": t, "df": df} for t, df in pairs],
+        }
 
     def matching_words(self, doc_content: str, query: str) -> list[str]:
         """F8 exposed for tests/debugging (SearchServiceImpl.java:192-205)."""

@@ -1358,6 +1358,14 @@ class SearchEngine:
         highest-weight = highest-idf terms; deterministic term
         tie-break). The prefix addresses the analyzed-lemma vocabulary
         directly (lowercased, not lemmatized) — PrefixQuery semantics."""
+        pairs = self._prefix_pairs(prefix)
+        pairs.sort(key=lambda t: (t[1], t[0]))
+        return [t for t, _ in pairs[:limit]]
+
+    def _prefix_pairs(self, prefix: str) -> list[tuple[str, int]]:
+        """(term, global df) pairs for every vocabulary term starting
+        with ``prefix`` — the shared range read behind expand_prefix
+        (rarest-first rewrite) and suggest (most-frequent-first)."""
         p = prefix.strip().lower()
         if not p:
             return []
@@ -1372,18 +1380,24 @@ class SearchEngine:
             & (pads.field("term") < hi),
         )
         if pdf is not None:
-            pairs = list(zip(pdf["term"], pdf["df"].astype(int)))
-        else:
-            pairs = [
-                (r["term"], int(r["df"]))
-                for r in self.terms.filter(
-                    (F.col("scope") == "")
-                    & (F.col("term") >= p)
-                    & (F.col("term") < hi)
-                ).select("term", "df").collect()
-            ]
-        pairs.sort(key=lambda t: (t[1], t[0]))
-        return [t for t, _ in pairs[:limit]]
+            return list(zip(pdf["term"], pdf["df"].astype(int)))
+        return [
+            (r["term"], int(r["df"]))
+            for r in self.terms.filter(
+                (F.col("scope") == "")
+                & (F.col("term") >= p)
+                & (F.col("term") < hi)
+            ).select("term", "df").collect()
+        ]
+
+    def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        """Autocomplete: the prefix's top-k vocabulary completions by
+        DESCENDING global df (term tie-break) — the same range read as
+        expand_prefix, opposite ordering (suggestions want coverage,
+        scoring rewrites want idf). Zero Spark jobs on a local catalog,
+        one range-pruned job on a remote one."""
+        ranked = sorted(self._prefix_pairs(prefix), key=lambda p: (-p[1], p[0]))
+        return [(t, int(df)) for t, df in ranked[:k]]
 
     def topk_prefix(
         self,

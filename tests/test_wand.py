@@ -266,3 +266,37 @@ def test_prefix_single_expansion_equals_or_query(engine):
     assert _pairs(engine.topk_prefix("varint", k=10)) == _pairs(
         engine.topk("varint", k=10, mode="any")
     )
+
+
+def test_suggest_descending_df(engine):
+    got = engine.suggest("va", k=5)
+    assert got and all(t.startswith("va") for t, _ in got)
+    # oracle: full range, most-frequent-first, term tie-break
+    exp_terms = engine.expand_prefix("va", limit=1 << 20)
+    dfs = engine._global_dfs(exp_terms)
+    exp = sorted(
+        ((t, dfs[t]) for t in exp_terms), key=lambda p: (-p[1], p[0])
+    )[:5]
+    assert got == exp
+    assert engine.suggest("zzzqqq") == []
+    assert engine.suggest("  ") == []
+
+
+def test_api_prefix_mode_and_suggest(engine, spark):
+    from search_engine_spark.api import EngineAPI
+
+    api = EngineAPI(spark, engine.catalog, code=True)
+    resp = api.search("va*", mode="prefix", limit=5)
+    assert resp["result"] is True and resp["count"] >= 1
+    assert "countExact" in resp
+    assert {"site", "uri", "title", "snippet", "relevance"} <= set(
+        resp["data"][0]
+    )
+    # page ids must equal the engine-level prefix top-k
+    exp = [d for d, _ in _pairs(engine.topk_prefix("va", k=5))]
+    # (api returns decorated rows in rank order; recover ids via uri match)
+    assert len(resp["data"]) == min(5, len(exp))
+    sug = api.suggest("va", k=3)
+    assert sug["result"] is True and sug["data"]
+    assert sug["data"][0]["df"] >= sug["data"][-1]["df"]
+    assert api.suggest("")["result"] is False
