@@ -1091,6 +1091,42 @@ def _q_engine_prefix(spark, sf):
     return _engine(spark, sf).topk_prefix(PREFIX1, k=20)
 
 
+FUZZY_WORD = "sart"  # frozen misspelling (4 vocab terms within 2 edits
+#                      at sf0.01: sort/part at dist 1, spark/fast at 2 —
+#                      exercises both the distance and the df tie-break)
+FUZZY_K = 10
+FUZZY_MAX_DIST = 2
+
+
+def _q_fuzzy(spark, sf):
+    """Fuzzy vocabulary match (did-you-mean): top-k terms within
+    FUZZY_MAX_DIST Levenshtein edits of the frozen misspelling, ranked
+    (dist ASC, df DESC, term ASC) — the oracle-spec twin of
+    SearchEngine.did_you_mean. Length-band prune (sound: one edit moves
+    length by at most 1) ahead of the codegen'd levenshtein; both
+    engines implement standard unit-cost Levenshtein, so the gate is
+    exact. LIMIT is deterministic: (dist, df, term) is a total order."""
+    w = FUZZY_WORD
+    vocab = (
+        _tokens(spark, sf)
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    return (
+        vocab.filter(
+            F.length("term").between(
+                len(w) - FUZZY_MAX_DIST, len(w) + FUZZY_MAX_DIST
+            )
+        )
+        .select(
+            "term", F.levenshtein(F.col("term"), F.lit(w)).alias("dist"), "df"
+        )
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(FUZZY_K)
+    )
+
+
 def _q_repetition(spark, sf):
     """Gopher-style intra-doc repetition signals over token 2-grams
     (operators/curation.py repetition_signals)."""
@@ -1220,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "repetition_signals": _q_repetition,
         "prefix_match": _q_prefix,
+        "fuzzy_match": _q_fuzzy,
         "trigram_substring": _q_tri_substring,
         "trigram_regex": _q_tri_regex,
         # rows-only (no oracle_sql entry):
@@ -1910,6 +1947,21 @@ def oracle_sql() -> dict[str, str]:
            SELECT doc_id, count(DISTINCT term) AS n_terms,
                   count(*) AS total_tf
            FROM tok2 WHERE term LIKE '{PREFIX1}%' GROUP BY doc_id""",
+        # did-you-mean twin: standard unit-cost Levenshtein in both
+        # engines; (dist, df DESC, term) total order makes LIMIT exact
+        "fuzzy_match": _TOK_CTE
+        + f""",
+           vocab AS (
+             SELECT term, count(DISTINCT doc_id) AS df
+             FROM tok2 GROUP BY term
+           )
+           SELECT term, levenshtein(term, '{FUZZY_WORD}') AS dist, df
+           FROM vocab
+           WHERE length(term) BETWEEN {len(FUZZY_WORD) - FUZZY_MAX_DIST}
+                                  AND {len(FUZZY_WORD) + FUZZY_MAX_DIST}
+             AND levenshtein(term, '{FUZZY_WORD}') <= {FUZZY_MAX_DIST}
+           ORDER BY dist ASC, df DESC, term ASC
+           LIMIT {FUZZY_K}""",
         # decontamination twin: identical gram boundaries (DuckDB list
         # slicing toks[i:i+n-1] is end-INCLUSIVE = Spark slice(toks,i,n))
         "decontaminate": """

@@ -295,6 +295,7 @@ def main() -> None:
         "stratified_sample",
         "repetition_signals",
         "prefix_match",
+        "fuzzy_match",
         # rep 1 includes the one-time trigram index build (cached per
         # sf_dir); rep 2 is the warm pruned serve — timing_reps shows both
         "trigram_substring",

@@ -325,6 +325,19 @@ class EngineAPI:
             "data": [{"term": t, "df": df} for t, df in pairs],
         }
 
+    def did_you_mean(self, word: str, k: int = 5, max_dist: int = 2) -> dict:
+        """Spell-correction endpoint over the indexed vocabulary (no
+        reference analogue — §2-beyond serving surface): top-k terms
+        within ``max_dist`` edits, ranked (distance, df DESC, term).
+        Pair with a zero-result ``search()`` for a did-you-mean banner."""
+        if not word or not word.strip():
+            return {"result": False, "error": ERR_EMPTY_QUERY}
+        hits = self._get_engine().did_you_mean(word, k=k, max_dist=max_dist)
+        return {
+            "result": True,
+            "data": [{"term": t, "dist": d, "df": df} for t, d, df in hits],
+        }
+
     def matching_words(self, doc_content: str, query: str) -> list[str]:
         """F8 exposed for tests/debugging (SearchServiceImpl.java:192-205)."""
         return find_matching_words(

@@ -1399,6 +1399,42 @@ class SearchEngine:
         ranked = sorted(self._prefix_pairs(prefix), key=lambda p: (-p[1], p[0]))
         return [(t, int(df)) for t, df in ranked[:k]]
 
+    def did_you_mean(
+        self, word: str, k: int = 5, max_dist: int = 2
+    ) -> list[tuple[str, int, int]]:
+        """Spell correction: the top-k vocabulary terms within Levenshtein
+        distance ``max_dist`` of ``word``, ranked (distance ASC, df DESC,
+        term ASC) → ``[(term, dist, df), ...]``. One codegen'd scan of the
+        GLOBAL terms rows (scope='') with a sound length-band prune
+        (|len(t) − len(w)| ≤ max_dist — every edit changes length by at
+        most 1) ahead of the O(len²) distance, then TakeOrdered k — the
+        right 100 TB shape: vocabulary-sized (~1e8 rows), never
+        corpus-sized, and embarrassingly parallel. The sub-linear upgrade
+        path at extreme vocabulary scale is a SymSpell-style deletes
+        index (precomputed k-deletion neighborhood join), same contract.
+        No reference analogue (§2-beyond serving surface)."""
+        w = word.strip().lower()
+        if not w:
+            return []
+        rows = (
+            self.terms.filter(
+                (F.col("scope") == "")
+                & F.length("term").between(
+                    len(w) - max_dist, len(w) + max_dist
+                )
+            )
+            .select(
+                "term",
+                "df",
+                F.levenshtein(F.col("term"), F.lit(w)).alias("dist"),
+            )
+            .filter(F.col("dist") <= max_dist)
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+            .limit(k)
+            .collect()
+        )
+        return [(r["term"], int(r["dist"]), int(r["df"])) for r in rows]
+
     def topk_prefix(
         self,
         prefix: str,

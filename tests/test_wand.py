@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 import search_engine_spark.operators.query as Q
 from search_engine_spark.operators.query import SearchEngine
@@ -282,6 +283,39 @@ def test_suggest_descending_df(engine):
     assert engine.suggest("  ") == []
 
 
+def _lev(a: str, b: str) -> int:
+    # textbook DP oracle (unit-cost insert/delete/substitute)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_did_you_mean_matches_dp_oracle(engine):
+    vocab = [
+        (r["term"], int(r["df"]))
+        for r in engine.terms.filter(F.col("scope") == "")
+        .select("term", "df").collect()
+    ]
+    for w, k, md in (("imoprt", 5, 2), ("quey", 3, 2), ("engnie", 5, 1)):
+        exp = sorted(
+            ((t, _lev(t, w), df) for t, df in vocab
+             if abs(len(t) - len(w)) <= md and _lev(t, w) <= md),
+            key=lambda r: (r[1], -r[2], r[0]),
+        )[:k]
+        assert engine.did_you_mean(w, k=k, max_dist=md) == exp, w
+    # an indexed word corrects to itself at dist 0, ranked first
+    some_term = vocab[0][0]
+    got = engine.did_you_mean(some_term, k=3)
+    assert got and got[0][0] == some_term and got[0][1] == 0
+    assert engine.did_you_mean("") == []
+    assert engine.did_you_mean("zzqqzzqq") == []
+
+
 def test_api_prefix_mode_and_suggest(engine, spark):
     from search_engine_spark.api import EngineAPI
 
@@ -300,3 +334,8 @@ def test_api_prefix_mode_and_suggest(engine, spark):
     assert sug["result"] is True and sug["data"]
     assert sug["data"][0]["df"] >= sug["data"][-1]["df"]
     assert api.suggest("")["result"] is False
+    dym = api.did_you_mean("imoprt", k=3)
+    assert dym["result"] is True and dym["data"]
+    assert {"term", "dist", "df"} == set(dym["data"][0])
+    assert dym["data"][0]["dist"] <= dym["data"][-1]["dist"]
+    assert api.did_you_mean(" ")["result"] is False
