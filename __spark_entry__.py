@@ -504,6 +504,59 @@ def _q_view_purchase(spark, sf):
     return view_purchase_pairs(_t(spark, sf, "events"))
 
 
+def _q_asof_last_view(spark, sf):
+    """AS-OF JOIN: every purchase enriched with the user's most recent
+    prior-or-simultaneous view (operators/joins.py asof_join — one
+    exchange on user_id + running last, no join node). Tie rule (max
+    view_id at an equal ts) mirrored in the oracle's window ordering."""
+    from search_engine_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts"
+    )
+    out = asof_join(
+        p, v, on="ts", by=("user_id",), right_cols=("view_id",), right_tie="view_id"
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("pts"),
+        "view_id",
+        F.col("ts_r").alias("vts"),
+    )
+
+
+def _q_range_click_error(spark, sf):
+    """Interval (range) join via bin decomposition: for every click, the
+    number of 2-hour error windows (any user) containing it. The bin
+    equi-join replaces the BroadcastNestedLoopJoin a raw BETWEEN would
+    plan (operators/joins.py interval_bin_join); bounds are closed and
+    compared in integer epoch-micros on both engines."""
+    from search_engine_spark.operators.joins import interval_bin_join
+
+    ev = _t(spark, sf, "events")
+    two_h = 7_200_000_000  # micros
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))  # parquet ts is NTZ
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        us.alias("cts"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        us.alias("lo"),
+        (us + F.lit(two_h)).alias("hi"),
+    )
+    j = interval_bin_join(clicks, errors, "cts", "lo", "hi", bin_width=two_h, how="left")
+    return j.groupBy("click_id", "click_ts").agg(
+        F.count("err_id").alias("n_err_windows")
+    )
+
+
 def _q_view_purchase_stream(spark, sf):
     """STREAM-STREAM interval join executed as real Structured Streaming
     (watermarks on both sides, bounded state) drained with availableNow —
@@ -1229,6 +1282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dedup_stream": _q_events_dedup_stream,
         "view_purchase_attrib": _q_view_purchase,
         "view_purchase_stream": _q_view_purchase_stream,
+        "asof_last_view": _q_asof_last_view,
+        "range_click_error": _q_range_click_error,
         "sessions_stream": _q_sessions_stream,
         "top_orders_join_j5": _q_top_orders,
         "pricing_summary_q1": _q_pricing_q1,
@@ -1606,6 +1661,30 @@ def oracle_sql() -> dict[str, str]:
              ON v.user_id = p.user_id
             AND v.event_type = 'view' AND p.event_type = 'purchase'
             AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 6 HOUR""",
+        # as-of twin: greatest vts <= pts per purchase, tie = max view_id —
+        # the engine's backward/right_tie rule spelled as a window
+        "asof_last_view": """
+           WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS pts
+                      FROM events WHERE event_type = 'purchase'),
+                v AS (SELECT event_id AS view_id, user_id, ts AS vts
+                      FROM events WHERE event_type = 'view'),
+                j AS (SELECT p.purchase_id, p.user_id, p.pts, v.view_id, v.vts,
+                             row_number() OVER (PARTITION BY p.purchase_id
+                                 ORDER BY v.vts DESC, v.view_id DESC) AS rn
+                      FROM p LEFT JOIN v
+                        ON p.user_id = v.user_id AND v.vts <= p.pts)
+           SELECT purchase_id, user_id, pts, view_id, vts FROM j WHERE rn = 1""",
+        # range-join twin: the raw closed-bounds BETWEEN the bin plan
+        # decomposes; epoch-micros integer bounds on both engines
+        "range_click_error": """
+           SELECT c.event_id AS click_id, c.ts AS click_ts,
+                  count(e.event_id) AS n_err_windows
+           FROM events c LEFT JOIN events e
+             ON e.event_type = 'error'
+            AND epoch_us(c.ts) >= epoch_us(e.ts)
+            AND epoch_us(c.ts) <= epoch_us(e.ts) + 7200000000
+           WHERE c.event_type = 'click'
+           GROUP BY 1, 2""",
         "sessions_stream": """
            WITH e AS (SELECT user_id, ts, coalesce(value, 0.0) AS v
                       FROM events WHERE user_id < 8),

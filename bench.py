@@ -296,6 +296,8 @@ def main() -> None:
         "repetition_signals",
         "prefix_match",
         "fuzzy_match",
+        "asof_last_view",
+        "range_click_error",
         # rep 1 includes the one-time trigram index build (cached per
         # sf_dir); rep 2 is the warm pruned serve — timing_reps shows both
         "trigram_substring",

@@ -1,0 +1,220 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.joins import asof_join, interval_bin_join
+
+
+def _asof_frames(seed: int, n_left: int = 300, n_right: int = 250):
+    rng = np.random.RandomState(seed)
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 6, n_left),
+            "t": rng.randint(0, 500, n_left).astype("int64"),
+            "lid": np.arange(n_left, dtype="int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(0, 6, n_right),
+            "t": rng.randint(0, 500, n_right).astype("int64"),
+            "rid": np.arange(n_right, dtype="int64"),
+            "val": np.round(rng.rand(n_right), 6),
+        }
+    )
+    return left, right
+
+
+def _pd_asof(left, right, direction, allow_exact, tolerance):
+    # merge_asof keeps the LAST right row among equal `t`; pre-sorting by
+    # (t, rid) makes that the max-rid row — the engine's right_tie rule.
+    lo = left.sort_values(["t", "lid"], kind="stable").reset_index(drop=True)
+    ro = right.sort_values(["t", "rid"], kind="stable").reset_index(drop=True)
+    out = pd.merge_asof(
+        lo,
+        ro.rename(columns={"t": "t_r"}),
+        left_on="t",
+        right_on="t_r",
+        by="k",
+        direction=direction,
+        allow_exact_matches=allow_exact,
+        tolerance=tolerance,
+    )
+    return out[["lid", "k", "t", "t_r", "rid", "val"]].sort_values("lid")
+
+
+@pytest.mark.parametrize(
+    "direction,allow_exact,tolerance",
+    [
+        ("backward", True, None),
+        ("backward", False, None),
+        ("backward", True, 25),
+        ("forward", True, None),
+        ("forward", False, 10),
+    ],
+)
+def test_asof_matches_pandas(spark, direction, allow_exact, tolerance):
+    left, right = _asof_frames(seed=7)
+    got = (
+        asof_join(
+            spark.createDataFrame(left).repartition(5),
+            spark.createDataFrame(right).repartition(3),
+            on="t",
+            by=("k",),
+            right_cols=("rid", "val"),
+            direction=direction,
+            tolerance=tolerance,
+            allow_exact_matches=allow_exact,
+            right_tie="rid",
+        )
+        .toPandas()
+        .sort_values("lid")
+    )
+    exp = _pd_asof(left, right, direction, allow_exact, tolerance)
+    assert len(got) == len(left)
+    for c, e in [("t_r", "t_r"), ("rid", "rid"), ("val", "val")]:
+        g = got[c].to_numpy(dtype="float64", na_value=np.nan)
+        x = exp[e].to_numpy(dtype="float64", na_value=np.nan)
+        assert np.allclose(g, x, equal_nan=True), c
+
+
+def test_asof_unkeyed_and_empty_right(spark):
+    left = pd.DataFrame({"t": [1, 5, 9], "lid": [0, 1, 2]})
+    right = pd.DataFrame({"t": [4, 4, 8], "rid": [0, 1, 2]})
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="t",
+            right_cols=("rid",),
+            right_tie="rid",
+        )
+        .orderBy("lid")
+        .collect()
+    )
+    # t=1: nothing prior; t=5: the max-rid row among the duplicate t=4s;
+    # t=9: the t=8 row.
+    assert [r.rid for r in got] == [None, 1, 2]
+
+    empty = spark.createDataFrame(right).filter(F.lit(False))
+    got2 = (
+        asof_join(
+            spark.createDataFrame(left), empty, on="t", right_cols=("rid",)
+        )
+        .orderBy("lid")
+        .collect()
+    )
+    assert [r.rid for r in got2] == [None, None, None]
+    assert len(got2) == 3
+
+
+def test_asof_timestamp_tolerance(spark):
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "t": pd.to_datetime(
+                    ["2024-01-01 00:00:00", "2024-01-01 01:00:00"]
+                ),
+                "lid": [0, 1],
+            }
+        )
+    )
+    rv = spark.createDataFrame(
+        pd.DataFrame(
+            {"t": pd.to_datetime(["2024-01-01 00:59:00"]), "rid": [7]}
+        )
+    )
+    got = (
+        asof_join(ev, rv, on="t", right_cols=("rid",), tolerance=120)
+        .orderBy("lid")
+        .collect()
+    )
+    # 2nd row is 60 s after the right row (inside 120 s); 1st precedes it.
+    assert [r.rid for r in got] == [None, 7]
+
+
+def _interval_frames(seed: int):
+    rng = np.random.RandomState(seed)
+    pts = pd.DataFrame(
+        {
+            "v": rng.randint(0, 1000, 400).astype("int64"),
+            "pid": np.arange(400, dtype="int64"),
+        }
+    )
+    lo = rng.randint(0, 1000, 120).astype("int64")
+    iv = pd.DataFrame(
+        {
+            "lo": lo,
+            "hi": lo + rng.randint(0, 80, 120),
+            "iid": np.arange(120, dtype="int64"),
+        }
+    )
+    return pts, iv
+
+
+def _naive_pairs(pts, iv):
+    m = (pts.v.to_numpy()[:, None] >= iv.lo.to_numpy()[None, :]) & (
+        pts.v.to_numpy()[:, None] <= iv.hi.to_numpy()[None, :]
+    )
+    pi, ii = np.nonzero(m)
+    return set(zip(pts.pid.to_numpy()[pi], iv.iid.to_numpy()[ii]))
+
+
+@pytest.mark.parametrize("width", [7, 64, 1000])
+def test_interval_bin_join_vs_naive(spark, width):
+    pts, iv = _interval_frames(seed=11)
+    got = interval_bin_join(
+        spark.createDataFrame(pts).repartition(5),
+        spark.createDataFrame(iv).repartition(3),
+        "v",
+        "lo",
+        "hi",
+        bin_width=width,
+    ).collect()
+    pairs = {(r.pid, r.iid) for r in got}
+    assert len(got) == len(pairs), "a pair met in more than one bin"
+    assert pairs == _naive_pairs(pts, iv)
+
+
+def test_interval_bin_join_left_and_bounds(spark):
+    pts = spark.createDataFrame(
+        pd.DataFrame({"v": [10, 20, 35], "pid": [0, 1, 2]})
+    )
+    iv = spark.createDataFrame(
+        pd.DataFrame({"lo": [10], "hi": [20], "iid": [0]})
+    )
+    rows = (
+        interval_bin_join(pts, iv, "v", "lo", "hi", bin_width=8, how="left")
+        .orderBy("pid")
+        .collect()
+    )
+    # closed on both ends; the unmatched point survives the left join
+    assert [(r.pid, r.iid) for r in rows] == [(0, 0), (1, 0), (2, None)]
+
+
+def test_interval_bin_join_plan_and_guard(spark):
+    pts, iv = _interval_frames(seed=3)
+    j = interval_bin_join(
+        spark.createDataFrame(pts),
+        spark.createDataFrame(iv),
+        "v",
+        "lo",
+        "hi",
+        bin_width=32,
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+    with pytest.raises(Exception, match="bins"):
+        interval_bin_join(
+            spark.createDataFrame(iv),
+            spark.createDataFrame(iv),
+            "lo",
+            "lo",
+            "hi",
+            bin_width=1,
+            max_bins_per_interval=8,
+        ).collect()
