@@ -1,0 +1,178 @@
+"""HTTP facade over :class:`EngineAPI` — the reference's REST surface.
+
+Mirrors ``controllers/ApiController.java:20-47`` route-for-route (GET
+``/api/statistics`` ``/api/startIndexing`` ``/api/stopIndexing``
+``/api/search``, POST ``/api/indexPage`` form-urlencoded) plus the
+engine's additions (suggest, didYouMean, grep/egrep, health).  Stdlib
+``http.server`` only — serving is a driver-process concern; the cluster
+work stays behind ``EngineAPI``/Spark exactly as before, so this layer
+adds no new distributed path to reason about.
+
+Two deliberate departures, both documented:
+
+* ``/api/startIndexing`` returns immediately (the reference's
+  IndexingService also detaches the build); the build runs on a daemon
+  thread and progress is observable via ``/api/statistics`` exactly like
+  the reference UI polls it.
+* ``/api/indexPage`` takes the page CONTENT in the form body (the
+  reference fetches the URL itself; this sandbox has no network and the
+  engine's corpus is the source of truth for bytes).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from .api import ERR_ALREADY_RUNNING, EngineAPI
+
+
+def _one(q: dict, name: str, default=None):
+    v = q.get(name)
+    return v[0] if v else default
+
+
+class _Handler(BaseHTTPRequestHandler):
+    api: EngineAPI  # set on the server class by serve()
+    _bg_lock: threading.Lock
+
+    # -- plumbing ------------------------------------------------------
+
+    def log_message(self, *a):  # quiet: tests/servers own their logging
+        pass
+
+    def _json(self, payload: dict, status: int = 200) -> None:
+        body = json.dumps(payload, default=str).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _bad(self, msg: str) -> None:
+        self._json({"result": False, "error": msg}, status=400)
+
+    # -- routes --------------------------------------------------------
+
+    def do_GET(self) -> None:  # noqa: N802 (http.server contract)
+        u = urlparse(self.path)
+        q = parse_qs(u.query)
+        api = self.server.api  # type: ignore[attr-defined]
+        try:
+            if u.path == "/api/statistics":
+                return self._json(api.statistics())
+            if u.path == "/api/health":
+                return self._json(api.index_health())
+            if u.path == "/api/startIndexing":
+                return self._json(self._start_indexing(api))
+            if u.path == "/api/stopIndexing":
+                return self._json(api.stop_indexing())
+            if u.path == "/api/search":
+                query = _one(q, "query")
+                if query is None:
+                    return self._bad("query parameter is required")
+                return self._json(
+                    api.search(
+                        query,
+                        site=_one(q, "site"),
+                        offset=int(_one(q, "offset", "0")),
+                        limit=int(_one(q, "limit", "20")),
+                        mode=_one(q, "mode", "all"),
+                        scorer=_one(q, "scorer", "bm25"),
+                        strategy=_one(q, "strategy", "blockmax"),
+                        near_window=int(_one(q, "near_window", "8")),
+                    )
+                )
+            if u.path == "/api/suggest":
+                prefix = _one(q, "prefix")
+                if prefix is None:
+                    return self._bad("prefix parameter is required")
+                return self._json(api.suggest(prefix, k=int(_one(q, "k", "10"))))
+            if u.path == "/api/didYouMean":
+                word = _one(q, "word")
+                if word is None:
+                    return self._bad("word parameter is required")
+                return self._json(
+                    api.did_you_mean(
+                        word,
+                        k=int(_one(q, "k", "5")),
+                        max_dist=int(_one(q, "maxDist", "2")),
+                    )
+                )
+            if u.path == "/api/grep":
+                needle = _one(q, "needle")
+                if needle is None:
+                    return self._bad("needle parameter is required")
+                return self._json(api.grep(needle, limit=int(_one(q, "limit", "20"))))
+            if u.path == "/api/egrep":
+                pattern = _one(q, "pattern")
+                if pattern is None:
+                    return self._bad("pattern parameter is required")
+                return self._json(
+                    api.egrep(pattern, limit=int(_one(q, "limit", "20")))
+                )
+            self._json({"result": False, "error": "unknown endpoint"}, status=404)
+        except Exception as e:  # noqa: BLE001 — a route error must not kill the server
+            self._json({"result": False, "error": f"{type(e).__name__}: {e}"}, 500)
+
+    def do_POST(self) -> None:  # noqa: N802
+        u = urlparse(self.path)
+        api = self.server.api  # type: ignore[attr-defined]
+        try:
+            if u.path == "/api/indexPage":
+                length = int(self.headers.get("Content-Length", "0"))
+                form = parse_qs(self.rfile.read(length).decode())
+                url = _one(form, "url")
+                if url is None:
+                    return self._bad("url parameter is required")
+                return self._json(
+                    api.index_page(
+                        url,
+                        commit=_one(form, "commit", "HEAD"),
+                        lang=_one(form, "lang", "text"),
+                        content=_one(form, "content", ""),
+                    )
+                )
+            self._json({"result": False, "error": "unknown endpoint"}, status=404)
+        except Exception as e:  # noqa: BLE001
+            self._json({"result": False, "error": f"{type(e).__name__}: {e}"}, 500)
+
+    # -- detached build --------------------------------------------------
+
+    def _start_indexing(self, api: EngineAPI) -> dict:
+        lock: threading.Lock = self.server.bg_lock  # type: ignore[attr-defined]
+        import time
+
+        with lock:
+            if api._running:  # noqa: SLF001 — double-start answered without queueing
+                return {"result": False, "error": ERR_ALREADY_RUNNING}
+            done = threading.Event()
+
+            def _run():
+                try:
+                    api.start_indexing()
+                finally:
+                    done.set()
+
+            threading.Thread(target=_run, daemon=True).start()
+            # hand back only once the build is observably running (or already
+            # finished) so an immediate second call can't double-start
+            deadline = time.time() + 10
+            while not (api._running or done.is_set()) and time.time() < deadline:
+                time.sleep(0.01)
+        return {"result": True}
+
+
+def serve(api: EngineAPI, host: str = "127.0.0.1", port: int = 0):
+    """Start the facade on ``host:port`` (0 = ephemeral).  Returns the
+    ``ThreadingHTTPServer``; its ``server_port`` carries the bound port and
+    ``shutdown()`` + ``server_close()`` stop it.  Runs on a daemon thread —
+    the Spark driver process is the server, matching the reference's
+    embedded-Tomcat shape."""
+    srv = ThreadingHTTPServer((host, port), _Handler)
+    srv.api = api  # type: ignore[attr-defined]
+    srv.bg_lock = threading.Lock()  # type: ignore[attr-defined]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv

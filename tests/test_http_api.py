@@ -1,0 +1,129 @@
+"""The HTTP facade (http_api.py) drives EngineAPI over real sockets —
+route parity with the reference's ApiController checked end-to-end:
+search (incl. error paths), statistics polling around a detached
+startIndexing, indexPage form POST, suggest/didYouMean, 400/404."""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from search_engine_spark.api import ERR_EMPTY_QUERY, EngineAPI
+from search_engine_spark.http_api import serve
+from search_engine_spark.sources.catalog import Catalog
+from search_engine_spark.synth import make_corpus
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("http_api")
+    api = EngineAPI(
+        spark,
+        Catalog(str(root / "idx")),
+        corpus_reader=lambda: make_corpus(spark, 300, seed=21, partitions=4),
+    )
+    srv = serve(api)
+    yield srv
+    srv.shutdown()
+    srv.server_close()
+
+
+def _get(srv, path: str) -> tuple[int, dict]:
+    url = f"http://127.0.0.1:{srv.server_port}{path}"
+    try:
+        with urllib.request.urlopen(url, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _post(srv, path: str, form: dict) -> tuple[int, dict]:
+    url = f"http://127.0.0.1:{srv.server_port}{path}"
+    data = urllib.parse.urlencode(form).encode()
+    req = urllib.request.Request(url, data=data, method="POST")
+    req.add_header("Content-Type", "application/x-www-form-urlencoded")
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_start_indexing_detached_then_search(server):
+    st, body = _get(server, "/api/startIndexing")
+    assert st == 200 and body == {"result": True}
+
+    # the reference UI polls /api/statistics until the build lands
+    deadline = time.time() + 180
+    total = {}
+    while time.time() < deadline:
+        st, stats = _get(server, "/api/statistics")
+        assert st == 200 and stats["result"] is True
+        total = stats["statistics"]["total"]
+        if not total["indexing"] and total["pages"] > 0:
+            break
+        time.sleep(0.5)
+    assert not total["indexing"] and total["pages"] > 0
+    assert all(d["status"] == "INDEXED" for d in stats["statistics"]["detailed"])
+
+    st, hits = _get(server, "/api/search?query=query%20index&limit=5")
+    assert st == 200 and hits["result"] is True
+    assert 0 < len(hits["data"]) <= 5
+    first = hits["data"][0]
+    assert {"site", "uri", "title", "snippet", "relevance"} <= set(first)
+
+    # offset pagination shifts the page
+    st, page2 = _get(server, "/api/search?query=query%20index&offset=1&limit=5")
+    assert st == 200
+    if page2["data"]:
+        assert page2["data"][0]["uri"] == hits["data"][1]["uri"]
+
+
+def test_search_error_paths(server):
+    st, body = _get(server, "/api/search?query=%20")
+    assert st == 200 and body == {"result": False, "error": ERR_EMPTY_QUERY}
+
+    st, body = _get(server, "/api/search")
+    assert st == 400 and body["result"] is False
+
+    st, body = _get(server, "/api/nosuch")
+    assert st == 404
+
+
+def test_index_page_post_then_searchable(server):
+    st, body = _post(
+        server,
+        "/api/indexPage",
+        {
+            "url": "https://github.com/org0/repo0/blob/main/docs/httpfacade.py",
+            "lang": "python",
+            "content": "zqhttpfacade endpoint serving zqhttpfacade pages",
+        },
+    )
+    assert st == 200 and body["result"] is True, body
+
+    st, hits = _get(server, "/api/search?query=zqhttpfacade")
+    assert st == 200 and hits["result"] is True
+    assert hits["count"] == 1
+    assert hits["data"][0]["uri"].endswith("httpfacade.py")
+
+    st, body = _post(server, "/api/indexPage", {"lang": "python"})
+    assert st == 400
+
+
+def test_suggest_and_did_you_mean(server):
+    st, body = _get(server, "/api/suggest?prefix=qu&k=5")
+    assert st == 200 and body["result"] is True
+    assert body["data"] and all(s["term"].startswith("qu") for s in body["data"])
+
+    st, body = _get(server, "/api/didYouMean?word=quary&k=3")
+    assert st == 200 and body["result"] is True
+    assert any(c["term"] == "query" for c in body["data"])
+
+    st, body = _get(server, "/api/suggest")
+    assert st == 400

@@ -18,14 +18,14 @@ cd "$(dirname "$0")/.."
 G1="tests/test_incremental_resume.py::test_upsert_touches_only_affected_shards \
     tests/test_incremental_resume.py::test_crash_after_docs_commit_retry_converges \
     tests/test_compaction.py tests/test_phrase.py"
-G2="tests/test_incremental_resume.py tests/test_streaming.py"
+G2="tests/test_incremental_resume.py tests/test_streaming.py tests/test_http_api.py"
 G2_DESELECT="--deselect tests/test_incremental_resume.py::test_upsert_touches_only_affected_shards \
     --deselect tests/test_incremental_resume.py::test_crash_after_docs_commit_retry_converges"
 G3="tests/test_lifecycle.py tests/test_api_incremental.py tests/test_catalog_recovery.py \
     tests/test_trigram.py"
 G4=$(ls tests/test_*.py | grep -v -e incremental_resume -e test_streaming \
      -e api_incremental -e catalog_recovery -e lifecycle -e test_compaction \
-     -e test_phrase -e test_trigram)
+     -e test_phrase -e test_trigram -e test_http_api)
 
 t0=$SECONDS
 python -m pytest $G1 -q >/tmp/se_tests_g1.log 2>&1 &
