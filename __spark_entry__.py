@@ -1188,6 +1188,27 @@ def _q_repetition(spark, sf):
     return repetition_signals(_t(spark, sf, "documents"), n=2)
 
 
+def _q_doc_keywords(spark, sf):
+    """Per-doc TF-IDF top-3 keywords (operators/curation.py doc_keywords)
+    over the shared token spec; ranked on the rounded score with a term
+    tie-break so the pick is engine-independent."""
+    from search_engine_spark.operators.curation import doc_keywords
+
+    return doc_keywords(_tokens(spark, sf).select("doc_id", "term"), k=3)
+
+
+def _q_doclen_quantiles(spark, sf):
+    """Per-lang exact length quantiles (operators/sketch.py
+    quantile_profile): Spark percentile ≡ DuckDB quantile_cont (same
+    linear interpolation); approx_percentile is the flag-flip 100 TB
+    path, contract-tested in tests/test_sketch.py."""
+    from search_engine_spark.operators.sketch import quantile_profile
+
+    return quantile_profile(
+        _t(spark, sf, "documents"), "n_chars", group_cols=("lang",)
+    )
+
+
 SAMPLE_FRACS = {"en": 0.5, "zh": 1.0}  # frozen per-lang fractions
 SAMPLE_DEFAULT = 0.25
 SAMPLE_SALT = 11
@@ -1310,6 +1331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "stratified_sample": _q_stratified_sample,
         "repetition_signals": _q_repetition,
+        "doc_keywords": _q_doc_keywords,
+        "doclen_quantiles": _q_doclen_quantiles,
         "prefix_match": _q_prefix,
         "fuzzy_match": _q_fuzzy,
         "trigram_substring": _q_tri_substring,
@@ -1986,6 +2009,31 @@ def oracle_sql() -> dict[str, str]:
            SELECT doc_id, hits FROM hit WHERE hits > 0""",
         # repetition twin: same gram boundaries as the decontamination
         # twin; the two ratios divide exact BIGINT counts in double
+        # tf-idf keywords twin: rounded score BEFORE the rank window on
+        # both engines so tie-breaks are identical
+        "doc_keywords": _TOK_CTE
+        + """, tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+                      GROUP BY doc_id, term),
+           dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+                   GROUP BY term),
+           nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok2),
+           sc AS (SELECT doc_id, term,
+                         round(tf * ln((n_docs + 1.0) / (df + 1.0)), 4) AS tfidf
+                  FROM tf JOIN dft USING (term) CROSS JOIN nd),
+           rk AS (SELECT doc_id, term, tfidf,
+                         row_number() OVER (PARTITION BY doc_id
+                             ORDER BY tfidf DESC, term) AS rn
+                  FROM sc)
+           SELECT doc_id, term, tfidf, rn AS rank FROM rk WHERE rn <= 3""",
+        # exact grouped quantiles: quantile_cont == Spark percentile
+        # (both linear-interpolate on the sorted values)
+        "doclen_quantiles": """
+           SELECT lang, count(*) AS n,
+                  round(quantile_cont(n_chars, 0.25), 6) AS p25,
+                  round(quantile_cont(n_chars, 0.5), 6) AS p50,
+                  round(quantile_cont(n_chars, 0.75), 6) AS p75,
+                  round(quantile_cont(n_chars, 0.95), 6) AS p95
+           FROM documents GROUP BY lang""",
         "repetition_signals": """
            WITH ptok AS (
              SELECT doc_id,

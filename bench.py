@@ -298,6 +298,8 @@ def main() -> None:
         "fuzzy_match",
         "asof_last_view",
         "range_click_error",
+        "doc_keywords",
+        "doclen_quantiles",
         # rep 1 includes the one-time trigram index build (cached per
         # sf_dir); rep 2 is the warm pruned serve — timing_reps shows both
         "trigram_substring",

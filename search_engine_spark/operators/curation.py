@@ -24,7 +24,7 @@ partitioning, same rule as ``dedup.exact_dups``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions.text_quality import (
     bpe_token_count,
@@ -301,4 +301,45 @@ def repetition_signals(
         F.sum("c").cast("long").alias("n_grams"),
         F.round(F.lit(1.0) - F.count("*") / total, 4).alias("dup_frac"),
         F.round(F.max("c") / total, 4).alias("top_frac"),
+    )
+
+
+def doc_keywords(tokens: DataFrame, k: int = 3, round_digits: int = 4) -> DataFrame:
+    """Per-document TF-IDF keywords: the top-``k`` terms of each doc by
+    ``tf · ln((n_docs+1)/(df+1))`` — the tagging signal a corpus triage
+    pass wants next to lang/quality (smoothed idf so a corpus-wide term
+    still scores finitely).
+
+    ``tokens`` is one row per occurrence (doc_id, term).  Plan: tf and df
+    are two partial+final aggregates; the score join shuffles on term
+    (df is vocabulary-sized — NOT broadcast); n_docs rides a 1-row
+    broadcast; the top-k window shuffles on doc_id.  Three keyed
+    exchanges over shrinking inputs — nothing corpus-quadratic, nothing
+    driver-side.  Ranking uses the ROUNDED score (ties then break on the
+    term string) so the pick is reproducible in any engine — the
+    bm25_collapse discipline.
+    """
+    tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dft = tokens.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    nd = tokens.select(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dft, "term")
+        .join(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                round_digits,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tfidf", "rank")
     )

@@ -87,3 +87,44 @@ def heavy_hitters(
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") > thresh)
     )
+
+
+def quantile_profile(
+    df,
+    value_col: str,
+    group_cols=(),
+    probs=(0.25, 0.5, 0.75, 0.95),
+    exact: bool = True,
+    accuracy: int = 10_000,
+):
+    """Grouped quantile summary of a numeric column (linear interpolation,
+    the quantile_cont definition both Spark's ``percentile`` and DuckDB
+    share — which is what makes the exact form oracle-gateable).
+
+    ``exact=True`` runs Spark's sort-based ``percentile`` — one exchange
+    keyed on the group, per-group memory O(group rows); right up to the
+    point a single group's values stop fitting an executor.  Past that,
+    ``exact=False`` is the 100 TB path: ``approx_percentile`` (a mergeable
+    Greenwald-Khanna summary — map-side partials, bounded memory
+    ~O(accuracy·log n), rank error ≤ n/accuracy) with the same output
+    shape, so callers flip one flag when the corpus outgrows exact.
+    """
+    fn = "percentile" if exact else "approx_percentile"
+    arr = "array(" + ", ".join(f"{p!r}D" for p in probs) + ")"
+    extra = f", {accuracy}" if not exact else ""
+    qs = F.expr(f"{fn}({value_col}, {arr}{extra})")
+    out = (
+        df.groupBy(*[F.col(c) for c in group_cols])
+        .agg(F.count("*").alias("n"), qs.alias("_q"))
+        .select(
+            *group_cols,
+            "n",
+            *[
+                F.round(F.col("_q")[i].cast("double"), 6).alias(
+                    "p" + str(p).replace("0.", "").ljust(2, "0")
+                )
+                for i, p in enumerate(probs)
+            ],
+        )
+    )
+    return out

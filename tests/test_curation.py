@@ -288,3 +288,29 @@ def test_repetition_signals_reference(spark):
     assert got[1]["top_frac"] == round(3 / 5, 4)
     assert got[2]["dup_frac"] == 0.0 and got[2]["top_frac"] == round(1 / 4, 4)
     assert 3 not in got
+
+
+def test_doc_keywords_reference(spark):
+    """Pinned micro-corpus: tf-idf ranks a doc-specific repeated term above
+    corpus-wide terms; rounded-score ties break on the term string."""
+    from search_engine_spark.operators.curation import doc_keywords
+
+    rows = [
+        (1, t)
+        for t in "alpha alpha alpha common common".split()
+    ] + [(2, t) for t in "beta common".split()] + [(3, t) for t in ["common"]]
+    toks = spark.createDataFrame(rows, ["doc_id", "term"])
+    got = {
+        (r.doc_id, r.rank): (r.term, r.tfidf)
+        for r in doc_keywords(toks, k=2).collect()
+    }
+    import math
+
+    # idf(common)=ln(4/4)=0 -> score 0 for every doc; doc-unique terms win
+    assert got[(1, 1)][0] == "alpha"
+    assert abs(got[(1, 1)][1] - round(3 * math.log(4.0 / 2.0), 4)) < 1e-9
+    assert got[(1, 2)] == ("common", 0.0)
+    assert got[(2, 1)][0] == "beta"
+    # doc 3 has only the zero-scoring corpus-wide term; it still ranks
+    assert got[(3, 1)] == ("common", 0.0)
+    assert (3, 2) not in got

@@ -86,3 +86,50 @@ def test_heavy_hitters_bad_frac(spark):
     df = spark.createDataFrame([("x",)], ["term"])
     with pytest.raises(ValueError):
         heavy_hitters(df, "term", 0.0)
+
+
+def test_quantile_profile_exact_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    vals = rng.randint(0, 10_000, 800).astype("int64")
+    grp = rng.randint(0, 3, 800)
+    df = spark.createDataFrame(
+        [(int(g), int(v)) for g, v in zip(grp, vals)], ["g", "v"]
+    )
+    from search_engine_spark.operators.sketch import quantile_profile
+
+    rows = {
+        r.g: r
+        for r in quantile_profile(df, "v", group_cols=("g",)).collect()
+    }
+    for g in (0, 1, 2):
+        sel = vals[grp == g]
+        # numpy 'linear' is the same quantile_cont interpolation
+        for p, col in [(25, "p25"), (50, "p50"), (75, "p75"), (95, "p95")]:
+            assert abs(rows[g][col] - float(np.percentile(sel, p))) < 1e-6
+        assert rows[g].n == int((grp == g).sum())
+
+
+def test_quantile_profile_approx_contract(spark):
+    """The 100 TB path: approx_percentile's rank error is <= n/accuracy —
+    with accuracy=10k over n=3000 rows the returned value must sit within
+    a tight rank neighborhood of the exact quantile (here: exact match or
+    adjacent sorted values)."""
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    vals = np.sort(rng.randint(0, 1_000_000, 3000).astype("int64"))
+    df = spark.createDataFrame([(int(v),) for v in vals], ["v"])
+    from search_engine_spark.operators.sketch import quantile_profile
+
+    exact = quantile_profile(df, "v").collect()[0]
+    approx = quantile_profile(df, "v", exact=False, accuracy=10_000).collect()[0]
+    n = len(vals)
+    for p, col in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95")]:
+        # approx returns an actual data value near the target rank; allow
+        # the +/-1 rank band exact interpolation can straddle
+        lo = vals[max(0, int(p * (n - 1)) - 2)]
+        hi = vals[min(n - 1, int(p * (n - 1)) + 2)]
+        assert lo <= approx[col] <= hi, (col, approx[col], lo, hi)
+        assert abs(exact[col] - float(np.percentile(vals, p * 100))) < 1e-6
