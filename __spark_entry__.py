@@ -1197,6 +1197,16 @@ def _q_doc_keywords(spark, sf):
     return doc_keywords(_tokens(spark, sf).select("doc_id", "term"), k=3)
 
 
+def _q_user_counts(spark, sf):
+    """Grouped exact count-distinct (operators/sketch.py distinct_counts);
+    approx_count_distinct is the same-shape HLL++ flag, contract-tested."""
+    from search_engine_spark.operators.sketch import distinct_counts
+
+    return distinct_counts(
+        _t(spark, sf, "events"), "user_id", group_cols=("event_type",)
+    )
+
+
 def _q_doclen_quantiles(spark, sf):
     """Per-lang exact length quantiles (operators/sketch.py
     quantile_profile): Spark percentile ≡ DuckDB quantile_cont (same
@@ -1333,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": _q_repetition,
         "doc_keywords": _q_doc_keywords,
         "doclen_quantiles": _q_doclen_quantiles,
+        "events_user_counts": _q_user_counts,
         "prefix_match": _q_prefix,
         "fuzzy_match": _q_fuzzy,
         "trigram_substring": _q_tri_substring,
@@ -2025,6 +2036,10 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY tfidf DESC, term) AS rn
                   FROM sc)
            SELECT doc_id, term, tfidf, rn AS rank FROM rk WHERE rn <= 3""",
+        "events_user_counts": """
+           SELECT event_type, count(*) AS n,
+                  count(DISTINCT user_id) AS distinct_user_id
+           FROM events GROUP BY event_type""",
         # exact grouped quantiles: quantile_cont == Spark percentile
         # (both linear-interpolate on the sorted values)
         "doclen_quantiles": """

@@ -300,6 +300,7 @@ def main() -> None:
         "range_click_error",
         "doc_keywords",
         "doclen_quantiles",
+        "events_user_counts",
         # rep 1 includes the one-time trigram index build (cached per
         # sf_dir); rep 2 is the warm pruned serve — timing_reps shows both
         "trigram_substring",

@@ -128,3 +128,33 @@ def quantile_profile(
         )
     )
     return out
+
+
+def distinct_counts(
+    df,
+    key_col: str,
+    group_cols=(),
+    exact: bool = True,
+    rsd: float = 0.05,
+):
+    """Grouped ``COUNT(DISTINCT key)`` with the same exact/approx flag
+    discipline as :func:`quantile_profile`.
+
+    Exact: Catalyst plans the classic two-phase expansion — dedup on
+    (group, key) map-side, then count — so the exchange carries distinct
+    pairs, not raw rows; right until a single group's key set stops
+    fitting.  ``exact=False`` flips to ``approx_count_distinct`` (HLL++,
+    Heule et al.): a fixed ~1.04/rsd² registers per group, mergeable
+    map-side, ONE exchange of sketch bytes — the estimator a 10^12-row
+    table needs.  Same output shape either way; ``rsd`` is the relative
+    standard deviation dial.
+    """
+    agg = (
+        F.count_distinct(F.col(key_col))
+        if exact
+        else F.approx_count_distinct(key_col, rsd)
+    )
+    return (
+        df.groupBy(*[F.col(c) for c in group_cols])
+        .agg(F.count("*").alias("n"), agg.alias("distinct_" + key_col))
+    )

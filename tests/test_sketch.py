@@ -133,3 +133,33 @@ def test_quantile_profile_approx_contract(spark):
         hi = vals[min(n - 1, int(p * (n - 1)) + 2)]
         assert lo <= approx[col] <= hi, (col, approx[col], lo, hi)
         assert abs(exact[col] - float(np.percentile(vals, p * 100))) < 1e-6
+
+
+def test_distinct_counts_exact_and_hll_contract(spark):
+    """Exact grouped count-distinct pins against python sets; the HLL++
+    path (the 100 TB flag-flip) must land within a few rsd of exact."""
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    grp = rng.randint(0, 3, 5000)
+    key = rng.randint(0, 700, 5000)
+    df = spark.createDataFrame(
+        [(int(g), int(k)) for g, k in zip(grp, key)], ["g", "k"]
+    )
+    from search_engine_spark.operators.sketch import distinct_counts
+
+    exact = {
+        r.g: r for r in distinct_counts(df, "k", group_cols=("g",)).collect()
+    }
+    approx = {
+        r.g: r
+        for r in distinct_counts(
+            df, "k", group_cols=("g",), exact=False, rsd=0.05
+        ).collect()
+    }
+    for g in (0, 1, 2):
+        truth = len({int(k) for k, gg in zip(key, grp) if gg == g})
+        assert exact[g].distinct_k == truth
+        assert exact[g].n == int((grp == g).sum())
+        rel = abs(approx[g].distinct_k - truth) / truth
+        assert rel <= 4 * 0.05, (g, approx[g].distinct_k, truth)
