@@ -22,6 +22,8 @@ from pyspark.sql.window import Window
 
 TOK = "[^a-z0-9]+"  # ASCII oracle tokenizer (shared spec with the SQL side)
 Q3 = ["data", "query", "scan"]  # frozen 3-term AND query on `documents`
+QX = "vector"  # frozen NOT-clause word (`-vector`): prunes the Q3 AND set
+# 278→37 docs at sf0.001 (non-trivial exclusion, still a full top-20)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -283,6 +285,27 @@ def _bm25_scored_all(spark, sf):
         .agg(F.countDistinct("term").alias("nt"), F.sum("contrib").alias("s"))
         .filter(F.col("nt") == 3)
         .select("doc_id", F.round("s", 4).alias("score"))
+    )
+
+
+def _q_not_topk(spark, sf):
+    """NOT-query (exclusion) top-20: the Q3 AND-matches minus every doc
+    containing QX — the relational twin of SearchEngine.topk(exclude=…)
+    (SURVEY delta 40). The exclusion is a left-anti join applied BEFORE
+    the top-k cut (so k survivors are guaranteed when they exist);
+    scoring stays over the positive query terms only — excluded-word
+    occurrences never contribute to or dilute the BM25 sum."""
+    exc = (
+        _tokens(spark, sf)
+        .filter(F.col("term") == QX)
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        _bm25_scored_all(spark, sf)
+        .join(exc, "doc_id", "left_anti")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
     )
 
 
@@ -1290,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25,
         "bm25_or_topk": _q_bm25_or,
         "bm25_collapse_topk": _q_bm25_collapse,
+        "not_topk": _q_not_topk,
         "bm25_scoped_topk": _q_bm25_scoped,
         "scoped_df_a3": _q_scoped_df,
         "site_stats_rollup": _q_site_stats,
@@ -1420,6 +1444,24 @@ def oracle_sql() -> dict[str, str]:
              WHERE tf.term IN {q3}
              GROUP BY tf.doc_id)
            SELECT doc_id, round(s, 4) AS score FROM sc WHERE nt = 3
+           ORDER BY score DESC, doc_id LIMIT 20""",
+        "not_topk": _TOK_CTE
+        + f""", tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
+           dl AS (SELECT doc_id, count(*) AS doclen FROM tok2 GROUP BY doc_id),
+           dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY term),
+           st AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+           sc AS (
+             SELECT tf.doc_id,
+                    count(DISTINCT tf.term) AS nt,
+                    sum(ln((st.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                        * 2.2 * tf.tf
+                        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl))) AS s
+             FROM tf JOIN dl USING (doc_id) JOIN dft USING (term) CROSS JOIN st
+             WHERE tf.term IN {q3}
+             GROUP BY tf.doc_id),
+           exc AS (SELECT DISTINCT doc_id FROM tok2 WHERE term = '{QX}')
+           SELECT doc_id, round(s, 4) AS score FROM sc
+           WHERE nt = 3 AND doc_id NOT IN (SELECT doc_id FROM exc)
            ORDER BY score DESC, doc_id LIMIT 20""",
         "bm25_or_topk": _TOK_CTE
         + f""", tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),

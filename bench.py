@@ -287,6 +287,7 @@ def main() -> None:
         "pagerank_scores",
         "corpus_split",
         "bm25_collapse_topk",
+        "not_topk",
         "heavy_hitter_terms",
         "mixture_weights",
         "phrase_match",

@@ -226,9 +226,26 @@ class EngineAPI:
         by hit count, verification-exact; operators/phrase.py).
         ``mode='prefix'`` treats the query as a trailing wildcard
         (``quer*``) — the ranked union over its capped vocabulary
-        expansions (rarest-first, Lucene top-terms rewrite)."""
+        expansions (rarest-first, Lucene top-terms rewrite).
+
+        ``-word`` tokens are NOT clauses (modes ``all``/``any`` only —
+        phrase/near/prefix are their own sublanguages): docs containing
+        any analyzed form of an excluded word are dropped before the
+        top-k cut, scoring stays over the positive terms, and the banner
+        count turns truncation-aware (``countExact``) because an exact
+        survivor count would decode the full exclusion lists just for
+        the banner."""
         if not query or not query.strip():
             return {"result": False, "error": ERR_EMPTY_QUERY}
+        exclude = None
+        if mode in ("all", "any") and " -" in f" {query}":
+            toks = query.split()
+            exc_words = [t[1:] for t in toks if t.startswith("-") and len(t) > 1]
+            if exc_words:
+                exclude = " ".join(exc_words)
+                query = " ".join(t for t in toks if not (t.startswith("-") and len(t) > 1))
+                if not query.strip():
+                    return {"result": False, "error": ERR_EMPTY_QUERY}
         eng = self._get_engine()
         q_lemmas = analyze_query(query, code=self.code)
         count_exact = True
@@ -265,9 +282,25 @@ class EngineAPI:
             rows = eng.topk(
                 query, k=limit, offset=offset, site=site,
                 strategy=strategy, scorer=scorer, mode="any",
+                exclude=exclude,
             ).collect()
             topk = [(int(r["doc_id"]), float(r["score"])) for r in rows]
-            count, count_exact = eng.or_match_count(query, site)
+            if exclude is None:
+                count, count_exact = eng.or_match_count(query, site)
+            else:
+                count = len(topk)
+                count_exact = len(topk) < offset + limit
+        elif exclude is not None:
+            # NOT clause: survivors only exist after the anti-join, so the
+            # banner goes truncation-aware instead of decoding the full
+            # exclusion lists for an exact count
+            rows = eng.topk(
+                query, k=limit, offset=offset, site=site,
+                strategy=strategy, scorer=scorer, exclude=exclude,
+            ).collect()
+            topk = [(int(r["doc_id"]), float(r["score"])) for r in rows]
+            count = len(topk)
+            count_exact = len(topk) < offset + limit
         else:
             # ONE serving round yields top-k AND the exact A7 count — the
             # count never re-decodes posting lists the top-k pass skipped
@@ -277,7 +310,7 @@ class EngineAPI:
             )
         if not topk:
             out = {"result": True, "count": 0, "data": []}
-            if mode in ("any", "phrase", "near", "prefix"):
+            if mode in ("any", "phrase", "near", "prefix") or exclude is not None:
                 out["countExact"] = count_exact
             return out
 
@@ -308,7 +341,7 @@ class EngineAPI:
                 }
             )
         out = {"result": True, "count": count, "data": data}
-        if mode in ("any", "phrase", "near", "prefix"):
+        if mode in ("any", "phrase", "near", "prefix") or exclude is not None:
             out["countExact"] = count_exact
         return out
 

@@ -111,6 +111,11 @@ SCORED = StructType(
 MAX_WAND_CANDIDATES = 500_000
 MAX_WAND_META_BLOCKS = 200_000
 MAX_FETCH_BLOCKS = 16_384  # per query, decoded payload blocks
+# NOT-query driver cap: exclusion lists up to this many TOTAL postings are
+# materialized as a driver-side sorted id set (the over-fetch bound rides
+# the candidate request, so it must stay modest); hotter exclusions take
+# the distributed anti-join path instead.
+EXCLUDE_DRIVER_DF_CAP = 50_000
 # when EVERY query term's list is small, fetch all their blocks in ONE job
 # up-front (≈128k postings decoded in ms) — the common selective query then
 # costs a single payload round-trip; WAND's block skipping only matters for
@@ -1095,6 +1100,39 @@ class SearchEngine:
             SCORED,
         )
 
+    def _exclusion_ids(self, exc_terms: list[str]) -> np.ndarray | None:
+        """Sorted union of the excluded terms' doc ids, driver-side.
+        Vocabulary-missing exclusions exclude nothing; None when any cap
+        trips (too-hot term, oversized total) — the caller then applies
+        the exclusion as a distributed anti-join instead."""
+        metas = self._get_meta(exc_terms)
+        present = [t for t in exc_terms if metas[t] is not None]
+        if not present:
+            return np.array([], dtype=np.int64)
+        if any(metas[t] is _TOO_HOT for t in present):
+            return None
+        if sum(metas[t].df for t in present) > EXCLUDE_DRIVER_DF_CAP:
+            return None
+        if sum(metas[t].n_blocks for t in present) > MAX_FETCH_BLOCKS:
+            return None
+        self._fetch_blocks({t: metas[t].block_id for t in present})
+        parts = [
+            self._concat_term(metas[t], set(map(int, metas[t].block_id)), t)[0]
+            for t in present
+        ]
+        return np.unique(np.concatenate(parts))
+
+    @staticmethod
+    def _drop_excluded(
+        res: list[tuple[int, float]], exc_ids: np.ndarray, need: int
+    ) -> list[tuple[int, float]]:
+        if not res or len(exc_ids) == 0:
+            return res[:need]
+        ids = np.fromiter((d for d, _ in res), dtype=np.int64, count=len(res))
+        p = np.clip(np.searchsorted(exc_ids, ids), 0, len(exc_ids) - 1)
+        member = exc_ids[p] == ids
+        return [pair for pair, m in zip(res, member) if not m][:need]
+
     def topk(
         self,
         query: str,
@@ -1104,6 +1142,7 @@ class SearchEngine:
         strategy: str = "blockmax",
         scorer: str = "bm25",
         mode: str = "all",
+        exclude: str | None = None,
     ) -> DataFrame:
         """→ DataFrame(doc_id, score) — top (offset+k) matches.
 
@@ -1119,6 +1158,14 @@ class SearchEngine:
         semantics). ``scorer='legacy'`` reproduces the reference Σtf
         relevance contract (normalization to relative relevance happens in
         the API facade, F6).
+
+        ``exclude`` is the NOT clause (``-term`` semantics): docs
+        containing ANY analyzed form of any excluded word are dropped
+        BEFORE the top-k cut; scoring stays over the query terms only.
+        Driver path: the exclusion set rides the candidate over-fetch
+        (need + |exclusions| candidates guarantee ``need`` survivors —
+        exact, not best-effort); a too-hot exclusion degrades to the
+        distributed anti-join.  Vocabulary-missing exclusions are no-ops.
         """
         q_terms = analyze_query(query, code=self.code)
         ctx = self._resolve(q_terms, site, require_all=(mode == "all"))
@@ -1126,27 +1173,41 @@ class SearchEngine:
             return self._empty()
         if mode == "any":
             q_terms = [t for t in q_terms if t in ctx.dfs]
+        exc_terms = [
+            t
+            for t in analyze_query(exclude or "", code=self.code)
+            if t not in q_terms
+        ]
         need = offset + k
 
         if strategy == "blockmax":
-            if len(q_terms) == 1:
-                res = self._driver_single(q_terms[0], ctx, need, scorer)
-            elif mode == "any":
-                res = self._driver_or(q_terms, ctx, need, scorer)
-            else:
-                out = self._driver_multi(q_terms, ctx, need, scorer, False)
-                res = out[0] if out is not None else None
-            if res is not None:
-                return self._from_pairs(res)
+            exc_ids = self._exclusion_ids(exc_terms) if exc_terms else np.array([], dtype=np.int64)
+            if exc_ids is not None:
+                fetch = need + len(exc_ids)
+                if len(q_terms) == 1:
+                    res = self._driver_single(q_terms[0], ctx, fetch, scorer)
+                elif mode == "any":
+                    res = self._driver_or(q_terms, ctx, fetch, scorer)
+                else:
+                    out = self._driver_multi(q_terms, ctx, fetch, scorer, False)
+                    res = out[0] if out is not None else None
+                if res is not None:
+                    return self._from_pairs(self._drop_excluded(res, exc_ids, need))
 
         # exhaustive (or fallback): decode all blocks of the query terms
-        return (
-            self._exhaustive_scored(
-                q_terms, ctx, scorer, match_all=(mode == "all")
-            )
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(need)
+        scored = self._exhaustive_scored(
+            q_terms, ctx, scorer, match_all=(mode == "all")
         )
+        if exc_terms:
+            excl = (
+                decode_blocks(
+                    self.postings.filter(F.col("term").isin(exc_terms))
+                )
+                .select("doc_id")
+                .distinct()
+            )
+            scored = scored.join(excl, "doc_id", "left_anti")
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(need)
 
     def topk_collapsed(
         self,

@@ -1,0 +1,112 @@
+"""NOT-query (exclusion) contract — SearchEngine.topk(exclude=…).
+
+Ground truth is self-derived: the unexcluded full ranking minus the
+excluded term's exact doc set must equal the excluded query's output,
+on BOTH serving paths (driver over-fetch and distributed anti-join).
+The reference has no NOT operator (SearchServiceImpl.java:40-72 is
+conjunctive-only) — this is §2-beyond serving surface.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from search_engine_spark.operators.query import SearchEngine
+from search_engine_spark.plans.build_job import build_index
+from search_engine_spark.sources.catalog import Catalog
+from search_engine_spark.synth import make_corpus
+
+Q = "query index"
+EXC = "merge"
+BIG = 10_000  # > corpus size → unexcluded "top-k" enumerates ALL matches
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("not_idx"))
+    corpus = make_corpus(spark, 200, seed=11, partitions=4)
+    cat = Catalog(root)
+    build_index(spark, corpus, cat, n_shards=2, skew_df_threshold=50,
+                salt_target_rows=40)
+    return SearchEngine(spark, cat, code=True)
+
+
+def _pairs(df):
+    return [(int(r["doc_id"]), round(float(r["score"]), 6)) for r in df.collect()]
+
+
+def _expected(engine, k, strategy="blockmax"):
+    """Unexcluded full ranking minus the excluded term's doc set."""
+    full = _pairs(engine.topk(Q, k=BIG, strategy=strategy))
+    exc_ids = {d for d, _ in _pairs(engine.topk(EXC, k=BIG, strategy="exhaustive"))}
+    return [p for p in full if p[0] not in exc_ids][:k]
+
+
+def test_driver_exclusion_matches_brute_force(engine):
+    got = _pairs(engine.topk(Q, k=10, exclude=EXC))
+    want = _expected(engine, 10)
+    assert want, "fixture degenerate: exclusion wiped every match"
+    assert got == want
+    # the exclusion actually bit: some unexcluded top-10 doc was dropped
+    assert got != _pairs(engine.topk(Q, k=10))
+
+
+def test_blockmax_equals_exhaustive_under_exclusion(engine):
+    a = _pairs(engine.topk(Q, k=10, exclude=EXC, strategy="blockmax"))
+    b = _pairs(engine.topk(Q, k=10, exclude=EXC, strategy="exhaustive"))
+    assert a == b
+
+
+def test_cap_trip_falls_back_to_anti_join(engine, monkeypatch):
+    import search_engine_spark.operators.query as Qm
+
+    want = _pairs(engine.topk(Q, k=10, exclude=EXC))
+    monkeypatch.setattr(Qm, "EXCLUDE_DRIVER_DF_CAP", 0)
+    got = _pairs(engine.topk(Q, k=10, exclude=EXC))
+    assert got == want
+
+
+def test_missing_exclusion_word_is_noop(engine):
+    assert _pairs(engine.topk(Q, k=10, exclude="zzzqxunknown")) == _pairs(
+        engine.topk(Q, k=10)
+    )
+
+
+def test_excluding_a_query_term_is_ignored(engine):
+    # `-index` on "query index" would always be empty in AND mode;
+    # overlap terms are dropped from the NOT clause instead
+    assert _pairs(engine.topk(Q, k=10, exclude="index")) == _pairs(
+        engine.topk(Q, k=10)
+    )
+
+
+def test_or_mode_exclusion(engine):
+    full = _pairs(engine.topk(Q, k=BIG, mode="any"))
+    exc_ids = {d for d, _ in _pairs(engine.topk(EXC, k=BIG, strategy="exhaustive"))}
+    want = [p for p in full if p[0] not in exc_ids][:10]
+    got = _pairs(engine.topk(Q, k=10, mode="any", exclude=EXC))
+    assert got == want
+
+
+def test_api_minus_token_parsing(spark, tmp_path_factory):
+    from search_engine_spark.api import EngineAPI
+
+    cat = Catalog(str(tmp_path_factory.mktemp("not_api")))
+    api = EngineAPI(spark, cat, code=True)
+    corpus = make_corpus(spark, 120, seed=11, partitions=4)
+    build_index(spark, corpus, api.catalog, n_shards=2,
+                skew_df_threshold=50, salt_target_rows=40)
+    plain = api.search(Q, limit=10)
+    res = api.search(f"{Q} -{EXC}", limit=10)
+    assert res["result"] is True and "countExact" in res
+    eng = api._get_engine()
+    want = [d for d, _ in _pairs(eng.topk(Q, k=10, exclude=EXC))]
+    got_uris = [hit["uri"] for hit in res["data"]]
+    want_uris = [
+        r["path"]
+        for r in eng.docs.filter(eng.docs.doc_id.isin(want)).collect()
+    ]
+    assert sorted(got_uris) == sorted(want_uris)
+    assert res["data"] != plain["data"]
+    # a query that is ONLY exclusions is blank
+    assert api.search(f"-{EXC}")["result"] is False
