@@ -1211,6 +1211,31 @@ def _q_repetition(spark, sf):
     return repetition_signals(_t(spark, sf, "documents"), n=2)
 
 
+def _q_lm_quality(spark, sf):
+    """Within-corpus unigram LM quality score (operators/curation.py
+    lm_doc_scores) — the CCNet-style perplexity-proxy curation signal;
+    no smoothing needed (the model is trained on the scored corpus)."""
+    from search_engine_spark.operators.curation import lm_doc_scores
+
+    return lm_doc_scores(_tokens(spark, sf).select("doc_id", "term"))
+
+
+def _q_dsir(spark, sf):
+    """DSIR importance log-weights (operators/curation.py
+    dsir_logweights): target model = docs from source 'src3', raw model
+    = whole corpus, add-0.5 smoothing over the joint vocabulary; exact
+    term features (the SQL-replayable form; hashed buckets are the
+    broadcast-model scale path, contract-tested in pytest)."""
+    from search_engine_spark.operators.curation import dsir_logweights
+
+    tgt = (
+        _t(spark, sf, "documents")
+        .filter(F.col("source") == "src3")
+        .select("doc_id")
+    )
+    return dsir_logweights(_tokens(spark, sf).select("doc_id", "term"), tgt)
+
+
 def _q_doc_keywords(spark, sf):
     """Per-doc TF-IDF top-3 keywords (operators/curation.py doc_keywords)
     over the shared token spec; ranked on the rounded score with a term
@@ -1366,6 +1391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "repetition_signals": _q_repetition,
         "doc_keywords": _q_doc_keywords,
+        "lm_doc_quality": _q_lm_quality,
+        "dsir_logweights": _q_dsir,
         "doclen_quantiles": _q_doclen_quantiles,
         "events_user_counts": _q_user_counts,
         "prefix_match": _q_prefix,
@@ -2078,6 +2105,36 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY tfidf DESC, term) AS rn
                   FROM sc)
            SELECT doc_id, term, tfidf, rn AS rank FROM rk WHERE rn <= 3""",
+        # within-corpus unigram LM: every term observed → no smoothing
+        "lm_doc_quality": _TOK_CTE
+        + """, tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+                      GROUP BY doc_id, term),
+           c AS (SELECT term, count(*) AS c FROM tok2 GROUP BY term),
+           n AS (SELECT count(*) AS n_total FROM tok2)
+           SELECT doc_id, sum(tf) AS n_tokens,
+                  round(sum(tf * ln(c * 1.0 / n_total)) / sum(tf), 6) AS avg_logp
+           FROM tf JOIN c USING (term) CROSS JOIN n
+           GROUP BY doc_id""",
+        # DSIR twin: add-0.5-smoothed unigram models over the joint
+        # vocabulary; target = source 'src3' (tok2 carries source)
+        "dsir_logweights": _TOK_CTE
+        + """, tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+                      GROUP BY doc_id, term),
+           raw AS (SELECT term, count(*) AS c_r FROM tok2 GROUP BY term),
+           tgt AS (SELECT term, count(*) AS c_t FROM tok2
+                   WHERE source = 'src3' GROUP BY term),
+           model0 AS (SELECT raw.term, raw.c_r, coalesce(tgt.c_t, 0) AS c_t
+                      FROM raw LEFT JOIN tgt USING (term)),
+           st AS (SELECT sum(c_r) AS n_r, sum(c_t) AS n_t, count(*) AS v
+                  FROM model0),
+           model AS (SELECT term,
+                            ln((c_t + 0.5) / (n_t + 0.5 * v))
+                          - ln((c_r + 0.5) / (n_r + 0.5 * v)) AS llr
+                     FROM model0 CROSS JOIN st)
+           SELECT doc_id, sum(tf) AS n_tokens,
+                  round(sum(tf * llr), 6) AS logweight
+           FROM tf JOIN model USING (term)
+           GROUP BY doc_id""",
         "events_user_counts": """
            SELECT event_type, count(*) AS n,
                   count(DISTINCT user_id) AS distinct_user_id

@@ -300,6 +300,8 @@ def main() -> None:
         "asof_last_view",
         "range_click_error",
         "doc_keywords",
+        "lm_doc_quality",
+        "dsir_logweights",
         "doclen_quantiles",
         "events_user_counts",
         # rep 1 includes the one-time trigram index build (cached per

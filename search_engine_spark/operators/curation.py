@@ -343,3 +343,112 @@ def doc_keywords(tokens: DataFrame, k: int = 3, round_digits: int = 4) -> DataFr
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tfidf", "rank")
     )
+
+
+def lm_doc_scores(tokens: DataFrame, round_digits: int = 6) -> DataFrame:
+    """Within-corpus unigram LM quality score — the perplexity-proxy
+    filter of CCNet-style curation (Wenzek et al. 2020), self-trained so
+    it needs no external model: each document scores ``avg_logp`` = mean
+    token log-probability under the corpus's own unigram distribution
+    (ln(count(term)/total_tokens); every term is observed, so no
+    smoothing).  Low avg_logp = rare-token-heavy documents (boilerplate
+    hashes, gibberish, OCR noise); high = stopword soup.  Both tails are
+    what a quality band cuts.
+
+    Plan: tf + term counts are two partial+final aggregates; the scoring
+    join shuffles tf on term (the term-count table is vocabulary-sized,
+    NOT broadcast — web-scale vocabularies don't fit a broadcast); the
+    corpus total rides a 1-row broadcast; one final doc_id aggregate.
+    Nothing corpus-quadratic, nothing driver-side.
+
+    → (doc_id, n_tokens, avg_logp) — one row per doc with ≥1 token.
+    """
+    tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    c = tokens.groupBy("term").agg(F.count("*").alias("c"))
+    n = tokens.agg(F.count("*").alias("n_total"))
+    return (
+        tf.join(c, "term")
+        .join(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("c") / F.col("n_total")))
+                / F.sum("tf"),
+                round_digits,
+            ).alias("avg_logp"),
+        )
+        .select("doc_id", "n_tokens", "avg_logp")
+    )
+
+
+def dsir_logweights(
+    tokens: DataFrame,
+    target_ids: DataFrame,
+    k: float = 0.5,
+    n_buckets: int | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """DSIR importance log-weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every raw document by
+    ``log p_target(doc) − log p_raw(doc)`` under two add-k-smoothed
+    unigram feature models — the target model trained on the docs in
+    ``target_ids`` (the high-quality / in-domain seed set), the raw model
+    on the whole corpus.  Resampling ∝ exp(logweight) tilts the corpus
+    toward the target distribution; in practice the top-weight fraction
+    is kept.  Smoothing is add-``k`` over the joint observed vocabulary
+    (target ⊆ raw, so raw covers every term; unseen-in-target terms get
+    mass k/(N_t + k·V)).
+
+    ``n_buckets`` switches the feature space from exact terms to hashed
+    n-gram buckets (``xxhash64(term) % n_buckets``) — the paper's trick
+    and the 100 TB shape: the model table collapses from
+    vocabulary-sized to a FIXED n_buckets rows, so the scoring join is
+    broadcast (zero shuffle on the corpus-sized tf side beyond its own
+    doc aggregate).  Exact terms keep the model vocabulary-sized and the
+    scoring join a term-keyed shuffle — fine at test scale, and the form
+    a SQL oracle can replay.
+
+    → (doc_id, n_tokens, logweight) — one row per doc with ≥1 token.
+    """
+    feats = tokens.select("doc_id", "term")
+    if n_buckets is not None:
+        feats = feats.select(
+            "doc_id",
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("string").alias("term"),
+        )
+    tf = feats.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    raw = feats.groupBy("term").agg(F.count("*").alias("c_r"))
+    tgt = (
+        feats.join(target_ids.select("doc_id"), "doc_id", "left_semi")
+        .groupBy("term")
+        .agg(F.count("*").alias("c_t"))
+    )
+    if n_buckets is not None:
+        tgt = F.broadcast(tgt)  # fixed n_buckets rows — never corpus-sized
+    model = raw.join(tgt, "term", "left").na.fill({"c_t": 0})
+    stats = model.agg(
+        F.sum("c_r").alias("n_r"),
+        F.sum("c_t").alias("n_t"),
+        F.count("*").alias("v"),
+    )
+    model = model.join(F.broadcast(stats)).select(
+        "term",
+        (
+            F.log((F.col("c_t") + F.lit(k)) / (F.col("n_t") + F.lit(k) * F.col("v")))
+            - F.log((F.col("c_r") + F.lit(k)) / (F.col("n_r") + F.lit(k) * F.col("v")))
+        ).alias("llr"),
+    )
+    if n_buckets is not None:
+        model = F.broadcast(model)  # fixed n_buckets rows — never corpus-sized
+    return (
+        tf.join(model, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(F.sum(F.col("tf") * F.col("llr")), round_digits).alias(
+                "logweight"
+            ),
+        )
+        .select("doc_id", "n_tokens", "logweight")
+    )

@@ -314,3 +314,106 @@ def test_doc_keywords_reference(spark):
     # doc 3 has only the zero-scoring corpus-wide term; it still ranks
     assert got[(3, 1)] == ("common", 0.0)
     assert (3, 2) not in got
+
+
+def test_lm_doc_scores_numpy_oracle(spark):
+    from collections import Counter
+    import math
+
+    from search_engine_spark.operators.curation import lm_doc_scores
+
+    docs = {1: "aa aa bb", 2: "bb cc", 3: "aa"}
+    rows = [(d, t) for d, s in docs.items() for t in s.split()]
+    got = {
+        r.doc_id: (r.n_tokens, r.avg_logp)
+        for r in lm_doc_scores(
+            spark.createDataFrame(rows, ["doc_id", "term"])
+        ).collect()
+    }
+    c = Counter(t for _, t in rows)
+    n = sum(c.values())
+    for d, s in docs.items():
+        toks = s.split()
+        want = round(sum(math.log(c[t] / n) for t in toks) / len(toks), 6)
+        assert got[d] == (len(toks), want)
+
+
+def _dsir_numpy(rows, target_docs, k=0.5):
+    """Textbook DSIR log-weights over exact features."""
+    from collections import Counter
+    import math
+
+    c_r = Counter(t for _, t in rows)
+    c_t = Counter(t for d, t in rows if d in target_docs)
+    v = len(c_r)
+    n_r, n_t = sum(c_r.values()), sum(c_t.values())
+
+    def llr(t):
+        return math.log((c_t[t] + k) / (n_t + k * v)) - math.log(
+            (c_r[t] + k) / (n_r + k * v)
+        )
+
+    out = {}
+    for d, t in rows:
+        out[d] = out.get(d, 0.0) + llr(t)
+    return {d: round(w, 6) for d, w in out.items()}
+
+
+def test_dsir_logweights_numpy_oracle(spark):
+    from search_engine_spark.operators.curation import dsir_logweights
+
+    docs = {
+        1: "good clean prose text",
+        2: "good prose",
+        3: "spam spam spam buy",
+        4: "clean text buy",
+    }
+    rows = [(d, t) for d, s in docs.items() for t in s.split()]
+    toks = spark.createDataFrame(rows, ["doc_id", "term"])
+    tgt = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    got = {
+        r.doc_id: (r.n_tokens, r.logweight)
+        for r in dsir_logweights(toks, tgt).collect()
+    }
+    want = _dsir_numpy(rows, {1, 2})
+    for d, s in docs.items():
+        assert got[d] == (len(s.split()), want[d])
+    # target-like docs outweigh the spam doc
+    assert got[1][1] > got[3][1] and got[2][1] > got[3][1]
+
+
+def test_dsir_hashed_buckets_contract(spark):
+    """Hashed feature space ≡ the exact computation run over the SAME
+    bucket ids (Spark's xxhash64 is the shared feature hash) — and the
+    fixed-size model join is a broadcast, not a shuffle."""
+    from search_engine_spark.operators.curation import dsir_logweights
+
+    docs = {
+        1: "good clean prose text good",
+        2: "good prose clean",
+        3: "spam spam buy now",
+        4: "clean text buy spam",
+    }
+    rows = [(d, t) for d, s in docs.items() for t in s.split()]
+    toks = spark.createDataFrame(rows, ["doc_id", "term"])
+    tgt = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    b = 8
+    got = {
+        r.doc_id: r.logweight
+        for r in dsir_logweights(toks, tgt, n_buckets=b).collect()
+    }
+    hashed = [
+        (r.doc_id, r.b)
+        for r in toks.select(
+            "doc_id",
+            F.pmod(F.xxhash64("term"), F.lit(b)).cast("string").alias("b"),
+        ).collect()
+    ]
+    want = _dsir_numpy(hashed, {1, 2})
+    assert got == want
+    # every feature-keyed join (model build + corpus scoring) must be a
+    # broadcast under n_buckets — the model is fixed-size. The doc_id
+    # target semi-join legitimately shuffles (target id sets grow with
+    # the seed corpus; forced broadcast would OOM at scale).
+    plan = dsir_logweights(toks, tgt, n_buckets=b)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin [term" not in plan
