@@ -753,6 +753,30 @@ def _q_dormant_q22(spark, sf):  # Q22 shape: anti-join + scalar subquery
     )
 
 
+def _q_disjunctive_q19(spark, sf):  # Q19 shape: OR-of-ANDs decomposition
+    from search_engine_spark.operators.relational import disjunctive_part_revenue
+
+    return disjunctive_part_revenue(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "part")
+    )
+
+
+def _q_top_supplier_q15(spark, sf):  # Q15 shape: argmax by aggregate
+    from search_engine_spark.operators.relational import top_revenue_supplier
+
+    return top_revenue_supplier(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "supplier")
+    )
+
+
+def _q_lone_fault_q21(spark, sf):  # Q21 shape: EXISTS + NOT-EXISTS, decorrelated
+    from search_engine_spark.operators.relational import lone_fault_suppliers
+
+    return lone_fault_suppliers(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "supplier")
+    )
+
+
 def _q_semi(spark, sf):  # S6 semi-join (IN-list scan family)
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 300000)
@@ -1376,6 +1400,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_q4": _q_order_priority_q4,
         "small_qty_revenue_q17": _q_small_qty_q17,
         "dormant_customers_q22": _q_dormant_q22,
+        "disjunctive_revenue_q19": _q_disjunctive_q19,
+        "top_supplier_q15": _q_top_supplier_q15,
+        "lone_fault_supplier_q21": _q_lone_fault_q21,
         "customer_order_dist_q13": _q_cust_dist_q13,
         "semi_join_s6": _q_semi,
         "anti_join_j7": _q_anti,
@@ -1969,6 +1996,50 @@ def oracle_sql() -> dict[str, str]:
                   ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE), 2)
                       AS total_bal
            FROM d GROUP BY 1 ORDER BY 1""",
+        # Q19 twin: the naive flat OR-of-ANDs form — the engine's
+        # envelope-pushed decomposition must produce the same revenue
+        "disjunctive_revenue_q19": """
+           SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                                 * (1 - CAST(l_discount AS DECIMAL(8,4))))
+                        AS DOUBLE), 2) AS revenue
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE (p_brand = 'Brand#1' AND p_size <= 5
+                  AND l_quantity BETWEEN 1 AND 11)
+              OR (p_brand = 'Brand#2' AND p_size <= 10
+                  AND l_quantity BETWEEN 10 AND 20)
+              OR (p_brand = 'Brand#3' AND p_size <= 15
+                  AND l_quantity BETWEEN 20 AND 30)""",
+        # Q15 twin: textbook view + scalar-subquery max (exact decimal
+        # equality so tie membership is engine-independent)
+        "top_supplier_q15": """
+           WITH rev AS (SELECT l_suppkey,
+                               SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                                   * (1 - CAST(l_discount AS DECIMAL(8,4))))
+                                   AS total_rev
+                        FROM lineitem
+                        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+                          AND l_shipdate < TIMESTAMP '1995-04-01'
+                        GROUP BY l_suppkey)
+           SELECT s_suppkey, s_name,
+                  ROUND(CAST(total_rev AS DOUBLE), 2) AS total_rev
+           FROM rev JOIN supplier ON l_suppkey = s_suppkey
+           WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+           ORDER BY s_suppkey""",
+        # Q21 twin: the textbook correlated EXISTS + NOT-EXISTS form —
+        # the hash gate proves the engine's per-order-aggregate rewrite
+        "lone_fault_supplier_q21": """
+           SELECT s_name, COUNT(*) AS numwait
+           FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+           WHERE l1.l_returnflag = 'R'
+             AND EXISTS (SELECT 1 FROM lineitem l2
+                         WHERE l2.l_orderkey = l1.l_orderkey
+                           AND l2.l_suppkey <> l1.l_suppkey)
+             AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                             WHERE l3.l_orderkey = l1.l_orderkey
+                               AND l3.l_suppkey <> l1.l_suppkey
+                               AND l3.l_returnflag = 'R')
+           GROUP BY s_name
+           ORDER BY numwait DESC, s_name LIMIT 10""",
         "semi_join_s6": """
            SELECT c_custkey FROM customer c
            WHERE EXISTS (SELECT 1 FROM orders o

@@ -280,6 +280,9 @@ def main() -> None:
         "order_priority_q4",
         "small_qty_revenue_q17",
         "dormant_customers_q22",
+        "disjunctive_revenue_q19",
+        "top_supplier_q15",
+        "lone_fault_supplier_q21",
         "ann_ivf_topk",
         "image_channel_stats",
         "audio_window_feats",

@@ -475,3 +475,141 @@ def dormant_customers(
         )
         .orderBy("nation_band")
     )
+
+
+_Q19_BANDS = (
+    ("Brand#1", 5, 1, 11),
+    ("Brand#2", 10, 10, 20),
+    ("Brand#3", 15, 20, 30),
+)
+
+
+def disjunctive_part_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    bands: tuple = _Q19_BANDS,
+) -> DataFrame:
+    """TPC-H Q19 shape: revenue over an OR-of-ANDs of (brand, size,
+    quantity) bands — the DISJUNCTIVE-PREDICATE discipline. The trap in
+    the original is writing the OR into the join condition, which forces
+    a nested-loop plan; the fix is decomposition: the p_partkey equi-key
+    joins, the OR survives only as a residual filter, and the UNION
+    ENVELOPE of the bands (max size, min/max quantity) is derived and
+    pushed into BOTH scans — rows outside every band never reach the
+    join. At 100 TB the envelope prune is the whole game: the residual
+    OR runs on the joined survivors only.
+
+    Plan: part filtered to the size/brand envelope and broadcast (a
+    filtered dim); lineitem scan carries the quantity-envelope pushdown;
+    one scalar decimal aggregate."""
+    max_size = max(b[1] for b in bands)
+    qty_lo = min(b[2] for b in bands)
+    qty_hi = max(b[3] for b in bands)
+    brands = [b[0] for b in bands]
+    p = part.filter(
+        (F.col("p_size") <= max_size) & F.col("p_brand").isin(brands)
+    ).select("p_partkey", "p_brand", "p_size")
+    li = lineitem.filter(
+        (F.col("l_quantity") >= qty_lo) & (F.col("l_quantity") <= qty_hi)
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    residual = None
+    for brand, size_max, lo, hi in bands:
+        cond = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") <= size_max)
+            & (F.col("l_quantity") >= lo)
+            & (F.col("l_quantity") <= hi)
+        )
+        residual = cond if residual is None else (residual | cond)
+    rev = _money("l_extendedprice") * _one_minus("l_discount")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(residual)
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+    )
+
+
+def top_revenue_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    date_from: str = "1995-01-01",
+    date_to: str = "1995-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) whose quarter revenue equals the
+    global maximum — the ARGMAX-BY-AGGREGATE (view + scalar subquery)
+    discipline. Ties all surface (the spec's "in case of a tie" clause),
+    which is why the comparison is EXACT decimal equality — a double max
+    would make tie membership engine-dependent.
+
+    Plan: one fact aggregate on l_suppkey (map-side partials; the date
+    filter pushes into the scan), a 1-row broadcast max joined back by
+    exact decimal equality, then the supplier-dim join — supplier grows
+    with scale, so NOT force-broadcast (AQE decides; the revenue side is
+    already supplier-sized)."""
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(_money("l_extendedprice") * _one_minus("l_discount")).alias(
+                "total_rev"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_rev") == F.col("max_rev"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 2).alias("total_rev"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def lone_fault_suppliers(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q21 shape (adapted: no l_receiptdate/l_commitdate in this
+    schema, so "fault" = a returned line, l_returnflag = 'R'): suppliers
+    whose returned line sits in a MULTI-SUPPLIER order where NO OTHER
+    supplier's line was returned — the CORRELATED EXISTS + NOT-EXISTS
+    discipline, the hardest join shape in the benchmark.
+
+    Plan: the textbook form runs TWO correlated self-joins of the fact;
+    this is the classic decorrelation instead — ONE per-order aggregate
+    (distinct suppliers, distinct faulting suppliers) computed in a
+    single shuffle on l_orderkey, joined back to the faulting lines on
+    the SAME key partitioning. `n_supp > 1` replays EXISTS(other
+    supplier), `n_fault == 1` replays NOT EXISTS(other faulting
+    supplier) — l1 itself faults, so "exactly one distinct faulting
+    supplier" ⇔ "no other". The oracle twin is written in the textbook
+    EXISTS/NOT-EXISTS form, so the hash gate PROVES the rewrite. Final
+    aggregate is supplier-sized; the supplier-dim join is not
+    force-broadcast (it grows with scale — the ADVICE r3 lesson)."""
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_returnflag")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_fault"),
+    )
+    waits = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_fault") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+    )
+    return (
+        waits.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(k)
+    )

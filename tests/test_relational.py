@@ -48,6 +48,9 @@ def _values_equal(a, b):
         "order_priority_q4",
         "small_qty_revenue_q17",
         "dormant_customers_q22",
+        "disjunctive_revenue_q19",
+        "top_supplier_q15",
+        "lone_fault_supplier_q21",
     ],
 )
 def test_relational_matches_oracle(spark, name):
@@ -215,4 +218,81 @@ def test_q22_scalar_broadcast_and_anti_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q19_envelope_pushdown_and_broadcast(spark):
+    """Q19's 100 TB property: the OR never reaches the join condition —
+    the partkey equi-join broadcasts the filtered part dim, the residual
+    OR filters joined survivors, and the derived quantity ENVELOPE
+    (union of the bands) is pushed into the lineitem scan."""
+    import __spark_entry__ as E
+
+    df = E.queries()["disjunctive_revenue_q19"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "NestedLoop" not in plan
+    assert "PushedFilters: [" in plan
+    li_scans = [
+        seg.split("]", 1)[0]
+        for seg in plan.split("PushedFilters: [")[1:]
+        if "l_quantity" in seg.split("]", 1)[0]
+    ]
+    assert li_scans, "quantity envelope not pushed into the lineitem scan"
+
+
+def test_q15_exact_decimal_tie_membership(spark):
+    """Q15's determinism contract: the argmax comparison is exact
+    decimal equality — every supplier whose revenue equals the max
+    surfaces, and re-running under a different partition count returns
+    identical rows."""
+    import __spark_entry__ as E
+
+    df = E.queries()["top_supplier_q15"](spark, SF)
+    rows = [(r.s_suppkey, r.total_rev) for r in df.collect()]
+    assert rows
+    again = [
+        (r.s_suppkey, r.total_rev)
+        for r in E.queries()["top_supplier_q15"](spark, SF)
+        .repartition(7)
+        .orderBy("s_suppkey")
+        .collect()
+    ]
+    assert rows == again
+    assert len({rev for _, rev in rows}) == 1  # all tied at the max
+
+
+def test_q21_decorrelation_matches_textbook_and_single_fact_shuffle(spark):
+    """Q21's 100 TB property: the EXISTS + NOT-EXISTS pair collapses to
+    ONE per-order aggregate (no correlated self-joins — the fact is
+    exchanged on l_orderkey exactly once feeding both the aggregate and
+    the join-back), and a handmade fixture pins the semantics."""
+    from search_engine_spark.operators.relational import lone_fault_suppliers
+
+    # orders: 100 = two suppliers, only s1 returned (counts for s1);
+    # 200 = two suppliers, both returned (counts for neither);
+    # 300 = single-supplier returned (no other supplier — excluded);
+    # 400 = s1 returned TWICE alongside clean s2 (row-counted: +2)
+    li = spark.createDataFrame(
+        [
+            (100, 1, "R"), (100, 2, "N"),
+            (200, 1, "R"), (200, 2, "R"),
+            (300, 1, "R"),
+            (400, 1, "R"), (400, 1, "R"), (400, 2, "N"),
+        ],
+        ["l_orderkey", "l_suppkey", "l_returnflag"],
+    )
+    sup = spark.createDataFrame(
+        [(1, "Supplier#1"), (2, "Supplier#2")], ["s_suppkey", "s_name"]
+    )
+    got = {(r.s_name, r.numwait) for r in lone_fault_suppliers(li, sup).collect()}
+    assert got == {("Supplier#1", 3)}
+
+    import __spark_entry__ as E
+
+    df = E.queries()["lone_fault_supplier_q21"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning(l_orderkey") <= 2  # agg + join side, same key
     assert "SortMergeJoin" not in plan
