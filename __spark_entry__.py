@@ -473,6 +473,28 @@ def _q_dup_clusters(spark, sf):
     return dup_cluster_report(pairs)
 
 
+def _q_facet_counts(spark, sf):
+    """Search-facet counts: Q3 AND-matching docs grouped by source —
+    the relational twin of SearchEngine.facet_counts (SURVEY delta 43).
+    Ordered (n desc, facet asc) like the engine's sidebar output."""
+    toks = _tokens(spark, sf)
+    matches = (
+        toks.filter(F.col("term").isin(Q3))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("nt"))
+        .filter(F.col("nt") == 3)
+        .select("doc_id")
+    )
+    src = _t(spark, sf, "documents").select("doc_id", F.col("source").alias("facet"))
+    return (
+        matches.join(src, "doc_id")
+        .groupBy("facet")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("facet"))
+        .limit(20)
+    )
+
+
 def _q_lang_stats(spark, sf):
     return (
         _t(spark, sf, "documents")
@@ -1381,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": _q_embed_near_dup,
         "dup_clusters": _q_dup_clusters,
         "lang_stats": _q_lang_stats,
+        "facet_counts": _q_facet_counts,
         "events_hourly": _q_events_hourly,
         "events_hourly_stream": _q_events_stream,
         "events_dedup_stream": _q_events_dedup_stream,
@@ -1767,6 +1790,12 @@ def oracle_sql() -> dict[str, str]:
         "lang_stats": """
            SELECT lang, count(*) AS docs, round(avg(n_chars), 2) AS avg_chars
            FROM documents GROUP BY lang""",
+        "facet_counts": _TOK_CTE
+        + f""", m AS (SELECT doc_id FROM tok2 WHERE term IN {q3}
+                      GROUP BY doc_id HAVING count(DISTINCT term) = 3)
+           SELECT d.source AS facet, count(*) AS n
+           FROM m JOIN documents d USING (doc_id)
+           GROUP BY d.source ORDER BY n DESC, facet LIMIT 20""",
         "events_hourly": """
            SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
                   round(sum(value), 2) AS total_value

@@ -291,6 +291,7 @@ def main() -> None:
         "corpus_split",
         "bm25_collapse_topk",
         "not_topk",
+        "facet_counts",
         "heavy_hitter_terms",
         "mixture_weights",
         "phrase_match",

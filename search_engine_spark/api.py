@@ -358,6 +358,32 @@ class EngineAPI:
             "data": [{"term": t, "df": df} for t, df in pairs],
         }
 
+    def facets(
+        self,
+        query: str,
+        by: str = "site",
+        k: int = 20,
+        site: str | None = None,
+        mode: str = "all",
+    ) -> dict:
+        """Search-result facets (no reference analogue — §2-beyond
+        serving surface): matching-doc counts per site or per lang for
+        the sidebar next to the hit list. ``by`` ∈ {'site', 'lang'}.
+        Exact over the FULL match set (a distributed aggregate — facets
+        are analytics, not a warm-path point read)."""
+        if not query or not query.strip():
+            return {"result": False, "error": ERR_EMPTY_QUERY}
+        col = {"site": "repo", "lang": "lang"}.get(by)
+        if col is None:
+            return {"result": False, "error": f"unknown facet: {by}"}
+        rows = self._get_engine().facet_counts(
+            query, by=col, site=site, k=k, mode=mode
+        ).collect()
+        return {
+            "result": True,
+            "data": [{"facet": r["facet"], "count": int(r["n"])} for r in rows],
+        }
+
     def did_you_mean(self, word: str, k: int = 5, max_dist: int = 2) -> dict:
         """Spell-correction endpoint over the indexed vocabulary (no
         reference analogue — §2-beyond serving surface): top-k terms

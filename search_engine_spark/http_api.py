@@ -3,7 +3,8 @@
 Mirrors ``controllers/ApiController.java:20-47`` route-for-route (GET
 ``/api/statistics`` ``/api/startIndexing`` ``/api/stopIndexing``
 ``/api/search``, POST ``/api/indexPage`` form-urlencoded) plus the
-engine's additions (suggest, didYouMean, grep/egrep, health).  Stdlib
+engine's additions (suggest, didYouMean, facets, grep/egrep, health).
+Stdlib
 ``http.server`` only — serving is a driver-process concern; the cluster
 work stays behind ``EngineAPI``/Spark exactly as before, so this layer
 adds no new distributed path to reason about.
@@ -99,6 +100,19 @@ class _Handler(BaseHTTPRequestHandler):
                         word,
                         k=int(_one(q, "k", "5")),
                         max_dist=int(_one(q, "maxDist", "2")),
+                    )
+                )
+            if u.path == "/api/facets":
+                query = _one(q, "query")
+                if query is None:
+                    return self._bad("query parameter is required")
+                return self._json(
+                    api.facets(
+                        query,
+                        by=_one(q, "by", "site"),
+                        k=int(_one(q, "k", "20")),
+                        site=_one(q, "site"),
+                        mode=_one(q, "mode", "all"),
                     )
                 )
             if u.path == "/api/grep":

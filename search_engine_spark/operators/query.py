@@ -1407,6 +1407,57 @@ class SearchEngine:
             .count()
         )
 
+    def facet_counts(
+        self,
+        query: str,
+        by: str = "repo",
+        site: str | None = None,
+        k: int = 20,
+        mode: str = "all",
+    ) -> DataFrame:
+        """Search-result facets: matching-doc counts per ``by`` column
+        (``repo`` or ``lang``) — the sidebar aggregation a search UI
+        shows next to the hit list (no reference analogue; §2-beyond
+        serving surface).
+
+        Distributed by design: facets aggregate the FULL match set, not
+        a top-k page, so there is no driver shortcut to take — decode
+        the query terms' postings, k-way AND on doc_id (J4 — one count
+        aggregate, NOT the scoring plan: facets never need scores), join
+        the docs table on doc_id for the facet column, then a
+        facet-cardinality-sized final groupBy and top-k. At 10^12 docs
+        the doc_id join is the only fact-scale exchange; the docs side
+        is already bucketed by repo, and the postings decode carries the
+        same term pruning every query path uses.
+
+        → DataFrame(facet, n), n desc / facet asc, ≤ k rows.
+        """
+        if by not in ("repo", "lang"):
+            raise ValueError(f"facet column must be 'repo' or 'lang', got {by!r}")
+        q_terms = analyze_query(query, code=self.code)
+        ctx = self._resolve(q_terms, site, require_all=(mode == "all"))
+        empty = self.spark.createDataFrame([], "facet string, n long")
+        if ctx is None or not q_terms:
+            return empty
+        if mode == "any":
+            q_terms = [t for t in q_terms if t in ctx.dfs]
+        decoded = decode_blocks(
+            self.postings.filter(F.col("term").isin(q_terms))
+        ).select("doc_id")
+        grouped = decoded.groupBy("doc_id").agg(F.count("*").alias("nt"))
+        if mode == "all":
+            grouped = grouped.filter(F.col("nt") == F.lit(len(q_terms)))
+        docs = self.docs
+        if site is not None:
+            docs = docs.filter(F.col("repo") == site)
+        return (
+            grouped.join(docs.select("doc_id", F.col(by).alias("facet")), "doc_id")
+            .groupBy("facet")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("facet"))
+            .limit(k)
+        )
+
     # -- prefix (wildcard) queries ------------------------------------------
 
     def expand_prefix(

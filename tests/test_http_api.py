@@ -127,3 +127,20 @@ def test_suggest_and_did_you_mean(server):
 
     st, body = _get(server, "/api/suggest")
     assert st == 400
+
+
+def test_facets_route(server):
+    st, body = _get(server, "/api/facets?query=query%20index&by=site&k=5")
+    assert st == 200 and body["result"] is True
+    assert body["data"]
+    counts = [f["count"] for f in body["data"]]
+    assert counts == sorted(counts, reverse=True) and counts[0] > 0
+
+    st, body = _get(server, "/api/facets?query=query&by=lang")
+    assert st == 200 and body["result"] is True
+
+    st, body = _get(server, "/api/facets?query=query&by=color")
+    assert st == 200 and body["result"] is False
+
+    st, body = _get(server, "/api/facets")
+    assert st == 400

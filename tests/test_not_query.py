@@ -110,3 +110,25 @@ def test_api_minus_token_parsing(spark, tmp_path_factory):
     assert res["data"] != plain["data"]
     # a query that is ONLY exclusions is blank
     assert api.search(f"-{EXC}")["result"] is False
+
+
+def test_facet_counts_match_brute_force(engine):
+    got = {
+        (r.facet, r.n)
+        for r in engine.facet_counts(Q, by="repo", k=BIG).collect()
+    }
+    ids = [d for d, _ in _pairs(engine.topk(Q, k=BIG, strategy="exhaustive"))]
+    from collections import Counter
+
+    repos = Counter(
+        r["repo"]
+        for r in engine.docs.filter(engine.docs.doc_id.isin(ids)).collect()
+    )
+    assert got == set(repos.items())
+    # lang facet works and a missing term yields zero facets
+    assert engine.facet_counts(Q, by="lang").count() > 0
+    assert engine.facet_counts("zzzqxunknown").count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        engine.facet_counts(Q, by="content")
