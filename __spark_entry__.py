@@ -24,6 +24,8 @@ TOK = "[^a-z0-9]+"  # ASCII oracle tokenizer (shared spec with the SQL side)
 Q3 = ["data", "query", "scan"]  # frozen 3-term AND query on `documents`
 QX = "vector"  # frozen NOT-clause word (`-vector`): prunes the Q3 AND set
 # 278→37 docs at sf0.001 (non-trivial exclusion, still a full top-20)
+MLT_DOC = 42  # frozen more-like-this source doc (documents has ids 0..499
+# at every sf — the table is 500 rows at each scale factor)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -492,6 +494,66 @@ def _q_facet_counts(spark, sf):
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("facet"))
         .limit(20)
+    )
+
+
+def _q_more_like_this(spark, sf):
+    """More-like-this (SURVEY delta 44): MLT_DOC's top-5 terms by the
+    doc_keywords tf·idf discipline feed a ranked-union BM25 top-10 with
+    the source doc dropped — the relational twin of
+    SearchEngine.more_like_this. The SAME df table drives both the
+    selection idf and the BM25 idf (one aggregate, reused); selection
+    drops df < 2 terms (Lucene MLT minDocFreq — the engine's default)."""
+    toks = _tokens(spark, sf).select("doc_id", "term")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("doclen"))
+    dft = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("doclen").alias("avgdl"))
+    nd = toks.select(F.count_distinct("doc_id").alias("n_docs"))
+    w = Window.orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    sel = (
+        tf.filter(F.col("doc_id") == MLT_DOC)
+        .join(dft, "term")
+        .filter(F.col("df") >= 2)
+        .join(F.broadcast(nd))
+        .select(
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                4,
+            ).alias("tfidf"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("term")
+    )
+    return (
+        tf.join(F.broadcast(sel), "term")
+        .join(dl, "doc_id")
+        .join(dft, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            )
+            * F.lit(2.2)
+            * F.col("tf").cast("double")
+            / (
+                F.col("tf").cast("double")
+                + F.lit(1.2)
+                * (F.lit(0.25) + F.lit(0.75) * F.col("doclen") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("s"))
+        .filter(F.col("doc_id") != MLT_DOC)
+        .select("doc_id", F.round("s", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
     )
 
 
@@ -1404,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _q_dup_clusters,
         "lang_stats": _q_lang_stats,
         "facet_counts": _q_facet_counts,
+        "more_like_this": _q_more_like_this,
         "events_hourly": _q_events_hourly,
         "events_hourly_stream": _q_events_stream,
         "events_dedup_stream": _q_events_dedup_stream,
@@ -1796,6 +1859,33 @@ def oracle_sql() -> dict[str, str]:
            SELECT d.source AS facet, count(*) AS n
            FROM m JOIN documents d USING (doc_id)
            GROUP BY d.source ORDER BY n DESC, facet LIMIT 20""",
+        # more-like-this twin: keyword selection (rounded tf·idf, term
+        # tie-break) and BM25 share ONE df aggregate, as in the Spark plan
+        "more_like_this": _TOK_CTE
+        + f""", tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+                      GROUP BY doc_id, term),
+           dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+                   GROUP BY term),
+           nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok2),
+           kwsc AS (SELECT term,
+                           row_number() OVER (
+                             ORDER BY round(tf * ln((n_docs + 1.0) / (df + 1.0)), 4)
+                                      DESC, term) AS rn
+                    FROM tf JOIN dft USING (term) CROSS JOIN nd
+                    WHERE doc_id = {MLT_DOC} AND df >= 2),
+           kw AS (SELECT term FROM kwsc WHERE rn <= 5),
+           dl AS (SELECT doc_id, count(*) AS doclen FROM tok2 GROUP BY doc_id),
+           st AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+           bm AS (SELECT tf.doc_id,
+                         sum(ln((st.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                             * 2.2 * tf.tf
+                             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl))) AS s
+                  FROM tf JOIN dl USING (doc_id) JOIN dft USING (term) CROSS JOIN st
+                  WHERE tf.term IN (SELECT term FROM kw)
+                  GROUP BY tf.doc_id)
+           SELECT doc_id, round(s, 4) AS score FROM bm
+           WHERE doc_id <> {MLT_DOC}
+           ORDER BY score DESC, doc_id LIMIT 10""",
         "events_hourly": """
            SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
                   round(sum(value), 2) AS total_value

@@ -292,6 +292,7 @@ def main() -> None:
         "bm25_collapse_topk",
         "not_topk",
         "facet_counts",
+        "more_like_this",
         "heavy_hitter_terms",
         "mixture_weights",
         "phrase_match",

@@ -384,6 +384,45 @@ class EngineAPI:
             "data": [{"facet": r["facet"], "count": int(r["n"])} for r in rows],
         }
 
+    def similar(self, site: str, path: str, k: int = 10) -> dict:
+        """More-like-this endpoint (no reference analogue — §2-beyond
+        serving surface): the indexed docs most similar to the one at
+        (site, path), by turning its top tf·idf terms into a ranked-
+        union query (SearchEngine.more_like_this). Response rows carry
+        the search envelope's site/uri plus the raw BM25 score."""
+        if not path or not path.strip():
+            return {"result": False, "error": ERR_EMPTY_QUERY}
+        eng = self._get_engine()
+        src = (
+            eng.docs.filter(
+                (F.col("repo") == site) & (F.col("path") == path)
+            )
+            .select("doc_id")
+            .limit(1)
+            .collect()
+        )
+        if not src:
+            return {"result": False, "error": "unknown document"}
+        hits = eng.more_like_this(int(src[0]["doc_id"]), k=k).collect()
+        ids = [int(r["doc_id"]) for r in hits]
+        meta = {
+            r["doc_id"]: r
+            for r in eng.docs.filter(F.col("doc_id").isin(ids))
+            .select("doc_id", "repo", "path")
+            .collect()
+        }
+        return {
+            "result": True,
+            "data": [
+                {
+                    "site": meta[i]["repo"],
+                    "uri": meta[i]["path"],
+                    "score": float(r["score"]),
+                }
+                for i, r in zip(ids, hits)
+            ],
+        }
+
     def did_you_mean(self, word: str, k: int = 5, max_dist: int = 2) -> dict:
         """Spell-correction endpoint over the indexed vocabulary (no
         reference analogue — §2-beyond serving surface): top-k terms

@@ -102,6 +102,15 @@ class _Handler(BaseHTTPRequestHandler):
                         max_dist=int(_one(q, "maxDist", "2")),
                     )
                 )
+            if u.path == "/api/similar":
+                path = _one(q, "path")
+                if path is None:
+                    return self._bad("path parameter is required")
+                return self._json(
+                    api.similar(
+                        _one(q, "site", ""), path, k=int(_one(q, "k", "10"))
+                    )
+                )
             if u.path == "/api/facets":
                 query = _one(q, "query")
                 if query is None:

@@ -1166,8 +1166,16 @@ class SearchEngine:
         (need + |exclusions| candidates guarantee ``need`` survivors —
         exact, not best-effort); a too-hot exclusion degrades to the
         distributed anti-join.  Vocabulary-missing exclusions are no-ops.
+
+        ``query`` may also be a list of PRE-ANALYZED lemmas (internal
+        callers — more_like_this feeds selected normal forms directly;
+        re-analysis would double-stem them).
         """
-        q_terms = analyze_query(query, code=self.code)
+        q_terms = (
+            list(query)
+            if isinstance(query, (list, tuple))
+            else analyze_query(query, code=self.code)
+        )
         ctx = self._resolve(q_terms, site, require_all=(mode == "all"))
         if ctx is None:
             return self._empty()
@@ -1455,6 +1463,73 @@ class SearchEngine:
             .groupBy("facet")
             .agg(F.count("*").alias("n"))
             .orderBy(F.desc("n"), F.asc("facet"))
+            .limit(k)
+        )
+
+    def more_like_this(
+        self,
+        doc_id: int,
+        k: int = 10,
+        n_terms: int = 5,
+        site: str | None = None,
+        min_df: int = 2,
+    ) -> DataFrame:
+        """Lucene MoreLikeThis analogue (no reference analogue —
+        §2-beyond serving surface): find the docs most similar to a
+        given one by turning its most characteristic terms into a
+        ranked-union query.
+
+        Term selection is the doc_keywords discipline: the source doc's
+        lemmas ranked by ``tf · ln((n_docs+1)/(df+1))`` (ROUNDED score,
+        term tie-break — reproducible in any engine), df from the global
+        terms rows (one vocabulary point read; posting lists are never
+        decoded for selection), terms below ``min_df`` docs dropped
+        (Lucene MLT's minDocFreq: a term appearing only in the source
+        doc maximizes tf·idf yet retrieves nothing but the source). The
+        top ``n_terms`` run the mode='any' BM25 top-k with the source
+        doc dropped. Driver work is O(|doc| + n_terms); everything
+        corpus-scale rides the normal serving paths (block-max driver
+        WAND, distributed fallback).
+
+        → DataFrame(doc_id, score), source doc excluded, ≤ k rows.
+        """
+        import math
+        from collections import Counter
+
+        rows = (
+            self.docs.filter(F.col("doc_id") == int(doc_id))
+            .select("content")
+            .collect()
+        )
+        if not rows:
+            return self._empty()
+        cnt = Counter(analyze(rows[0]["content"], code=self.code))
+        if not cnt:
+            return self._empty()
+        # cap the df lookup by tf (Lucene MLT's maxQueryTerms spirit):
+        # a term outside the top slice can't out-rank the inside ones at
+        # equal df, and the slice bound keeps the vocabulary point read
+        # O(1) per call even for pathological documents
+        cand = [t for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:4096]]
+        dfs = self._global_dfs(cand)
+        scored = [
+            (
+                -round(
+                    cnt[t] * math.log((self.n_docs + 1.0) / (dfs[t] + 1.0)), 4
+                ),
+                t,
+            )
+            for t in cand
+            if dfs[t] is not None and dfs[t] >= min_df
+        ]
+        if not scored:
+            return self._empty()
+        scored.sort()
+        sel = [t for _, t in scored[:n_terms]]
+        res = self.topk(sel, k=k + 1, site=site, mode="any")
+        return (
+            res.filter(F.col("doc_id") != int(doc_id))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
 

@@ -144,3 +144,20 @@ def test_facets_route(server):
 
     st, body = _get(server, "/api/facets")
     assert st == 400
+
+
+def test_similar_route(server):
+    # grab a real (site, uri) pair from a search hit, then ask for
+    # neighbors of that document
+    _, res = _get(server, "/api/search?query=query%20index&limit=1")
+    hit = res["data"][0]
+    site, uri = urllib.parse.quote(hit["site"], safe=""), urllib.parse.quote(hit["uri"], safe="")
+    st, body = _get(server, f"/api/similar?site={site}&path={uri}&k=5")
+    assert st == 200 and body["result"] is True
+    assert body["data"] and all(h["uri"] != hit["uri"] or h["site"] != hit["site"] for h in body["data"])
+
+    st, body = _get(server, "/api/similar?site=x&path=nope.txt")
+    assert st == 200 and body["result"] is False
+
+    st, body = _get(server, "/api/similar")
+    assert st == 400

@@ -132,3 +132,43 @@ def test_facet_counts_match_brute_force(engine):
 
     with _pytest.raises(ValueError):
         engine.facet_counts(Q, by="content")
+
+
+def test_more_like_this_self_consistency(engine):
+    """MLT ≡ its definition: top-n_terms by rounded tf·idf (term
+    tie-break, df from the engine's own vocabulary) fed to the ranked
+    union, source doc dropped."""
+    import math
+    from collections import Counter
+
+    from search_engine_spark.functions.analyze import analyze
+
+    doc = _pairs(engine.topk(Q, k=1))[0][0]
+    got = [
+        (r.doc_id, round(float(r.score), 6))
+        for r in engine.more_like_this(doc, k=10, n_terms=4).collect()
+    ]
+    assert got and all(d != doc for d, _ in got)
+
+    content = engine.docs.filter(engine.docs.doc_id == doc).collect()[0][
+        "content"
+    ]
+    cnt = Counter(analyze(content, code=True))
+    dfs = engine._global_dfs(sorted(cnt))
+    scored = sorted(
+        (
+            -round(c * math.log((engine.n_docs + 1.0) / (dfs[t] + 1.0)), 4),
+            t,
+        )
+        for t, c in cnt.items()
+        if dfs[t] is not None and dfs[t] >= 2
+    )
+    sel = [t for _, t in scored[:4]]
+    want = [
+        p for p in _pairs(engine.topk(sel, k=11, mode="any")) if p[0] != doc
+    ][:10]
+    assert got == want
+
+
+def test_more_like_this_unknown_doc_is_empty(engine):
+    assert engine.more_like_this(10**17 + 7).count() == 0
