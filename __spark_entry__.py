@@ -1112,6 +1112,45 @@ def _q_ann_ivf(spark, sf):
     )
 
 
+def _q_sq8_stats(spark, sf):
+    """SQ8 scalar quantization audit (`similarity.sq8_quantize`): per-vector
+    symmetric scale + exact-integer code checksums. Every column except the
+    rounded scale is integer arithmetic, so the gate is exact; the scale is
+    the identical double in both engines (same float32 widening, same /127,
+    same floor rule) and is rounded only as serialization armor."""
+    from search_engine_spark.operators.similarity import sq8_quantize
+
+    q = sq8_quantize(_t(spark, sf, "embeddings"))
+    codes = F.col("codes")
+    return q.select(
+        "vec_id",
+        F.round("scale", 8).alias("scale_r8"),
+        F.aggregate(codes, F.lit(0).cast("long"), lambda a, x: a + x).alias("code_sum"),
+        F.aggregate(
+            codes, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
+        ).alias("code_abs_sum"),
+        F.array_min(codes).cast("long").alias("code_min"),
+        F.array_max(codes).cast("long").alias("code_max"),
+        F.aggregate(
+            F.transform(codes, lambda x: F.when(F.abs(x) == 127, 1).otherwise(0)),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("n_saturated"),
+    )
+
+
+def _q_ann_sq8(spark, sf):
+    from search_engine_spark.operators.similarity import sq8_ann_topk
+
+    emb = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    # two-phase serve: int8-code candidate ranking (exact integer dot —
+    # bit-identical across engines), exact float rerank of the top 3k
+    return sq8_ann_topk(emb, qv, k=10, rerank=3).select(
+        "vec_id", F.round("score", 4).alias("score")
+    )
+
+
 def _q_multimodal(spark, sf):
     from search_engine_spark.functions.multimodal import extract_features, synth_media
 
@@ -1529,6 +1568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_allpairs_topk": _q_allpairs_ann,
+        "sq8_quantize_stats": _q_sq8_stats,
+        "ann_sq8_topk": _q_ann_sq8,
         "multimodal_features": _q_multimodal,
         "frame_sample_plan": _q_frame_plan,
         "frame_plan_docs": _q_frame_plan_docs,
@@ -2233,6 +2274,59 @@ def oracle_sql() -> dict[str, str]:
            ORDER BY dot DESC, vec_id LIMIT 10""",
         "ann_allpairs_topk": _allpairs_oracle_sql(),
         "ann_lsh_topk": _lsh_ann_oracle_sql(),
+        # SQ8 twins: codes are floor(v/scale + 0.5) on IDENTICAL doubles in
+        # both engines (same float32 widening, same /127), so quantization
+        # and the integer candidate dot are bit-identical across engines —
+        # only the exact-rerank cosine carries the usual ~ulp summation
+        # story, armored by round(...,4) as in the other ANN gates.
+        "sq8_quantize_stats": """
+           WITH e AS (SELECT vec_id,
+                             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                      FROM embeddings),
+           sc AS (SELECT vec_id, v,
+                         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+                  FROM e),
+           c AS (SELECT vec_id, scale,
+                        CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+                             ELSE list_transform(v, x -> floor(x / scale + 0.5))
+                        END AS codes
+                 FROM sc)
+           SELECT vec_id,
+                  round(scale, 8) AS scale_r8,
+                  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+                  CAST(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT)
+                    AS code_abs_sum,
+                  CAST(list_min(codes) AS BIGINT) AS code_min,
+                  CAST(list_max(codes) AS BIGINT) AS code_max,
+                  CAST(list_sum(list_transform(codes,
+                         x -> CASE WHEN abs(x) = 127 THEN 1 ELSE 0 END)) AS BIGINT)
+                    AS n_saturated
+           FROM c""",
+        "ann_sq8_topk": """
+           WITH e AS (SELECT vec_id,
+                             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                      FROM embeddings),
+           sc AS (SELECT vec_id, v,
+                         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+                  FROM e),
+           c AS (SELECT vec_id, v, scale,
+                        CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+                             ELSE list_transform(v, x -> floor(x / scale + 0.5))
+                        END AS codes
+                 FROM sc),
+           q AS (SELECT scale AS qs, codes AS qc, v AS qv FROM c WHERE vec_id = 0),
+           ap AS (SELECT c.vec_id,
+                         c.scale * q.qs * list_dot_product(c.codes, q.qc) AS approx
+                  FROM c, q),
+           cand AS (SELECT vec_id FROM ap
+                    ORDER BY approx DESC, vec_id ASC LIMIT 30),
+           ex AS (SELECT c.vec_id,
+                         list_dot_product(c.v, q.qv)
+                           / (sqrt(list_dot_product(c.v, c.v))
+                              * sqrt(list_dot_product(q.qv, q.qv))) AS score
+                  FROM c JOIN cand USING (vec_id), q)
+           SELECT vec_id, round(score, 4) AS score FROM ex
+           ORDER BY score DESC, vec_id LIMIT 10""",
         # phrase twin: DuckDB's scalar generate_series(1, n) returns [] for
         # n < 1 (Spark's F.sequence DESCENDS there — the Spark side guards
         # with a CASE-equivalent F.when, mirrored by CASE here), and list

@@ -284,6 +284,7 @@ def main() -> None:
         "top_supplier_q15",
         "lone_fault_supplier_q21",
         "ann_ivf_topk",
+        "ann_sq8_topk",
         "image_channel_stats",
         "audio_window_feats",
         "crawl_frontier_s2",

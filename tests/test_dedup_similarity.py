@@ -36,6 +36,9 @@ from search_engine_spark.operators.similarity import (
     ivf_train_centroids,
     lsh_ann_topk,
     probe_buckets,
+    quantize_query,
+    sq8_ann_topk,
+    sq8_quantize,
 )
 
 EMB = "/root/testdata/sf0.001/embeddings.parquet"
@@ -415,3 +418,54 @@ def test_dup_cluster_report_sizes_and_survivors(spark):
     assert by_id[30]["cluster_size"] == 2
     survivors = {i for i, r in by_id.items() if r["is_survivor"]}
     assert survivors == {10, 30}
+
+
+def test_sq8_quantize_contract(spark):
+    """SQ8 codes: bounded to [-127, 127], saturated at the max component,
+    reconstruction error <= scale/2 per component, and the driver-side
+    query twin (`quantize_query`) matches the Catalyst column bit-for-bit."""
+    emb = spark.read.parquet(EMB).limit(64)
+    rows = sq8_quantize(emb).collect()
+    vecs = {int(r["vec_id"]): list(r["embedding"]) for r in emb.collect()}
+    assert len(rows) == 64
+    for r in rows:
+        codes = list(r["codes"])
+        scale = float(r["scale"])
+        tscale, tcodes = quantize_query(vecs[int(r["vec_id"])])
+        assert tscale == scale  # bit-identical double arithmetic
+        assert tcodes == codes
+        assert max(abs(c) for c in codes) == 127  # symmetric scale saturates
+        assert min(codes) >= -127
+        for x, c in zip(vecs[int(r["vec_id"])], codes):
+            # floor(x/s + 0.5) reconstruction: |x - c*s| <= s/2 (+ float slack)
+            assert abs(float(x) - c * scale) <= scale / 2 + 1e-12
+
+
+def test_sq8_rerank_all_is_exact_brute_force(spark):
+    """rerank covering every row degrades SQ8 to exact brute force —
+    bit-identical scores, same ids, same order (the accuracy dial reaches
+    exact, like IVF's probe-all contract)."""
+    emb = spark.read.parquet(EMB)
+    n = emb.count()
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    a = sq8_ann_topk(emb, qv, k=10, rerank=(n // 10) + 1).collect()
+    b = brute_force_topk(emb, qv, k=10).collect()
+    assert [(r["vec_id"], r["score"]) for r in a] == [
+        (r["vec_id"], r["score"]) for r in b
+    ]
+
+
+def test_sq8_default_rerank_recall(spark):
+    """At the default rerank=3 the quantized candidate phase must keep
+    recall@10 >= 0.9 on the synthetic embeddings (measured 1.0 at gate
+    scale); every returned score is an EXACT float score (phase 2), so
+    any candidate that survives is scored identically to brute force."""
+    emb = spark.read.parquet(EMB)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    approx = sq8_ann_topk(emb, qv, k=10, rerank=3).collect()
+    exact = brute_force_topk(emb, qv, k=10).collect()
+    exact_by_id = {r["vec_id"]: r["score"] for r in exact}
+    hits = [r for r in approx if r["vec_id"] in exact_by_id]
+    assert len(hits) >= 9
+    for r in hits:  # survivors carry the exact score
+        assert r["score"] == exact_by_id[r["vec_id"]]
