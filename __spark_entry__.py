@@ -1112,6 +1112,17 @@ def _q_ann_ivf(spark, sf):
     )
 
 
+def _q_sequence_pack(spark, sf):
+    """Concat-and-chunk sequence packing (two-pass distributed prefix sum —
+    see `curation.pack_sequences`): every doc's global token offset and the
+    512-token training sequences it spans. n_parts=8 deliberately exceeds
+    one-partition-per-range at gate scale so the cross-partition offset
+    seeding is exercised, not bypassed."""
+    from search_engine_spark.operators.curation import pack_sequences
+
+    return pack_sequences(_t(spark, sf, "documents"), seq_len=512, n_parts=8)
+
+
 def _q_sq8_stats(spark, sf):
     """SQ8 scalar quantization audit (`similarity.sq8_quantize`): per-vector
     symmetric scale + exact-integer code checksums. Every column except the
@@ -1570,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_allpairs_topk": _q_allpairs_ann,
         "sq8_quantize_stats": _q_sq8_stats,
         "ann_sq8_topk": _q_ann_sq8,
+        "sequence_pack": _q_sequence_pack,
         "multimodal_features": _q_multimodal,
         "frame_sample_plan": _q_frame_plan,
         "frame_plan_docs": _q_frame_plan_docs,
@@ -2279,6 +2291,29 @@ def oracle_sql() -> dict[str, str]:
         # and the integer candidate dot are bit-identical across engines —
         # only the exact-rerank cosine carries the usual ~ulp summation
         # story, armored by round(...,4) as in the other ANN gates.
+        # sequence packing twin: the window formulation DuckDB runs in one
+        # node IS the spec the two-pass distributed scan must reproduce —
+        # all-integer arithmetic, so the gate is exact (no float margins)
+        "sequence_pack": r"""
+           WITH d AS (SELECT doc_id,
+                  CAST(len(regexp_extract_all(lower(text),
+                    '''(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+'))
+                    AS BIGINT) AS n_tokens
+                FROM documents),
+           p AS (SELECT doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS start_off
+                 FROM d)
+           SELECT doc_id, n_tokens, start_off,
+                  start_off // 512 AS first_seq,
+                  CASE WHEN n_tokens > 0 THEN (start_off + n_tokens - 1) // 512
+                       ELSE start_off // 512 END AS last_seq,
+                  CASE WHEN n_tokens > 0
+                       THEN ((start_off + n_tokens - 1) // 512)
+                            - (start_off // 512) + 1
+                       ELSE CAST(0 AS BIGINT) END AS n_seqs
+           FROM p""",
         "sq8_quantize_stats": """
            WITH e AS (SELECT vec_id,
                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

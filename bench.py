@@ -285,6 +285,7 @@ def main() -> None:
         "lone_fault_supplier_q21",
         "ann_ivf_topk",
         "ann_sq8_topk",
+        "sequence_pack",
         "image_channel_stats",
         "audio_window_feats",
         "crawl_frontier_s2",

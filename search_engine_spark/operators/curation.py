@@ -452,3 +452,113 @@ def dsir_logweights(
         )
         .select("doc_id", "n_tokens", "logweight")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk): the step between a curated corpus and
+# a pretraining dataloader — lay every document's tokens end-to-end in a
+# deterministic global order and cut the stream into fixed-length training
+# sequences. A document may span a sequence boundary (the GPT-style packing
+# rule; no padding waste except the final partial sequence).
+#
+# The global token offset is an exclusive prefix sum over doc_id order —
+# the textbook two-pass distributed scan, NOT a single-partition window
+# (SUM() OVER (ORDER BY ...) without PARTITION BY collapses Spark to one
+# task and dies at corpus scale):
+#
+#   pass 1  range-partition by doc_id, per-partition token totals
+#           (n_parts rows to the driver — bytes, not data);
+#   driver  exclusive scan over the partition totals (tiny);
+#   pass 2  per-partition cumulative sum + that partition's offset, a
+#           mapInPandas ITERATOR body so the running carry survives across
+#           Arrow batches inside a partition (numpy cumsum per batch).
+#
+# Determinism: doc_id is unique, repartitionByRange gives disjoint ordered
+# ranges, so start_off is exact regardless of partition count or bounds
+# sampling — asserted by the oracle gate (DuckDB computes the same values
+# with a window) and the multi-partition unit test.
+# ---------------------------------------------------------------------------
+
+
+def _prefix_sum_gen(offsets: dict[int, int], id_name: str, tok_name: str):
+    """mapInPandas body for pass 2: exclusive running sum within the
+    partition, seeded by the partition's global offset. Kept module-level
+    so the carry-across-batches logic is unit-testable without Spark."""
+
+    def gen(batches):
+        carry = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if carry is None:
+                carry = int(offsets.get(int(pdf["_pid"].iloc[0]), 0))
+            toks = pdf[tok_name].to_numpy(dtype="int64")
+            ends = toks.cumsum() + carry
+            out = pdf[[id_name, tok_name]].copy()
+            out["start_off"] = ends - toks
+            carry = int(ends[-1]) if len(ends) else carry
+            yield out
+
+    return gen
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk packing plan: for every document, its exclusive
+    global token offset (`start_off`) and the training sequences it lands
+    in (`first_seq`..`last_seq`, `n_seqs`). Token unit defaults to the
+    BPE-ish pre-tokenizer count (`bpe_token_count`); pass ``tokens_col``
+    to pack by a precomputed count. Empty documents occupy no tokens
+    (n_seqs = 0). Offsets are int64 — a 100 TB corpus is ~1e13 tokens,
+    5 orders below overflow."""
+    if n_parts is None:
+        n_parts = df.sparkSession.sparkContext.defaultParallelism
+    n_tok = (
+        F.col(tokens_col).cast("long")
+        if tokens_col is not None
+        else bpe_token_count(F.col(text_col)).cast("long")
+    )
+    d = (
+        df.select(F.col(id_col).alias("doc_id"), n_tok.alias("n_tokens"))
+        .repartitionByRange(n_parts, F.col("doc_id").asc())
+        .sortWithinPartitions("doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    # pass 1: per-partition totals (n_parts rows — bytes to the driver)
+    sums = {
+        int(r["_pid"]): int(r["s"])
+        for r in d.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    # pass 2: partition-local scan seeded by the global offset
+    packed = d.mapInPandas(
+        _prefix_sum_gen(offsets, "doc_id", "n_tokens"),
+        schema="doc_id long, n_tokens long, start_off long",
+    )
+    L = F.lit(int(seq_len))
+    first = F.floor(F.col("start_off") / L).cast("long")
+    last_tok = F.col("start_off") + F.col("n_tokens") - F.lit(1)
+    last = F.when(
+        F.col("n_tokens") > 0, F.floor(last_tok / L).cast("long")
+    ).otherwise(first)
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "start_off",
+        first.alias("first_seq"),
+        last.alias("last_seq"),
+        F.when(F.col("n_tokens") > 0, last - first + F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_seqs"),
+    )

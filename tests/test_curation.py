@@ -417,3 +417,46 @@ def test_dsir_hashed_buckets_contract(spark):
     # the seed corpus; forced broadcast would OOM at scale).
     plan = dsir_logweights(toks, tgt, n_buckets=b)._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin [term" not in plan
+
+
+# ------------------------------------------------------------ pack_sequences
+
+
+def test_prefix_sum_gen_carry_across_batches():
+    """The mapInPandas body must carry the running total across Arrow
+    batches within one partition — exercised here directly with a
+    two-batch partition (Spark only splits batches past 10k rows, which
+    the Spark-level tests never reach)."""
+    import pandas as pd
+
+    from search_engine_spark.operators.curation import _prefix_sum_gen
+
+    gen = _prefix_sum_gen({3: 100}, "doc_id", "n_tokens")
+    b1 = pd.DataFrame({"doc_id": [1, 2], "n_tokens": [5, 7], "_pid": [3, 3]})
+    b2 = pd.DataFrame({"doc_id": [4], "n_tokens": [11], "_pid": [3, ][:1]})
+    out = pd.concat(list(gen(iter([b1, pd.DataFrame(columns=b1.columns), b2]))))
+    assert list(out["start_off"]) == [100, 105, 112]  # offset + exclusive scan
+
+
+def test_pack_sequences_vs_single_node(spark):
+    """Multi-partition packing (n_parts=5) equals the single-node exclusive
+    prefix sum in doc_id order, sequence spans included; zero-token docs
+    land with n_seqs=0 at the correct offset."""
+    rows = [(i, int(t)) for i, t in enumerate([40, 0, 130, 7, 64, 64, 0, 999, 1, 63])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    from search_engine_spark.operators.curation import pack_sequences
+
+    got = {
+        r["doc_id"]: (r["start_off"], r["first_seq"], r["last_seq"], r["n_seqs"])
+        for r in pack_sequences(
+            df, seq_len=64, tokens_col="n_tok", n_parts=5
+        ).collect()
+    }
+    off = 0
+    for i, t in rows:
+        first = off // 64
+        last = (off + t - 1) // 64 if t > 0 else first
+        n = last - first + 1 if t > 0 else 0
+        assert got[i] == (off, first, last, n), (i, got[i], (off, first, last, n))
+        off += t
+    assert len(got) == len(rows)
