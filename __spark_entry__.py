@@ -1123,6 +1123,19 @@ def _q_sequence_pack(spark, sf):
     return pack_sequences(_t(spark, sf, "documents"), seq_len=512, n_parts=8)
 
 
+def _q_sequence_manifest(spark, sf):
+    """Dataloader-facing twin of `sequence_pack`: per-sequence doc count,
+    fill, and fullness — every sequence but the stream's last must be
+    exactly full, which the oracle verifies value-by-value."""
+    from search_engine_spark.operators.curation import (
+        pack_sequences,
+        sequence_manifest,
+    )
+
+    packed = pack_sequences(_t(spark, sf, "documents"), seq_len=512, n_parts=8)
+    return sequence_manifest(packed, seq_len=512)
+
+
 def _q_sq8_stats(spark, sf):
     """SQ8 scalar quantization audit (`similarity.sq8_quantize`): per-vector
     symmetric scale + exact-integer code checksums. Every column except the
@@ -1582,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_quantize_stats": _q_sq8_stats,
         "ann_sq8_topk": _q_ann_sq8,
         "sequence_pack": _q_sequence_pack,
+        "sequence_manifest": _q_sequence_manifest,
         "multimodal_features": _q_multimodal,
         "frame_sample_plan": _q_frame_plan,
         "frame_plan_docs": _q_frame_plan_docs,
@@ -2314,6 +2328,30 @@ def oracle_sql() -> dict[str, str]:
                             - (start_off // 512) + 1
                        ELSE CAST(0 AS BIGINT) END AS n_seqs
            FROM p""",
+        "sequence_manifest": r"""
+           WITH d AS (SELECT doc_id,
+                  CAST(len(regexp_extract_all(lower(text),
+                    '''(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+'))
+                    AS BIGINT) AS n_tokens
+                FROM documents),
+           p AS (SELECT doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS start_off
+                 FROM d),
+           s AS (SELECT doc_id, n_tokens, start_off,
+                        unnest(generate_series(start_off // 512,
+                               (start_off + n_tokens - 1) // 512)) AS seq_id
+                 FROM p WHERE n_tokens > 0)
+           SELECT seq_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(LEAST(start_off + n_tokens, (seq_id + 1) * 512)
+                           - GREATEST(start_off, seq_id * 512)) AS BIGINT)
+                    AS n_filled,
+                  CAST(SUM(LEAST(start_off + n_tokens, (seq_id + 1) * 512)
+                           - GREATEST(start_off, seq_id * 512)) AS BIGINT)
+                    = 512 AS is_full
+           FROM s GROUP BY seq_id""",
         "sq8_quantize_stats": """
            WITH e AS (SELECT vec_id,
                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

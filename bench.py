@@ -286,6 +286,7 @@ def main() -> None:
         "ann_ivf_topk",
         "ann_sq8_topk",
         "sequence_pack",
+        "sequence_manifest",
         "image_channel_stats",
         "audio_window_feats",
         "crawl_frontier_s2",

@@ -562,3 +562,37 @@ def pack_sequences(
         .cast("long")
         .alias("n_seqs"),
     )
+
+
+def sequence_manifest(packed: DataFrame, seq_len: int) -> DataFrame:
+    """Per-sequence composition from a ``pack_sequences`` output: how many
+    documents feed each fixed-length training sequence, its filled token
+    count, and whether it is full (every sequence but the last should be).
+    The doc→sequence fan-out is a map-side `explode(sequence(first_seq,
+    last_seq))` — total exploded rows = Σ n_seqs ≈ total_tokens/seq_len +
+    n_docs, so the one exchange (groupBy seq_id) carries roughly one row
+    per sequence per contributing doc, never a token-level blow-up."""
+    L = F.lit(int(seq_len))
+    spans = packed.filter(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "start_off",
+        "n_tokens",
+        F.explode(F.sequence(F.col("first_seq"), F.col("last_seq"))).alias("seq_id"),
+    )
+    end = F.col("start_off") + F.col("n_tokens")
+    fill = F.least(end, (F.col("seq_id") + 1) * L) - F.greatest(
+        F.col("start_off"), F.col("seq_id") * L
+    )
+    return (
+        spans.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(fill).cast("long").alias("n_filled"),
+        )
+        .select(
+            "seq_id",
+            "n_docs",
+            "n_filled",
+            (F.col("n_filled") == L).alias("is_full"),
+        )
+    )

@@ -460,3 +460,30 @@ def test_pack_sequences_vs_single_node(spark):
         assert got[i] == (off, first, last, n), (i, got[i], (off, first, last, n))
         off += t
     assert len(got) == len(rows)
+
+
+def test_sequence_manifest_contract(spark):
+    """Every sequence but the stream's last is exactly full; fills sum to
+    the total token count; doc counts match the span arithmetic."""
+    rows = [(i, int(t)) for i, t in enumerate([40, 0, 130, 7, 64, 64, 0, 999, 1, 63])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    from search_engine_spark.operators.curation import (
+        pack_sequences,
+        sequence_manifest,
+    )
+
+    packed = pack_sequences(df, seq_len=64, tokens_col="n_tok", n_parts=4)
+    man = {r["seq_id"]: r for r in sequence_manifest(packed, 64).collect()}
+    total = sum(t for _, t in rows)
+    assert sum(r["n_filled"] for r in man.values()) == total
+    last = max(man)
+    assert set(man) == set(range(last + 1))  # contiguous sequence ids
+    for sid, r in man.items():
+        if sid < last:
+            assert r["n_filled"] == 64 and r["is_full"]
+        else:
+            assert r["n_filled"] == total - 64 * last
+    # doc 7 (999 tokens) spans ceil arithmetic: it must appear in
+    # consecutive sequences and contribute 999 total filled tokens
+    spans = {r["doc_id"]: r for r in packed.collect()}
+    assert spans[7]["n_seqs"] == spans[7]["last_seq"] - spans[7]["first_seq"] + 1
