@@ -1136,6 +1136,52 @@ def _q_sequence_manifest(spark, sf):
     return sequence_manifest(packed, seq_len=512)
 
 
+def _q_pii_scrub(spark, sf):
+    """PII scrub gate: the synthetic corpus carries no PII, so both engines
+    decorate every doc with the SAME derived email/IP/phone suffix (pure
+    string arithmetic on doc_id), then the engine scrub and the DuckDB
+    regexp_replace('g') twin must agree byte-for-byte on the redacted text
+    and on all three pre-scrub match counts."""
+    from search_engine_spark.functions.pii import pii_counts, scrub_pii
+
+    d = _t(spark, sf, "documents")
+    dec = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com node 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call +1 555 01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    n_emails, n_ips, n_phones = pii_counts(dec)
+    return d.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+        scrub_pii(dec).alias("scrubbed"),
+    )
+
+
+def _q_paragraph_dedup(spark, sf):
+    """Paragraph-dedup gate: every doc gets the SAME license-header
+    paragraph prepended (the real-world boilerplate case) — the header
+    must survive only in doc 0 (first occurrence), every unique body
+    survives, and rebuilt text matches the DuckDB window twin
+    byte-for-byte."""
+    from search_engine_spark.operators.dedup import paragraph_dedup
+
+    d = _t(spark, sf, "documents").withColumn(
+        "text",
+        F.concat(
+            F.lit("LICENSE: synthetic corpus, internal evaluation only.\n\n"),
+            F.col("text"),
+        ),
+    )
+    return paragraph_dedup(d)
+
+
 def _q_sq8_stats(spark, sf):
     """SQ8 scalar quantization audit (`similarity.sq8_quantize`): per-vector
     symmetric scale + exact-integer code checksums. Every column except the
@@ -1596,6 +1642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq8_topk": _q_ann_sq8,
         "sequence_pack": _q_sequence_pack,
         "sequence_manifest": _q_sequence_manifest,
+        "pii_scrub": _q_pii_scrub,
+        "paragraph_dedup": _q_paragraph_dedup,
         "multimodal_features": _q_multimodal,
         "frame_sample_plan": _q_frame_plan,
         "frame_plan_docs": _q_frame_plan_docs,
@@ -2328,6 +2376,34 @@ def oracle_sql() -> dict[str, str]:
                             - (start_off // 512) + 1
                        ELSE CAST(0 AS BIGINT) END AS n_seqs
            FROM p""",
+        "pii_scrub": _pii_oracle_sql(),
+        # paragraph dedup twin: oracle partitions by the paragraph STRING,
+        # engine by sha2(paragraph) — identical equivalence classes; both
+        # pick first occurrence by (doc_id, pos) and reassemble in order
+        "paragraph_dedup": """
+           WITH d AS (SELECT doc_id,
+                  'LICENSE: synthetic corpus, internal evaluation only.'
+                    || chr(10) || chr(10) || text AS t
+                FROM documents),
+           p AS (SELECT doc_id,
+                        unnest(string_split(t, chr(10) || chr(10))) AS para,
+                        generate_subscripts(string_split(t, chr(10) || chr(10)), 1)
+                          - 1 AS pos
+                 FROM d),
+           k AS (SELECT doc_id, pos, para,
+                        ROW_NUMBER() OVER (PARTITION BY para
+                                           ORDER BY doc_id, pos) AS rk
+                 FROM p),
+           tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras
+                   FROM p GROUP BY doc_id),
+           reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                          string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                            AS text
+                   FROM k WHERE rk = 1 GROUP BY doc_id)
+           SELECT tot.doc_id, tot.n_paras,
+                  COALESCE(reb.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+                  COALESCE(reb.text, '') AS text
+           FROM tot LEFT JOIN reb USING (doc_id)""",
         "sequence_manifest": r"""
            WITH d AS (SELECT doc_id,
                   CAST(len(regexp_extract_all(lower(text),
@@ -2606,6 +2682,43 @@ def oracle_sql() -> dict[str, str]:
                   )) AS frame_ts_ms
            FROM documents""",
     }
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB twin of the PII scrub: the regex constants are imported from
+    `functions/pii.py` (single source of truth — Java-regex ∩ RE2 subset),
+    the decoration is the same doc_id string arithmetic, and replacements
+    use the 'g' flag to match Spark's replace-all default."""
+    from search_engine_spark.functions.pii import (
+        EMAIL_RE,
+        EMAIL_TOKEN,
+        IP_TOKEN,
+        IPV4_RE,
+        PHONE_RE,
+        PHONE_TOKEN,
+    )
+
+    return f"""
+       WITH d AS (SELECT doc_id,
+              text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com node 10.0.'
+                   || CAST(doc_id % 256 AS VARCHAR)
+                   || '.7 call +1 555 01'
+                   || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS t
+            FROM documents)
+       SELECT doc_id,
+              CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT)
+                AS n_emails,
+              CAST(len(regexp_extract_all(t, '{IPV4_RE}')) AS BIGINT)
+                AS n_ips,
+              CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT)
+                AS n_phones,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(t, '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g'),
+                  '{IPV4_RE}', '{IP_TOKEN}', 'g'),
+                '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS scrubbed
+       FROM d"""
 
 
 def _lsh_ann_oracle_sql() -> str:

@@ -287,6 +287,8 @@ def main() -> None:
         "ann_sq8_topk",
         "sequence_pack",
         "sequence_manifest",
+        "pii_scrub",
+        "paragraph_dedup",
         "image_channel_stats",
         "audio_window_feats",
         "crawl_frontier_s2",

@@ -1,0 +1,46 @@
+"""PII scrubbing for training-data curation: redact emails / IPv4s /
+phone-ish number runs with typed placeholder tokens, plus per-doc match
+counts for audit. Every pattern is in the Java-regex ∩ RE2 subset (no
+lookaround, no backrefs — the same discipline as `text_quality.BPE_TOKEN_RE`)
+so the DuckDB oracle replays the exact scrub.
+
+Order matters and is part of the contract: emails first (their local part
+may contain digits a later pass would half-eat), then IPv4 (dots exclude it
+from the phone class, but scrubbing it first keeps the phone pass from ever
+seeing its digits), then phones. Counts are measured per pattern on the
+ORIGINAL text, independent of scrub order.
+
+All pure Catalyst (regexp_replace / regexp_count) — codegen'd in the scan
+stage, zero UDFs, trivially parallel at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PHONE_RE = r"\+?[0-9][0-9() -]{6,}[0-9]"
+
+EMAIL_TOKEN = "<EMAIL>"
+IP_TOKEN = "<IP>"
+PHONE_TOKEN = "<PHONE>"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Text with all email / IPv4 / phone matches replaced by placeholder
+    tokens, in that fixed order (placeholders contain no digits, so later
+    passes never re-match earlier redactions)."""
+    out = F.regexp_replace(text, F.lit(EMAIL_RE), F.lit(EMAIL_TOKEN))
+    out = F.regexp_replace(out, F.lit(IPV4_RE), F.lit(IP_TOKEN))
+    return F.regexp_replace(out, F.lit(PHONE_RE), F.lit(PHONE_TOKEN))
+
+
+def pii_counts(text: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_ips, n_phones) — non-overlapping match counts per
+    pattern, each measured on the original text."""
+    return (
+        F.regexp_count(text, F.lit(EMAIL_RE)).cast("long"),
+        F.regexp_count(text, F.lit(IPV4_RE)).cast("long"),
+        F.regexp_count(text, F.lit(PHONE_RE)).cast("long"),
+    )

@@ -593,3 +593,57 @@ def dup_cluster_report(
         F.count("*").over(w).alias("cluster_size"),
         (F.col("node") == F.col("cluster_id")).alias("is_survivor"),
     ).orderBy(id_name)
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-level paragraph dedup (the RefinedWeb/FineWeb boilerplate
+    pass): a paragraph survives only at its FIRST occurrence in
+    (doc_id, position) order; every doc is rebuilt from its surviving
+    paragraphs in original order. Returns
+    ``(doc_id, n_paras, n_kept, text)`` — docs whose every paragraph was
+    seen earlier come back with ``n_kept = 0`` and empty text (the caller
+    decides whether to drop them).
+
+    Plan: map-side `posexplode(split(...))` (``sep`` is a regex, as in
+    `F.split`), then ONE content shuffle keyed on ``sha2(paragraph)`` —
+    a 64-char key no matter how long the paragraph, the same width trick
+    as `exact_dups` — with `row_number` picking the deterministic first
+    occurrence, then one doc_id exchange to reassemble via
+    `array_sort(collect_list(struct(pos, para)))`. Paragraph text rides
+    the dedup exchange once; at 10^12 docs both exchanges are linear in
+    corpus size with no skew beyond the natural hottest-paragraph df
+    (bounded: each group contributes exactly one survivor)."""
+    from pyspark.sql import Window
+
+    paras = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    )
+    w = Window.partitionBy(F.sha2(F.col("para"), 256)).orderBy("doc_id", "pos")
+    kept = (
+        paras.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    totals = paras.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_paras"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias("text"),
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_paras",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+    )

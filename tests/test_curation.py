@@ -487,3 +487,39 @@ def test_sequence_manifest_contract(spark):
     # consecutive sequences and contribute 999 total filled tokens
     spans = {r["doc_id"]: r for r in packed.collect()}
     assert spans[7]["n_seqs"] == spans[7]["last_seq"] - spans[7]["first_seq"] + 1
+
+
+# ------------------------------------------------------------------ PII scrub
+
+
+def test_pii_scrub_cases(spark):
+    from search_engine_spark.functions.pii import pii_counts, scrub_pii
+
+    rows = [
+        (1, "mail a.b+c@x-corp.io and d@e.org now"),          # two emails
+        (2, "host 192.168.0.1 and 10.0.255.7 up"),            # two IPs, no phone
+        (3, "call +44 20 7946 0958 or (555) 010-1234 x"),     # phones
+        (4, "clean text with no identifiers at all"),
+        (5, "edge 1.2.3.4.5 chain"),                          # 5 octets: one IP match + leftover
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    ne, ni, np_ = pii_counts(F.col("t"))
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            ne.alias("e"),
+            ni.alias("i"),
+            np_.alias("p"),
+            scrub_pii(F.col("t")).alias("s"),
+        ).collect()
+    }
+    assert (got[1]["e"], got[1]["i"], got[1]["p"]) == (2, 0, 0)
+    assert got[1]["s"] == "mail <EMAIL> and <EMAIL> now"
+    assert (got[2]["e"], got[2]["i"], got[2]["p"]) == (0, 2, 0)
+    assert got[2]["s"] == "host <IP> and <IP> up"
+    assert got[3]["e"] == 0 and got[3]["i"] == 0 and got[3]["p"] == 2
+    assert "<PHONE>" in got[3]["s"] and "0958" not in got[3]["s"]
+    assert (got[4]["e"], got[4]["i"], got[4]["p"]) == (0, 0, 0)
+    assert got[4]["s"] == rows[3][1]
+    assert got[5]["i"] == 1  # leftmost 4 octets match, tail survives

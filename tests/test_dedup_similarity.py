@@ -486,3 +486,41 @@ def test_sq8_persisted_codes_path(spark, tmp_path):
     assert [(r["vec_id"], r["score"]) for r in a] == [
         (r["vec_id"], r["score"]) for r in b
     ]
+
+
+# ------------------------------------------------------------ paragraph dedup
+
+
+def test_paragraph_dedup_first_occurrence_and_rebuild(spark):
+    from search_engine_spark.operators.dedup import paragraph_dedup
+
+    H = "shared license header"
+    rows = [
+        (1, f"{H}\n\nunique one\n\nshared tail"),
+        (2, f"{H}\n\nunique two\n\nshared tail"),   # header+tail dropped
+        (3, f"{H}\n\nshared tail"),                  # everything dup → empty
+        (4, "unique one\n\nfresh closing"),          # 'unique one' seen in doc 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert (got[1]["n_paras"], got[1]["n_kept"]) == (3, 3)
+    assert got[1]["text"] == rows[0][1]  # first doc keeps everything, in order
+    assert (got[2]["n_paras"], got[2]["n_kept"]) == (3, 1)
+    assert got[2]["text"] == "unique two"
+    assert (got[3]["n_paras"], got[3]["n_kept"]) == (2, 0)
+    assert got[3]["text"] == ""
+    assert (got[4]["n_paras"], got[4]["n_kept"]) == (2, 1)
+    assert got[4]["text"] == "fresh closing"
+
+
+def test_paragraph_dedup_within_doc_duplicates(spark):
+    """A paragraph repeated INSIDE one doc keeps only its first position
+    (pos is the tie-break after doc_id)."""
+    from search_engine_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(9, "alpha\n\nbeta\n\nalpha\n\ngamma")], "doc_id long, text string"
+    )
+    r = paragraph_dedup(df).collect()[0]
+    assert (r["n_paras"], r["n_kept"]) == (4, 3)
+    assert r["text"] == "alpha\n\nbeta\n\ngamma"
