@@ -1182,6 +1182,18 @@ def _q_paragraph_dedup(spark, sf):
     return paragraph_dedup(d)
 
 
+def _q_sequence_pack_shuffled(spark, sf):
+    """`sequence_pack` in deterministically SHUFFLED order (Lehmer-hash
+    key, salt 7) — the pre-packing global shuffle a dataloader wants,
+    reproduced exactly by the oracle's ORDER BY on the same int64
+    arithmetic."""
+    from search_engine_spark.operators.curation import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf, "documents"), seq_len=512, n_parts=8, shuffle_salt=7
+    )
+
+
 def _q_sq8_stats(spark, sf):
     """SQ8 scalar quantization audit (`similarity.sq8_quantize`): per-vector
     symmetric scale + exact-integer code checksums. Every column except the
@@ -1644,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_manifest": _q_sequence_manifest,
         "pii_scrub": _q_pii_scrub,
         "paragraph_dedup": _q_paragraph_dedup,
+        "sequence_pack_shuffled": _q_sequence_pack_shuffled,
         "multimodal_features": _q_multimodal,
         "frame_sample_plan": _q_frame_plan,
         "frame_plan_docs": _q_frame_plan_docs,
@@ -2404,6 +2417,28 @@ def oracle_sql() -> dict[str, str]:
                   COALESCE(reb.n_kept, CAST(0 AS BIGINT)) AS n_kept,
                   COALESCE(reb.text, '') AS text
            FROM tot LEFT JOIN reb USING (doc_id)""",
+        "sequence_pack_shuffled": r"""
+           WITH d AS (SELECT doc_id,
+                  CAST(len(regexp_extract_all(lower(text),
+                    '''(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+'))
+                    AS BIGINT) AS n_tokens,
+                  ((doc_id % 2147483647 + 2147483647) % 2147483647
+                   * 630360016 + 7) % 2147483647 AS ord
+                FROM documents),
+           p AS (SELECT doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY ord, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS start_off
+                 FROM d)
+           SELECT doc_id, n_tokens, start_off,
+                  start_off // 512 AS first_seq,
+                  CASE WHEN n_tokens > 0 THEN (start_off + n_tokens - 1) // 512
+                       ELSE start_off // 512 END AS last_seq,
+                  CASE WHEN n_tokens > 0
+                       THEN ((start_off + n_tokens - 1) // 512)
+                            - (start_off // 512) + 1
+                       ELSE CAST(0 AS BIGINT) END AS n_seqs
+           FROM p""",
         "sequence_manifest": r"""
            WITH d AS (SELECT doc_id,
                   CAST(len(regexp_extract_all(lower(text),

@@ -287,6 +287,7 @@ def main() -> None:
         "ann_sq8_topk",
         "sequence_pack",
         "sequence_manifest",
+        "sequence_pack_shuffled",
         "pii_scrub",
         "paragraph_dedup",
         "image_channel_stats",

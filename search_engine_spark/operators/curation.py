@@ -509,6 +509,7 @@ def pack_sequences(
     text_col: str = "text",
     tokens_col: str | None = None,
     n_parts: int | None = None,
+    shuffle_salt: int | None = None,
 ) -> DataFrame:
     """Concat-and-chunk packing plan: for every document, its exclusive
     global token offset (`start_off`) and the training sequences it lands
@@ -516,7 +517,15 @@ def pack_sequences(
     BPE-ish pre-tokenizer count (`bpe_token_count`); pass ``tokens_col``
     to pack by a precomputed count. Empty documents occupy no tokens
     (n_seqs = 0). Offsets are int64 — a 100 TB corpus is ~1e13 tokens,
-    5 orders below overflow."""
+    5 orders below overflow.
+
+    ``shuffle_salt``: pack in DETERMINISTICALLY SHUFFLED order instead of
+    doc_id order — the global shuffle every pretraining dataloader wants
+    before packing, without a random() anywhere: the order key is the
+    same engine-portable Lehmer hash `assign_split`/`stratified_sample`
+    use (exact int64 arithmetic, tie-break doc_id), so any engine
+    reproduces the identical stream and a re-run or repartition never
+    changes it. Same two-pass plan — only the range key changes."""
     if n_parts is None:
         n_parts = df.sparkSession.sparkContext.defaultParallelism
     n_tok = (
@@ -524,10 +533,20 @@ def pack_sequences(
         if tokens_col is not None
         else bpe_token_count(F.col(text_col)).cast("long")
     )
+    idc = F.col(id_col)
+    order = (
+        ((idc % SPLIT_P + SPLIT_P) % SPLIT_P * SPLIT_A + int(shuffle_salt)) % SPLIT_P
+        if shuffle_salt is not None
+        else idc
+    )
     d = (
-        df.select(F.col(id_col).alias("doc_id"), n_tok.alias("n_tokens"))
-        .repartitionByRange(n_parts, F.col("doc_id").asc())
-        .sortWithinPartitions("doc_id")
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            order.cast("long").alias("_ord"),
+            n_tok.alias("n_tokens"),
+        )
+        .repartitionByRange(n_parts, F.col("_ord").asc(), F.col("doc_id").asc())
+        .sortWithinPartitions("_ord", "doc_id")
         .withColumn("_pid", F.spark_partition_id())
     )
     # pass 1: per-partition totals (n_parts rows — bytes to the driver)

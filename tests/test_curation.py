@@ -523,3 +523,33 @@ def test_pii_scrub_cases(spark):
     assert (got[4]["e"], got[4]["i"], got[4]["p"]) == (0, 0, 0)
     assert got[4]["s"] == rows[3][1]
     assert got[5]["i"] == 1  # leftmost 4 octets match, tail survives
+
+
+def test_pack_sequences_shuffled_is_permutation(spark):
+    """Shuffled packing tiles the same token stream in a different
+    deterministic order: intervals [start, start+n) exactly tile
+    [0, total) with no gaps/overlaps, and the order differs from doc_id
+    order (salt actually shuffles)."""
+    rows = [(i, 10 + (i * 7) % 50) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    from search_engine_spark.operators.curation import pack_sequences
+
+    got = pack_sequences(
+        df, seq_len=64, tokens_col="n_tok", n_parts=4, shuffle_salt=7
+    ).collect()
+    ivs = sorted((r["start_off"], r["n_tokens"], r["doc_id"]) for r in got)
+    pos = 0
+    order = []
+    for s, n, i in ivs:
+        assert s == pos
+        pos += n
+        order.append(i)
+    assert pos == sum(t for _, t in rows)
+    assert order != sorted(order)  # genuinely shuffled
+    # deterministic: second run identical
+    again = pack_sequences(
+        df, seq_len=64, tokens_col="n_tok", n_parts=2, shuffle_salt=7
+    ).collect()
+    assert {r["doc_id"]: r["start_off"] for r in again} == {
+        r["doc_id"]: r["start_off"] for r in got
+    }  # partition count cannot change the stream
