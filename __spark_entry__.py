@@ -1005,6 +1005,25 @@ def _q_ann_dot(spark, sf):
     )
 
 
+def _q_hybrid_rrf(spark, sf):
+    """BM25 ⊕ vector-cosine hybrid via reciprocal-rank fusion (SURVEY
+    delta 49): the Q3 AND-mode BM25 list and the exact-cosine list for
+    query vector = embedding(vec_id 0), each cut to depth 50 and ranked
+    on (rounded score DESC, id ASC), fused as Σ 1/(60 + rank). Ranks are
+    integers and the tie discipline is engine-portable, so the gate is
+    exact up to the round(·, 6) on the two-addend fused sum."""
+    from search_engine_spark.operators.hybrid import rrf_fuse
+    from search_engine_spark.operators.similarity import brute_force_topk
+
+    lex = _bm25_scored_all(spark, sf)
+    emb = _t(spark, sf, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    vec = brute_force_topk(
+        emb, [float(x) for x in qv], k=50, metric="cosine"
+    ).withColumnRenamed("vec_id", "doc_id")
+    return rrf_fuse([lex, vec], k=20, k0=60, depth=50)
+
+
 # ---- rows-only (non-SQL-expressible: compressed postings, WAND, LSH, ...)
 
 
@@ -1619,6 +1638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": _q_corpus_split,
         "mixture_weights": _q_mixture,
         "ann_dot_topk": _q_ann_dot,
+        "hybrid_rrf_topk": _q_hybrid_rrf,
         "phrase_match": _q_phrase,
         "phrase_near": _q_near,
         "decontaminate": _q_decontaminate,
@@ -2359,6 +2379,51 @@ def oracle_sql() -> dict[str, str]:
            SELECT e.vec_id, round(sum(e.x * q.x), 4) AS dot
            FROM e JOIN q USING (i) GROUP BY e.vec_id
            ORDER BY dot DESC, vec_id LIMIT 10""",
+        # hybrid RRF twin: ranks are integers assigned on (round(score,4)
+        # DESC, id ASC) in both engines — the only float in the gate is the
+        # two-addend 1/(60+r) sum, armored by round(.,6); cosine rounding
+        # boundary margins measured (tools/margin notes in FIXTURES.md)
+        "hybrid_rrf_topk": _TOK_CTE
+        + f""", tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
+           dl AS (SELECT doc_id, count(*) AS doclen FROM tok2 GROUP BY doc_id),
+           dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY term),
+           st AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+           sc AS (
+             SELECT tf.doc_id,
+                    count(DISTINCT tf.term) AS nt,
+                    sum(ln((st.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                        * 2.2 * tf.tf
+                        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl))) AS s
+             FROM tf JOIN dl USING (doc_id) JOIN dft USING (term) CROSS JOIN st
+             WHERE tf.term IN {q3}
+             GROUP BY tf.doc_id),
+           lex AS (SELECT doc_id, round(s, 4) AS score FROM sc WHERE nt = 3
+                   ORDER BY score DESC, doc_id LIMIT 50),
+           lexr AS (SELECT doc_id,
+                           row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+                    FROM lex),
+           qv AS (SELECT unnest(embedding)::DOUBLE AS x,
+                         generate_subscripts(embedding, 1) AS i
+                  FROM embeddings WHERE vec_id = 0),
+           ev AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                         generate_subscripts(embedding, 1) AS i
+                  FROM embeddings),
+           cos AS (SELECT ev.vec_id AS doc_id,
+                          round(sum(ev.x * qv.x)
+                                / (sqrt(sum(ev.x * ev.x)) * sqrt(sum(qv.x * qv.x))),
+                                4) AS score
+                   FROM ev JOIN qv USING (i) GROUP BY ev.vec_id),
+           vtop AS (SELECT doc_id, score FROM cos
+                    ORDER BY score DESC, doc_id LIMIT 50),
+           vr AS (SELECT doc_id,
+                         row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+                  FROM vtop),
+           u AS (SELECT doc_id, 1.0 / (60 + rnk) AS c FROM lexr
+                 UNION ALL SELECT doc_id, 1.0 / (60 + rnk) AS c FROM vr)
+           SELECT doc_id, round(sum(c), 6) AS rrf_score,
+                  count(*) AS n_sources
+           FROM u GROUP BY doc_id
+           ORDER BY rrf_score DESC, doc_id LIMIT 20""",
         "ann_allpairs_topk": _allpairs_oracle_sql(),
         "ann_lsh_topk": _lsh_ann_oracle_sql(),
         # SQ8 twins: codes are floor(v/scale + 0.5) on IDENTICAL doubles in

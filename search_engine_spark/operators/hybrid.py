@@ -1,0 +1,131 @@
+"""Hybrid retrieval: reciprocal-rank fusion (RRF) of heterogeneous
+ranked lists — the standard way to combine lexical (BM25) and vector
+(embedding-cosine) retrieval without score calibration.
+
+RRF (Cormack/Clarke/Buettcher, SIGIR'09): each source contributes
+``w / (k0 + rank)`` for every id it ranks; sources whose score scales
+differ by orders of magnitude (BM25 sums vs cosine in [-1, 1]) fuse
+cleanly because only RANKS enter the formula. k0=60 is the published
+default.
+
+Scale notes (the part that matters at 10^12 docs):
+- Each source list is cut to ``depth`` with orderBy().limit() — Spark
+  plans that as TakeOrdered (per-partition heap + driver merge), never
+  a single-partition global sort. The rank window then runs over a
+  ≤ depth-row DataFrame, so its unpartitioned Window is bounded by a
+  constant, not by the corpus.
+- Fusion itself is a union of ≤ n_sources·depth rows + one tiny
+  aggregate — driver-scale regardless of corpus size.
+- Determinism: ranks are assigned on (round(score, score_digits) DESC,
+  id ASC), so boundary ties at the depth cut and inside the fused
+  ordering resolve identically in any engine — the discipline the
+  bm25_collapse / doc_keywords gates established.
+
+The reference has no vector path (BASELINE.md §1: lexical only); this
+operator is part of the LLM-pipeline surface (SURVEY §2.10 extension),
+fusing the engine's BM25 top-k with the similarity module's ANN top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def ranked_list(
+    source: DataFrame,
+    depth: int,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    score_digits: int = 4,
+) -> DataFrame:
+    """→ DataFrame(id, rank) — the source's top-``depth`` ids with dense
+    1-based ranks by (rounded score DESC, id ASC).
+
+    orderBy().limit(depth) is a TakeOrdered (no full sort, no
+    single-partition exchange); the row_number window only ever sees the
+    ≤ depth surviving rows."""
+    r = F.round(F.col(score_col).cast("double"), score_digits)
+    top = (
+        source.select(F.col(id_col).alias("_id"), r.alias("_s"))
+        .orderBy(F.desc("_s"), F.asc("_id"))
+        .limit(depth)
+    )
+    w = Window.orderBy(F.desc("_s"), F.asc("_id"))
+    return top.select("_id", F.row_number().over(w).alias("_rank"))
+
+
+def rrf_fuse(
+    sources: list[DataFrame],
+    k: int = 10,
+    k0: int = 60,
+    depth: int = 100,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    weights: list[float] | None = None,
+    score_digits: int = 4,
+) -> DataFrame:
+    """→ DataFrame(id_col, rrf_score, n_sources) — top-``k`` ids by
+    Σ_sources w_i / (k0 + rank_i), ties broken by id.
+
+    ``sources`` are (id, score) DataFrames of ANY score scale; each is
+    cut to ``depth`` and ranked independently (see ranked_list).
+    ``n_sources`` counts the lists the id appeared in — the agreement
+    signal hybrid UIs surface. rrf_score is rounded to 6 so the
+    two-addend float sum is engine-portable."""
+    if not sources:
+        raise ValueError("rrf_fuse needs at least one source list")
+    if weights is not None and len(weights) != len(sources):
+        raise ValueError("weights must match sources 1:1")
+    contribs = []
+    for i, src in enumerate(sources):
+        w = float(weights[i]) if weights is not None else 1.0
+        contribs.append(
+            ranked_list(src, depth, id_col, score_col, score_digits).select(
+                "_id",
+                (F.lit(w) / (F.lit(float(k0)) + F.col("_rank"))).alias("_c"),
+            )
+        )
+    u = contribs[0]
+    for c in contribs[1:]:
+        u = u.unionAll(c)
+    return (
+        u.groupBy("_id")
+        .agg(
+            F.round(F.sum("_c"), 6).alias("rrf_score"),
+            F.count("*").alias("n_sources"),
+        )
+        .select(F.col("_id").alias(id_col), "rrf_score", "n_sources")
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hybrid_search(
+    engine,
+    embeddings: DataFrame,
+    query: str,
+    query_vec: list[float],
+    k: int = 10,
+    k0: int = 60,
+    depth: int = 100,
+    mode: str = "all",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """BM25 ⊕ vector hybrid: fuse the engine's lexical top-``depth``
+    (SearchEngine.topk — warm driver block-max path, distributed
+    fallback) with exact-cosine vector top-``depth`` over ``embeddings``
+    (brute_force_topk — TakeOrdered scan; swap in sq8/ivf/lsh for the
+    approximate scale paths, they share the (vec_id, score) shape).
+
+    Empty lexical results (missing term under mode='all') degrade to a
+    vector-only fusion rather than an empty page — the hybrid contract.
+    """
+    from .similarity import brute_force_topk
+
+    lex = engine.topk(query, k=depth, mode=mode)
+    vec = brute_force_topk(
+        embeddings, query_vec, k=depth, id_col=vec_id_col, vec_col=vec_col
+    ).withColumnRenamed("vec_id", "doc_id")
+    return rrf_fuse([lex, vec], k=k, k0=k0, depth=depth)

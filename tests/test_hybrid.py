@@ -1,0 +1,147 @@
+"""Hybrid RRF fusion (operators/hybrid.py) contracts.
+
+The fused ordering must equal a textbook single-node recomputation
+(ranks by (rounded score DESC, id ASC), contribution w/(k0+rank)); the
+per-source cut must plan as TakeOrdered (never a global sort); lexical
+misses must degrade to vector-only fusion.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.hybrid import hybrid_search, ranked_list, rrf_fuse
+
+
+def _textbook_rrf(lists, k0=60, weights=None, depth=100):
+    """lists: [(id, score), ...] per source — python oracle."""
+    agg: dict[int, list[float]] = {}
+    for si, rows in enumerate(lists):
+        w = weights[si] if weights else 1.0
+        rows = sorted(rows, key=lambda r: (-round(r[1], 4), r[0]))[:depth]
+        for rank, (i, _) in enumerate(rows, start=1):
+            agg.setdefault(i, []).append(w / (k0 + rank))
+    fused = [
+        (i, round(sum(cs), 6), len(cs)) for i, cs in agg.items()
+    ]
+    return sorted(fused, key=lambda r: (-r[1], r[0]))
+
+
+def test_rrf_fuse_matches_textbook(spark):
+    rng = np.random.default_rng(7)
+    a = [(int(i), float(rng.normal())) for i in rng.choice(200, 60, replace=False)]
+    b = [(int(i), float(rng.uniform(-1, 1))) for i in rng.choice(200, 60, replace=False)]
+    da = spark.createDataFrame(a, "doc_id long, score double")
+    db = spark.createDataFrame(b, "doc_id long, score double")
+    got = [
+        (r["doc_id"], r["rrf_score"], r["n_sources"])
+        for r in rrf_fuse([da, db], k=25, depth=40).collect()
+    ]
+    want = _textbook_rrf([a, b], depth=40)[:25]
+    assert got == want
+    # overlap must actually occur so n_sources=2 rows are exercised
+    assert any(n == 2 for _, _, n in got)
+
+
+def test_rrf_weights_and_validation(spark):
+    a = [(1, 10.0), (2, 5.0)]
+    b = [(2, 0.9), (3, 0.8)]
+    da = spark.createDataFrame(a, "doc_id long, score double")
+    db = spark.createDataFrame(b, "doc_id long, score double")
+    got = [
+        (r["doc_id"], r["rrf_score"])
+        for r in rrf_fuse([da, db], k=5, weights=[2.0, 1.0]).collect()
+    ]
+    want = [(i, s) for i, s, _ in _textbook_rrf([a, b], weights=[2.0, 1.0])][:5]
+    assert got == want
+    with pytest.raises(ValueError):
+        rrf_fuse([], k=5)
+    with pytest.raises(ValueError):
+        rrf_fuse([da], weights=[1.0, 2.0])
+
+
+def test_depth_cut_ties_resolve_by_id(spark):
+    # four rows tie at the rounded score; depth=2 must keep the two
+    # smallest ids in BOTH the cut and the rank order
+    rows = [(9, 1.00001), (3, 1.00002), (7, 1.00004), (1, 0.99998)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    got = [(r["_id"], r["_rank"]) for r in ranked_list(df, depth=2).collect()]
+    assert got == [(1, 1), (3, 2)] or got == [(3, 1), (1, 2)]
+    # rounded to 4 → all 1.0 → ties → id ASC wins
+    assert got == [(1, 1), (3, 2)]
+
+
+def test_ranked_list_plans_take_ordered(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).cast("double").alias("score")
+    )
+    plan = ranked_list(df, depth=10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hybrid_search_end_to_end(spark, tmp_path):
+    from search_engine_spark.operators.query import SearchEngine
+    from search_engine_spark.operators.similarity import brute_force_topk
+    from search_engine_spark.plans.build_job import build_index
+    from search_engine_spark.sources.catalog import Catalog
+    from search_engine_spark.synth import make_corpus
+
+    corpus = make_corpus(spark, 120, seed=11, partitions=4)
+    cat = Catalog(str(tmp_path / "idx"))
+    build_index(spark, corpus, cat, n_shards=1)
+    eng = SearchEngine(spark, cat, code=True)
+
+    # embeddings keyed by the ENGINE's doc ids (xxhash64 — hybrid fuses
+    # on a shared id space, so the vector table must use the same keys)
+    rng = np.random.default_rng(3)
+    doc_ids = sorted(
+        r["doc_id"] for r in cat.read(spark, "docs").select("doc_id").collect()
+    )
+    vecs = {int(i): [float(x) for x in rng.normal(size=8)] for i in doc_ids}
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    lex = [(r["doc_id"], r["score"]) for r in eng.topk("import", k=30).collect()]
+    # query vector = the top lexical doc's own embedding → that doc is
+    # rank 1 in BOTH lists, so an n_sources=2 fusion row is structural
+    qv = vecs[lex[0][0]]
+
+    got = [
+        (r["doc_id"], r["rrf_score"], r["n_sources"])
+        for r in hybrid_search(eng, emb, "import", qv, k=10, depth=30).collect()
+    ]
+    vec = [
+        (r["vec_id"], r["score"])
+        for r in brute_force_topk(emb, qv, k=30).collect()
+    ]
+    want = _textbook_rrf([lex, vec], depth=30)[:10]
+    assert got == want
+    assert got[0][2] == 2 and got[0][0] == lex[0][0]
+
+
+def test_hybrid_vector_only_degrade(spark, tmp_path):
+    from search_engine_spark.operators.query import SearchEngine
+    from search_engine_spark.plans.build_job import build_index
+    from search_engine_spark.sources.catalog import Catalog
+    from search_engine_spark.synth import make_corpus
+
+    corpus = make_corpus(spark, 60, seed=5, partitions=2)
+    cat = Catalog(str(tmp_path / "idx2"))
+    build_index(spark, corpus, cat, n_shards=1)
+    eng = SearchEngine(spark, cat, code=True)
+
+    rng = np.random.default_rng(9)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in rng.normal(size=4)]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    qv = [1.0, 0.0, 0.0, 0.0]
+    got = hybrid_search(
+        eng, emb, "zzzznotaword import", qv, k=5, depth=20, mode="all"
+    ).collect()
+    # AND-mode lexical list is empty (missing term) → fusion is vector-only
+    assert len(got) == 5
+    assert all(r["n_sources"] == 1 for r in got)
