@@ -1201,6 +1201,30 @@ def _q_paragraph_dedup(spark, sf):
     return paragraph_dedup(d)
 
 
+_BOILER = (
+    " LEGAL NOTICE this synthetic corpus is for internal"
+    " evaluation purposes only thank you"
+)
+
+
+def _q_span_dedup(spark, sf):
+    """Duplicate-SPAN dedup gate (Lee et al. ExactSubstr, SURVEY delta
+    50): every doc gets the SAME 13-token boilerplate suffix appended —
+    with k=8 every k-gram fully inside the boilerplate is a corpus-wide
+    duplicate, so the suffix must survive only in doc 0 (minimal
+    (doc_id, pos)) and be cut from every other doc, while grams crossing
+    the body/boilerplate boundary stay doc-specific. Natural ≥8-token
+    repeats inside the synthetic bodies (if any) dedup identically in
+    both engines. Byte-exact: rebuilt text is single-space joined kept
+    tokens in both engines."""
+    from search_engine_spark.operators.dedup import span_dedup
+
+    d = _t(spark, sf, "documents").withColumn(
+        "text", F.concat(F.col("text"), F.lit(_BOILER))
+    )
+    return span_dedup(d, k=8)
+
+
 def _q_sequence_pack_shuffled(spark, sf):
     """`sequence_pack` in deterministically SHUFFLED order (Lehmer-hash
     key, salt 7) — the pre-packing global shuffle a dataloader wants,
@@ -1676,6 +1700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_manifest": _q_sequence_manifest,
         "pii_scrub": _q_pii_scrub,
         "paragraph_dedup": _q_paragraph_dedup,
+        "span_dedup": _q_span_dedup,
         "sequence_pack_shuffled": _q_sequence_pack_shuffled,
         "multimodal_features": _q_multimodal,
         "frame_sample_plan": _q_frame_plan,
@@ -2480,6 +2505,48 @@ def oracle_sql() -> dict[str, str]:
                    FROM k WHERE rk = 1 GROUP BY doc_id)
            SELECT tot.doc_id, tot.n_paras,
                   COALESCE(reb.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+                  COALESCE(reb.text, '') AS text
+           FROM tot LEFT JOIN reb USING (doc_id)""",
+        # span-dedup twin: oracle groups k-grams by the gram STRING,
+        # engine by sha2(gram) — identical classes; both take first
+        # occurrence = min (doc_id, pos), cover dup occurrences ×k, and
+        # rebuild single-space-joined kept tokens (byte-exact, no floats)
+        "span_dedup": f"""
+           WITH d AS (SELECT doc_id, text || '{_BOILER}' AS t FROM documents),
+           tk AS (SELECT doc_id,
+                         list_filter(regexp_split_to_array(t, '\\s+'),
+                                     x -> x <> '') AS toks
+                  FROM d),
+           tok AS (SELECT doc_id, unnest(toks) AS tok,
+                          generate_subscripts(toks, 1) - 1 AS pos
+                   FROM tk),
+           gi AS (SELECT doc_id, toks,
+                         unnest(generate_series(1, greatest(len(toks) - 7, 0)))
+                           AS i
+                  FROM tk),
+           g AS (SELECT doc_id, i - 1 AS p,
+                        array_to_string(list_slice(toks, i, i + 7), chr(31))
+                          AS gram
+                 FROM gi),
+           r AS (SELECT doc_id, p,
+                        ROW_NUMBER() OVER (PARTITION BY gram
+                                           ORDER BY doc_id, p) AS rk
+                 FROM g),
+           cov AS (SELECT DISTINCT doc_id, pos FROM
+                     (SELECT doc_id, unnest(generate_series(p, p + 7)) AS pos
+                      FROM r WHERE rk > 1)),
+           kept AS (SELECT t.doc_id, t.pos, t.tok
+                    FROM tok t LEFT JOIN cov c
+                      ON t.doc_id = c.doc_id AND t.pos = c.pos
+                    WHERE c.doc_id IS NULL),
+           tot AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+                   FROM tk),
+           reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                          string_agg(tok, ' ' ORDER BY pos) AS text
+                   FROM kept GROUP BY doc_id)
+           SELECT tot.doc_id, tot.n_tokens,
+                  tot.n_tokens - COALESCE(reb.n_kept, CAST(0 AS BIGINT))
+                    AS n_removed,
                   COALESCE(reb.text, '') AS text
            FROM tot LEFT JOIN reb USING (doc_id)""",
         "sequence_pack_shuffled": r"""

@@ -316,6 +316,7 @@ def main() -> None:
         "doclen_quantiles",
         "events_user_counts",
         "hybrid_rrf_topk",
+        "span_dedup",
         # rep 1 includes the one-time trigram index build (cached per
         # sf_dir); rep 2 is the warm pruned serve — timing_reps shows both
         "trigram_substring",

@@ -647,3 +647,99 @@ def paragraph_dedup(
         F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
         F.coalesce(F.col("text"), F.lit("")).alias("text"),
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicate-SPAN dedup (the ExactSubstr pass of Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    token-level): any run of ≥ ``k`` whitespace tokens that also occurs
+    earlier in the corpus — in another doc or earlier in the same doc —
+    is removed; only the FIRST occurrence (minimal (doc_id, pos))
+    survives. Returns ``(doc_id, n_tokens, n_removed, text)`` with the
+    doc rebuilt from surviving tokens in original order, single-space
+    joined (original whitespace is not preserved — the standard
+    token-level-dedup trade; Lee et al. operate on the token stream
+    too). Docs shorter than ``k`` tokens are never touched.
+
+    Mechanics: a repeated span of length L ≥ k yields L−k+1 duplicate
+    k-gram occurrences whose union covers the whole span, so marking
+    every position covered by a NON-FIRST k-gram occurrence removes
+    exactly the repeated spans. First occurrence per gram is the
+    aggregate ``min(struct(doc_id, pos))`` — a map-side-combinable agg,
+    NOT a window, so a boilerplate gram occurring 10^9 times costs one
+    partial per task rather than a single-partition sort; the join back
+    (same gram-hash key, AQE-splittable) then flags non-first
+    occurrences. Grams ride every exchange as ``sha2`` 64-char keys —
+    gram text never shuffles (the exact_dups width trick). Coverage is
+    a bounded ×k ``explode(sequence(p, p+k-1))`` fan-out, de-duped on
+    (doc, pos); reassembly is one doc-keyed aggregate over kept tokens.
+    At 10^12 tokens: gram exchange ≈ corpus token count × 64 B, no
+    stage holds per-group state beyond the running min."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+        ).alias("toks"),
+    )
+    tok = toks.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    )
+    # k-gram occurrences: 0-based start p ∈ [0, n−k]; gram hashed before
+    # the exchange so only (gkey, doc_id, p) shuffles
+    grams = (
+        toks.withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= k)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), F.col("n") - k)).alias("p"),
+        )
+        .select(
+            "doc_id",
+            "p",
+            F.sha2(
+                F.concat_ws(
+                    "\x1f", F.expr(f"slice(toks, p + 1, {int(k)})")
+                ),
+                256,
+            ).alias("gkey"),
+        )
+    )
+    firsts = grams.groupBy("gkey").agg(
+        F.min(F.struct("doc_id", "p")).alias("first")
+    )
+    dups = grams.join(firsts, "gkey").filter(
+        (F.col("doc_id") != F.col("first.doc_id"))
+        | (F.col("p") != F.col("first.p"))
+    )
+    covered = dups.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("p"), F.col("p") + (k - 1))).alias("pos"),
+    ).distinct()
+    kept = tok.join(covered, ["doc_id", "pos"], "left_anti")
+    totals = toks.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("text"),
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))
+        ).cast("long").alias("n_removed"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+    )

@@ -524,3 +524,90 @@ def test_paragraph_dedup_within_doc_duplicates(spark):
     r = paragraph_dedup(df).collect()[0]
     assert (r["n_paras"], r["n_kept"]) == (4, 3)
     assert r["text"] == "alpha\n\nbeta\n\ngamma"
+
+
+# ---- span_dedup (Lee et al. ExactSubstr, SURVEY delta 50) ----------------
+
+
+def _span_dedup_oracle(docs: dict[int, str], k: int):
+    """Textbook single-node recomputation: first occurrence per k-gram by
+    (doc_id, pos), cover every non-first occurrence ×k, rebuild."""
+    toks = {d: [t for t in txt.split() if t] for d, txt in docs.items()}
+    first: dict[tuple, tuple[int, int]] = {}
+    for d in sorted(toks):
+        tt = toks[d]
+        for p in range(len(tt) - k + 1):
+            first.setdefault(tuple(tt[p : p + k]), (d, p))
+    removed: dict[int, set[int]] = {d: set() for d in toks}
+    for d in sorted(toks):
+        tt = toks[d]
+        for p in range(len(tt) - k + 1):
+            if first[tuple(tt[p : p + k])] != (d, p):
+                removed[d].update(range(p, p + k))
+    out = {}
+    for d, tt in toks.items():
+        kept = [t for i, t in enumerate(tt) if i not in removed[d]]
+        out[d] = (len(tt), len(tt) - len(kept), " ".join(kept))
+    return out
+
+
+def _run_span_dedup(spark, docs: dict[int, str], k: int):
+    from search_engine_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], "doc_id long, text string"
+    ).repartition(4)
+    return {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text"])
+        for r in span_dedup(df, k=k).collect()
+    }
+
+
+def test_span_dedup_boilerplate_and_first_occurrence(spark):
+    boiler = "one two three four five six"
+    docs = {
+        0: f"alpha beta {boiler} gamma",
+        1: f"delta {boiler} epsilon zeta",
+        2: f"unique tokens only here nothing shared",
+    }
+    got = _run_span_dedup(spark, docs, k=5)
+    assert got == _span_dedup_oracle(docs, 5)
+    # doc 0 (first occurrence) keeps the boilerplate; doc 1 loses ≥ the
+    # 5-gram-covered part of it
+    assert got[0][1] == 0 and boiler in got[0][2]
+    assert got[1][1] >= 5 and "two three four" not in got[1][2]
+    assert got[2][1] == 0 and got[2][2] == docs[2]
+
+
+def test_span_dedup_within_doc_and_full_dup(spark):
+    span = "a b c d e"
+    docs = {
+        # the same 5-gram twice within one doc → second occurrence cut
+        7: f"{span} x y {span}",
+        # doc 9 is an exact copy of doc 7's head → fully covered
+        9: f"{span} x y",
+    }
+    got = _run_span_dedup(spark, docs, k=5)
+    want = _span_dedup_oracle(docs, 5)
+    assert got == want
+    assert got[7][2].split()[:5] == span.split()
+
+
+def test_span_dedup_short_docs_untouched(spark):
+    docs = {1: "a b c", 2: "a b c", 3: ""}
+    got = _run_span_dedup(spark, docs, k=5)
+    assert got == {1: (3, 0, "a b c"), 2: (3, 0, "a b c"), 3: (0, 0, "")}
+
+
+def test_span_dedup_random_vs_oracle(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    # tiny alphabet + short k forces plenty of natural repeats, overlap
+    # chains, and cross/within-doc interactions
+    docs = {
+        int(d): " ".join(rng.choice(list("abcdefg"), size=int(rng.integers(0, 40))))
+        for d in range(25)
+    }
+    got = _run_span_dedup(spark, docs, k=3)
+    assert got == _span_dedup_oracle(docs, 3)
