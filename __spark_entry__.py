@@ -196,7 +196,15 @@ def _q_bm25_or(spark, sf):
     return _bm25_scored(spark, sf, toks=None, mode="any")
 
 
-def _bm25_scored(spark, sf, toks=None, mode="all"):
+def _q_bm25_msm(spark, sf):
+    """Minimum-should-match top-20 (SURVEY delta 51): the OR ranked union
+    with Lucene's msm clause — only docs matching ≥ 2 of the 3 query terms
+    qualify; scoring stays over the contained terms. The relational twin
+    of SearchEngine.topk(mode='any', min_match=2)."""
+    return _bm25_scored(spark, sf, toks=None, mode="any", min_match=2)
+
+
+def _bm25_scored(spark, sf, toks=None, mode="all", min_match=None):
     if toks is None:
         toks = _tokens(spark, sf)
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
@@ -234,6 +242,8 @@ def _bm25_scored(spark, sf, toks=None, mode="all"):
         )
     else:
         scored = scored.select("doc_id", "nt", F.round("s", 4).alias("score"))
+        if min_match is not None:
+            scored = scored.filter(F.col("nt") >= min_match)
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
 
 
@@ -1609,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagination_t2": _q_page2,
         "bm25_topk": _q_bm25,
         "bm25_or_topk": _q_bm25_or,
+        "bm25_msm_topk": _q_bm25_msm,
         "bm25_collapse_topk": _q_bm25_collapse,
         "not_topk": _q_not_topk,
         "bm25_scoped_topk": _q_bm25_scoped,
@@ -1791,6 +1802,22 @@ def oracle_sql() -> dict[str, str]:
              WHERE tf.term IN {q3}
              GROUP BY tf.doc_id)
            SELECT doc_id, nt, round(s, 4) AS score FROM sc
+           ORDER BY score DESC, doc_id LIMIT 20""",
+        "bm25_msm_topk": _TOK_CTE
+        + f""", tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
+           dl AS (SELECT doc_id, count(*) AS doclen FROM tok2 GROUP BY doc_id),
+           dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY term),
+           st AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+           sc AS (
+             SELECT tf.doc_id,
+                    count(DISTINCT tf.term) AS nt,
+                    sum(ln((st.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                        * 2.2 * tf.tf
+                        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl))) AS s
+             FROM tf JOIN dl USING (doc_id) JOIN dft USING (term) CROSS JOIN st
+             WHERE tf.term IN {q3}
+             GROUP BY tf.doc_id)
+           SELECT doc_id, nt, round(s, 4) AS score FROM sc WHERE nt >= 2
            ORDER BY score DESC, doc_id LIMIT 20""",
         "bm25_collapse_topk": _TOK_CTE
         + f""", tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),

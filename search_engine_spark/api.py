@@ -214,6 +214,7 @@ class EngineAPI:
         strategy: str = "blockmax",
         mode: str = "all",
         near_window: int = 8,
+        min_match: int | None = None,
     ) -> dict:
         """``mode='all'`` (default) is the reference AND contract with an
         exact count. ``mode='any'`` is the ranked union (missing terms
@@ -282,12 +283,14 @@ class EngineAPI:
             rows = eng.topk(
                 query, k=limit, offset=offset, site=site,
                 strategy=strategy, scorer=scorer, mode="any",
-                exclude=exclude,
+                exclude=exclude, min_match=min_match,
             ).collect()
             topk = [(int(r["doc_id"]), float(r["score"])) for r in rows]
-            if exclude is None:
+            if exclude is None and not (min_match and min_match > 1):
                 count, count_exact = eng.or_match_count(query, site)
             else:
+                # min_match filters candidates the union estimate can't
+                # see → truncation-aware banner, like the NOT clause
                 count = len(topk)
                 count_exact = len(topk) < offset + limit
         elif exclude is not None:

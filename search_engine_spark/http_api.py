@@ -84,6 +84,11 @@ class _Handler(BaseHTTPRequestHandler):
                         scorer=_one(q, "scorer", "bm25"),
                         strategy=_one(q, "strategy", "blockmax"),
                         near_window=int(_one(q, "near_window", "8")),
+                        min_match=(
+                            int(_one(q, "minMatch"))
+                            if _one(q, "minMatch") is not None
+                            else None
+                        ),
                     )
                 )
             if u.path == "/api/suggest":

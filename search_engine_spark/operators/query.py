@@ -692,12 +692,16 @@ class SearchEngine:
         ctx: _Ctx,
         scorer: str,
         match_all: bool = True,
+        min_match: int | None = None,
     ) -> DataFrame:
         """Decoded rows → (doc_id, score); deterministic sorted-term float
         summation (shared with the oracle). ``match_all=True`` keeps only
         k-way AND matches (J4); ``False`` is the disjunctive (ranked-union)
         mode — every doc containing ANY query term is scored over the terms
-        it contains."""
+        it contains. ``min_match`` (disjunctive mode only) is Lucene's
+        minimum-should-match: docs containing fewer than ``min_match``
+        distinct query terms are dropped; scoring stays over the contained
+        terms."""
         scored = (
             decoded.withColumn("contrib", self._contrib_col(q_terms, ctx, scorer))
             .groupBy("doc_id")
@@ -714,20 +718,29 @@ class SearchEngine:
             scored = scored.filter(
                 F.col("nt") == F.lit(len(q_terms))
             )  # J4 k-way AND
+        elif min_match is not None and min_match > 1:
+            scored = scored.filter(F.col("nt") >= F.lit(int(min_match)))
         return scored.select("doc_id", "score")
 
     def _scoped_ids_df(self, site: str) -> DataFrame:
         return self.docs.filter(F.col("repo") == site).select("doc_id")
 
     def _exhaustive_scored(
-        self, q_terms: list[str], ctx: _Ctx, scorer: str, match_all: bool = True
+        self,
+        q_terms: list[str],
+        ctx: _Ctx,
+        scorer: str,
+        match_all: bool = True,
+        min_match: int | None = None,
     ) -> DataFrame:
         decoded = decode_blocks(self.postings.filter(F.col("term").isin(q_terms)))
         if ctx.site is not None:
             decoded = decoded.join(
                 self._scoped_ids_df(ctx.site), "doc_id", "left_semi"
             )
-        return self._score(decoded, q_terms, ctx, scorer, match_all=match_all)
+        return self._score(
+            decoded, q_terms, ctx, scorer, match_all=match_all, min_match=min_match
+        )
 
     # -- driver-side block-max WAND ----------------------------------------
 
@@ -938,7 +951,12 @@ class SearchEngine:
             return None
 
     def _driver_or(
-        self, q_terms: list[str], ctx: _Ctx, need: int, scorer: str
+        self,
+        q_terms: list[str],
+        ctx: _Ctx,
+        need: int,
+        scorer: str,
+        min_match: int = 1,
     ) -> list[tuple[int, float]] | None:
         """Disjunctive (ranked-union) block-max WAND, driver-orchestrated.
 
@@ -952,7 +970,13 @@ class SearchEngine:
         to the exhaustive plan's match_all=False aggregate), and the loop
         stops when θ (the need-th best exact score) strictly exceeds the
         best remaining ub: an unscored doc lives only in undecoded blocks
-        and is bounded by each of their ubs. Replacing the global cross-term
+        and is bounded by each of their ubs. ``min_match`` (Lucene
+        minimum-should-match) drops candidates matching fewer distinct
+        terms BEFORE they enter the top pool; the match count per
+        candidate is exact (the covering-block lookup fetches every
+        term's covering block, so membership is never under-counted) and
+        θ-termination stays sound — a qualified unseen doc's score is
+        still bounded by the remaining ubs. Replacing the global cross-term
         max with a per-doc-range block max is the classic BMW refinement;
         the global max is already tight where it matters because hot terms
         carry near-zero idf and hence near-zero bounds. Returns None when a
@@ -989,10 +1013,14 @@ class SearchEngine:
         )
         order = np.lexsort((bid_of, ti_of, -ub))  # ub desc, deterministic ties
 
-        def _score_ids(ids: np.ndarray, budget: list[int]) -> np.ndarray:
-            """Exact OR scores for sorted candidate ids: per term, fetch the
-            covering blocks, look up tf (absent ⇒ 0 contribution), sum in
-            sorted-term order — same float op order as the Catalyst plan."""
+        def _score_ids(
+            ids: np.ndarray, budget: list[int]
+        ) -> tuple[np.ndarray, np.ndarray]:
+            """Exact (scores, n_matched) for sorted candidate ids: per term,
+            fetch the covering blocks, look up tf (absent ⇒ 0 contribution),
+            sum in sorted-term order — same float op order as the Catalyst
+            plan. n_matched counts distinct matching terms (exact — every
+            term's covering block is fetched)."""
             wanted: dict[str, np.ndarray] = {}
             cover: dict[str, np.ndarray] = {}
             for t in terms:
@@ -1009,6 +1037,7 @@ class SearchEngine:
                 raise _CapTripped()
             self._fetch_blocks(wanted)
             acc = np.zeros(len(ids), dtype=np.float64)
+            nm = np.zeros(len(ids), dtype=np.int64)
             for t in terms:  # frozen summation order (terms is sorted)
                 arr_i, arr_t, arr_d = self._concat_term(
                     metas[t], set(map(int, wanted.get(t, ()))), t
@@ -1022,8 +1051,9 @@ class SearchEngine:
                         ctx.idf(t) if scorer != "legacy" else 0.0,
                         arr_t[pc][ok], arr_d[pc][ok], ctx.avgdl, scorer,
                     )
+                    nm += ok
                 acc = acc + c
-            return acc
+            return acc, nm
 
         best_ids = np.array([], dtype=np.int64)
         best_sc = np.array([], dtype=np.float64)
@@ -1065,7 +1095,10 @@ class SearchEngine:
                     )
                     ids = ids[m]
                 if len(ids):
-                    sc = _score_ids(ids, budget)
+                    sc, nm = _score_ids(ids, budget)
+                    if min_match > 1:
+                        q = nm >= min_match
+                        ids, sc = ids[q], sc[q]
                     best_ids = np.concatenate([best_ids, ids])
                     best_sc = np.concatenate([best_sc, sc])
                     top = np.lexsort((best_ids, -best_sc))[:need]
@@ -1143,8 +1176,16 @@ class SearchEngine:
         scorer: str = "bm25",
         mode: str = "all",
         exclude: str | None = None,
+        min_match: int | None = None,
     ) -> DataFrame:
         """→ DataFrame(doc_id, score) — top (offset+k) matches.
+
+        ``min_match`` (Lucene minimum-should-match, ``mode='any'`` only):
+        docs matching fewer than ``min_match`` distinct query terms are
+        dropped before the top-k cut; scoring stays over contained terms.
+        ``min_match`` greater than the number of vocabulary-present terms
+        matches nothing (the Lucene contract); ≤ 1 is plain OR; == n is
+        AND with OR's missing-term tolerance.
 
         ``mode='all'`` (default) keeps AND semantics — the reference's
         intersection contract (SearchServiceImpl.java:84-101), including
@@ -1181,6 +1222,9 @@ class SearchEngine:
             return self._empty()
         if mode == "any":
             q_terms = [t for t in q_terms if t in ctx.dfs]
+        msm = int(min_match) if (min_match is not None and mode == "any") else 1
+        if msm > len(q_terms):
+            return self._empty()  # more required matches than clauses
         exc_terms = [
             t
             for t in analyze_query(exclude or "", code=self.code)
@@ -1195,7 +1239,9 @@ class SearchEngine:
                 if len(q_terms) == 1:
                     res = self._driver_single(q_terms[0], ctx, fetch, scorer)
                 elif mode == "any":
-                    res = self._driver_or(q_terms, ctx, fetch, scorer)
+                    res = self._driver_or(
+                        q_terms, ctx, fetch, scorer, min_match=msm
+                    )
                 else:
                     out = self._driver_multi(q_terms, ctx, fetch, scorer, False)
                     res = out[0] if out is not None else None
@@ -1204,7 +1250,11 @@ class SearchEngine:
 
         # exhaustive (or fallback): decode all blocks of the query terms
         scored = self._exhaustive_scored(
-            q_terms, ctx, scorer, match_all=(mode == "all")
+            q_terms,
+            ctx,
+            scorer,
+            match_all=(mode == "all"),
+            min_match=(msm if mode == "any" else None),
         )
         if exc_terms:
             excl = (

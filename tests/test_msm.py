@@ -1,0 +1,120 @@
+"""Minimum-should-match (Lucene msm) contracts for mode='any'
+(operators/query.py topk(min_match=…), SURVEY delta 51).
+
+The invariants: driver block-max ≡ exhaustive bit-identity under msm;
+msm=1 is plain OR; msm=n over the AND set with identical scores; the
+qualifying set is exactly the docs present in ≥ m per-term match sets;
+msm above the present-clause count matches nothing.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from search_engine_spark.operators.query import SearchEngine
+from search_engine_spark.plans.build_job import build_index
+from search_engine_spark.sources.catalog import Catalog
+from search_engine_spark.synth import make_corpus
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("msm_idx"))
+    corpus = make_corpus(spark, 220, seed=13, partitions=4)
+    cat = Catalog(root)
+    build_index(spark, corpus, cat, n_shards=2, skew_df_threshold=60,
+                salt_target_rows=40)
+    return SearchEngine(spark, cat, code=True)
+
+
+def _pairs(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+Q = "engine site block"
+
+
+def _term_ids(engine, term):
+    return {
+        r["doc_id"]
+        for r in engine.topk(term, k=10_000, strategy="exhaustive").collect()
+    }
+
+
+@pytest.mark.parametrize("m", [1, 2, 3])
+def test_msm_driver_equals_exhaustive(engine, m):
+    drv = _pairs(engine.topk(Q, 25, mode="any", min_match=m))
+    exh = _pairs(
+        engine.topk(Q, 25, mode="any", min_match=m, strategy="exhaustive")
+    )
+    assert drv == exh
+    assert drv, f"fixture must match at msm={m}"
+
+
+def test_msm_1_is_plain_or(engine):
+    assert _pairs(engine.topk(Q, 25, mode="any", min_match=1)) == _pairs(
+        engine.topk(Q, 25, mode="any")
+    )
+
+
+def test_msm_set_is_membership_threshold(engine):
+    """Qualifying ids = docs present in ≥ m per-term match sets, and their
+    scores equal the plain-OR scores (msm filters, never rescores)."""
+    per_term = [_term_ids(engine, t) for t in Q.split()]
+    or_scores = dict(
+        _pairs(engine.topk(Q, 10_000, mode="any", strategy="exhaustive"))
+    )
+    for m in (2, 3):
+        want_ids = {
+            d for d in or_scores
+            if sum(d in s for s in per_term) >= m
+        }
+        got = _pairs(
+            engine.topk(
+                Q, 10_000, mode="any", min_match=m, strategy="exhaustive"
+            )
+        )
+        assert {d for d, _ in got} == want_ids
+        assert all(or_scores[d] == s for d, s in got)
+
+
+def test_msm_n_equals_and_set(engine):
+    """msm = n qualifies exactly the AND set; OR scoring over all-contained
+    terms is the same float sum as AND scoring."""
+    msm = _pairs(engine.topk(Q, 50, mode="any", min_match=3))
+    anded = _pairs(engine.topk(Q, 50, mode="all"))
+    assert msm == anded
+
+
+def test_msm_above_clause_count_empty(engine):
+    assert engine.topk(Q, 10, mode="any", min_match=4).count() == 0
+    # a vocabulary-missing term is dropped from the clause count
+    assert (
+        engine.topk(
+            "engine site zzzznotaword", 10, mode="any", min_match=3
+        ).count()
+        == 0
+    )
+    assert (
+        engine.topk(
+            "engine site zzzznotaword", 10, mode="any", min_match=2
+        ).count()
+        > 0
+    )
+
+
+def test_msm_api_envelope(spark, tmp_path):
+    from search_engine_spark.api import EngineAPI
+
+    api = EngineAPI(
+        spark,
+        Catalog(str(tmp_path / "msm_api")),
+        corpus_reader=lambda: make_corpus(spark, 80, seed=21, partitions=2),
+        code=True,
+    )
+    assert api.start_indexing(n_shards=2) == {"result": True}
+    res = api.search("engine site block", mode="any", min_match=2, limit=5)
+    assert res["result"] is True
+    assert res["countExact"] is False  # truncation-aware banner under msm
+    full = api.search("engine site block", mode="any", limit=5)
+    assert full["result"] is True
