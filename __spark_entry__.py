@@ -204,6 +204,39 @@ def _q_bm25_msm(spark, sf):
     return _bm25_scored(spark, sf, toks=None, mode="any", min_match=2)
 
 
+def _q_lmd(spark, sf):
+    """LM Dirichlet top-20 (SURVEY delta 52): query-likelihood with
+    Dirichlet smoothing (Zhai & Lafferty 2001) over the Q3 AND set —
+    contrib = ln(1 + tf/(μ·cf/total_len)) + ln(μ/(doclen+μ)), μ=2000.
+    The relational twin of SearchEngine.topk(scorer='lmd')."""
+    toks = _tokens(spark, sf)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("doclen"))
+    cft = toks.groupBy("term").agg(F.count("*").alias("cf"))
+    tot = dl.agg(F.sum("doclen").alias("total_len"))
+    MU = 2000.0
+    scored = (
+        tf.filter(F.col("term").isin(Q3))
+        .join(dl, "doc_id")
+        .join(cft, "term")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "contrib",
+            F.log(
+                F.lit(1.0)
+                + F.col("tf").cast("double")
+                / (F.lit(MU) * (F.col("cf") / F.col("total_len")))
+            )
+            + F.log(F.lit(MU) / (F.col("doclen") + F.lit(MU))),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("nt"), F.sum("contrib").alias("s"))
+        .filter(F.col("nt") == 3)
+        .select("doc_id", F.round("s", 4).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
 def _bm25_scored(spark, sf, toks=None, mode="all", min_match=None):
     if toks is None:
         toks = _tokens(spark, sf)
@@ -1620,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25,
         "bm25_or_topk": _q_bm25_or,
         "bm25_msm_topk": _q_bm25_msm,
+        "lm_dirichlet_topk": _q_lmd,
         "bm25_collapse_topk": _q_bm25_collapse,
         "not_topk": _q_not_topk,
         "bm25_scoped_topk": _q_bm25_scoped,
@@ -1802,6 +1836,21 @@ def oracle_sql() -> dict[str, str]:
              WHERE tf.term IN {q3}
              GROUP BY tf.doc_id)
            SELECT doc_id, nt, round(s, 4) AS score FROM sc
+           ORDER BY score DESC, doc_id LIMIT 20""",
+        "lm_dirichlet_topk": _TOK_CTE
+        + f""", tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
+           dl AS (SELECT doc_id, count(*) AS doclen FROM tok2 GROUP BY doc_id),
+           cft AS (SELECT term, count(*) AS cf FROM tok2 GROUP BY term),
+           tot AS (SELECT sum(doclen) AS total_len FROM dl),
+           sc AS (
+             SELECT tf.doc_id,
+                    count(DISTINCT tf.term) AS nt,
+                    sum(ln(1.0 + tf.tf / (2000.0 * (cft.cf / tot.total_len)))
+                        + ln(2000.0 / (dl.doclen + 2000.0))) AS s
+             FROM tf JOIN dl USING (doc_id) JOIN cft USING (term) CROSS JOIN tot
+             WHERE tf.term IN {q3}
+             GROUP BY tf.doc_id)
+           SELECT doc_id, round(s, 4) AS score FROM sc WHERE nt = 3
            ORDER BY score DESC, doc_id LIMIT 20""",
         "bm25_msm_topk": _TOK_CTE
         + f""", tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),

@@ -317,6 +317,8 @@ def main() -> None:
         "events_user_counts",
         "hybrid_rrf_topk",
         "span_dedup",
+        "bm25_msm_topk",
+        "lm_dirichlet_topk",
         # rep 1 includes the one-time trigram index build (cached per
         # sf_dir); rep 2 is the warm pruned serve — timing_reps shows both
         "trigram_substring",

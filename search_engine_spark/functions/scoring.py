@@ -63,3 +63,40 @@ def bm25_contrib_np(
     tf: np.ndarray, doclen: np.ndarray, df: np.ndarray, n_docs: int, avgdl: float
 ) -> np.ndarray:
     return idf_np(n_docs, df.astype(np.float64)) * (K1 + 1.0) * impact_np(tf, doclen, avgdl)
+
+
+# -- LM Dirichlet (scorer='lmd') --------------------------------------------
+#
+# Query-likelihood with Dirichlet smoothing (Zhai & Lafferty, SIGIR 2001;
+# Lucene's LMDirichletSimilarity shape WITHOUT its max(0,·) clamp — the
+# clamp breaks rank additivity and our frozen spec keeps the raw sum):
+#
+#   contrib(t, d) = ln(1 + tf / (μ·P(t|C))) + ln(μ / (doclen + μ))
+#   P(t|C)        = cf_t / total_len      (collection frequency / Σ doclen)
+#
+# μ·P(t|C) is a PER-TERM scalar resolved once on the driver from the terms
+# table's cf column; tf and doclen vary per row, so — unlike BM25, whose
+# only transcendental (idf) is a driver-side scalar — the ln here is
+# per-row. Both engine paths therefore evaluate it with np.log (the
+# exhaustive plan through a vectorized pandas UDF), keeping driver ≡
+# distributed bit-identity; the DuckDB oracle's ln may differ by ulps,
+# which the gates' round(·,4) absorbs (same discipline as BM25 idf).
+MU = 2000.0
+
+
+def lmd_mu_p(cf: int, total_len: int) -> float:
+    """μ·P(t|C) — frozen op order MU * (cf / total_len)."""
+    return MU * (cf / total_len)
+
+
+def lmd_contrib(tf: float, doclen: float, mu_p: float) -> float:
+    return math.log(1.0 + tf / mu_p) + math.log(MU / (doclen + MU))
+
+
+def lmd_contrib_np(mu_p, tf: np.ndarray, doclen: np.ndarray) -> np.ndarray:
+    """``mu_p`` is a scalar (one term) or a per-row array (mixed-term
+    batches in the exhaustive plan's UDF) — op order identical either way:
+    ln(1 + tf/μp) + ln(μ/(dl+μ))."""
+    tf = tf.astype(np.float64)
+    dl = doclen.astype(np.float64)
+    return np.log(1.0 + tf / mu_p) + np.log(MU / (dl + MU))

@@ -166,11 +166,16 @@ def term_stats(tf: DataFrame) -> DataFrame:
     """
     return (
         tf.groupingSets([["repo", "term"], ["term"]], "repo", "term")
-        .agg(F.count("*").alias("df"), F.grouping("repo").alias("_g"))
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("cf"),
+            F.grouping("repo").alias("_g"),
+        )
         .select(
             F.when(F.col("_g") == 1, F.lit("")).otherwise(F.col("repo")).alias("scope"),
             "term",
             "df",
+            "cf",
         )
     )
 

@@ -69,6 +69,7 @@ against the single-node oracle):
 
 from __future__ import annotations
 
+import math
 import os
 from collections import OrderedDict
 from collections.abc import Iterator
@@ -234,33 +235,57 @@ class _TermMeta:
 
 class _Ctx:
     """Resolved scoring context for one query: corpus- or site-level
-    (n_docs, avgdl, per-term df) + the bound-drift safety factor."""
+    (n_docs, avgdl, total_len, per-term df/cf) + the bound-drift safety
+    factor."""
 
-    __slots__ = ("dfs", "n_docs", "avgdl", "drift", "site", "site_ids")
+    __slots__ = ("dfs", "n_docs", "avgdl", "drift", "site", "site_ids",
+                 "cfs", "total_len")
 
-    def __init__(self, dfs, n_docs, avgdl, drift, site, site_ids):
+    def __init__(self, dfs, n_docs, avgdl, drift, site, site_ids,
+                 cfs=None, total_len=0):
         self.dfs, self.n_docs, self.avgdl = dfs, n_docs, avgdl
         self.drift, self.site, self.site_ids = drift, site, site_ids
+        self.cfs, self.total_len = (cfs or {}), total_len
 
     def idf(self, t: str) -> float:
         return scoring.idf(self.n_docs, self.dfs[t])
 
+    def term_stat(self, t: str, scorer: str) -> float:
+        """The per-term scalar each scorer threads through _np_contrib:
+        BM25 → idf; lmd → μ·P(t|C); legacy → unused (tf-sum)."""
+        if scorer == "legacy":
+            return 0.0
+        if scorer == "lmd":
+            return scoring.lmd_mu_p(self.cfs[t], self.total_len)
+        return self.idf(t)
 
-def _np_contrib(idf: float, tf: np.ndarray, dl: np.ndarray, avgdl: float,
+
+def _np_contrib(stat: float, tf: np.ndarray, dl: np.ndarray, avgdl: float,
                 scorer: str) -> np.ndarray:
-    """One term's contribution, op order FROZEN to match the Catalyst
-    expression in _contrib_col / scoring.bm25_contrib exactly:
-    ((idf*(k1+1))*tf) / (tf + k1*((1-b) + b*dl/avgdl)) — each elementwise
-    float64 op is correctly rounded on both platforms, so identical op
-    order ⇒ bit-identical results."""
+    """One term's contribution; ``stat`` is ctx.term_stat(t, scorer). Op
+    order FROZEN to match the distributed expression exactly — BM25 mirrors
+    the Catalyst form in _contrib_col (((idf*(k1+1))*tf) / (tf + k1*((1-b)
+    + b*dl/avgdl)); every elementwise float64 op correctly rounded on both
+    platforms, so identical op order ⇒ bit-identical results); lmd mirrors
+    the pandas-UDF form (scoring.lmd_contrib_np — np.log on BOTH paths,
+    because its ln is per-row, not a driver-side scalar like idf)."""
     tf = tf.astype(np.float64)
     if scorer == "legacy":
         return tf
+    if scorer == "lmd":
+        return scoring.lmd_contrib_np(stat, tf, dl)
     dl = dl.astype(np.float64)
     return (
-        idf * (scoring.K1 + 1.0) * tf
+        stat * (scoring.K1 + 1.0) * tf
         / (tf + scoring.K1 * ((1.0 - scoring.B) + scoring.B * dl / avgdl))
     )
+
+
+def _slack_np(x):
+    """Sign-safe last-ulp slack on an upper bound: inflate positives,
+    shrink the magnitude of negatives (lmd bounds/scores can be negative —
+    multiplying a negative bound by slack > 1 would TIGHTEN it)."""
+    return np.where(x > 0, x * _BOUND_SLACK, x * (2.0 - _BOUND_SLACK))
 
 
 class SearchEngine:
@@ -292,6 +317,12 @@ class SearchEngine:
         row = catalog.read(spark, "corpus_stats", CORPUS_STATS).collect()[0]
         self.n_docs = int(row["n_docs"])
         self.avgdl = float(row["avgdl"])
+        # exact Σ doclen — the lmd scorer's collection length (falls back
+        # to round(n·avgdl) on a pre-total_len catalog)
+        tl = row["total_len"] if "total_len" in row.asDict() else None
+        self.total_len = (
+            int(tl) if tl is not None else round(self.n_docs * self.avgdl)
+        )
         ab = row["avgdl_build"] if "avgdl_build" in row.asDict() else None
         self.avgdl_build = float(ab) if ab is not None else self.avgdl
         # driver-side caches — immutable per build; the API facade builds a
@@ -301,7 +332,7 @@ class SearchEngine:
         # global df per term, resolved from the TINY terms rows (scope='') —
         # NEVER from block metadata: term resolution / O6 / idf must stay
         # bounded even for a term whose posting list spans millions of blocks
-        self._df_cache: OrderedDict[str, int | None] = OrderedDict()
+        self._df_cache: OrderedDict[str, tuple[int, int] | None] = OrderedDict()
         self._site_cache: OrderedDict[str, tuple[int, float] | None] = OrderedDict()
         self._site_ids_cache: OrderedDict[str, np.ndarray | None] = OrderedDict()
         # decoded-payload block cache: repeated / overlapping queries reuse
@@ -378,32 +409,44 @@ class SearchEngine:
             self._pa_cache.pop(name, None)
             return None
 
-    def _terms_rows(self, scope: str, terms: list[str]) -> dict[str, int]:
-        """{term: df} for one scope — pyarrow point read, Spark fallback."""
+    def _terms_rows(self, scope: str, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """{term: (df, cf)} for one scope — pyarrow point read, Spark
+        fallback. cf defaults to 0 on a pre-cf catalog (lmd then raises on
+        use; BM25/legacy never read it)."""
         import pyarrow.dataset as pads
 
+        has_cf = "cf" in [f.name for f in self.terms.schema.fields]
+        cols = ["term", "df"] + (["cf"] if has_cf else [])
         pdf = self._pa_read(
             "terms",
-            ["term", "df"],
+            cols,
             (pads.field("scope") == scope) & pads.field("term").isin(terms),
         )
         if pdf is not None:
-            return dict(zip(pdf["term"], pdf["df"].astype(int)))
+            cfs = pdf["cf"].astype(int) if has_cf else [0] * len(pdf)
+            return {
+                t: (int(d), int(c))
+                for t, d, c in zip(pdf["term"], pdf["df"].astype(int), cfs)
+            }
         rows = (
             self.terms.filter(
                 (F.col("scope") == scope) & F.col("term").isin(terms)
             )
-            .select("term", "df")
+            .select(*cols)
             .collect()
         )
-        return {r["term"]: int(r["df"]) for r in rows}
+        return {
+            r["term"]: (int(r["df"]), int(r["cf"]) if has_cf else 0)
+            for r in rows
+        }
 
     # -- driver-side metadata cache ---------------------------------------
 
-    def _global_dfs(self, q_terms: list[str]) -> dict[str, int | None]:
-        """Global df per query term from the terms rows (scope='') — one
-        Spark job over a tiny persisted frame for cache misses, zero jobs
-        thereafter. Missing terms cache as None (the O6 negative result)."""
+    def _global_stats(self, q_terms: list[str]) -> dict[str, tuple[int, int] | None]:
+        """Global (df, cf) per query term from the terms rows (scope='') —
+        one Spark job over a tiny persisted frame for cache misses, zero
+        jobs thereafter. Missing terms cache as None (the O6 negative
+        result)."""
         for t in q_terms:
             if t in self._df_cache:
                 self._df_cache.move_to_end(t)
@@ -419,6 +462,14 @@ class SearchEngine:
             self._df_cache.move_to_end(t)
             out[t] = self._df_cache[t]
         return out
+
+    def _global_dfs(self, q_terms: list[str]) -> dict[str, int | None]:
+        """{term: df | None} view of _global_stats (most callers need df
+        only)."""
+        return {
+            t: (v[0] if v is not None else None)
+            for t, v in self._global_stats(q_terms).items()
+        }
 
     def _get_meta(self, q_terms: list[str]) -> dict[str, object]:
         """Block metadata for each term — ONE Spark job for all cache
@@ -575,16 +626,18 @@ class SearchEngine:
 
     # -- context resolution (J1 + O6, global or per-site) ------------------
 
-    def _site_stats_row(self, site: str) -> tuple[int, float] | None:
+    def _site_stats_row(self, site: str) -> tuple[int, float, int] | None:
+        """(pages, avgdl, total_len) for one repo, or None if unknown."""
         if site not in self._site_cache:
             import pyarrow.dataset as pads
 
+            cols = ["pages", "avgdl", "total_len"]
             pdf = (
                 self._pa_read(
-                    "site_stats", ["pages", "avgdl"], pads.field("repo") == site
+                    "site_stats", cols, pads.field("repo") == site
                 )
                 if self.catalog.exists("site_stats")
-                else pd.DataFrame({"pages": [], "avgdl": []})
+                else pd.DataFrame({c: [] for c in cols})
             )
             if pdf is None:
                 rows = (
@@ -593,13 +646,14 @@ class SearchEngine:
                     .collect()
                 )
                 pdf = pd.DataFrame(
-                    {
-                        "pages": [r["pages"] for r in rows],
-                        "avgdl": [r["avgdl"] for r in rows],
-                    }
+                    {c: [r[c] for r in rows] for c in cols}
                 )
             self._site_cache[site] = (
-                (int(pdf["pages"].iloc[0]), float(pdf["avgdl"].iloc[0]))
+                (
+                    int(pdf["pages"].iloc[0]),
+                    float(pdf["avgdl"].iloc[0]),
+                    int(pdf["total_len"].iloc[0]),
+                )
                 if len(pdf)
                 else None
             )
@@ -635,28 +689,38 @@ class SearchEngine:
         if not q_terms:
             return None
         if site is None:
-            # df from the tiny global terms rows — NEVER from block
+            # df/cf from the tiny global terms rows — NEVER from block
             # metadata, which is unbounded for hot terms (the blockmax
             # paths load metadata separately, behind the df pre-check)
-            dfs = self._global_dfs(q_terms)
-            if require_all and any(v is None for v in dfs.values()):
+            stats = self._global_stats(q_terms)
+            if require_all and any(v is None for v in stats.values()):
                 return None
-            dfs = {t: v for t, v in dfs.items() if v is not None}
-            if not dfs:
+            stats = {t: v for t, v in stats.items() if v is not None}
+            if not stats:
                 return None
             drift = max(1.0, self.avgdl / self.avgdl_build) * _BOUND_SLACK
-            return _Ctx(dfs, self.n_docs, self.avgdl, drift, None, None)
+            return _Ctx(
+                {t: v[0] for t, v in stats.items()},
+                self.n_docs, self.avgdl, drift, None, None,
+                cfs={t: v[1] for t, v in stats.items()},
+                total_len=self.total_len,
+            )
         ss = self._site_stats_row(site)
         if ss is None:
             return None
-        n_docs_s, avgdl_s = ss
-        dfs = self._terms_rows(site, q_terms)
-        if require_all and len(dfs) < len(q_terms):
+        n_docs_s, avgdl_s, total_len_s = ss
+        stats_s = self._terms_rows(site, q_terms)
+        if require_all and len(stats_s) < len(q_terms):
             return None  # O6 against the per-site lemma rows
-        if not dfs:
+        if not stats_s:
             return None
         drift = max(1.0, avgdl_s / self.avgdl_build) * _BOUND_SLACK
-        return _Ctx(dfs, n_docs_s, avgdl_s, drift, site, None)
+        return _Ctx(
+            {t: v[0] for t, v in stats_s.items()},
+            n_docs_s, avgdl_s, drift, site, None,
+            cfs={t: v[1] for t, v in stats_s.items()},
+            total_len=total_len_s,
+        )
 
     def resolve_terms(self, q_terms: list[str]) -> dict[str, int] | None:
         """Query lemmas → {term: global df}; None if any lemma missing
@@ -669,6 +733,30 @@ class SearchEngine:
     def _contrib_col(self, q_terms: list[str], ctx: _Ctx, scorer: str):
         if scorer == "legacy":
             return F.col("tf").cast("double")
+        if scorer == "lmd":
+            # lmd's ln is per-ROW (tf and doclen vary), so a Catalyst
+            # F.log would evaluate it with the JVM's libm while the driver
+            # block-max path uses np.log — 1-ulp divergences that break
+            # driver ≡ distributed bit-identity. A vectorized pandas UDF
+            # (Arrow batches, numpy body — never per-row Python) keeps ONE
+            # log implementation on both paths; μ·P(t|C) stays a
+            # driver-resolved scalar map, exactly like BM25's idf.
+            from pyspark.sql.pandas.functions import pandas_udf
+
+            mu_ps = {t: ctx.term_stat(t, "lmd") for t in q_terms}
+
+            @pandas_udf("double")
+            def _lmd(term: pd.Series, tf: pd.Series, dl: pd.Series) -> pd.Series:
+                from search_engine_spark.functions import scoring as _sc
+
+                mp = term.map(mu_ps).to_numpy(np.float64)
+                return pd.Series(
+                    _sc.lmd_contrib_np(
+                        mp, tf.to_numpy(np.int64), dl.to_numpy(np.int64)
+                    )
+                )
+
+            return _lmd(F.col("term"), F.col("tf"), F.col("doclen"))
         idf_map = F.create_map(
             *[x for t in q_terms for x in (F.lit(t), F.lit(ctx.idf(t)))]
         )
@@ -747,6 +835,17 @@ class SearchEngine:
     def _block_bound(self, meta: _TermMeta, ctx: _Ctx, t: str, scorer: str) -> np.ndarray:
         if scorer == "legacy":
             return meta.max_tf.copy()
+        if scorer == "lmd":
+            # contrib = ln(1 + tf/μp) + ln(μ/(dl+μ)): increasing in tf,
+            # decreasing in dl; dl ≥ 1 for any posted doc, so the block
+            # bound uses max_tf and dl=1. avgdl drift is irrelevant (lmd
+            # never reads avgdl; μp is resolved from the CURRENT terms/
+            # corpus_stats rows, the same values exact scoring uses).
+            mu_p = ctx.term_stat(t, scorer)
+            return _slack_np(
+                np.log(1.0 + meta.max_tf / mu_p)
+                + math.log(scoring.MU / (1.0 + scoring.MU))
+            )
         return (
             ctx.idf(t) * (scoring.K1 + 1.0) * meta.max_impact * ctx.drift
         )
@@ -788,7 +887,7 @@ class SearchEngine:
                 m = (p < len(site_ids)) & (site_ids[np.clip(p, 0, len(site_ids) - 1)] == ids)
                 ids, tfs, dls = ids[m], tfs[m], dls[m]
             sc = _np_contrib(
-                ctx.idf(term) if scorer != "legacy" else 0.0,
+                ctx.term_stat(term, scorer),
                 tfs, dls, ctx.avgdl, scorer,
             )
             best_ids = np.concatenate([best_ids, ids])
@@ -850,11 +949,14 @@ class SearchEngine:
         if len(r_ids) == 0:
             return [], 0
 
-        # exact rarest contribution seeds the upper bound
+        # exact rarest contribution seeds the upper bound (sign-safe
+        # slack: lmd contributions can be negative)
         ub = _np_contrib(
-            ctx.idf(rarest) if scorer != "legacy" else 0.0,
+            ctx.term_stat(rarest, scorer),
             r_tfs, r_dls, ctx.avgdl, scorer,
-        ) * (_BOUND_SLACK if scorer != "legacy" else 1.0)
+        )
+        if scorer != "legacy":
+            ub = _slack_np(ub)
         alive = np.ones(len(r_ids), dtype=bool)
         cover_block: dict[str, np.ndarray] = {}
         for t in others:
@@ -875,7 +977,7 @@ class SearchEngine:
 
         # pre-compute per-candidate contributions of the rarest term (exact)
         r_contrib = _np_contrib(
-            ctx.idf(rarest) if scorer != "legacy" else 0.0,
+            ctx.term_stat(rarest, scorer),
             r_tfs, r_dls, ctx.avgdl, scorer,
         )
         sorted_terms = sorted(q_terms)
@@ -909,7 +1011,7 @@ class SearchEngine:
                 c = np.zeros(len(ids), dtype=np.float64)
                 if len(arr_i):
                     c[ok] = _np_contrib(
-                        ctx.idf(t) if scorer != "legacy" else 0.0,
+                        ctx.term_stat(t, scorer),
                         arr_t[pc][ok], arr_d[pc][ok], ctx.avgdl, scorer,
                     )
                 contribs[t] = c
@@ -1048,7 +1150,7 @@ class SearchEngine:
                     pc = np.clip(p, 0, len(arr_i) - 1)
                     ok = (p < len(arr_i)) & (arr_i[pc] == ids)
                     c[ok] = _np_contrib(
-                        ctx.idf(t) if scorer != "legacy" else 0.0,
+                        ctx.term_stat(t, scorer),
                         arr_t[pc][ok], arr_d[pc][ok], ctx.avgdl, scorer,
                     )
                     nm += ok

@@ -477,6 +477,7 @@ def _compute_state(spark, catalog, new_docs, bid: str, code: bool,
     old_sel = docs_tbl.join(F.broadcast(key_df), ["repo", "path"], "left_semi")
     # per-OLD-DOC term sets: df decrements count distinct docs, not rows
     old_terms_by_doc: list[tuple[str, set]] = []
+    old_cf_delta: Counter = Counter()  # -(old tf) per (scope, term)
     old_len_by_repo: Counter = Counter()
     old_repos: list[str] = []
     old_ids: list[int] = []
@@ -490,7 +491,11 @@ def _compute_state(spark, catalog, new_docs, bid: str, code: bool,
         sets_by_doc: dict[int, set] = {}
         for doc_id, g in old_tf.groupby("doc_id"):
             sets_by_doc[int(doc_id)] = set(g["term"])
-            old_len_by_repo[g["repo"].iloc[0]] += int(g["tf"].sum())
+            repo = g["repo"].iloc[0]
+            old_len_by_repo[repo] += int(g["tf"].sum())
+            for t, n in zip(g["term"], g["tf"]):
+                old_cf_delta[("", t)] -= int(n)
+                old_cf_delta[(repo, t)] -= int(n)
         for r in id_rows:
             old_ids.append(int(r["doc_id"]))
             old_repos.append(r["repo"])
@@ -504,22 +509,39 @@ def _compute_state(spark, catalog, new_docs, bid: str, code: bool,
             old_terms_by_doc.append((r["repo"], set(forms)))
             old_len_by_repo[r["repo"]] += len(forms)
             old_repos.append(r["repo"])
+            for t, n in Counter(forms).items():
+                old_cf_delta[("", t)] -= n
+                old_cf_delta[(r["repo"], t)] -= n
 
-    # --- terms: absolute df per affected (scope, term) key -----------------
+    # --- terms: absolute (df, cf) per affected (scope, term) key -----------
     delta = _scope_deltas(new_docs, old_terms_by_doc)
-    touched = [(s, t) for (s, t), d in delta.items() if d != 0]
+    cf_delta = old_cf_delta
+    for d in new_docs:
+        for t, n in d.tf.items():
+            cf_delta[("", t)] += n
+            cf_delta[(d.repo, t)] += n
+    touched = sorted(
+        {k for k, v in delta.items() if v != 0}
+        | {k for k, v in cf_delta.items() if v != 0}
+    )
     terms_abs: list[list] = []
     if touched:
-        tkey_df = spark.createDataFrame(sorted(touched), "scope string, term string")
+        tkey_df = spark.createDataFrame(touched, "scope string, term string")
         terms_tbl = catalog.read_or_empty(spark, "terms", TERMS)
         cur = {
-            (r["scope"], r["term"]): int(r["df"])
+            (r["scope"], r["term"]): (int(r["df"]), int(r["cf"]))
             for r in terms_tbl.join(
                 F.broadcast(tkey_df), ["scope", "term"], "inner"
-            ).select("scope", "term", "df").collect()
+            ).select("scope", "term", "df", "cf").collect()
         }
         terms_abs = [
-            [s, t, cur.get((s, t), 0) + delta[(s, t)]] for (s, t) in touched
+            [
+                s,
+                t,
+                cur.get((s, t), (0, 0))[0] + delta[(s, t)],
+                cur.get((s, t), (0, 0))[1] + cf_delta[(s, t)],
+            ]
+            for (s, t) in touched
         ]
 
     # --- site_stats: absolute pages/total_len per affected repo ------------
@@ -666,32 +688,32 @@ def _apply_terms(spark, catalog, terms_abs: list) -> None:
 
     if not terms_abs:
         return
-    rows = [(s, t, int(d)) for s, t, d in terms_abs]
+    rows = [(s, t, int(d), int(c)) for s, t, d, c in terms_abs]
     sharded = bool(_glob.glob(catalog.path("terms/shard=*")))
     if sharded:
         n_shards = _n_term_shards(catalog)
         shard_of = {
             r["term"]: int(r["s"])
             for r in spark.createDataFrame(
-                [(t,) for t in sorted({t for _, t, _ in rows})], "term string"
+                [(t,) for t in sorted({t for _, t, _, _ in rows})], "term string"
             ).select(
                 "term", F.pmod(F.xxhash64("term"), F.lit(n_shards)).alias("s")
             ).collect()
         }
         by_shard: dict[int, list[tuple]] = {}
-        for s, t, d in rows:
-            by_shard.setdefault(shard_of[t], []).append((s, t, d))
+        for s, t, d, c in rows:
+            by_shard.setdefault(shard_of[t], []).append((s, t, d, c))
         parts = [(f"terms/shard={k}", rs) for k, rs in sorted(by_shard.items())]
     else:
         parts = [("terms", rows)]
     for part, rs in parts:
         cur = catalog.read_or_empty(spark, part, TERMS)
         key_df = spark.createDataFrame(
-            sorted((s, t) for s, t, _ in rs), "scope string, term string"
+            sorted((s, t) for s, t, _, _ in rs), "scope string, term string"
         )
         keep = cur.join(F.broadcast(key_df), ["scope", "term"], "left_anti")
         add = spark.createDataFrame(
-            [(s, t, d) for s, t, d in rs if d > 0], TERMS
+            [(s, t, d, c) for s, t, d, c in rs if d > 0], TERMS
         )
         catalog.rewrite(keep.unionByName(add), part, sort_by=["term", "scope"])
 

@@ -58,6 +58,10 @@ TERMS = StructType(
         StructField("scope", StringType(), False),  # repo scope ('' = global)
         StructField("term", StringType(), False),
         StructField("df", LongType(), False),
+        # collection frequency (Σ tf over the scope) — feeds the LM
+        # Dirichlet scorer's P(t|C); free at build (one extra SUM in the
+        # same grouping-sets aggregate that computes df)
+        StructField("cf", LongType(), False),
     ]
 )
 

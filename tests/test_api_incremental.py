@@ -206,9 +206,9 @@ def test_incremental_equals_rebuild(spark, tmp_path):
     sf_ = cat_full.read(spark, "doc_stats").select("doc_id", "doclen")
     assert si.subtract(sf_).count() == 0 and sf_.subtract(si).count() == 0
 
-    # terms identical
-    ti = cat_inc.read(spark, "terms").select("term", "df")
-    tf_ = cat_full.read(spark, "terms").select("term", "df")
+    # terms identical (df AND cf — the lmd scorer's collection frequency)
+    ti = cat_inc.read(spark, "terms").select("term", "df", "cf")
+    tf_ = cat_full.read(spark, "terms").select("term", "df", "cf")
     assert ti.subtract(tf_).count() == 0 and tf_.subtract(ti).count() == 0
 
     # decoded postings identical (doc_id, tf, doclen per term)

@@ -1,0 +1,179 @@
+"""LM Dirichlet scorer contracts (scorer='lmd', SURVEY delta 52).
+
+Invariants: driver block-max ≡ exhaustive bit-identity (both paths share
+np.log — the exhaustive plan routes the per-row ln through a vectorized
+pandas UDF precisely so this holds); engine ≡ textbook recomputation
+(Zhai & Lafferty 2001 contrib, sorted-term summation); the terms table's
+cf column is exactly Σtf (globally and per scope); incremental upsert
+maintains cf so lmd ranks survive index_doc unchanged vs a full rebuild.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from search_engine_spark.functions import scoring
+from search_engine_spark.functions.analyze import analyze, analyze_query
+from search_engine_spark.operators.query import SearchEngine
+from search_engine_spark.plans.build_job import build_index
+from search_engine_spark.sources.catalog import Catalog
+from search_engine_spark.synth import make_corpus
+
+N_DOCS = 220
+SEED = 13
+Q = "engine site block"
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("lmd_idx"))
+    corpus = make_corpus(spark, N_DOCS, seed=SEED, partitions=4)
+    cat = Catalog(root)
+    build_index(spark, corpus, cat, n_shards=2, skew_df_threshold=60,
+                salt_target_rows=40)
+    return cat
+
+
+@pytest.fixture(scope="module")
+def engine(spark, built):
+    return SearchEngine(spark, built, code=True)
+
+
+def _pairs(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+@pytest.mark.parametrize("q", [Q, "engine", "site block"])
+@pytest.mark.parametrize("mode", ["all", "any"])
+def test_lmd_driver_equals_exhaustive(engine, q, mode):
+    drv = _pairs(engine.topk(q, 15, mode=mode, scorer="lmd"))
+    exh = _pairs(
+        engine.topk(q, 15, mode=mode, scorer="lmd", strategy="exhaustive")
+    )
+    assert drv == exh
+    assert drv
+
+
+def test_lmd_scoped_driver_equals_exhaustive(engine):
+    drv = _pairs(engine.topk("engine block", 10, site="org0/repo0",
+                             scorer="lmd"))
+    exh = _pairs(engine.topk("engine block", 10, site="org0/repo0",
+                             scorer="lmd", strategy="exhaustive"))
+    assert drv == exh
+    assert drv
+
+
+def _brute_docs(spark, engine):
+    """{doc_id: Counter(term)} recomputed from the corpus with the frozen
+    analyzer — the textbook oracle's raw material."""
+    corpus = (
+        make_corpus(spark, N_DOCS, seed=SEED, partitions=4)
+        .select("repo", "path", "content")
+        .toPandas()
+    )
+    ids = {
+        (r["repo"], r["path"]): r["doc_id"]
+        for r in engine.docs.select("repo", "path", "doc_id").collect()
+    }
+    return {
+        ids[(r["repo"], r["path"])]: Counter(analyze(r["content"], code=True))
+        for _, r in corpus.iterrows()
+    }
+
+
+def test_lmd_matches_textbook_recomputation(spark, engine):
+    docs = _brute_docs(spark, engine)
+    total_len = sum(sum(c.values()) for c in docs.values())
+    assert engine.total_len == total_len
+    q_terms = analyze_query(Q, code=True)
+    cf = {t: sum(c[t] for c in docs.values()) for t in q_terms}
+    brute = []
+    for d, c in docs.items():
+        if not all(t in c for t in q_terms):
+            continue
+        dl = sum(c.values())
+        s = 0.0
+        for t in sorted(q_terms):  # frozen summation order
+            s += float(
+                scoring.lmd_contrib_np(
+                    scoring.lmd_mu_p(cf[t], total_len),
+                    np.array([c[t]]), np.array([dl]),
+                )[0]
+            )
+        brute.append((d, s))
+    brute.sort(key=lambda x: (-x[1], x[0]))
+    got = _pairs(engine.topk(Q, 10, scorer="lmd"))
+    assert got == brute[:10]
+
+
+def test_terms_cf_is_sum_of_tf(spark, built):
+    """cf invariant: the terms rows' cf equals Σtf over the decoded
+    postings, per (scope, term) — globally and for every repo scope."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.query import decode_blocks
+
+    decoded = decode_blocks(built.read(spark, "postings"))
+    docs = built.read(spark, "docs").select("doc_id", "repo")
+    got_global = {
+        r["term"]: int(r["s"])
+        for r in decoded.groupBy("term").agg(F.sum("tf").alias("s")).collect()
+    }
+    got_scoped = {
+        (r["repo"], r["term"]): int(r["s"])
+        for r in decoded.join(docs, "doc_id")
+        .groupBy("repo", "term").agg(F.sum("tf").alias("s")).collect()
+    }
+    for r in built.read(spark, "terms").collect():
+        want = (
+            got_global[r["term"]]
+            if r["scope"] == ""
+            else got_scoped[(r["scope"], r["term"])]
+        )
+        assert int(r["cf"]) == want, (r["scope"], r["term"])
+
+
+def test_lmd_survives_incremental_upsert(spark, tmp_path):
+    """index_doc maintains cf/total_len: lmd top-k after an upsert is
+    rank- AND score-identical to a full rebuild's."""
+    from search_engine_spark.plans.incremental import index_doc
+
+    corpus = make_corpus(spark, 80, seed=21, partitions=2)
+    rows = corpus.collect()
+    base_rows, extra = rows[:-1], rows[-1]
+
+    cat_inc = Catalog(str(tmp_path / "inc"))
+    build_index(spark, spark.createDataFrame(base_rows, corpus.schema),
+                cat_inc, n_shards=2, skew_df_threshold=50, salt_target_rows=40)
+    index_doc(spark, cat_inc, extra["repo"], extra["path"], extra["commit"],
+              extra["lang"], extra["content"], code=True)
+
+    cat_full = Catalog(str(tmp_path / "full"))
+    build_index(spark, spark.createDataFrame(rows, corpus.schema), cat_full,
+                n_shards=2, skew_df_threshold=50, salt_target_rows=40)
+
+    ei = SearchEngine(spark, cat_inc, code=True)
+    ef = SearchEngine(spark, cat_full, code=True)
+    assert ei.total_len == ef.total_len
+    for q in ("engine site", "block", "engine site block"):
+        assert _pairs(ei.topk(q, 20, scorer="lmd")) == _pairs(
+            ef.topk(q, 20, scorer="lmd")
+        ), q
+
+
+def test_lmd_api_envelope(spark, tmp_path):
+    from search_engine_spark.api import EngineAPI
+
+    api = EngineAPI(
+        spark,
+        Catalog(str(tmp_path / "lmd_api")),
+        corpus_reader=lambda: make_corpus(spark, 80, seed=21, partitions=2),
+        code=True,
+    )
+    assert api.start_indexing(n_shards=2) == {"result": True}
+    res = api.search("engine site", scorer="lmd", limit=5)
+    assert res["result"] is True
+    assert len(res["data"]) <= 5
