@@ -237,6 +237,58 @@ def _q_lmd(spark, sf):
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
 
 
+def _q_bm25_syn(spark, sf):
+    """Synonym-expanded BM25 top-20 (SURVEY delta 53): the Q3 AND query
+    with clause 'scan' expanded to the group {scan, merge} — Lucene
+    SynonymQuery semantics: group tf = Σ member tf in the doc, group df =
+    max over the members' dfs (SynonymQuery.java docFreq). The relational
+    twin of SearchEngine.topk(synonyms={'scan': ['merge']})."""
+    toks = _tokens(spark, sf)
+    members = ["data", "query", "scan", "merge"]
+    gcol = F.when(F.col("term") == "merge", F.lit("scan")).otherwise(
+        F.col("term")
+    )
+    t = toks.filter(F.col("term").isin(members))
+    mdf = t.groupBy("term").agg(F.countDistinct("doc_id").alias("mdf"))
+    gdf = (
+        mdf.withColumn("gterm", gcol)
+        .groupBy("gterm")
+        .agg(F.max("mdf").alias("df"))
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("doclen"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("doclen").alias("avgdl"))
+    gtf = (
+        t.withColumn("gterm", gcol)
+        .groupBy("doc_id", "gterm")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = (
+        gtf.join(dl, "doc_id")
+        .join(gdf, "gterm")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            )
+            * F.lit(2.2)
+            * F.col("tf").cast("double")
+            / (
+                F.col("tf").cast("double")
+                + F.lit(1.2)
+                * (F.lit(0.25) + F.lit(0.75) * F.col("doclen") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gterm").alias("nt"), F.sum("contrib").alias("s"))
+        .filter(F.col("nt") == 3)
+        .select("doc_id", F.round("s", 4).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
 def _bm25_scored(spark, sf, toks=None, mode="all", min_match=None):
     if toks is None:
         toks = _tokens(spark, sf)
@@ -1654,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or_topk": _q_bm25_or,
         "bm25_msm_topk": _q_bm25_msm,
         "lm_dirichlet_topk": _q_lmd,
+        "bm25_syn_topk": _q_bm25_syn,
         "bm25_collapse_topk": _q_bm25_collapse,
         "not_topk": _q_not_topk,
         "bm25_scoped_topk": _q_bm25_scoped,
@@ -1836,6 +1889,28 @@ def oracle_sql() -> dict[str, str]:
              WHERE tf.term IN {q3}
              GROUP BY tf.doc_id)
            SELECT doc_id, nt, round(s, 4) AS score FROM sc
+           ORDER BY score DESC, doc_id LIMIT 20""",
+        "bm25_syn_topk": _TOK_CTE
+        + """, t AS (SELECT doc_id,
+                    CASE WHEN term = 'merge' THEN 'scan' ELSE term END AS gterm,
+                    term
+             FROM tok2 WHERE term IN ('data','query','scan','merge')),
+           mdf AS (SELECT term, count(DISTINCT doc_id) AS mdf FROM t GROUP BY term),
+           gdf AS (SELECT CASE WHEN term = 'merge' THEN 'scan' ELSE term END AS gterm,
+                          max(mdf) AS df
+                   FROM mdf GROUP BY 1),
+           gtf AS (SELECT doc_id, gterm, count(*) AS tf FROM t GROUP BY doc_id, gterm),
+           dl AS (SELECT doc_id, count(*) AS doclen FROM tok2 GROUP BY doc_id),
+           st AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+           sc AS (
+             SELECT gtf.doc_id,
+                    count(DISTINCT gtf.gterm) AS nt,
+                    sum(ln((st.n_docs - gdf.df + 0.5) / (gdf.df + 0.5) + 1.0)
+                        * 2.2 * gtf.tf
+                        / (gtf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl))) AS s
+             FROM gtf JOIN dl USING (doc_id) JOIN gdf USING (gterm) CROSS JOIN st
+             GROUP BY gtf.doc_id)
+           SELECT doc_id, round(s, 4) AS score FROM sc WHERE nt = 3
            ORDER BY score DESC, doc_id LIMIT 20""",
         "lm_dirichlet_topk": _TOK_CTE
         + f""", tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),

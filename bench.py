@@ -319,6 +319,7 @@ def main() -> None:
         "span_dedup",
         "bm25_msm_topk",
         "lm_dirichlet_topk",
+        "bm25_syn_topk",
         # rep 1 includes the one-time trigram index build (cached per
         # sf_dir); rep 2 is the warm pruned serve — timing_reps shows both
         "trigram_substring",

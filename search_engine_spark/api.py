@@ -215,6 +215,7 @@ class EngineAPI:
         mode: str = "all",
         near_window: int = 8,
         min_match: int | None = None,
+        synonyms: dict | None = None,
     ) -> dict:
         """``mode='all'`` (default) is the reference AND contract with an
         exact count. ``mode='any'`` is the ranked union (missing terms
@@ -235,7 +236,12 @@ class EngineAPI:
         top-k cut, scoring stays over the positive terms, and the banner
         count turns truncation-aware (``countExact``) because an exact
         survivor count would decode the full exclusion lists just for
-        the banner."""
+        the banner.
+
+        ``synonyms`` ({word: word|[words]}) expands matching clauses into
+        Lucene-SynonymQuery groups (modes ``all``/``any``); the banner is
+        truncation-aware (group counts aren't modeled by the estimators).
+        """
         if not query or not query.strip():
             return {"result": False, "error": ERR_EMPTY_QUERY}
         exclude = None
@@ -279,18 +285,26 @@ class EngineAPI:
             topk = [(int(r["doc_id"]), float(r["hits"])) for r in rows]
             count = len(topk)
             count_exact = len(topk) < offset + limit
-        elif mode == "any":
+        elif mode == "any" or synonyms:
             rows = eng.topk(
                 query, k=limit, offset=offset, site=site,
-                strategy=strategy, scorer=scorer, mode="any",
-                exclude=exclude, min_match=min_match,
+                strategy=strategy, scorer=scorer, mode=mode,
+                exclude=exclude,
+                min_match=(min_match if mode == "any" else None),
+                synonyms=synonyms,
             ).collect()
             topk = [(int(r["doc_id"]), float(r["score"])) for r in rows]
-            if exclude is None and not (min_match and min_match > 1):
+            if (
+                mode == "any"
+                and exclude is None
+                and not (min_match and min_match > 1)
+                and not synonyms
+            ):
                 count, count_exact = eng.or_match_count(query, site)
             else:
-                # min_match filters candidates the union estimate can't
-                # see → truncation-aware banner, like the NOT clause
+                # min_match / synonym groups filter or reshape candidates
+                # the union estimate can't see → truncation-aware banner,
+                # like the NOT clause
                 count = len(topk)
                 count_exact = len(topk) < offset + limit
         elif exclude is not None:
@@ -313,7 +327,11 @@ class EngineAPI:
             )
         if not topk:
             out = {"result": True, "count": 0, "data": []}
-            if mode in ("any", "phrase", "near", "prefix") or exclude is not None:
+            if (
+                mode in ("any", "phrase", "near", "prefix")
+                or exclude is not None
+                or synonyms
+            ):
                 out["countExact"] = count_exact
             return out
 
@@ -344,7 +362,11 @@ class EngineAPI:
                 }
             )
         out = {"result": True, "count": count, "data": data}
-        if mode in ("any", "phrase", "near", "prefix") or exclude is not None:
+        if (
+            mode in ("any", "phrase", "near", "prefix")
+            or exclude is not None
+            or synonyms
+        ):
             out["countExact"] = count_exact
         return out
 

@@ -89,6 +89,11 @@ class _Handler(BaseHTTPRequestHandler):
                             if _one(q, "minMatch") is not None
                             else None
                         ),
+                        synonyms=(
+                            json.loads(_one(q, "synonyms"))
+                            if _one(q, "synonyms") is not None
+                            else None
+                        ),
                     )
                 )
             if u.path == "/api/suggest":

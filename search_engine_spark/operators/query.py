@@ -1268,6 +1268,112 @@ class SearchEngine:
         member = exc_ids[p] == ids
         return [pair for pair, m in zip(res, member) if not m][:need]
 
+    def _syn_groups(
+        self, q_terms: list[str], synonyms: dict
+    ) -> list[tuple[str, list[str]]]:
+        """Clause groups [(head term, sorted members)] in q_terms order.
+        ``synonyms`` maps a raw word → word(s); both sides run through the
+        frozen analyzer, so callers pass surface forms. Overlapping groups
+        (one member term reachable from two heads) are rejected — each
+        posting row must score in exactly one clause."""
+        syn_forms: dict[str, list[str]] = {}
+        for raw, syns in synonyms.items():
+            if isinstance(syns, str):
+                syns = [syns]
+            members: list[str] = []
+            for s in syns:
+                members.extend(analyze_query(s, code=self.code))
+            for head in analyze_query(raw, code=self.code):
+                syn_forms.setdefault(head, []).extend(members)
+        groups, seen = [], {}
+        for t in dict.fromkeys(q_terms):
+            mem = sorted(set([t] + syn_forms.get(t, [])))
+            for m in mem:
+                if m in seen and seen[m] != t:
+                    raise ValueError(
+                        f"synonym groups overlap on {m!r} ({seen[m]!r} vs {t!r})"
+                    )
+                seen[m] = t
+            groups.append((t, mem))
+        return groups
+
+    def _topk_syn(
+        self,
+        q_terms: list[str],
+        synonyms: dict,
+        need: int,
+        site: str | None,
+        scorer: str,
+        mode: str,
+        exc_terms: list[str],
+        min_match: int,
+    ) -> DataFrame:
+        """Synonym-expanded scoring (Lucene SynonymQuery semantics, frozen):
+        each clause is a GROUP of terms scored as one pseudo-term — tf =
+        Σ member tf in the doc, df = max over vocabulary-present members
+        (SynonymQuery.java's docFreq), cf (lmd) = Σ member cf. A group is
+        vocabulary-missing only when EVERY member is (O6 at group level).
+        Distributed-only: the pseudo-term's postings are the union of its
+        members', which the driver block-max cache doesn't model — the
+        decode is bounded by the member lists exactly like the exhaustive
+        plan, so the 10^12-doc story is unchanged."""
+        groups = self._syn_groups(q_terms, synonyms)
+        all_members = sorted({m for _, ms in groups for m in ms})
+        base = self._resolve(all_members, site, require_all=False)
+        if base is None:
+            return self._empty()
+        present = set(base.dfs)
+        g_dfs: dict[str, int] = {}
+        g_cfs: dict[str, int] = {}
+        live: list[tuple[str, list[str]]] = []
+        for gk, ms in groups:
+            pm = [m for m in ms if m in present]
+            if not pm:
+                if mode == "all":
+                    return self._empty()  # group-level O6
+                continue
+            g_dfs[gk] = max(base.dfs[m] for m in pm)
+            g_cfs[gk] = sum(base.cfs.get(m, 0) for m in pm)
+            live.append((gk, pm))
+        if not live or min_match > len(live):
+            return self._empty()
+        gctx = _Ctx(
+            g_dfs, base.n_docs, base.avgdl, base.drift, site, None,
+            cfs=g_cfs, total_len=base.total_len,
+        )
+        member_of = {m: gk for gk, pm in live for m in pm}
+        decoded = decode_blocks(
+            self.postings.filter(F.col("term").isin(sorted(member_of)))
+        )
+        if site is not None:
+            decoded = decoded.join(
+                self._scoped_ids_df(site), "doc_id", "left_semi"
+            )
+        mapping = F.create_map(
+            *[x for m, g in sorted(member_of.items())
+              for x in (F.lit(m), F.lit(g))]
+        )
+        decoded = (
+            decoded.withColumn("term", mapping[F.col("term")])
+            .groupBy("doc_id", "term")
+            .agg(F.sum("tf").alias("tf"), F.max("doclen").alias("doclen"))
+        )
+        scored = self._score(
+            decoded, [gk for gk, _ in live], gctx, scorer,
+            match_all=(mode == "all"),
+            min_match=(min_match if mode == "any" else None),
+        )
+        if exc_terms:
+            excl = (
+                decode_blocks(
+                    self.postings.filter(F.col("term").isin(exc_terms))
+                )
+                .select("doc_id")
+                .distinct()
+            )
+            scored = scored.join(excl, "doc_id", "left_anti")
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(need)
+
     def topk(
         self,
         query: str,
@@ -1279,8 +1385,14 @@ class SearchEngine:
         mode: str = "all",
         exclude: str | None = None,
         min_match: int | None = None,
+        synonyms: dict | None = None,
     ) -> DataFrame:
         """→ DataFrame(doc_id, score) — top (offset+k) matches.
+
+        ``synonyms`` ({word: word | [words]}) expands each matching query
+        clause into a Lucene-SynonymQuery group — members share one score
+        (tf summed, df = max member df); see _topk_syn. Routes to the
+        distributed plan.
 
         ``min_match`` (Lucene minimum-should-match, ``mode='any'`` only):
         docs matching fewer than ``min_match`` distinct query terms are
@@ -1319,6 +1431,18 @@ class SearchEngine:
             if isinstance(query, (list, tuple))
             else analyze_query(query, code=self.code)
         )
+        if synonyms:
+            if not q_terms:
+                return self._empty()
+            return self._topk_syn(
+                q_terms, synonyms, offset + k, site, scorer, mode,
+                [
+                    t
+                    for t in analyze_query(exclude or "", code=self.code)
+                    if t not in q_terms
+                ],
+                int(min_match) if (min_match and mode == "any") else 1,
+            )
         ctx = self._resolve(q_terms, site, require_all=(mode == "all"))
         if ctx is None:
             return self._empty()

@@ -1,0 +1,154 @@
+"""Synonym-expansion contracts (topk(synonyms=…), SURVEY delta 53 —
+Lucene SynonymQuery semantics, frozen): each expanded clause scores as ONE
+pseudo-term with tf = Σ member tf, df = max member df (SynonymQuery.java's
+docFreq), cf (lmd) = Σ member cf; a group is vocabulary-missing only when
+every member is. Overlapping groups are rejected.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from search_engine_spark.functions import scoring
+from search_engine_spark.functions.analyze import analyze
+from search_engine_spark.operators.query import SearchEngine
+from search_engine_spark.plans.build_job import build_index
+from search_engine_spark.sources.catalog import Catalog
+from search_engine_spark.synth import make_corpus
+
+N_DOCS = 220
+SEED = 13
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("syn_idx"))
+    corpus = make_corpus(spark, N_DOCS, seed=SEED, partitions=4)
+    cat = Catalog(root)
+    build_index(spark, corpus, cat, n_shards=2, skew_df_threshold=60,
+                salt_target_rows=40)
+    return SearchEngine(spark, cat, code=True)
+
+
+def _pairs(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+def test_singleton_groups_equal_plain_query(engine):
+    """A synonyms map that touches no query clause must not change the
+    result — every group is a singleton, max(df of one) = df, Σtf = tf."""
+    a = _pairs(engine.topk("engine block", 15, synonyms={"zzznot": "zzzalso"}))
+    b = _pairs(engine.topk("engine block", 15, strategy="exhaustive"))
+    assert a == b
+    assert a
+
+
+def test_group_matches_textbook_recomputation(spark, engine):
+    corpus = (
+        make_corpus(spark, N_DOCS, seed=SEED, partitions=4)
+        .select("repo", "path", "content")
+        .toPandas()
+    )
+    ids = {
+        (r["repo"], r["path"]): r["doc_id"]
+        for r in engine.docs.select("repo", "path", "doc_id").collect()
+    }
+    docs = {
+        ids[(r["repo"], r["path"])]: Counter(analyze(r["content"], code=True))
+        for _, r in corpus.iterrows()
+    }
+    n_docs = len(docs)
+    avgdl = sum(sum(c.values()) for c in docs.values()) / n_docs
+    groups = {"engine": ["engine"], "block": ["block", "page"]}
+    df = {
+        g: max(sum(1 for c in docs.values() if m in c) for m in ms)
+        for g, ms in groups.items()
+    }
+    brute = []
+    for d, c in docs.items():
+        tfg = {g: sum(c[m] for m in ms) for g, ms in groups.items()}
+        if not all(tfg[g] > 0 for g in groups):
+            continue
+        dl = sum(c.values())
+        s = 0.0
+        for g in sorted(groups):  # frozen summation order
+            s += scoring.bm25_contrib(float(tfg[g]), float(dl), df[g],
+                                      n_docs, avgdl)
+        brute.append((d, s))
+    brute.sort(key=lambda x: (-x[1], x[0]))
+    got = _pairs(engine.topk("engine block", 10, synonyms={"block": ["page"]}))
+    assert got == brute[:10]
+    assert got
+
+
+def test_group_rescues_missing_term_in_and_mode(engine):
+    """AND-mode O6 is group-level: a vocabulary-missing head term still
+    matches through a present synonym; with no synonym it empties."""
+    assert _pairs(engine.topk("engine zzzznotaword", 5)) == []
+    rescued = _pairs(
+        engine.topk("engine zzzznotaword", 5,
+                    synonyms={"zzzznotaword": "block"})
+    )
+    assert rescued
+    # the rescued group is exactly the singleton {block}
+    direct = _pairs(engine.topk("engine block", 5, strategy="exhaustive"))
+    assert rescued == direct
+
+
+def test_msm_counts_groups(engine):
+    """min_match applies to GROUPS: msm=2 over two groups == AND of the
+    two groups (same float sum)."""
+    syn = {"block": ["page"]}
+    msm = _pairs(engine.topk("engine block", 25, mode="any", min_match=2,
+                             synonyms=syn))
+    anded = _pairs(engine.topk("engine block", 25, mode="all", synonyms=syn))
+    assert msm == anded
+
+
+def test_lmd_group_cf_is_sum(engine):
+    """scorer='lmd' through a group smooths with Σ member cf — verified
+    by equality with a singleton query whose term carries the same cf
+    (self-consistency: group of one ≡ plain lmd)."""
+    a = _pairs(engine.topk("engine", 10, scorer="lmd",
+                           synonyms={"zzznot": "zzzalso"}))
+    b = _pairs(engine.topk("engine", 10, scorer="lmd",
+                           strategy="exhaustive"))
+    assert a == b
+    grp = _pairs(engine.topk("engine block", 10, scorer="lmd",
+                             synonyms={"block": ["page"]}))
+    assert grp
+
+
+def test_overlapping_groups_rejected(engine):
+    with pytest.raises(ValueError, match="overlap"):
+        engine.topk("engine block", 5, synonyms={"engine": ["block"]})
+
+
+def test_scoped_synonyms(engine):
+    got = _pairs(
+        engine.topk("engine block", 10, site="org0/repo0",
+                    synonyms={"block": ["page"]})
+    )
+    scoped_ids = {
+        r["doc_id"]
+        for r in engine.docs.filter("repo = 'org0/repo0'")
+        .select("doc_id").collect()
+    }
+    assert got and all(d in scoped_ids for d, _ in got)
+
+
+def test_synonyms_api_envelope(spark, tmp_path):
+    from search_engine_spark.api import EngineAPI
+
+    api = EngineAPI(
+        spark,
+        Catalog(str(tmp_path / "syn_api")),
+        corpus_reader=lambda: make_corpus(spark, 80, seed=21, partitions=2),
+        code=True,
+    )
+    assert api.start_indexing(n_shards=2) == {"result": True}
+    res = api.search("engine block", synonyms={"block": ["page"]}, limit=5)
+    assert res["result"] is True
+    assert "countExact" in res  # truncation-aware banner under synonyms
