@@ -237,6 +237,20 @@ def _q_lmd(spark, sf):
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
 
 
+def _q_bm25_filtered(spark, sf):
+    """Metadata-filtered BM25 top-20 (SURVEY delta 54): the Q3 AND query
+    restricted to lang='en' docs — Lucene fq semantics: the filter
+    restricts candidates but NEVER rescopes scoring stats (df/n_docs/
+    avgdl stay corpus-level). The relational twin of
+    SearchEngine.topk(filters={'lang': 'en'})."""
+    keep = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .filter(F.col("lang") == "en")
+        .select("doc_id")
+    )
+    return _bm25_scored(spark, sf, keep_ids=keep)
+
+
 def _q_bm25_syn(spark, sf):
     """Synonym-expanded BM25 top-20 (SURVEY delta 53): the Q3 AND query
     with clause 'scan' expanded to the group {scan, merge} — Lucene
@@ -289,7 +303,8 @@ def _q_bm25_syn(spark, sf):
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
 
 
-def _bm25_scored(spark, sf, toks=None, mode="all", min_match=None):
+def _bm25_scored(spark, sf, toks=None, mode="all", min_match=None,
+                 keep_ids=None):
     if toks is None:
         toks = _tokens(spark, sf)
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
@@ -329,6 +344,8 @@ def _bm25_scored(spark, sf, toks=None, mode="all", min_match=None):
         scored = scored.select("doc_id", "nt", F.round("s", 4).alias("score"))
         if min_match is not None:
             scored = scored.filter(F.col("nt") >= min_match)
+    if keep_ids is not None:  # fq restriction BEFORE the top-k cut
+        scored = scored.join(keep_ids, "doc_id", "left_semi")
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
 
 
@@ -1707,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_msm_topk": _q_bm25_msm,
         "lm_dirichlet_topk": _q_lmd,
         "bm25_syn_topk": _q_bm25_syn,
+        "bm25_filtered_topk": _q_bm25_filtered,
         "bm25_collapse_topk": _q_bm25_collapse,
         "not_topk": _q_not_topk,
         "bm25_scoped_topk": _q_bm25_scoped,
@@ -1890,6 +1908,24 @@ def oracle_sql() -> dict[str, str]:
              GROUP BY tf.doc_id)
            SELECT doc_id, nt, round(s, 4) AS score FROM sc
            ORDER BY score DESC, doc_id LIMIT 20""",
+        "bm25_filtered_topk": _TOK_CTE
+        + f""", tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
+           dl AS (SELECT doc_id, count(*) AS doclen FROM tok2 GROUP BY doc_id),
+           dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY term),
+           st AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+           sc AS (
+             SELECT tf.doc_id,
+                    count(DISTINCT tf.term) AS nt,
+                    sum(ln((st.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                        * 2.2 * tf.tf
+                        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl))) AS s
+             FROM tf JOIN dl USING (doc_id) JOIN dft USING (term) CROSS JOIN st
+             WHERE tf.term IN {q3}
+             GROUP BY tf.doc_id)
+           SELECT sc.doc_id, round(sc.s, 4) AS score FROM sc
+           JOIN documents d ON d.doc_id = sc.doc_id
+           WHERE sc.nt = 3 AND d.lang = 'en'
+           ORDER BY score DESC, sc.doc_id LIMIT 20""",
         "bm25_syn_topk": _TOK_CTE
         + """, t AS (SELECT doc_id,
                     CASE WHEN term = 'merge' THEN 'scan' ELSE term END AS gterm,

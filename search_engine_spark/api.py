@@ -216,6 +216,7 @@ class EngineAPI:
         near_window: int = 8,
         min_match: int | None = None,
         synonyms: dict | None = None,
+        filters: dict | None = None,
     ) -> dict:
         """``mode='all'`` (default) is the reference AND contract with an
         exact count. ``mode='any'`` is the ranked union (missing terms
@@ -241,6 +242,10 @@ class EngineAPI:
         ``synonyms`` ({word: word|[words]}) expands matching clauses into
         Lucene-SynonymQuery groups (modes ``all``/``any``); the banner is
         truncation-aware (group counts aren't modeled by the estimators).
+
+        ``filters`` ({repo|lang|commit: value, path_prefix: prefix})
+        restricts results on doc metadata without rescoping stats (Lucene
+        fq); the banner is truncation-aware under filters.
         """
         if not query or not query.strip():
             return {"result": False, "error": ERR_EMPTY_QUERY}
@@ -285,13 +290,13 @@ class EngineAPI:
             topk = [(int(r["doc_id"]), float(r["hits"])) for r in rows]
             count = len(topk)
             count_exact = len(topk) < offset + limit
-        elif mode == "any" or synonyms:
+        elif mode == "any" or synonyms or filters:
             rows = eng.topk(
                 query, k=limit, offset=offset, site=site,
                 strategy=strategy, scorer=scorer, mode=mode,
                 exclude=exclude,
                 min_match=(min_match if mode == "any" else None),
-                synonyms=synonyms,
+                synonyms=synonyms, filters=filters,
             ).collect()
             topk = [(int(r["doc_id"]), float(r["score"])) for r in rows]
             if (
@@ -299,6 +304,7 @@ class EngineAPI:
                 and exclude is None
                 and not (min_match and min_match > 1)
                 and not synonyms
+                and not filters
             ):
                 count, count_exact = eng.or_match_count(query, site)
             else:
@@ -331,6 +337,7 @@ class EngineAPI:
                 mode in ("any", "phrase", "near", "prefix")
                 or exclude is not None
                 or synonyms
+                or filters
             ):
                 out["countExact"] = count_exact
             return out
@@ -366,6 +373,7 @@ class EngineAPI:
             mode in ("any", "phrase", "near", "prefix")
             or exclude is not None
             or synonyms
+            or filters
         ):
             out["countExact"] = count_exact
         return out

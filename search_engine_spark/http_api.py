@@ -94,6 +94,19 @@ class _Handler(BaseHTTPRequestHandler):
                             if _one(q, "synonyms") is not None
                             else None
                         ),
+                        filters=(
+                            {
+                                k: _one(q, p)
+                                for k, p in (
+                                    ("lang", "lang"),
+                                    ("path_prefix", "pathPrefix"),
+                                    ("commit", "commit"),
+                                    ("repo", "filterRepo"),
+                                )
+                                if _one(q, p) is not None
+                            }
+                            or None
+                        ),
                     )
                 )
             if u.path == "/api/suggest":

@@ -239,13 +239,17 @@ class _Ctx:
     factor."""
 
     __slots__ = ("dfs", "n_docs", "avgdl", "drift", "site", "site_ids",
-                 "cfs", "total_len")
+                 "cfs", "total_len", "filters")
 
     def __init__(self, dfs, n_docs, avgdl, drift, site, site_ids,
                  cfs=None, total_len=0):
         self.dfs, self.n_docs, self.avgdl = dfs, n_docs, avgdl
         self.drift, self.site, self.site_ids = drift, site, site_ids
         self.cfs, self.total_len = (cfs or {}), total_len
+        # doc-dimension filter predicates (Lucene fq semantics: restrict
+        # candidates, do NOT rescope stats — unlike `site`). site_ids
+        # carries their driver-side sorted id array when under the cap.
+        self.filters: dict | None = None
 
     def idf(self, t: str) -> float:
         return scoring.idf(self.n_docs, self.dfs[t])
@@ -335,6 +339,7 @@ class SearchEngine:
         self._df_cache: OrderedDict[str, tuple[int, int] | None] = OrderedDict()
         self._site_cache: OrderedDict[str, tuple[int, float] | None] = OrderedDict()
         self._site_ids_cache: OrderedDict[str, np.ndarray | None] = OrderedDict()
+        self._filter_ids_cache: OrderedDict[tuple, np.ndarray | None] = OrderedDict()
         # decoded-payload block cache: repeated / overlapping queries reuse
         # already-fetched blocks — the steady-state serving path costs ZERO
         # Spark jobs for a fully cached query
@@ -364,6 +369,7 @@ class SearchEngine:
         self._df_cache.clear()
         self._site_cache.clear()
         self._site_ids_cache.clear()
+        self._filter_ids_cache.clear()
         self._blocks.clear()
         self._block_entries = 0
         self._pa_cache.clear()
@@ -813,6 +819,50 @@ class SearchEngine:
     def _scoped_ids_df(self, site: str) -> DataFrame:
         return self.docs.filter(F.col("repo") == site).select("doc_id")
 
+    # -- doc-dimension filters (Lucene fq: restrict, never rescope) --------
+
+    _FILTER_KEYS = ("repo", "lang", "commit", "path_prefix")
+
+    def _filter_pred(self, filters: dict):
+        conds = []
+        for k in sorted(filters):
+            v = filters[k]
+            if k == "path_prefix":
+                conds.append(F.col("path").startswith(v))
+            elif k in ("repo", "lang", "commit"):
+                conds.append(F.col(k) == v)
+            else:
+                raise ValueError(
+                    f"unknown filter {k!r} (allowed: {self._FILTER_KEYS})"
+                )
+        return reduce(lambda a, b: a & b, conds)
+
+    def _filter_ids_df(self, filters: dict) -> DataFrame:
+        """Qualifying doc_ids as a DataFrame — equality filters push down
+        to the docs parquet scan (dictionary/row-group pruning)."""
+        return self.docs.filter(self._filter_pred(filters)).select("doc_id")
+
+    def _filter_doc_ids(self, filters: dict) -> np.ndarray | None:
+        """Sorted qualifying doc_ids for the driver path, or None above
+        the cap (→ distributed semi-join fallback). Cached per filter set
+        — immutable per build, same lifecycle as the site-id cache."""
+        key = tuple(sorted(filters.items()))
+        if key not in self._filter_ids_cache:
+            rows = (
+                self._filter_ids_df(filters)
+                .limit(MAX_SITE_IDS + 1)
+                .collect()
+            )
+            if len(rows) > MAX_SITE_IDS:
+                self._filter_ids_cache[key] = None
+            else:
+                self._filter_ids_cache[key] = np.sort(
+                    np.array([r["doc_id"] for r in rows], dtype=np.int64)
+                )
+            while len(self._filter_ids_cache) > 8:
+                self._filter_ids_cache.popitem(last=False)
+        return self._filter_ids_cache[key]
+
     def _exhaustive_scored(
         self,
         q_terms: list[str],
@@ -825,6 +875,10 @@ class SearchEngine:
         if ctx.site is not None:
             decoded = decoded.join(
                 self._scoped_ids_df(ctx.site), "doc_id", "left_semi"
+            )
+        if ctx.filters:
+            decoded = decoded.join(
+                self._filter_ids_df(ctx.filters), "doc_id", "left_semi"
             )
         return self._score(
             decoded, q_terms, ctx, scorer, match_all=match_all, min_match=min_match
@@ -864,6 +918,14 @@ class SearchEngine:
             site_ids = self._site_doc_ids(ctx.site)
             if site_ids is None:
                 return None
+        if ctx.site_ids is not None:  # doc-dimension filters (fq)
+            site_ids = (
+                ctx.site_ids
+                if site_ids is None
+                else np.intersect1d(site_ids, ctx.site_ids)
+            )
+        if site_ids is not None and len(site_ids) == 0:
+            return []  # no doc passes the restriction
         bnd = self._block_bound(meta, ctx, term, scorer)
         order = np.lexsort((meta.block_id, -bnd))
         blocks_sorted = meta.block_id[order]
@@ -930,6 +992,14 @@ class SearchEngine:
             site_ids = self._site_doc_ids(ctx.site)
             if site_ids is None:
                 return None
+        if ctx.site_ids is not None:  # doc-dimension filters (fq)
+            site_ids = (
+                ctx.site_ids
+                if site_ids is None
+                else np.intersect1d(site_ids, ctx.site_ids)
+            )
+        if site_ids is not None and len(site_ids) == 0:
+            return [], 0  # no doc passes the restriction
         others = sorted(t for t in q_terms if t != rarest)
         rmeta = metas[rarest]
         if rmeta.n_blocks > MAX_FETCH_BLOCKS:
@@ -1099,6 +1169,14 @@ class SearchEngine:
             site_ids = self._site_doc_ids(ctx.site)
             if site_ids is None:
                 return None
+        if ctx.site_ids is not None:  # doc-dimension filters (fq)
+            site_ids = (
+                ctx.site_ids
+                if site_ids is None
+                else np.intersect1d(site_ids, ctx.site_ids)
+            )
+        if site_ids is not None and len(site_ids) == 0:
+            return []  # no doc passes the restriction
 
         bounds = {t: self._block_bound(metas[t], ctx, t, scorer) for t in terms}
         tmax = {
@@ -1307,6 +1385,7 @@ class SearchEngine:
         mode: str,
         exc_terms: list[str],
         min_match: int,
+        filters: dict | None = None,
     ) -> DataFrame:
         """Synonym-expanded scoring (Lucene SynonymQuery semantics, frozen):
         each clause is a GROUP of terms scored as one pseudo-term — tf =
@@ -1349,6 +1428,10 @@ class SearchEngine:
             decoded = decoded.join(
                 self._scoped_ids_df(site), "doc_id", "left_semi"
             )
+        if filters:
+            decoded = decoded.join(
+                self._filter_ids_df(filters), "doc_id", "left_semi"
+            )
         mapping = F.create_map(
             *[x for m, g in sorted(member_of.items())
               for x in (F.lit(m), F.lit(g))]
@@ -1386,6 +1469,7 @@ class SearchEngine:
         exclude: str | None = None,
         min_match: int | None = None,
         synonyms: dict | None = None,
+        filters: dict | None = None,
     ) -> DataFrame:
         """→ DataFrame(doc_id, score) — top (offset+k) matches.
 
@@ -1393,6 +1477,13 @@ class SearchEngine:
         clause into a Lucene-SynonymQuery group — members share one score
         (tf summed, df = max member df); see _topk_syn. Routes to the
         distributed plan.
+
+        ``filters`` restricts results on doc metadata (Lucene fq
+        semantics): keys ``repo``/``lang``/``commit`` (equality) and
+        ``path_prefix``. Unlike ``site`` it never rescopes scoring stats
+        — BM25/lmd keep corpus-level df/cf. Driver path intersects the
+        (capped, cached) qualifying-id array; the distributed plan
+        semi-joins the pushed-down docs scan.
 
         ``min_match`` (Lucene minimum-should-match, ``mode='any'`` only):
         docs matching fewer than ``min_match`` distinct query terms are
@@ -1442,8 +1533,11 @@ class SearchEngine:
                     if t not in q_terms
                 ],
                 int(min_match) if (min_match and mode == "any") else 1,
+                filters=filters,
             )
         ctx = self._resolve(q_terms, site, require_all=(mode == "all"))
+        if ctx is not None and filters:
+            ctx.filters = dict(filters)
         if ctx is None:
             return self._empty()
         if mode == "any":
@@ -1458,7 +1552,14 @@ class SearchEngine:
         ]
         need = offset + k
 
-        if strategy == "blockmax":
+        driver_ok = True
+        if ctx.filters:
+            fids = self._filter_doc_ids(ctx.filters)
+            if fids is None:  # above the cap → distributed semi-join only
+                driver_ok = False
+            else:
+                ctx.site_ids = fids
+        if strategy == "blockmax" and driver_ok:
             exc_ids = self._exclusion_ids(exc_terms) if exc_terms else np.array([], dtype=np.int64)
             if exc_ids is not None:
                 fetch = need + len(exc_ids)

@@ -1,0 +1,128 @@
+"""Doc-metadata filter contracts (topk(filters=…), SURVEY delta 54 —
+Lucene fq semantics): filters restrict candidates but NEVER rescope
+scoring stats; driver intersects the capped qualifying-id array (falling
+back to the distributed semi-join above the cap); composes with site,
+mode='any', min_match, exclude, synonyms, and all scorers.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from search_engine_spark.operators.query import SearchEngine
+from search_engine_spark.plans.build_job import build_index
+from search_engine_spark.sources.catalog import Catalog
+from search_engine_spark.synth import make_corpus
+
+N_DOCS = 220
+SEED = 13
+FLT = {"lang": "python"}
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("fq_idx"))
+    corpus = make_corpus(spark, N_DOCS, seed=SEED, partitions=4)
+    cat = Catalog(root)
+    build_index(spark, corpus, cat, n_shards=2, skew_df_threshold=60,
+                salt_target_rows=40)
+    return SearchEngine(spark, cat, code=True)
+
+
+def _pairs(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+@pytest.mark.parametrize("scorer", ["bm25", "lmd"])
+@pytest.mark.parametrize("mode", ["all", "any"])
+def test_filter_driver_equals_exhaustive(engine, mode, scorer):
+    drv = _pairs(engine.topk("engine block", 10, mode=mode, scorer=scorer,
+                             filters=FLT))
+    exh = _pairs(engine.topk("engine block", 10, mode=mode, scorer=scorer,
+                             filters=FLT, strategy="exhaustive"))
+    assert drv == exh
+    assert drv
+
+
+def test_filter_restricts_without_rescoring(engine):
+    """Filtered results = the unfiltered ranking restricted to qualifying
+    docs, with IDENTICAL scores (fq never touches df/avgdl) — unlike
+    `site`, which rescopes stats."""
+    unfiltered = _pairs(engine.topk("engine block", 10_000,
+                                    strategy="exhaustive"))
+    ids = {
+        r["doc_id"]
+        for r in engine.docs.filter("lang = 'python'")
+        .select("doc_id").collect()
+    }
+    manual = [(d, s) for d, s in unfiltered if d in ids][:10]
+    got = _pairs(engine.topk("engine block", 10, filters=FLT))
+    assert got == manual
+    assert got
+
+
+def test_filter_composes_with_site(engine):
+    drv = _pairs(engine.topk("engine block", 10, site="org0/repo0",
+                             filters=FLT))
+    exh = _pairs(engine.topk("engine block", 10, site="org0/repo0",
+                             filters=FLT, strategy="exhaustive"))
+    assert drv == exh
+    ok_ids = {
+        r["doc_id"]
+        for r in engine.docs.filter(
+            "repo = 'org0/repo0' and lang = 'python'"
+        ).select("doc_id").collect()
+    }
+    assert all(d in ok_ids for d, _ in drv)
+
+
+def test_filter_composes_with_synonyms(engine):
+    got = _pairs(engine.topk("engine block", 10, filters=FLT,
+                             synonyms={"block": ["page"]}))
+    ids = {
+        r["doc_id"]
+        for r in engine.docs.filter("lang = 'python'")
+        .select("doc_id").collect()
+    }
+    assert got and all(d in ids for d, _ in got)
+
+
+def test_path_prefix_filter(engine):
+    got = _pairs(engine.topk("engine", 10, filters={"path_prefix": "src/"}))
+    exh = _pairs(engine.topk("engine", 10, filters={"path_prefix": "src/"},
+                             strategy="exhaustive"))
+    assert got == exh
+    pref = {
+        r["doc_id"]
+        for r in engine.docs.filter("path like 'src/%'")
+        .select("doc_id").collect()
+    }
+    assert all(d in pref for d, _ in got)
+
+
+def test_empty_filter_set_is_empty_everywhere(engine):
+    for mode in ("all", "any"):
+        assert _pairs(engine.topk("engine block", 10, mode=mode,
+                                  filters={"lang": "nosuch"})) == []
+    assert _pairs(engine.topk("engine", 10,
+                              filters={"lang": "nosuch"})) == []
+
+
+def test_unknown_filter_key_rejected(engine):
+    with pytest.raises(ValueError, match="unknown filter"):
+        engine.topk("engine", 5, filters={"nope": "x"})
+
+
+def test_filters_api_envelope(spark, tmp_path):
+    from search_engine_spark.api import EngineAPI
+
+    api = EngineAPI(
+        spark,
+        Catalog(str(tmp_path / "fq_api")),
+        corpus_reader=lambda: make_corpus(spark, 80, seed=21, partitions=2),
+        code=True,
+    )
+    assert api.start_indexing(n_shards=2) == {"result": True}
+    res = api.search("engine block", filters={"lang": "python"}, limit=5)
+    assert res["result"] is True
+    assert "countExact" in res  # truncation-aware banner under filters
