@@ -237,6 +237,59 @@ def _q_lmd(spark, sf):
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
 
 
+def _q_bm25_boosted(spark, sf):
+    """Prior-boosted BM25 top-20 (SURVEY delta 56): the Q3 AND scores
+    fused with a static doc prior — score' = s + 0.2·ln(n_chars). The
+    relational twin of SearchEngine.topk_boosted(priors, w=0.2)."""
+    toks = _tokens(spark, sf)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("doclen"))
+    dft = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("doclen").alias("avgdl"))
+    prior = _t(spark, sf, "documents").select(
+        "doc_id", F.col("n_chars").cast("double").alias("prior")
+    )
+    scored = (
+        tf.filter(F.col("term").isin(Q3))
+        .join(dl, "doc_id")
+        .join(dft, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            )
+            * F.lit(2.2)
+            * F.col("tf").cast("double")
+            / (
+                F.col("tf").cast("double")
+                + F.lit(1.2)
+                * (F.lit(0.25) + F.lit(0.75) * F.col("doclen") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("nt"), F.sum("contrib").alias("s"))
+        .filter(F.col("nt") == 3)
+        .join(prior, "doc_id")
+        .select(
+            "doc_id",
+            F.round(F.col("s") + F.lit(0.2) * F.log("prior"), 4).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
+def _q_collocations(spark, sf):
+    """Bigram PMI collocations (SURVEY delta 55): top-20 adjacent pairs
+    with count >= 5 by pointwise mutual information — the phrase-mining
+    pass (Church & Hanks 1990 / word2vec phrases)."""
+    from search_engine_spark.operators.collocations import collocations
+
+    return collocations(_t(spark, sf, "documents"), min_count=5, k=20)
+
+
 def _q_bm25_filtered(spark, sf):
     """Metadata-filtered BM25 top-20 (SURVEY delta 54): the Q3 AND query
     restricted to lang='en' docs — Lucene fq semantics: the filter
@@ -1725,6 +1778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_dirichlet_topk": _q_lmd,
         "bm25_syn_topk": _q_bm25_syn,
         "bm25_filtered_topk": _q_bm25_filtered,
+        "pmi_collocations": _q_collocations,
+        "bm25_boosted_topk": _q_bm25_boosted,
         "bm25_collapse_topk": _q_bm25_collapse,
         "not_topk": _q_not_topk,
         "bm25_scoped_topk": _q_bm25_scoped,
@@ -1908,6 +1963,46 @@ def oracle_sql() -> dict[str, str]:
              GROUP BY tf.doc_id)
            SELECT doc_id, nt, round(s, 4) AS score FROM sc
            ORDER BY score DESC, doc_id LIMIT 20""",
+        "bm25_boosted_topk": _TOK_CTE
+        + f""", tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
+           dl AS (SELECT doc_id, count(*) AS doclen FROM tok2 GROUP BY doc_id),
+           dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY term),
+           st AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+           sc AS (
+             SELECT tf.doc_id,
+                    count(DISTINCT tf.term) AS nt,
+                    sum(ln((st.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                        * 2.2 * tf.tf
+                        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl))) AS s
+             FROM tf JOIN dl USING (doc_id) JOIN dft USING (term) CROSS JOIN st
+             WHERE tf.term IN {q3}
+             GROUP BY tf.doc_id)
+           SELECT sc.doc_id, round(sc.s + 0.2 * ln(d.n_chars), 4) AS score
+           FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+           WHERE sc.nt = 3
+           ORDER BY score DESC, sc.doc_id LIMIT 20""",
+        "pmi_collocations": """
+           WITH d AS (
+             SELECT doc_id,
+                    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                t -> length(t) >= 2) AS lf
+             FROM documents
+           ), bg AS (
+             SELECT unnest(list_zip(lf[1:length(lf)-1], lf[2:length(lf)])) AS p
+             FROM d WHERE length(lf) >= 2
+           ), pairs AS (SELECT p[1] AS a, p[2] AS b FROM bg),
+           uni AS (SELECT unnest(lf) AS term FROM d),
+           uc AS (SELECT term, count(*) AS c FROM uni GROUP BY term),
+           nu AS (SELECT count(*) AS n_u FROM uni),
+           bc AS (SELECT a, b, count(*) AS pair_count FROM pairs GROUP BY a, b),
+           nb AS (SELECT count(*) AS n_b FROM pairs)
+           SELECT bc.a, bc.b, bc.pair_count,
+                  round(ln((bc.pair_count / nb.n_b)
+                           / ((ua.c / nu.n_u) * (ub.c / nu.n_u))), 4) AS pmi
+           FROM bc JOIN uc ua ON ua.term = bc.a JOIN uc ub ON ub.term = bc.b
+           CROSS JOIN nu CROSS JOIN nb
+           WHERE bc.pair_count >= 5
+           ORDER BY pmi DESC, a, b LIMIT 20""",
         "bm25_filtered_topk": _TOK_CTE
         + f""", tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
            dl AS (SELECT doc_id, count(*) AS doclen FROM tok2 GROUP BY doc_id),

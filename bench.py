@@ -321,6 +321,8 @@ def main() -> None:
         "lm_dirichlet_topk",
         "bm25_syn_topk",
         "bm25_filtered_topk",
+        "pmi_collocations",
+        "bm25_boosted_topk",
         # rep 1 includes the one-time trigram index build (cached per
         # sf_dir); rep 2 is the warm pruned serve — timing_reps shows both
         "trigram_substring",

@@ -1,0 +1,94 @@
+"""Collocation mining: bigram PMI over the corpus (phrase discovery).
+
+The classic phrase-mining signal (Church & Hanks 1990; word2vec's phrase
+pass, Mikolov et al. 2013 §4 uses the same count ratio): for adjacent
+token pair (a, b),
+
+    PMI(a, b) = ln( (c_ab / N_b) / ((c_a / N_u) · (c_b / N_u)) )
+
+with c_ab the bigram count, c_a/c_b unigram counts over the same filtered
+token stream, N_b / N_u the total bigram/unigram counts. A min-count
+support cut precedes the ranking (PMI is unstable on rare pairs — the
+standard correction).
+
+Plan shape (the 10^12-doc properties):
+
+* adjacency is computed MAP-SIDE with pure Catalyst array ops
+  (slice + arrays_zip + explode) — no window over a global position
+  order, no UDF; a doc's bigrams never leave its partition before the
+  count aggregate;
+* two partial+final hash aggregates (unigrams, bigrams) — hot pairs
+  (boilerplate headers) are absorbed by map-side combine, the same
+  property as the TF stage;
+* N_u / N_b are 1-row scalar aggregates cross-joined in (never a
+  collect-and-broadcast of corpus-sized state).
+
+Tokenization mirrors the engine-portable ASCII spec (lower / split
+non-alnum / len>=2) so a DuckDB list_zip twin can replay it exactly;
+adjacency is over the FILTERED sequence (dropping short tokens splices
+their neighbors together — frozen, matched by the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _filtered_tokens_col(text_col):
+    return F.filter(
+        F.split(F.lower(text_col), TOKEN_SPLIT), lambda t: F.length(t) >= 2
+    )
+
+
+def collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """→ DataFrame(a, b, pair_count, pmi) — top-k adjacent pairs by
+    (round(pmi,4) DESC, a, b). ``min_count`` is the support cut."""
+    lf = docs.select(_filtered_tokens_col(F.col(text_col)).alias("lf"))
+    n = F.size("lf")
+    pairs = (
+        lf.filter(n >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("lf", 1, n - 1).alias("a"),
+                    F.slice("lf", 2, n - 1).alias("b"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    uni = lf.select(F.explode("lf").alias("term"))
+    uc = uni.groupBy("term").agg(F.count("*").alias("c"))
+    nu = uni.agg(F.count("*").alias("n_u"))
+    bc = pairs.groupBy("a", "b").agg(F.count("*").alias("pair_count"))
+    nb = pairs.agg(F.count("*").alias("n_b"))
+    ua = uc.select(F.col("term").alias("a"), F.col("c").alias("ca"))
+    ub = uc.select(F.col("term").alias("b"), F.col("c").alias("cb"))
+    return (
+        bc.filter(F.col("pair_count") >= min_count)
+        .join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "a",
+            "b",
+            "pair_count",
+            F.round(
+                F.log(
+                    (F.col("pair_count") / F.col("n_b"))
+                    / ((F.col("ca") / F.col("n_u")) * (F.col("cb") / F.col("n_u")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+        .limit(k)
+    )

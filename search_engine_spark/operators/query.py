@@ -1594,6 +1594,109 @@ class SearchEngine:
             scored = scored.join(excl, "doc_id", "left_anti")
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(need)
 
+    def topk_boosted(
+        self,
+        query: str,
+        priors: DataFrame,
+        w: float = 0.2,
+        k: int = 20,
+        offset: int = 0,
+        site: str | None = None,
+        scorer: str = "bm25",
+        mode: str = "all",
+        strategy: str = "blockmax",
+        pool_factor: int = 10,
+    ) -> DataFrame:
+        """Static-prior rank fusion → DataFrame(doc_id, score):
+
+            score' = base(query, doc) + w · ln(prior(doc))
+
+        the log-prior additive boost every production engine mixes in
+        (PageRank/recency/quality; Lucene FunctionScoreQuery shape, the
+        first term of an LTR linear model). ``priors`` is
+        DataFrame(doc_id, prior) with prior > 0; docs without a prior row
+        boost by ln(1) = 0. The ln is per-doc, so BOTH paths evaluate it
+        with np.log (distributed through a vectorized pandas UDF — the
+        lmd discipline) keeping pool ≡ exhaustive bit-identical.
+
+        Exactness contract (the topk_collapsed trade): ``exhaustive``
+        joins the prior onto every scored match — always exact, one
+        O(matches) join. The default blockmax path over-fetches a
+        ``pool_factor·(offset+k)`` base-score pool via the driver-native
+        top-k and boosts on the driver; it is PROVABLY exact when either
+        the pool covered every match, or the k-th boosted pool score ≥
+        θ_pool + w·ln(max prior) (no unpooled doc — base ≤ θ_pool — can
+        out-rank it); otherwise it falls back to exhaustive instead of
+        returning a best-effort page.
+        """
+        need = offset + k
+        q_terms = analyze_query(query, code=self.code)
+        if w < 0:
+            raise ValueError("w must be >= 0 (priors reward, never punish)")
+        if strategy == "blockmax":
+            pool_rows = self.topk(
+                query, k=pool_factor * need, site=site, scorer=scorer,
+                mode=mode,
+            ).collect()
+            if not pool_rows:
+                return self._empty()
+            ids = [int(r["doc_id"]) for r in pool_rows]
+            pr = {
+                int(r["doc_id"]): float(r["prior"])
+                for r in priors.filter(F.col("doc_id").isin(ids))
+                .select("doc_id", "prior")
+                .collect()
+            }
+            boosted = [
+                (
+                    d,
+                    float(r["score"])
+                    + w * float(np.log(pr.get(d, 1.0))),
+                )
+                for d, r in zip(ids, pool_rows)
+            ]
+            boosted.sort(key=lambda x: (-x[1], x[0]))
+            if len(pool_rows) < pool_factor * need:
+                # pool covered EVERY match — boost is a pure permutation
+                return self._from_pairs(boosted[:need])
+            theta_pool = min(float(r["score"]) for r in pool_rows)
+            # one 1-row job; priors is caller state so the max is not
+            # cached on the engine (different calls may pass different
+            # priors frames)
+            row = priors.agg(F.max("prior").alias("m")).collect()[0]
+            prior_max = float(row["m"] or 1.0)
+            if (
+                len(boosted) >= need
+                and boosted[need - 1][1]
+                >= theta_pool + w * float(np.log(max(prior_max, 1.0)))
+            ):
+                return self._from_pairs(boosted[:need])
+            # pool can't prove the page — exhaustive fallback
+        ctx = self._resolve(q_terms, site, require_all=(mode == "all"))
+        if ctx is None:
+            return self._empty()
+        if mode == "any":
+            q_terms = [t for t in q_terms if t in ctx.dfs]
+        scored = self._exhaustive_scored(
+            q_terms, ctx, scorer, match_all=(mode == "all")
+        )
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        w_ = float(w)
+
+        @pandas_udf("double")
+        def _boost(prior: pd.Series) -> pd.Series:
+            return pd.Series(
+                w_ * np.log(prior.fillna(1.0).to_numpy(np.float64))
+            )
+
+        boosted_df = (
+            scored.join(priors.select("doc_id", "prior"), "doc_id", "left")
+            .withColumn("score", F.col("score") + _boost(F.col("prior")))
+            .select("doc_id", "score")
+        )
+        return boosted_df.orderBy(F.desc("score"), F.asc("doc_id")).limit(need)
+
     def topk_collapsed(
         self,
         query: str,

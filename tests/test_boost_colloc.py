@@ -1,0 +1,140 @@
+"""Prior-boosted serving (topk_boosted, SURVEY delta 56) and bigram PMI
+collocations (operators/collocations.py, SURVEY delta 55) contracts.
+
+Boost invariants: pool path ≡ exhaustive bit-identity (both evaluate the
+per-doc ln with np.log); w=0 is the base ranking; missing prior rows
+boost by ln(1)=0; boosted ordering equals a textbook recompute.
+Collocation invariants: PMI values equal an exact driver recount; the
+min-count support cut holds; adjacency is over the filtered sequence.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.collocations import collocations
+from search_engine_spark.operators.query import SearchEngine
+from search_engine_spark.plans.build_job import build_index
+from search_engine_spark.sources.catalog import Catalog
+from search_engine_spark.synth import make_corpus
+
+N_DOCS = 220
+SEED = 13
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("boost_idx"))
+    corpus = make_corpus(spark, N_DOCS, seed=SEED, partitions=4)
+    cat = Catalog(root)
+    build_index(spark, corpus, cat, n_shards=2, skew_df_threshold=60,
+                salt_target_rows=40)
+    return SearchEngine(spark, cat, code=True)
+
+
+@pytest.fixture(scope="module")
+def priors(spark, engine):
+    return engine.catalog.read(spark, "doc_stats").select(
+        "doc_id", F.col("doclen").cast("double").alias("prior")
+    )
+
+
+def _pairs(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+@pytest.mark.parametrize("mode", ["all", "any"])
+def test_boost_pool_equals_exhaustive(engine, priors, mode):
+    a = _pairs(engine.topk_boosted("engine block", priors, w=0.3, k=10,
+                                   mode=mode))
+    b = _pairs(engine.topk_boosted("engine block", priors, w=0.3, k=10,
+                                   mode=mode, strategy="exhaustive"))
+    assert a == b
+    assert a
+
+
+def test_boost_w0_is_base_ranking(engine, priors):
+    assert _pairs(engine.topk_boosted("engine block", priors, w=0.0, k=10)) \
+        == _pairs(engine.topk("engine block", 10))
+
+
+def test_boost_matches_textbook_recompute(engine, priors):
+    base = _pairs(engine.topk("engine block", 10_000,
+                              strategy="exhaustive"))
+    pr = {r["doc_id"]: r["prior"] for r in priors.collect()}
+    brute = sorted(
+        ((d, s + 0.3 * float(np.log(pr[d]))) for d, s in base),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    got = _pairs(engine.topk_boosted("engine block", priors, w=0.3, k=10,
+                                     strategy="exhaustive"))
+    assert got == brute
+
+
+def test_boost_missing_prior_rows_are_neutral(engine, priors):
+    a = _pairs(engine.topk_boosted("engine block", priors.limit(50),
+                                   w=0.3, k=10))
+    b = _pairs(engine.topk_boosted("engine block", priors.limit(50),
+                                   w=0.3, k=10, strategy="exhaustive"))
+    assert a == b and a
+
+
+def test_boost_negative_w_rejected(engine, priors):
+    with pytest.raises(ValueError):
+        engine.topk_boosted("engine", priors, w=-0.1, k=5)
+
+
+# -- collocations -----------------------------------------------------------
+
+
+def test_collocations_match_driver_recount(spark):
+    docs = make_corpus(spark, 120, seed=5, partitions=3).select(
+        F.col("content").alias("text")
+    )
+    got = collocations(docs, min_count=3, k=15).collect()
+    assert got
+    # exact recount on the driver with the same frozen tokenizer spec
+    import re
+
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for r in docs.collect():
+        toks = [t for t in re.split("[^a-z0-9]+", r["text"].lower())
+                if len(t) >= 2]
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    n_u, n_b = sum(uni.values()), sum(bi.values())
+    want = []
+    for (a, b), c in bi.items():
+        if c >= 3:
+            pmi = round(
+                math.log((c / n_b) / ((uni[a] / n_u) * (uni[b] / n_u))), 4
+            )
+            want.append((a, b, c, pmi))
+    want.sort(key=lambda x: (-x[3], x[0], x[1]))
+    assert [(r["a"], r["b"], r["pair_count"], r["pmi"]) for r in got] \
+        == want[:15]
+
+
+def test_collocations_support_cut(spark):
+    docs = spark.createDataFrame(
+        [("aa bb aa bb cc dd",), ("aa bb x aa bb",)], "text string"
+    )
+    rows = collocations(docs, min_count=3, k=10).collect()
+    assert [(r["a"], r["b"], r["pair_count"]) for r in rows] == [
+        ("aa", "bb", 4)
+    ]
+
+
+def test_collocations_filtered_adjacency(spark):
+    """Dropping a short token splices its neighbors: 'aa z bb' produces
+    the (aa, bb) bigram (frozen spec, matched by the DuckDB twin)."""
+    docs = spark.createDataFrame([("aa z bb",)] * 3, "text string")
+    rows = collocations(docs, min_count=3, k=10).collect()
+    assert [(r["a"], r["b"]) for r in rows] == [("aa", "bb")]
