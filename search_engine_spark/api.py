@@ -162,6 +162,28 @@ class EngineAPI:
         self._tri = None
         return {"result": True}
 
+    def remove_doc(self, repo: str, path: str) -> dict:
+        """Single-doc delete — thin wrapper over the batch removal."""
+        return self.remove_docs([(repo, path)])
+
+    def remove_docs(self, keys: list[tuple[str, str]]) -> dict:
+        """Batch DELETE of ``[(repo, path), ...]`` (the S7 row-delete sink
+        as a public operation): the upsert MERGE with an empty insert side
+        — df/cf decremented, stats maintained, affected docs buckets and
+        posting blocks rewritten, idempotent + crash-resumable. Unknown
+        keys are no-ops. The trigram index keeps the removed docs' grams
+        (append-only, false-positives-only): verification prunes them at
+        query time, and the next build_code_index() compacts them away."""
+        from .plans.incremental import remove_docs as _remove_docs_plan
+
+        for repo, _ in keys:
+            if self.repos is not None and repo not in self.repos:
+                return {"result": False, "error": ERR_OUT_OF_SCOPE}
+        _remove_docs_plan(self.spark, self.catalog, keys, code=self.code)
+        self._get_engine(refresh=True)
+        self._tri = None
+        return {"result": True}
+
     def index_page(self, url: str, commit: str, lang: str, content: str) -> dict:
         """POST /api/indexPage parity (IndexingServiceImpl.java:98-107 —
         O8/F9): the URL is percent-decoded and split into (repo root,

@@ -181,6 +181,13 @@ class _Handler(BaseHTTPRequestHandler):
                         content=_one(form, "content", ""),
                     )
                 )
+            if u.path == "/api/removePage":
+                length = int(self.headers.get("Content-Length", "0"))
+                form = parse_qs(self.rfile.read(length).decode())
+                repo, path = _one(form, "repo"), _one(form, "path")
+                if repo is None or path is None:
+                    return self._bad("repo and path parameters are required")
+                return self._json(api.remove_doc(repo, path))
             self._json({"result": False, "error": "unknown endpoint"}, status=404)
         except Exception as e:  # noqa: BLE001
             self._json({"result": False, "error": f"{type(e).__name__}: {e}"}, 500)

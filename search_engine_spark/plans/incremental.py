@@ -150,12 +150,14 @@ def _clear_state(catalog: Catalog) -> None:
         _os.remove(p)
 
 
-def _batch_id(new_docs: list[_NewDoc]) -> str:
+def _batch_id(new_docs: list[_NewDoc], remove_keys=()) -> str:
     import hashlib
 
     h = hashlib.sha256()
     for d in sorted(new_docs, key=lambda x: (x.repo, x.path)):
         h.update(f"{d.repo}\x00{d.path}\x00{d.commit}\x00{d.sha}\x01".encode())
+    for repo, path in sorted(remove_keys):
+        h.update(f"DEL\x00{repo}\x00{path}\x01".encode())
     return h.hexdigest()
 
 
@@ -252,6 +254,32 @@ def index_docs(
     _run_merge(spark, catalog, list(by_key.values()), code)
 
 
+def remove_doc(spark: SparkSession, catalog: Catalog, repo: str, path: str,
+               code: bool = True) -> None:
+    """Single-doc delete — thin wrapper over the batch removal."""
+    remove_docs(spark, catalog, [(repo, path)], code=code)
+
+
+def remove_docs(
+    spark: SparkSession,
+    catalog: Catalog,
+    keys: list[tuple[str, str]],
+    code: bool = True,
+) -> None:
+    """Batch DELETE of ``[(repo, path), ...]`` — the S7 row-delete sink as
+    a public operation. A delete is the upsert MERGE with an empty insert
+    side: the same recorded-absolute state machine decrements df/cf,
+    doc_stats, site_stats (a fully-emptied site row is dropped) and
+    corpus_stats, rewrites only the affected docs buckets, and removes
+    the docs' ids from their terms' posting blocks via the shard-scoped
+    block surgery — idempotent and crash-resumable like every upsert
+    (retry the same key set to converge). Unknown keys are no-ops."""
+    uniq = sorted({(r, p) for r, p in keys})
+    if not uniq:
+        return
+    _run_merge(spark, catalog, [], code, remove_keys=uniq)
+
+
 # rows above this, a micro-batch is prepared DISTRIBUTED (content never
 # reaches the driver); below it, the driver path saves the Spark round-trips
 DRIVER_BATCH_ROWS = 256
@@ -323,7 +351,7 @@ def index_docs_from_df(
 
 
 def _run_merge(spark, catalog, new_docs: list[_NewDoc], code: bool,
-               new_rows_df=None) -> None:
+               new_rows_df=None, remove_keys=()) -> None:
     t0 = time.time()
     man = Manifest(path=catalog.path("build_manifest.jsonl"), build_id="incremental")
 
@@ -343,7 +371,7 @@ def _run_merge(spark, catalog, new_docs: list[_NewDoc], code: bool,
         d = by_key[(r["repo"], r["path"])]
         d.doc_id, d.bucket = int(r["doc_id"]), int(r["bucket"])
 
-    bid = _batch_id(new_docs)
+    bid = _batch_id(new_docs, remove_keys)
     state = _load_state(catalog)
     if state is not None and state.get("batch_id") != bid:
         man.fail(
@@ -361,10 +389,11 @@ def _run_merge(spark, catalog, new_docs: list[_NewDoc], code: bool,
         # persist it before touching anything — a retry must not re-derive
         # deltas from already-rewritten tables (it would find none)
         state = _compute_state(spark, catalog, new_docs, bid, code,
-                               distributed=new_rows_df is not None)
+                               distributed=new_rows_df is not None,
+                               remove_keys=remove_keys)
         _save_state(catalog, state)
 
-    keys = {(d.repo, d.path) for d in new_docs}
+    keys = {(d.repo, d.path) for d in new_docs} | set(remove_keys)
     old_ids = [int(x) for x in state["old_ids"]]
     old_terms_by_doc = [(r, set(ts)) for r, ts in state["old_terms_by_doc"]]
 
@@ -381,7 +410,8 @@ def _run_merge(spark, catalog, new_docs: list[_NewDoc], code: bool,
             _merge_docs(spark, catalog, new_docs, keys, n_buckets, new_rows_df)
             _mark("docs")
         if _stage("doc_stats"):
-            _apply_doc_stats(spark, catalog, new_docs, old_ids)
+            _apply_doc_stats(spark, catalog, new_docs, old_ids,
+                             old_repos=[r for r, _ in old_terms_by_doc])
             _mark("doc_stats")
         if _stage("corpus_stats"):
             _apply_corpus_stats(spark, catalog, state["corpus_abs"])
@@ -422,18 +452,33 @@ def _merge_docs(spark, catalog, new_docs, keys, n_buckets, new_rows_df=None) -> 
     """1. docs: rewrite ONLY the affected repo buckets, doc_id-sorted.
     ``new_rows_df`` (distributed path) supplies the new rows straight from
     the batch DataFrame — content stays on the executors."""
-    by_bucket: dict[int, list[_NewDoc]] = {}
+    by_bucket_new: dict[int, list[_NewDoc]] = {}
     for d in new_docs:
-        by_bucket.setdefault(d.bucket, []).append(d)
+        by_bucket_new.setdefault(d.bucket, []).append(d)
+    # bucket EVERY affected key — removal-only keys have no _NewDoc but
+    # their bucket must still rewrite to drop the old rows
+    key_buckets = {
+        (r["repo"], r["path"]): int(r["b"])
+        for r in spark.createDataFrame(
+            sorted(keys), "repo string, path string"
+        ).select(
+            "repo", "path",
+            F.pmod(F.xxhash64("repo"), F.lit(n_buckets)).alias("b"),
+        ).collect()
+    }
+    by_bucket_keys: dict[int, set] = {}
+    for kk, b in key_buckets.items():
+        by_bucket_keys.setdefault(b, set()).add(kk)
     # docs carries no doclen (r3): doc_stats owns it in the same bucket
     # layout, so the distributed path needs no stats join at all
-    for bucket, docs_b in sorted(by_bucket.items()):
+    for bucket in sorted(by_bucket_keys):
+        docs_b = by_bucket_new.get(bucket, [])
         part = f"docs/repo_bucket={bucket}"
         if new_rows_df is not None:
             new_rows = new_rows_df.filter(
                 F.pmod(F.xxhash64("repo"), F.lit(n_buckets)) == bucket
             )
-        else:
+        elif docs_b:
             new_rows = spark.createDataFrame(
                 [
                     (d.repo, d.path, d.commit, d.lang, d.content)
@@ -446,8 +491,10 @@ def _merge_docs(spark, catalog, new_docs, keys, n_buckets, new_rows_df=None) -> 
                 "repo", "path", "commit", "lang", "content",
                 F.sha2(F.col("content"), 256).alias("content_sha256"),
             )
+        else:  # removal-only bucket: nothing to insert
+            new_rows = spark.createDataFrame([], _DOCS_PART)
         key_df = spark.createDataFrame(
-            sorted({(d.repo, d.path) for d in docs_b}), "repo string, path string"
+            sorted(by_bucket_keys[bucket]), "repo string, path string"
         )
         bucket_df = catalog.read_or_empty(spark, part, _DOCS_PART).join(
             F.broadcast(key_df), ["repo", "path"], "left_anti"
@@ -460,7 +507,7 @@ def _merge_docs(spark, catalog, new_docs, keys, n_buckets, new_rows_df=None) -> 
 
 
 def _compute_state(spark, catalog, new_docs, bid: str, code: bool,
-                   distributed: bool = False) -> dict:
+                   distributed: bool = False, remove_keys=()) -> dict:
     """Pre-merge snapshot: old rows' term sets + the ABSOLUTE post-merge
     values every stage will write. Reads only pre-merge tables; writes
     nothing. The absolute values make every stage idempotent — applying
@@ -470,8 +517,8 @@ def _compute_state(spark, catalog, new_docs, bid: str, code: bool,
     content — fine for trickle batches, not for bulk ones)."""
     from ..schemas import CORPUS_STATS
 
-    # --- old rows being replaced (any row sharing an upsert key) ----------
-    keys = {(d.repo, d.path) for d in new_docs}
+    # --- old rows being replaced or removed (any row sharing a key) -------
+    keys = {(d.repo, d.path) for d in new_docs} | set(remove_keys)
     docs_tbl = catalog.read_or_empty(spark, "docs", _DOCS_PART)
     key_df = spark.createDataFrame(sorted(keys), "repo string, path string")
     old_sel = docs_tbl.join(F.broadcast(key_df), ["repo", "path"], "left_semi")
@@ -611,19 +658,32 @@ def _compute_state(spark, catalog, new_docs, bid: str, code: bool,
     }
 
 
-def _apply_doc_stats(spark, catalog, new_docs, old_ids) -> None:
+def _apply_doc_stats(spark, catalog, new_docs, old_ids, old_repos=()) -> None:
     """2. doc_stats row swap — ONLY the affected repo buckets are rewritten
     (doc_stats is corpus-sized: one row per doc). Removal includes the new
-    doc ids so a retry replaces rather than duplicates. Legacy flat
-    layouts (pre-r3) fall back to the whole-table rewrite."""
+    doc ids so a retry replaces rather than duplicates; ``old_repos``
+    (parallel to old_ids) buckets removal-only rows, whose buckets have no
+    _NewDoc but must still rewrite. Legacy flat layouts (pre-r3) fall back
+    to the whole-table rewrite."""
     import glob as _glob
 
     removal = sorted(set(old_ids) | {d.doc_id for d in new_docs})
     if _glob.glob(catalog.path("doc_stats/bucket=*")):
+        n_buckets = _n_buckets(catalog)
         by_bucket: dict[int, list[_NewDoc]] = {}
         for d in new_docs:
             by_bucket.setdefault(d.bucket, []).append(d)
-        for bucket, docs_b in sorted(by_bucket.items()):
+        buckets = set(by_bucket)
+        old_only = sorted(set(old_repos) - {d.repo for d in new_docs})
+        if old_only:
+            rows = spark.createDataFrame(
+                [(r,) for r in old_only], "repo string"
+            ).select(
+                F.pmod(F.xxhash64("repo"), F.lit(n_buckets)).alias("b")
+            ).collect()
+            buckets |= {int(r["b"]) for r in rows}
+        for bucket in sorted(buckets):
+            docs_b = by_bucket.get(bucket, [])
             part = f"doc_stats/bucket={bucket}"
             cur = catalog.read_or_empty(spark, part, DOC_STATS).filter(
                 ~F.col("doc_id").isin(removal)

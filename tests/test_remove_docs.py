@@ -1,0 +1,132 @@
+"""Public delete contracts (remove_docs, SURVEY delta 57 — the S7
+row-delete sink as an operation): a delete is the upsert MERGE with an
+empty insert side, so every table lands byte/value-identical to a fresh
+build over the surviving corpus — docs, doc_stats, terms (df AND cf),
+decoded postings, corpus/site stats, and the served rankings (bm25 + lmd).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.query import SearchEngine, decode_blocks
+from search_engine_spark.plans.build_job import build_index
+from search_engine_spark.plans.incremental import remove_docs
+from search_engine_spark.sources.catalog import Catalog
+from search_engine_spark.synth import make_corpus
+
+N_DOCS = 90
+SEED = 31
+QUERIES = ("engine site", "block", "engine site block", "merge scan")
+
+
+def _decoded_sorted(spark, cat):
+    return (
+        decode_blocks(cat.read(spark, "postings"))
+        .select("term", "doc_id", "tf", "doclen")
+        .orderBy("term", "doc_id")
+        .toPandas()
+    )
+
+
+@pytest.fixture(scope="module")
+def cats(spark, tmp_path_factory):
+    """(catalog with 3 docs deleted, catalog freshly built without them)."""
+    base = str(tmp_path_factory.mktemp("rm"))
+    corpus = make_corpus(spark, N_DOCS, seed=SEED, partitions=3)
+    rows = corpus.collect()
+    victims = [rows[0], rows[17], rows[-1]]
+    keys = [(r["repo"], r["path"]) for r in victims]
+
+    cat_del = Catalog(base + "/del")
+    build_index(spark, spark.createDataFrame(rows, corpus.schema), cat_del,
+                n_shards=2, skew_df_threshold=50, salt_target_rows=40)
+    remove_docs(spark, cat_del, keys, code=True)
+
+    survivors = [r for r in rows if (r["repo"], r["path"]) not in set(keys)]
+    cat_ref = Catalog(base + "/ref")
+    build_index(spark, spark.createDataFrame(survivors, corpus.schema),
+                cat_ref, n_shards=2, skew_df_threshold=50,
+                salt_target_rows=40)
+    return cat_del, cat_ref, keys
+
+
+def test_docs_and_stats_match_rebuild(spark, cats):
+    cat_del, cat_ref, _ = cats
+    for tbl, cols in (
+        ("docs", ["doc_id", "content_sha256"]),
+        ("doc_stats", ["doc_id", "repo", "doclen"]),
+        ("terms", ["scope", "term", "df", "cf"]),
+    ):
+        a = cat_del.read(spark, tbl).select(*cols)
+        b = cat_ref.read(spark, tbl).select(*cols)
+        assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0, tbl
+    ca = cat_del.read(spark, "corpus_stats").collect()[0]
+    cb = cat_ref.read(spark, "corpus_stats").collect()[0]
+    assert ca["n_docs"] == cb["n_docs"]
+    assert ca["total_len"] == cb["total_len"]
+    sa = {r["repo"]: (r["pages"], r["total_len"])
+          for r in cat_del.read(spark, "site_stats").collect()}
+    sb = {r["repo"]: (r["pages"], r["total_len"])
+          for r in cat_ref.read(spark, "site_stats").collect()}
+    assert sa == sb
+
+
+def test_postings_match_rebuild(spark, cats):
+    cat_del, cat_ref, _ = cats
+    assert _decoded_sorted(spark, cat_del).equals(_decoded_sorted(spark, cat_ref))
+
+
+def test_serving_matches_rebuild(spark, cats):
+    cat_del, cat_ref, keys = cats
+    ei = SearchEngine(spark, cat_del, code=True)
+    ef = SearchEngine(spark, cat_ref, code=True)
+    gone = {
+        r["doc_id"]
+        for r in ef.docs.limit(0).collect()
+    }  # placeholder — victims absent from BOTH engines' docs
+    for q in QUERIES:
+        for scorer in ("bm25", "lmd"):
+            ri = [(r["doc_id"], r["score"])
+                  for r in ei.topk(q, 20, scorer=scorer).collect()]
+            rf = [(r["doc_id"], r["score"])
+                  for r in ef.topk(q, 20, scorer=scorer).collect()]
+            assert ri == rf, (q, scorer)
+    assert not gone
+
+
+def test_remove_is_idempotent_and_unknown_keys_noop(spark, cats):
+    cat_del, cat_ref, keys = cats
+    # same keys again + a never-existed key: tables unchanged
+    remove_docs(spark, cat_del, keys + [("org9/nosuch", "ghost.py")],
+                code=True)
+    for tbl, cols in (("terms", ["scope", "term", "df", "cf"]),
+                      ("doc_stats", ["doc_id"])):
+        a = cat_del.read(spark, tbl).select(*cols)
+        b = cat_ref.read(spark, tbl).select(*cols)
+        assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0, tbl
+
+
+def test_api_remove_doc(spark, tmp_path):
+    from search_engine_spark.api import EngineAPI
+
+    api = EngineAPI(
+        spark,
+        Catalog(str(tmp_path / "rm_api")),
+        corpus_reader=lambda: make_corpus(spark, 40, seed=3, partitions=2),
+        code=True,
+    )
+    assert api.start_indexing(n_shards=2) == {"result": True}
+    victim = api._get_engine().docs.select("repo", "path", "doc_id").collect()[0]
+    assert api.remove_doc(victim["repo"], victim["path"]) == {"result": True}
+    left = api._get_engine().docs.filter(
+        (F.col("repo") == victim["repo"]) & (F.col("path") == victim["path"])
+    )
+    assert left.count() == 0
+    # scope check still applies
+    scoped = EngineAPI(spark, Catalog(str(tmp_path / "rm_scoped")),
+                       repos=["org0/repo0"])
+    assert scoped.remove_doc("elsewhere/repo", "x")["result"] is False
