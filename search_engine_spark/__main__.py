@@ -1,0 +1,135 @@
+"""CLI: ``python -m search_engine_spark <command>`` — the operator's
+console over one catalog. Mirrors the reference's REST verbs
+(ApiController.java:20-47) so a user can drive the engine end-to-end
+without writing Python:
+
+    python -m search_engine_spark build  --catalog /data/idx --corpus /data/corpus.parquet
+    python -m search_engine_spark search --catalog /data/idx "block max wand" -k 10
+    python -m search_engine_spark search --catalog /data/idx query --mode any --scorer lmd
+    python -m search_engine_spark stats  --catalog /data/idx
+    python -m search_engine_spark serve  --catalog /data/idx --port 8080
+
+Every command prints ONE JSON document to stdout (scripting-friendly);
+``serve`` blocks running the stdlib HTTP facade (http_api.py). The
+corpus parquet must be CORPUS-shaped: (repo, path, commit, lang,
+content) — the north-rule input hint.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m search_engine_spark",
+        description="PySpark-native inverted-index search engine CLI",
+    )
+    p.add_argument("--catalog", required=True, help="catalog directory")
+    p.add_argument("--master", default=None,
+                   help="Spark master (default local[$SPARK_GRAFT_CPUS])")
+    p.add_argument("--prose", action="store_true",
+                   help="natural-language analyzer (default: code)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build/rebuild the index")
+    b.add_argument("--corpus", required=True,
+                   help="CORPUS-shaped parquet path")
+    b.add_argument("--shards", type=int, default=4)
+
+    s = sub.add_parser("search", help="query the index")
+    s.add_argument("query")
+    s.add_argument("-k", "--limit", type=int, default=10)
+    s.add_argument("--offset", type=int, default=0)
+    s.add_argument("--site", default=None)
+    s.add_argument("--mode", default="all",
+                   choices=["all", "any", "phrase", "near", "prefix"])
+    s.add_argument("--scorer", default="bm25",
+                   choices=["bm25", "lmd", "legacy"])
+    s.add_argument("--lang", default=None, help="filter: doc language")
+    s.add_argument("--path-prefix", default=None, help="filter: path prefix")
+    s.add_argument("--min-match", type=int, default=None)
+    s.add_argument("--synonyms", default=None,
+                   help='JSON map, e.g. {"scan": ["seek"]}')
+
+    sub.add_parser("stats", help="index statistics (A6)")
+
+    r = sub.add_parser("remove", help="delete a document")
+    r.add_argument("repo")
+    r.add_argument("path")
+
+    v = sub.add_parser("serve", help="run the HTTP facade")
+    v.add_argument("--port", type=int, default=8080)
+    v.add_argument("--corpus", default=None,
+                   help="corpus parquet for /api/startIndexing")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    from .api import EngineAPI
+    from .session import get_spark
+    from .sources.catalog import Catalog
+
+    spark = get_spark("se_cli", master=args.master)
+
+    def _reader(path):
+        from .plans.build_job import read_corpus
+
+        return lambda: read_corpus(spark, path)
+
+    code = not args.prose
+    if args.cmd == "build":
+        api = EngineAPI(spark, Catalog(args.catalog),
+                        corpus_reader=_reader(args.corpus), code=code)
+        out = api.start_indexing(n_shards=args.shards)
+    elif args.cmd == "search":
+        api = EngineAPI(spark, Catalog(args.catalog), code=code)
+        filters = {}
+        if args.lang:
+            filters["lang"] = args.lang
+        if args.path_prefix:
+            filters["path_prefix"] = args.path_prefix
+        out = api.search(
+            args.query, site=args.site, offset=args.offset,
+            limit=args.limit, scorer=args.scorer, mode=args.mode,
+            min_match=args.min_match,
+            synonyms=json.loads(args.synonyms) if args.synonyms else None,
+            filters=filters or None,
+        )
+    elif args.cmd == "stats":
+        api = EngineAPI(spark, Catalog(args.catalog), code=code)
+        out = api.statistics()
+    elif args.cmd == "remove":
+        api = EngineAPI(spark, Catalog(args.catalog), code=code)
+        out = api.remove_doc(args.repo, args.path)
+    else:  # serve
+        from .http_api import serve
+
+        api = EngineAPI(
+            spark, Catalog(args.catalog),
+            corpus_reader=_reader(args.corpus) if args.corpus else None,
+            code=code,
+        )
+        srv = serve(api, port=args.port)  # daemon thread
+        print(
+            json.dumps({"serving": True, "port": srv.server_port}),
+            flush=True,
+        )
+        try:
+            import threading
+
+            threading.Event().wait()  # foreground: block until Ctrl-C
+        except KeyboardInterrupt:
+            srv.shutdown()
+            srv.server_close()
+        return 0
+    print(json.dumps(out, ensure_ascii=False, default=str))
+    return 0 if out.get("result", True) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

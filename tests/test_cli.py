@@ -1,0 +1,64 @@
+"""CLI contracts (__main__.py): every command prints one JSON document
+and drives the same EngineAPI the HTTP facade serves. Runs in-process
+(main(argv) + the shared test SparkSession via getOrCreate) — the
+spark-submit packaging path is covered by test_spark_submit.py.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from search_engine_spark.__main__ import main
+from search_engine_spark.synth import make_corpus
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    corpus_path = str(root / "corpus")
+    make_corpus(spark, 80, seed=9, partitions=2).write.parquet(corpus_path)
+    return str(root / "idx"), corpus_path
+
+
+def _run(capsys, argv):
+    rc = main(argv)
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return rc, json.loads(out)
+
+
+def test_cli_build_search_stats_remove(setup, capsys):
+    cat, corpus = setup
+    rc, out = _run(capsys, ["--catalog", cat, "build", "--corpus", corpus,
+                            "--shards", "2"])
+    assert rc == 0 and out == {"result": True}
+
+    rc, out = _run(capsys, ["--catalog", cat, "search", "engine block",
+                            "-k", "3"])
+    assert rc == 0 and out["result"] is True
+    assert 0 < len(out["data"]) <= 3
+    assert {"site", "uri", "title", "snippet", "relevance"} <= set(
+        out["data"][0]
+    )
+
+    rc, out = _run(capsys, ["--catalog", cat, "search", "engine block",
+                            "--mode", "any", "--scorer", "lmd",
+                            "--min-match", "2", "-k", "2"])
+    assert rc == 0 and out["result"] is True and out["countExact"] is False
+
+    rc, out = _run(capsys, ["--catalog", cat, "search", "engine",
+                            "--lang", "python", "-k", "2"])
+    assert rc == 0 and out["result"] is True
+
+    rc, out = _run(capsys, ["--catalog", cat, "stats"])
+    assert rc == 0 and out["statistics"]["total"]["pages"] == 80
+
+    victim = out["statistics"]["detailed"][0]["url"]
+    rc, out = _run(capsys, ["--catalog", cat, "search", "engine",
+                            "--site", victim, "-k", "1"])
+    assert rc == 0
+
+    # empty-query error → exit 1 with the reference error string
+    rc, out = _run(capsys, ["--catalog", cat, "search", "  "])
+    assert rc == 1 and out["result"] is False
