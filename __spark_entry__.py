@@ -237,6 +237,33 @@ def _q_lmd(spark, sf):
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
 
 
+def _q_bpe_word_counts(spark, sf):
+    """BPE training input (SURVEY delta 59): the corpus word-frequency
+    table (frozen ASCII split, non-empty words) — the ONE corpus-sized
+    job of tokenizer training. Top-50 by (count desc, word)."""
+    from search_engine_spark.functions.bpe import word_counts
+
+    return (
+        word_counts(_t(spark, sf, "documents"), text_col="text")
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(50)
+    )
+
+
+def _q_bpe_merges(spark, sf):
+    """First 50 BPE merges trained on the documents corpus (min_freq=2)
+    — deterministic (frozen argmax tie-break), rows-only (the merge loop
+    is iterative; no SQL twin). Columns (rank, left, right)."""
+    from search_engine_spark.functions.bpe import train_bpe
+
+    merges = train_bpe(_t(spark, sf, "documents"), text_col="text",
+                       n_merges=50, min_freq=2)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    )
+
+
 def _q_bm25_boosted(spark, sf):
     """Prior-boosted BM25 top-20 (SURVEY delta 56): the Q3 AND scores
     fused with a static doc prior — score' = s + 0.2·ln(n_chars). The
@@ -1780,6 +1807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filtered_topk": _q_bm25_filtered,
         "pmi_collocations": _q_collocations,
         "bm25_boosted_topk": _q_bm25_boosted,
+        "bpe_word_counts": _q_bpe_word_counts,
+        "bpe_merges": _q_bpe_merges,
         "bm25_collapse_topk": _q_bm25_collapse,
         "not_topk": _q_not_topk,
         "bm25_scoped_topk": _q_bm25_scoped,
@@ -1963,6 +1992,14 @@ def oracle_sql() -> dict[str, str]:
              GROUP BY tf.doc_id)
            SELECT doc_id, nt, round(s, 4) AS score FROM sc
            ORDER BY score DESC, doc_id LIMIT 20""",
+        "bpe_word_counts": """
+           WITH w AS (
+             SELECT unnest(list_filter(
+                      regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                      t -> length(t) >= 1)) AS word
+             FROM documents)
+           SELECT word, count(*) AS n FROM w GROUP BY word
+           ORDER BY n DESC, word LIMIT 50""",
         "bm25_boosted_topk": _TOK_CTE
         + f""", tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
            dl AS (SELECT doc_id, count(*) AS doclen FROM tok2 GROUP BY doc_id),

@@ -323,6 +323,7 @@ def main() -> None:
         "bm25_filtered_topk",
         "pmi_collocations",
         "bm25_boosted_topk",
+        "bpe_word_counts",
         # rep 1 includes the one-time trigram index build (cached per
         # sf_dir); rep 2 is the warm pruned serve — timing_reps shows both
         "trigram_substring",

@@ -1,0 +1,172 @@
+"""BPE tokenizer training over the corpus (Sennrich et al. 2016).
+
+The scalable shape is the one GPT-2's tokenizer used: the CORPUS-sized
+work is a single distributed word-frequency aggregate (one partial+final
+hash agg — identical cost profile to the DF stage); the merge loop then
+runs on the driver over the compact (word → freq) table, which is
+VOCABULARY-sized (sublinear in corpus size — Heaps' law), never touching
+the corpus again. At 10^12 docs the agg is the only thing that grows;
+the loop's input does not.
+
+Frozen spec (unit-tested against the textbook example):
+
+* words = the engine-portable ASCII token stream (lower, split on
+  non-alnum, non-empty) — the same spec every oracle shares;
+* a word is a symbol sequence ``(c_1, …, c_n, '</w>')``;
+* each step merges the pair with the HIGHEST weighted count, ties broken
+  by the lexicographically smallest (left, right) pair — a total order,
+  so training is deterministic;
+* training stops after ``n_merges`` steps or when the best pair's count
+  falls below ``min_freq``.
+
+``bpe_encode`` applies merges greedily by rank (lowest rank first) — the
+standard inference rule; encoding any word then concatenating the
+symbols (stripping '</w>') reproduces the word exactly.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+EOW = "</w>"
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ DataFrame(word, n) — the one corpus-sized job of BPE training."""
+    return (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), TOKEN_SPLIT),
+                    lambda t: F.length(t) >= 1,
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def train_bpe_from_counts(
+    counts: list[tuple[str, int]],
+    n_merges: int = 200,
+    min_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """(word, freq) pairs → ordered merge list [(left, right), ...]."""
+    words: dict[tuple[str, ...], int] = {}
+    for w, n in counts:
+        words[tuple(w) + (EOW,)] = words.get(tuple(w) + (EOW,), 0) + int(n)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for sym, n in words.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += n
+        if not pairs:
+            break
+        # deterministic argmax: max count, then lexicographically smallest
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_freq:
+            break
+        (a, b), _ = best
+        merges.append((a, b))
+        ab = a + b
+        nxt: dict[tuple[str, ...], int] = {}
+        for sym, n in words.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            nxt[key] = nxt.get(key, 0) + n
+        words = nxt
+    return merges
+
+
+def train_bpe(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 200,
+    min_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """Corpus → ordered merge list. One distributed agg + driver loop."""
+    rows = word_counts(docs, text_col).collect()
+    return train_bpe_from_counts(
+        [(r["word"], int(r["n"])) for r in rows],
+        n_merges=n_merges,
+        min_freq=min_freq,
+    )
+
+
+def bpe_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Greedy by merge rank (the standard inference rule)."""
+    rank = {p: i for i, p in enumerate(merges)}
+    sym = list(word) + [EOW]
+    while len(sym) > 1:
+        best_i, best_r = -1, None
+        for i in range(len(sym) - 1):
+            r = rank.get((sym[i], sym[i + 1]))
+            if r is not None and (best_r is None or r < best_r):
+                best_i, best_r = i, r
+        if best_r is None:
+            break
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def bpe_token_count(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ DataFrame(id_col, bpe_tokens) — per-doc token counts under the
+    trained vocabulary (the packing/budgeting signal). Arrow-batched
+    pandas UDF; the merge table broadcasts inside the closure (it is
+    n_merges entries — bounded, corpus-independent)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    import re as _re
+
+    mg = list(merges)
+    splitter = _re.compile(TOKEN_SPLIT)
+
+    @pandas_udf("long")
+    def _count(text: pd.Series) -> pd.Series:
+        rank = {p: i for i, p in enumerate(mg)}
+        cache: dict[str, int] = {}
+
+        def n_tokens(t: str) -> int:
+            total = 0
+            for w in splitter.split(t.lower()):
+                if not w:
+                    continue
+                if w not in cache:
+                    sym = list(w) + [EOW]
+                    while len(sym) > 1:
+                        best_i, best_r = -1, None
+                        for i in range(len(sym) - 1):
+                            r = rank.get((sym[i], sym[i + 1]))
+                            if r is not None and (best_r is None or r < best_r):
+                                best_i, best_r = i, r
+                        if best_r is None:
+                            break
+                        sym[best_i : best_i + 2] = [
+                            sym[best_i] + sym[best_i + 1]
+                        ]
+                    cache[w] = len(sym)
+                total += cache[w]
+            return total
+
+        return text.map(n_tokens)
+
+    return docs.select(id_col, _count(F.col(text_col)).alias("bpe_tokens"))

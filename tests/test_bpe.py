@@ -1,0 +1,81 @@
+"""BPE tokenizer-training contracts (functions/bpe.py, SURVEY delta 59).
+
+The frozen spec is pinned on the textbook corpus (Sennrich et al. 2016
+§3.2 shape): merge order follows (max weighted count, then
+lexicographically smallest pair); encoding is greedy by merge rank and
+round-trips every word; the distributed word-count stage equals a driver
+recount; per-doc token counts equal per-word encode lengths.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from search_engine_spark.functions.bpe import (
+    EOW,
+    bpe_encode,
+    bpe_token_count,
+    train_bpe,
+    train_bpe_from_counts,
+    word_counts,
+)
+from search_engine_spark.synth import make_corpus
+
+TEXTBOOK = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+
+
+def test_textbook_merge_order():
+    merges = train_bpe_from_counts(TEXTBOOK, n_merges=6, min_freq=1)
+    assert merges == [
+        ("e", "s"),        # 9, lex-first of the 9-count tie
+        ("es", "t"),       # 9
+        ("est", EOW),      # 9
+        ("l", "o"),        # 7, lex-first vs (o, w)
+        ("lo", "w"),       # 7
+        ("e", "w"),        # 6, lex-first of the 6-count tie
+    ]
+
+
+def test_min_freq_stops_training():
+    merges = train_bpe_from_counts([("ab", 1), ("cd", 1)], n_merges=10,
+                                   min_freq=2)
+    assert merges == []
+
+
+def test_encode_greedy_by_rank_and_roundtrip():
+    merges = train_bpe_from_counts(TEXTBOOK, n_merges=6, min_freq=1)
+    assert bpe_encode("lowest", merges) == ["low", "est" + EOW]
+    for w in ("low", "lower", "newest", "widest", "lowest", "zzz"):
+        sym = bpe_encode(w, merges)
+        assert "".join(sym) == w + EOW  # lossless segmentation
+
+
+def test_word_counts_matches_driver_recount(spark):
+    docs = make_corpus(spark, 60, seed=4, partitions=3).select(
+        "content"
+    ).withColumnRenamed("content", "text")
+    got = {(r["word"], r["n"]) for r in word_counts(docs).collect()}
+    want: Counter = Counter()
+    for r in docs.collect():
+        want.update(w for w in re.split("[^a-z0-9]+", r["text"].lower()) if w)
+    assert got == set(want.items())
+
+
+def test_train_and_token_count_on_corpus(spark):
+    docs = (
+        make_corpus(spark, 60, seed=4, partitions=3)
+        .select("content").withColumnRenamed("content", "text")
+        .selectExpr("monotonically_increasing_id() AS doc_id", "text")
+    )
+    merges = train_bpe(docs, n_merges=40, min_freq=2)
+    assert len(merges) == 40
+    got = {r["doc_id"]: r["bpe_tokens"]
+           for r in bpe_token_count(docs, merges).collect()}
+    for r in docs.collect():
+        want = sum(
+            len(bpe_encode(w, merges))
+            for w in re.split("[^a-z0-9]+", r["text"].lower())
+            if w
+        )
+        assert got[r["doc_id"]] == want
