@@ -84,14 +84,19 @@ def shipping_priority(
 
     Join order is fact-first: lineitem (filtered on shipdate at the scan) ⋈
     orders (filtered on orderdate) on l_orderkey — the ONE shuffle — with the
-    segment-filtered customer BROADCAST into the orders side, so the
-    customer⋈orders step never exchanges the fact stream. Top-k via
-    orderBy+limit → Spark's TakeOrderedAndProject (per-partition heaps, no
-    full sort). Revenue is exact decimal → double."""
+    segment-filtered customer joined into the orders side, so the
+    customer⋈orders step never exchanges the fact stream. The customer side
+    carries NO forced broadcast hint: it is a single projected key column
+    but still grows linearly with scale (~1/5 of all customers), so at
+    100 TB a forced broadcast would OOM the build side — AQE's runtime size
+    check picks broadcast-hash wherever it actually fits (same reasoning as
+    Q5, ADVICE r3). Top-k via orderBy+limit → Spark's
+    TakeOrderedAndProject (per-partition heaps, no full sort). Revenue is
+    exact decimal → double."""
     cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
     ords = (
         orders.filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
     )
     li = lineitem.filter(

@@ -71,11 +71,14 @@ def test_q3_plan_broadcasts_dims_single_fact_shuffle(spark):
     import __spark_entry__ as E
 
     df = E.queries()["shipping_priority_q3"](spark, SF)
+    # the customer side carries NO forced hint (linear growth — ADVICE r3),
+    # so assert the FINAL adaptive plan after execution, like the Q5 test:
+    # AQE's size check must have chosen broadcast for every dim edge
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in plan
-    # the lineitem⋈orders join may be planned as broadcast too at sf0.001
-    # (AQE sees a tiny build side) — require NO sort-merge join ever
-    assert "SortMergeJoin" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
 def test_q5_plan_broadcasts_snowflake_dims(spark):
