@@ -70,10 +70,11 @@ def _engine(spark: SparkSession, sf_dir: str):
     key = os.path.abspath(sf_dir)
     if key in _ENGINE_CACHE:
         return _ENGINE_CACHE[key]
-    # v4: catalog layout versioned — a schema change must not resume from a
-    # stale cached build (manifest-driven resume would skip the rebuild)
+    # v5: catalog layout versioned — a schema change must not resume from a
+    # stale cached build (manifest-driven resume would skip the rebuild;
+    # v5 = cf column in terms)
     root = os.path.join(
-        tempfile.gettempdir(), "se_spark_idx_v4", key.strip("/").replace("/", "_")
+        tempfile.gettempdir(), "se_spark_idx_v5", key.strip("/").replace("/", "_")
     )
     cat = Catalog(root)
     corpus = _t(spark, sf_dir, "documents").select(

@@ -429,7 +429,9 @@ class SearchEngine:
             (pads.field("scope") == scope) & pads.field("term").isin(terms),
         )
         if pdf is not None:
-            cfs = pdf["cf"].astype(int) if has_cf else [0] * len(pdf)
+            # fillna: a pre-cf catalog read through the current TERMS schema
+            # yields null cf — honor the documented default-0 contract
+            cfs = pdf["cf"].fillna(0).astype(int) if has_cf else [0] * len(pdf)
             return {
                 t: (int(d), int(c))
                 for t, d, c in zip(pdf["term"], pdf["df"].astype(int), cfs)
@@ -442,7 +444,10 @@ class SearchEngine:
             .collect()
         )
         return {
-            r["term"]: (int(r["df"]), int(r["cf"]) if has_cf else 0)
+            r["term"]: (
+                int(r["df"]),
+                int(r["cf"]) if has_cf and r["cf"] is not None else 0,
+            )
             for r in rows
         }
 

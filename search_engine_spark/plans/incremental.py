@@ -576,7 +576,12 @@ def _compute_state(spark, catalog, new_docs, bid: str, code: bool,
         tkey_df = spark.createDataFrame(touched, "scope string, term string")
         terms_tbl = catalog.read_or_empty(spark, "terms", TERMS)
         cur = {
-            (r["scope"], r["term"]): (int(r["df"]), int(r["cf"]))
+            # null cf = pre-cf catalog read through the current TERMS
+            # schema; the upsert backfills it as 0 + this batch's delta
+            (r["scope"], r["term"]): (
+                int(r["df"]),
+                int(r["cf"]) if r["cf"] is not None else 0,
+            )
             for r in terms_tbl.join(
                 F.broadcast(tkey_df), ["scope", "term"], "inner"
             ).select("scope", "term", "df", "cf").collect()

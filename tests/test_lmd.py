@@ -177,3 +177,31 @@ def test_lmd_api_envelope(spark, tmp_path):
     res = api.search("engine site", scorer="lmd", limit=5)
     assert res["result"] is True
     assert len(res["data"]) <= 5
+
+
+def test_pre_cf_catalog_serves_bm25_with_null_cf(spark, built, engine,
+                                                 tmp_path_factory):
+    """Backward compatibility: an index built BEFORE the cf column existed
+    must still serve BM25 (documented default: cf=0; only lmd may fail).
+    Simulated by rewriting the terms table without cf — reading it through
+    the current TERMS schema then yields null cf, which once crashed
+    `_terms_rows` (int(None)) instead of honoring the contract."""
+    import shutil
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    src = built.root if hasattr(built, "root") else built.path
+    dst = str(tmp_path_factory.mktemp("precf")) + "/idx"
+    shutil.copytree(src, dst)
+    tbl = pads.dataset(dst + "/terms").to_table()
+    tbl = tbl.drop_columns(["cf"])
+    shutil.rmtree(dst + "/terms")
+    import os
+    os.makedirs(dst + "/terms")
+    pq.write_table(tbl, dst + "/terms/part-0.parquet")
+
+    old = SearchEngine(spark, Catalog(dst), code=True)
+    got = _pairs(old.topk(Q, 10))
+    want = _pairs(engine.topk(Q, 10))
+    assert got == want and len(got) == 10
