@@ -289,6 +289,8 @@ def main() -> None:
         "sequence_manifest",
         "sequence_pack_shuffled",
         "pii_scrub",
+        "secret_scrub",
+        "line_chunks",
         "paragraph_dedup",
         "image_channel_stats",
         "audio_window_feats",

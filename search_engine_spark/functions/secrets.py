@@ -1,0 +1,94 @@
+"""Code-secret scanning/redaction for source-code training corpora: detect
+and redact credential material that must never reach a training set — AWS
+access key IDs, GitHub personal-access tokens, Slack tokens, PEM private-key
+headers, and generic ``password/secret/token = "..."`` assignments — plus
+per-doc match counts for audit. The standard curation step next to PII
+scrubbing (``functions/pii.py``) for a code corpus (BASELINE.json
+input_hint: ``content`` is source code).
+
+Every pattern is in the Java-regex ∩ RE2 subset (no lookaround, no
+backrefs) so the DuckDB oracle replays the exact scrub; none contains a
+single quote, so the patterns embed verbatim in the oracle SQL string.
+
+Order matters and is part of the contract: the PEM header first (its body
+is free-form base64 a later generic pass could half-eat), then the three
+vendor token shapes (each anchored by a distinctive prefix, mutually
+exclusive), then the generic assignment pattern last — placeholders contain
+none of the trigger prefixes, so later passes never re-match earlier
+redactions. Counts are measured per pattern on the ORIGINAL text,
+independent of scrub order.
+
+All pure Catalyst (regexp_replace / regexp_count) — codegen'd in the scan
+stage, zero UDFs, trivially parallel at any corpus size; at 10^12 files this
+runs inside the ingest projection with no shuffle.
+
+Reference parity note: the reference engine (maratmurt/search-engine) has no
+curation layer at all — this extends the pipeline the way a large-scale
+training-data build requires (brief: "operations a large-scale training-data
+pipeline would need").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# AWS access key ID: fixed AKIA prefix + 16 uppercase-alnum chars.
+AWS_KEY_RE = r"\bAKIA[0-9A-Z]{16}\b"
+# GitHub tokens: ghp_ (PAT), gho_ (OAuth), ghs_ (server), ghr_ (refresh) +
+# 36 base62 chars.
+GITHUB_TOKEN_RE = r"\bgh[opsr]_[A-Za-z0-9]{36}\b"
+# Slack tokens: xoxb-/xoxa-/xoxp-/xoxr-/xoxs- + >=10 of [A-Za-z0-9-].
+SLACK_TOKEN_RE = r"\bxox[abprs]-[A-Za-z0-9-]{10,}\b"
+# PEM private-key header ("RSA PRIVATE KEY", "EC PRIVATE KEY", bare
+# "PRIVATE KEY", ...). The header alone is the signal; redacting it breaks
+# the block for any downstream parser.
+PRIVATE_KEY_RE = r"-----BEGIN [A-Z ]*PRIVATE KEY-----"
+# Generic credential assignment: key name, : or =, double-quoted value of
+# >=6 non-quote chars. Case-insensitive via inline flag (supported by both
+# Java regex and RE2). Single-quoted values are skipped on purpose: the
+# pattern must stay quote-free to embed in the oracle SQL literal.
+ASSIGNED_SECRET_RE = (
+    r"(?i)\b(password|passwd|secret|api_key|apikey|auth_token|access_token)"
+    r"\s*[:=]\s*\x22[^\x22]{6,}\x22"
+)
+
+AWS_TOKEN = "<AWS_KEY>"
+GITHUB_TOKEN = "<GH_TOKEN>"
+SLACK_TOKEN = "<SLACK_TOKEN>"
+PRIVATE_KEY_TOKEN = "<PRIVATE_KEY>"
+ASSIGNED_TOKEN = "<SECRET>"
+
+# (pattern, placeholder) in contract scrub order.
+SECRET_PATTERNS: tuple[tuple[str, str], ...] = (
+    (PRIVATE_KEY_RE, PRIVATE_KEY_TOKEN),
+    (AWS_KEY_RE, AWS_TOKEN),
+    (GITHUB_TOKEN_RE, GITHUB_TOKEN),
+    (SLACK_TOKEN_RE, SLACK_TOKEN),
+    (ASSIGNED_SECRET_RE, ASSIGNED_TOKEN),
+)
+
+
+def scrub_secrets(text: Column) -> Column:
+    """Text with every secret match replaced by its typed placeholder, in
+    the fixed ``SECRET_PATTERNS`` order."""
+    out = text
+    for pat, tok in SECRET_PATTERNS:
+        out = F.regexp_replace(out, F.lit(pat), F.lit(tok))
+    return out
+
+
+def secret_counts(text: Column) -> list[Column]:
+    """Per-pattern non-overlapping match counts, each measured on the
+    original text, in ``SECRET_PATTERNS`` order."""
+    return [
+        F.regexp_count(text, F.lit(pat)).cast("long")
+        for pat, _ in SECRET_PATTERNS
+    ]
+
+
+def has_secret(text: Column) -> Column:
+    """True if any pattern matches — the curation drop/flag predicate."""
+    cond = F.lit(False)
+    for pat, _ in SECRET_PATTERNS:
+        cond = cond | (F.regexp_count(text, F.lit(pat)) > 0)
+    return cond

@@ -615,3 +615,62 @@ def sequence_manifest(packed: DataFrame, seq_len: int) -> DataFrame:
             (F.col("n_filled") == L).alias("is_full"),
         )
     )
+
+
+def chunk_by_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding line-window chunking — the retrieval/training prep step that
+    turns long source files into overlapping fixed-height chunks (RAG
+    passages, context-window-sized training units). Output one row per
+    chunk: ``(doc_id, chunk_id, start_line, n_lines, chunk)``.
+
+    Semantics (deterministic, partitioning-independent):
+
+    * lines = text split on ``\\n`` (empty lines KEPT — they are positions);
+    * chunk starts at lines 1, 1+step, … ≤ max(n_lines − overlap, 1) with
+      ``step = window − overlap``; each chunk is the next ``window`` lines
+      (the last one may be shorter);
+    * coverage proof: the largest start s satisfies
+      s > (n − overlap) − step = n − window, i.e. s ≥ n − window + 1, so
+      the final chunk always reaches the last line; consecutive chunks
+      share exactly ``overlap`` lines.
+
+    Plan shape at 100 TB: pure Catalyst (split / sequence / explode /
+    slice) in the scan stage — per-row fan-out ≈ n_lines/step, ZERO
+    shuffles, no UDF, trivially parallel. Compare `pack_sequences`, which
+    needs a global prefix sum because sequences cross documents; chunks
+    never do, so chunking stays embarrassingly parallel.
+    """
+    if overlap >= window:
+        raise ValueError(f"overlap ({overlap}) must be < window ({window})")
+    step = window - overlap
+    lines = F.split(F.col(text_col), "\n", -1)
+    st = F.col("st")
+    return (
+        df.select(F.col(id_col).alias("doc_id"), lines.alias("l"))
+        .select(
+            "doc_id",
+            "l",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("l") - overlap, F.lit(1)),
+                    F.lit(step),
+                )
+            ).alias("st"),
+        )
+        .select(
+            "doc_id",
+            ((st - 1) / step).cast("long").alias("chunk_id"),
+            st.cast("long").alias("start_line"),
+            F.least(F.lit(window), F.size("l") - st + 1)
+            .cast("long")
+            .alias("n_lines"),
+            F.array_join(F.slice("l", st, window), "\n").alias("chunk"),
+        )
+    )
