@@ -1427,6 +1427,29 @@ def _q_line_chunks(spark, sf):
     return chunk_by_lines(d, window=8, overlap=2)
 
 
+def _q_rank_eval(spark, sf):
+    """Ranking-metrics gate: both engines derive the SAME synthetic run —
+    qid = doc_id % 8, a Knuth-hash pseudo-score, graded labels rel ∈
+    {0,1,2} from doc_id residues — then per-qid MRR@10 / NDCG@10 / P@10
+    must agree to 6 digits (both sides round; summation-order ulp drift is
+    the only float difference)."""
+    from search_engine_spark.operators.evaluate import ranking_metrics
+
+    d = _t(spark, sf, "documents")
+    run = d.select(
+        (F.col("doc_id") % 8).alias("qid"),
+        "doc_id",
+        ((F.col("doc_id") * 2654435761) % 1000003)
+        .cast("double")
+        .alias("score"),
+        F.when(F.col("doc_id") % 7 == 0, 2)
+        .when(F.col("doc_id") % 5 == 0, 1)
+        .otherwise(0)
+        .alias("rel"),
+    )
+    return ranking_metrics(run, k=10)
+
+
 def _q_paragraph_dedup(spark, sf):
     """Paragraph-dedup gate: every doc gets the SAME license-header
     paragraph prepended (the real-world boilerplate case) — the header
@@ -1953,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "secret_scrub": _q_secret_scrub,
         "line_chunks": _q_line_chunks,
+        "rank_eval": _q_rank_eval,
         "paragraph_dedup": _q_paragraph_dedup,
         "span_dedup": _q_span_dedup,
         "sequence_pack_shuffled": _q_sequence_pack_shuffled,
@@ -2873,6 +2897,43 @@ def oracle_sql() -> dict[str, str]:
                   CAST(least(8, len(l) - st + 1) AS BIGINT) AS n_lines,
                   array_to_string(l[st : st + 7], chr(10)) AS chunk
            FROM s""",
+        # ranking-metrics twin: same synthetic run, same two windows
+        # (serving tie-break score DESC, doc_id ASC; ideal rel DESC,
+        # doc_id ASC), both sides round to 6 digits
+        "rank_eval": """
+           WITH run AS (SELECT doc_id % 8 AS qid, doc_id,
+                               CAST((doc_id * 2654435761) % 1000003
+                                    AS DOUBLE) AS score,
+                               CASE WHEN doc_id % 7 = 0 THEN 2
+                                    WHEN doc_id % 5 = 0 THEN 1
+                                    ELSE 0 END AS rel
+                        FROM documents),
+           r AS (SELECT qid, rel,
+                        row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id ASC) AS pos,
+                        row_number() OVER (PARTITION BY qid
+                            ORDER BY rel DESC, doc_id ASC) AS ipos
+                 FROM run)
+           SELECT qid,
+                  CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_rel,
+                  round(coalesce(max(CASE WHEN pos <= 10 AND rel > 0
+                            THEN CAST(1 AS DOUBLE) / pos END), 0), 6)
+                    AS mrr,
+                  round(CASE WHEN sum(CASE WHEN ipos <= 10
+                            THEN (power(2, rel) - 1) / log2(ipos + 1)
+                            ELSE 0 END) > 0
+                        THEN sum(CASE WHEN pos <= 10
+                               THEN (power(2, rel) - 1) / log2(pos + 1)
+                               ELSE 0 END)
+                           / sum(CASE WHEN ipos <= 10
+                               THEN (power(2, rel) - 1) / log2(ipos + 1)
+                               ELSE 0 END)
+                        ELSE 0 END, 6) AS ndcg,
+                  round(sum(CASE WHEN pos <= 10 AND rel > 0
+                            THEN 1 ELSE 0 END) / CAST(10 AS DOUBLE), 6)
+                    AS p_at_k
+           FROM r GROUP BY qid""",
         # paragraph dedup twin: oracle partitions by the paragraph STRING,
         # engine by sha2(paragraph) — identical equivalence classes; both
         # pick first occurrence by (doc_id, pos) and reassemble in order

@@ -291,6 +291,7 @@ def main() -> None:
         "pii_scrub",
         "secret_scrub",
         "line_chunks",
+        "rank_eval",
         "paragraph_dedup",
         "image_channel_stats",
         "audio_window_feats",

@@ -1,0 +1,101 @@
+"""Ranking-quality evaluation: per-query MRR@k / NDCG@k / Precision@k over
+a run table ``(qid, doc_id, score, rel)`` — the harness that compares the
+engine's scorers (BM25 / LM-Dirichlet / hybrid RRF / prior-boosted) against
+graded relevance labels. The reference engine has no evaluation layer; a
+retrieval engine meant to be tuned needs one (TREC-style run scoring).
+
+Everything is two window functions + one aggregate, pure Catalyst:
+
+* run order  = (score DESC, doc_id ASC)  — the serving tie-break
+  (`operators/query.py` top-k contract), so evaluating a served result
+  reproduces its exact ranking;
+* ideal order = (rel DESC, doc_id ASC)   — the IDCG permutation.
+
+Both windows partition by qid, so the single exchange is the groupBy(qid)
+that both windows and the final aggregate share (Catalyst reuses the
+partitioning; one shuffle total). At 10^12 docs a run table is only
+n_queries × depth rows — evaluation is never corpus-scale.
+
+Metric definitions (standard):
+
+* MRR@k  = 1 / rank of the first relevant (rel > 0) doc, 0 if none in top k;
+* DCG@k  = Σ_{pos ≤ k} (2^rel − 1) / log2(pos + 1); NDCG@k = DCG/IDCG
+  (0 when the query has no relevant docs at all);
+* P@k    = |{pos ≤ k : rel > 0}| / k  (k in the denominator, TREC-style —
+  a query with fewer than k relevant docs cannot reach 1.0).
+
+Results are rounded (default 6 digits) so the DuckDB oracle twin — which
+sums the same per-position terms in a different order — hash-matches
+despite last-ulp float drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def ranking_metrics(
+    run: DataFrame,
+    k: int = 10,
+    qid_col: str = "qid",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    rel_col: str = "rel",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-query metrics at cutoff ``k``: one row per qid with
+    ``(qid, n_rel, mrr, ndcg, p_at_k)``. ``n_rel`` is the query's total
+    relevant count (over the whole run, not just top k) — the recall
+    denominator a caller needs next."""
+    qid, doc, score, rel = (
+        F.col(qid_col),
+        F.col(id_col),
+        F.col(score_col),
+        F.col(rel_col),
+    )
+    w_run = Window.partitionBy(qid).orderBy(score.desc(), doc.asc())
+    w_ideal = Window.partitionBy(qid).orderBy(rel.desc(), doc.asc())
+    pos = F.row_number().over(w_run)
+    ipos = F.row_number().over(w_ideal)
+    ranked = run.select(
+        qid.alias("qid"),
+        rel.alias("rel"),
+        pos.alias("pos"),
+        ipos.alias("ipos"),
+    )
+    gain = F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0)
+    in_k = F.col("pos") <= k
+    dcg = F.sum(F.when(in_k, gain / F.log2(F.col("pos") + 1)).otherwise(0.0))
+    idcg = F.sum(
+        F.when(F.col("ipos") <= k, gain / F.log2(F.col("ipos") + 1)).otherwise(
+            0.0
+        )
+    )
+    rr = F.max(
+        F.when(in_k & (F.col("rel") > 0), F.lit(1.0) / F.col("pos"))
+    )
+    hits = F.sum(F.when(in_k & (F.col("rel") > 0), 1).otherwise(0))
+    return (
+        ranked.groupBy("qid")
+        .agg(
+            F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rel"),
+            F.coalesce(rr, F.lit(0.0)).alias("_mrr"),
+            dcg.alias("_dcg"),
+            idcg.alias("_idcg"),
+            (hits.cast("double") / k).alias("_prec"),
+        )
+        .select(
+            "qid",
+            "n_rel",
+            F.round("_mrr", round_digits).alias("mrr"),
+            F.round(
+                F.when(
+                    F.col("_idcg") > 0, F.col("_dcg") / F.col("_idcg")
+                ).otherwise(0.0),
+                round_digits,
+            ).alias("ndcg"),
+            F.round("_prec", round_digits).alias("p_at_k"),
+        )
+    )

@@ -1,0 +1,55 @@
+"""ranking_metrics: hand-computed MRR/NDCG/P@k pins + contracts (tie-break,
+no-relevant query, cutoff)."""
+
+import math
+
+from pyspark.sql import functions as F  # noqa: F401  (fixture parity)
+
+from search_engine_spark.operators.evaluate import ranking_metrics
+
+
+def test_ranking_metrics_hand_computed(spark):
+    rows = [
+        # qid 1: ranked d1(40,r0) d2(30,r1) d3(20,r0) d4(10,r2) d5(5,r1)
+        (1, 1, 40.0, 0),
+        (1, 2, 30.0, 1),
+        (1, 3, 20.0, 0),
+        (1, 4, 10.0, 2),
+        (1, 5, 5.0, 1),  # outside k=4
+        # qid 2: score tie -> doc_id ASC breaks it; first relevant at pos 2
+        (2, 1, 10.0, 0),
+        (2, 2, 10.0, 1),
+        # qid 3: nothing relevant
+        (3, 1, 9.0, 0),
+        (3, 2, 8.0, 0),
+    ]
+    df = spark.createDataFrame(rows, "qid long, doc_id long, score double, rel int")
+    got = {r["qid"]: r for r in ranking_metrics(df, k=4).collect()}
+
+    q1 = got[1]
+    assert q1["n_rel"] == 3
+    assert q1["mrr"] == 0.5  # first relevant at pos 2
+    assert q1["p_at_k"] == 0.5  # 2 relevant in top 4
+    dcg = 1 / math.log2(3) + 3 / math.log2(5)
+    idcg = 3 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    assert q1["ndcg"] == round(dcg / idcg, 6)
+
+    q2 = got[2]
+    assert q2["mrr"] == 0.5  # tie broken by doc_id ASC
+    assert q2["ndcg"] == round((1 / math.log2(3)) / (1 / math.log2(2)), 6)
+
+    q3 = got[3]
+    assert (q3["n_rel"], q3["mrr"], q3["ndcg"], q3["p_at_k"]) == (0, 0.0, 0.0, 0.0)
+
+
+def test_ranking_metrics_cutoff_excludes_tail(spark):
+    # the only relevant doc sits at pos 3; with k=2 every metric is 0
+    rows = [(1, i, float(100 - i), 1 if i == 3 else 0) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "qid long, doc_id long, score double, rel int")
+    r = ranking_metrics(df, k=2).collect()[0]
+    assert (r["mrr"], r["ndcg"], r["p_at_k"]) == (0.0, 0.0, 0.0)
+    assert r["n_rel"] == 1  # n_rel counts the whole run
+    # and with k=3 it is found
+    r3 = ranking_metrics(df, k=3).collect()[0]
+    assert r3["mrr"] == round(1 / 3, 6)
+    assert r3["ndcg"] == round((1 / math.log2(4)) / (1 / math.log2(2)), 6)
