@@ -611,3 +611,24 @@ def test_span_dedup_random_vs_oracle(spark):
     }
     got = _run_span_dedup(spark, docs, k=3)
     assert got == _span_dedup_oracle(docs, 3)
+
+
+def test_ngram_hashed_equals_string_keys(spark):
+    """hash_shingles=True (8-byte exchange keys) must produce the exact
+    pair set + jaccard values as the raw-string path on a corpus with
+    adjacent near-dups (collision-free at any realistic test scale)."""
+    rows = [
+        (i, f"shared prefix tokens here unique{i} tail{i % 3} more words")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    kw = dict(text_col="content", n=2, min_jaccard=0.2, max_shingle_df=25)
+    hashed = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, hash_shingles=True, **kw).collect()
+    }
+    strings = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, hash_shingles=False, **kw).collect()
+    }
+    assert hashed == strings and len(hashed) > 0
