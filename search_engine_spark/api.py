@@ -27,6 +27,7 @@ import threading
 from pyspark.sql import SparkSession, functions as F
 
 from .functions.analyze import analyze_query
+from .functions.qparser import parse_query
 from .functions.snippet import find_matching_words, generate_snippet
 from .operators.query import SearchEngine
 from .plans.build_job import build_index
@@ -268,9 +269,40 @@ class EngineAPI:
         ``filters`` ({repo|lang|commit: value, path_prefix: prefix})
         restricts results on doc metadata without rescoping stats (Lucene
         fq); the banner is truncation-aware under filters.
+
+        ``mode='auto'`` parses Lucene-style syntax out of the query string
+        itself (`functions/qparser.py`): ``"exact phrase"``,
+        ``"near terms"~N``, ``a OR b``, ``quer*``, ``-not``, ``site:`` /
+        ``repo:`` / ``lang:`` / ``commit:`` / ``path:`` fields — then
+        re-dispatches once with the parsed options (parser wins over the
+        corresponding explicit arguments; a filter/mode combination the
+        engine cannot serve returns the standard error envelope).
         """
         if not query or not query.strip():
             return {"result": False, "error": ERR_EMPTY_QUERY}
+        if mode == "auto":
+            # Lucene-style syntax: parse the string into mode/site/filters
+            # (functions/qparser.py) and re-dispatch once. Parser-derived
+            # options win over the corresponding explicit arguments (the
+            # string IS the user's intent); everything the parser does not
+            # set passes through unchanged.
+            try:
+                opts = parse_query(query)
+            except ValueError as e:
+                return {"result": False, "error": str(e)}
+            return self.search(
+                opts.pop("query"),
+                site=opts.pop("site", site),
+                offset=offset,
+                limit=limit,
+                scorer=scorer,
+                strategy=strategy,
+                near_window=opts.pop("near_window", near_window),
+                min_match=min_match,
+                synonyms=synonyms,
+                filters=opts.pop("filters", filters),
+                **opts,
+            )
         exclude = None
         if mode in ("all", "any") and " -" in f" {query}":
             toks = query.split()

@@ -1,0 +1,94 @@
+"""Lucene-style query-string parser: one string → the engine's structured
+search options. Lets a user write the compact syntax search boxes teach —
+
+* ``field:value``      — ``site:`` scopes stats (reference site semantics);
+                         ``repo:`` / ``lang:`` / ``commit:`` are fq filters
+                         (`operators/query.py` _FILTER_KEYS); ``path:`` maps
+                         to the ``path_prefix`` filter;
+* ``"exact phrase"``   — whole-query quotes switch to ``mode='phrase'``;
+* ``"terms here"~N``   — Lucene proximity: ``mode='near'`` with window N;
+* ``a OR b``           — any uppercase OR between terms → ``mode='any'``
+                         (the OR tokens are dropped; everything else of the
+                         query is the ranked union);
+* ``quer*``            — a single positive trailing-wildcard term →
+                         ``mode='prefix'``;
+* ``-word``            — passes through unchanged (the API already treats
+                         leading-minus tokens as NOT clauses in all/any).
+
+Deliberately NOT a full boolean grammar: no nesting, no per-term phrases,
+no AND keyword (AND is the default), because the serving layer has exactly
+these five modes — a parser that accepts more than the engine can serve
+would lie. Quotes anywhere but around the WHOLE query are stripped by the
+analyzer downstream and carry no phrase meaning (documented contract).
+
+Validation: phrase/near/prefix are their own sublanguages and do not
+compose with fq filters (same rule as ``EngineAPI.search``) — field
+filters on those shapes raise ``ValueError`` instead of being silently
+dropped. ``site:`` composes with every mode.
+"""
+
+from __future__ import annotations
+
+import re
+
+FIELD_RE = re.compile(r"(?<!\S)(site|repo|lang|commit|path):(\S+)")
+PHRASE_RE = re.compile(r'^\s*"([^"]+)"\s*(?:~(\d+))?\s*$')
+
+
+def parse_query(q: str) -> dict:
+    """Parse one query string into ``EngineAPI.search`` keyword options:
+    always ``query`` and ``mode``; plus ``near_window`` / ``site`` /
+    ``filters`` when present."""
+    filters: dict[str, str] = {}
+    site: str | None = None
+
+    def _grab(m: re.Match) -> str:
+        nonlocal site
+        field, value = m.group(1), m.group(2)
+        if field == "site":
+            site = value
+        elif field == "path":
+            filters["path_prefix"] = value
+        else:
+            filters[field] = value
+        return " "
+
+    rest = FIELD_RE.sub(_grab, q).strip()
+    opts: dict = {"mode": "all"}
+
+    m = PHRASE_RE.match(rest)
+    if m:
+        opts["query"] = m.group(1)
+        if m.group(2) is not None:
+            opts["mode"] = "near"
+            opts["near_window"] = int(m.group(2))
+        else:
+            opts["mode"] = "phrase"
+    else:
+        toks = rest.split()
+        if "OR" in toks:
+            opts["mode"] = "any"
+            toks = [t for t in toks if t != "OR"]
+        positive = [t for t in toks if not t.startswith("-")]
+        if (
+            opts["mode"] == "all"
+            and len(toks) == 1
+            and len(positive) == 1
+            and positive[0].endswith("*")
+            and len(positive[0]) > 1
+        ):
+            opts["mode"] = "prefix"
+            opts["query"] = positive[0]
+        else:
+            opts["query"] = " ".join(toks)
+
+    if site is not None:
+        opts["site"] = site
+    if filters:
+        if opts["mode"] in ("phrase", "near", "prefix"):
+            raise ValueError(
+                f"field filters {sorted(filters)} do not compose with "
+                f"mode='{opts['mode']}' (use site: for scoping)"
+            )
+        opts["filters"] = filters
+    return opts

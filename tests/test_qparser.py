@@ -1,0 +1,117 @@
+"""Lucene-style query-string parsing (`functions/qparser.py`) and its
+`mode='auto'` routing through `EngineAPI.search` — each parsed shape must
+produce the SAME response as the explicit structured call."""
+
+from __future__ import annotations
+
+import pytest
+
+from search_engine_spark.api import EngineAPI
+from search_engine_spark.functions.qparser import parse_query
+from search_engine_spark.synth import make_corpus
+
+# ---------------------------------------------------------------- parser
+
+
+def test_parse_plain_and_not():
+    assert parse_query("merge scan") == {"mode": "all", "query": "merge scan"}
+    # -word passes through: the API owns NOT handling
+    assert parse_query("merge -scan") == {"mode": "all", "query": "merge -scan"}
+
+
+def test_parse_or():
+    assert parse_query("merge OR scan") == {"mode": "any", "query": "merge scan"}
+    # OR is the keyword only in uppercase; 'or' is a term
+    assert parse_query("merge or scan") == {
+        "mode": "all",
+        "query": "merge or scan",
+    }
+
+
+def test_parse_phrase_and_near():
+    assert parse_query('"hash table"') == {"mode": "phrase", "query": "hash table"}
+    assert parse_query('"merge scan"~4') == {
+        "mode": "near",
+        "query": "merge scan",
+        "near_window": 4,
+    }
+    # quotes NOT spanning the whole query carry no phrase meaning
+    got = parse_query('fast "hash table"')
+    assert got["mode"] == "all" and "hash" in got["query"]
+
+
+def test_parse_prefix():
+    assert parse_query("quer*") == {"mode": "prefix", "query": "quer*"}
+    # multi-term with a wildcard is NOT prefix mode (engine serves only
+    # single-term prefix); stays mode=all with the token intact
+    assert parse_query("fast quer*")["mode"] == "all"
+    # bare '*' is not a prefix query
+    assert parse_query("*")["mode"] == "all"
+
+
+def test_parse_fields():
+    got = parse_query("lang:python merge path:src/ repo:org1/repo2")
+    assert got == {
+        "mode": "all",
+        "query": "merge",
+        "filters": {
+            "lang": "python",
+            "path_prefix": "src/",
+            "repo": "org1/repo2",
+        },
+    }
+    got = parse_query("site:org0/repo7 merge scan")
+    assert got == {"mode": "all", "query": "merge scan", "site": "org0/repo7"}
+
+
+def test_parse_field_with_unsupported_mode_raises():
+    with pytest.raises(ValueError):
+        parse_query('lang:python "hash table"')
+    with pytest.raises(ValueError):
+        parse_query("lang:python quer*")
+    # site: composes with phrase — no raise
+    got = parse_query('site:org0/repo1 "hash table"')
+    assert got["mode"] == "phrase" and got["site"] == "org0/repo1"
+
+
+# ------------------------------------------------------------ auto routing
+
+
+@pytest.fixture(scope="module")
+def api(spark, tmp_path_factory):
+    from search_engine_spark.sources.catalog import Catalog
+
+    root = str(tmp_path_factory.mktemp("qp_idx"))
+    corpus = make_corpus(spark, 180, seed=21, partitions=4)
+    a = EngineAPI(spark, Catalog(root), corpus_reader=lambda: corpus, code=True)
+    assert a.start_indexing(n_shards=2)["result"]
+    return a
+
+
+def _ids(resp):
+    assert resp["result"], resp
+    return [d["id"] for d in resp["data"]] if "data" in resp else []
+
+
+def test_auto_equals_explicit(api):
+    pairs = [
+        ("merge scan", dict(query="merge scan", mode="all")),
+        ("merge OR scan", dict(query="merge scan", mode="any")),
+        ('"merge scan"~6', dict(query="merge scan", mode="near", near_window=6)),
+        ("mer*", dict(query="mer*", mode="prefix")),
+        (
+            "lang:python merge",
+            dict(query="merge", mode="all", filters={"lang": "python"}),
+        ),
+    ]
+    for qstr, explicit in pairs:
+        auto = api.search(qstr, mode="auto", limit=10)
+        manual = api.search(limit=10, **explicit)
+        assert auto == manual, qstr
+        assert auto["result"], qstr
+
+
+def test_auto_error_envelope(api):
+    resp = api.search('lang:python "hash table"', mode="auto")
+    assert resp["result"] is False and "compose" in resp["error"]
+    assert api.search("   ", mode="auto")["result"] is False

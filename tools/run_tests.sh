@@ -1,11 +1,11 @@
 #!/usr/bin/env bash
 # Full-suite green path under 10 minutes (VERDICT r03 next-#8).
 #
-# The suite is ~180 Spark-heavy tests, ~19 min serially in one local[4]
-# session. pytest-xdist is not installed, so this script runs FOUR
+# The suite is ~420 Spark-heavy tests, well past 25 min serially in one
+# local[4] session. pytest-xdist is not installed, so this script runs FIVE
 # concurrent pytest processes — each builds its own SparkSession (UI
 # disabled: no port conflicts; temp dirs per-process), so they share only
-# CPU, and the box has 32 cores (4 × local[4] = 16 executor threads).
+# CPU, and the box has 32 cores (5 × local[4] = 20 executor threads).
 #
 # Group sizing from measured durations (--durations=25, 2026-08):
 #   test_incremental_resume.py is ~546 s alone — split by test id into
@@ -23,9 +23,15 @@ G2_DESELECT="--deselect tests/test_incremental_resume.py::test_upsert_touches_on
     --deselect tests/test_incremental_resume.py::test_crash_after_docs_commit_retry_converges"
 G3="tests/test_lifecycle.py tests/test_api_incremental.py tests/test_catalog_recovery.py \
     tests/test_trigram.py"
+# g5 carries the index-building heavyweights split out of g4 (g4 hit 13 min
+# once the round-4 operator files landed); 5 × local[4] = 20 threads on 32.
+G5="tests/test_build_query.py tests/test_wand.py tests/test_packed_postings.py \
+    tests/test_spark_submit.py tests/test_remove_docs.py"
 G4=$(ls tests/test_*.py | grep -v -e incremental_resume -e test_streaming \
      -e api_incremental -e catalog_recovery -e lifecycle -e test_compaction \
-     -e test_phrase -e test_trigram -e test_http_api)
+     -e test_phrase -e test_trigram -e test_http_api -e test_build_query \
+     -e test_wand -e test_packed_postings -e test_spark_submit \
+     -e test_remove_docs)
 
 t0=$SECONDS
 python -m pytest $G1 -q >/tmp/se_tests_g1.log 2>&1 &
@@ -36,13 +42,16 @@ python -m pytest $G3 -q >/tmp/se_tests_g3.log 2>&1 &
 P3=$!
 python -m pytest $G4 -q >/tmp/se_tests_g4.log 2>&1 &
 P4=$!
+python -m pytest $G5 -q >/tmp/se_tests_g5.log 2>&1 &
+P5=$!
 wait "$P1"; R1=$?
 wait "$P2"; R2=$?
 wait "$P3"; R3=$?
 wait "$P4"; R4=$?
+wait "$P5"; R5=$?
 
-for i in 1 2 3 4; do
+for i in 1 2 3 4 5; do
   echo "--- group $i ---"; tail -2 "/tmp/se_tests_g$i.log"
 done
-echo "wall: $((SECONDS - t0))s  (logs: /tmp/se_tests_g{1..4}.log)"
-exit $(( R1 != 0 || R2 != 0 || R3 != 0 || R4 != 0 ? 1 : 0 ))
+echo "wall: $((SECONDS - t0))s  (logs: /tmp/se_tests_g{1..5}.log)"
+exit $(( R1 != 0 || R2 != 0 || R3 != 0 || R4 != 0 || R5 != 0 ? 1 : 0 ))
