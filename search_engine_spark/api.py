@@ -290,6 +290,25 @@ class EngineAPI:
                 opts = parse_query(query)
             except ValueError as e:
                 return {"result": False, "error": str(e)}
+            # Multi-term wildcard rewrite (single-term `quer*` is prefix
+            # mode, handled by the parser): each trailing-* token becomes
+            # a Lucene blended group over its capped rarest-first
+            # vocabulary expansions, served by the existing SynonymQuery
+            # machinery (tf = Σ members, df = max member). No expansions →
+            # the group is vocabulary-missing: AND yields zero results,
+            # OR drops the clause — Lucene's empty-rewrite semantics.
+            if opts["mode"] in ("all", "any") and "*" in opts["query"]:
+                toks, wild = [], {}
+                for t in opts["query"].split():
+                    if t.endswith("*") and len(t) > 1 and not t.startswith("-"):
+                        head = t.rstrip("*")
+                        wild[head] = self._get_engine().expand_prefix(head)
+                        toks.append(head)
+                    else:
+                        toks.append(t)
+                if wild:
+                    opts["query"] = " ".join(toks)
+                    synonyms = {**(synonyms or {}), **wild}
             return self.search(
                 opts.pop("query"),
                 site=opts.pop("site", site),

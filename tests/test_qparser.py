@@ -115,3 +115,20 @@ def test_auto_error_envelope(api):
     resp = api.search('lang:python "hash table"', mode="auto")
     assert resp["result"] is False and "compose" in resp["error"]
     assert api.search("   ", mode="auto")["result"] is False
+
+
+def test_auto_multiterm_wildcard_rewrites_to_blended_group(api):
+    """`fast quer*` in auto mode = the explicit SynonymQuery formulation:
+    the wildcard token becomes a blended group over its capped vocabulary
+    expansions (Lucene multi-term rewrite)."""
+    exp = api._get_engine().expand_prefix("quer")
+    assert exp  # the synth corpus has quer- terms
+    auto = api.search("fast quer*", mode="auto", limit=10)
+    manual = api.search("fast quer", synonyms={"quer": exp}, limit=10)
+    assert auto == manual and auto["result"]
+    # empty expansion: AND with a no-match wildcard yields zero results...
+    none_and = api.search("fast zzzz*", mode="auto", limit=10)
+    assert none_and["result"] and none_and["count"] == 0
+    # ...and OR drops the clause (Lucene empty-rewrite semantics)
+    none_or = api.search("fast OR zzzz*", mode="auto", limit=10)
+    assert none_or["result"] and none_or["count"] > 0
