@@ -44,6 +44,7 @@ def curate_corpus(
     max_tokens: int = 100_000,
     benchmark: DataFrame | None = None,
     decontaminate_n: int = 8,
+    drop_secrets: bool = False,
 ) -> DataFrame:
     """Curated-survivor rows: one per unique kept document —
     ``(doc_id, lang, quality, n_ws_tokens, n_bpe_tokens, n_copies)``
@@ -57,8 +58,20 @@ def curate_corpus(
     contaminated docs never reach the exchange. No forced broadcast:
     the flagged set is usually tiny (AQE broadcasts it at runtime) but
     is corpus-bounded in the worst case, the r3-ADVICE lesson on
-    forcing broadcasts of scale-growing sides."""
+    forcing broadcasts of scale-growing sides.
+
+    ``drop_secrets=True`` chains the code-secret gate in
+    (`functions/secrets.has_secret`): documents carrying credential
+    material (AWS/GitHub/Slack tokens, PEM headers, quoted credential
+    assignments) are rejected in the SAME scan-stage filter as the
+    language/quality/length gates — zero extra exchanges, the policy a
+    code-corpus pretraining build actually wants (redaction keeps a
+    mutilated file; a file that embeds a credential is dropped)."""
+    from ..functions.secrets import has_secret
+
     t = F.col(text_col)
+    if drop_secrets:
+        df = df.filter(~has_secret(t))
     if benchmark is not None:
         flagged = contamination(
             df, benchmark, n=decontaminate_n,
