@@ -1427,6 +1427,60 @@ def _q_line_chunks(spark, sf):
     return chunk_by_lines(d, window=8, overlap=2)
 
 
+def _code_decorated(spark, sf):
+    """documents + the SAME deterministic code block appended on both
+    engines (def/class/method defs, import/from lines, all derived from
+    doc_id) — the shared fixture for the symbol/import extraction gates."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\ndef fn_"),
+            F.col("doc_id").cast("string"),
+            F.lit("(x):\n    return x\nclass Cls"),
+            F.col("doc_id").cast("string"),
+            F.lit(":\n    pass\nimport mod_"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("\nfrom pkg"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(" import thing\npublic static int meth"),
+            F.col("doc_id").cast("string"),
+            F.lit("(int a) {"),
+        ).alias("content"),
+    )
+
+
+_CODE_DECOR_SQL = """SELECT doc_id,
+              text || chr(10) || 'def fn_' || CAST(doc_id AS VARCHAR)
+                   || '(x):' || chr(10) || '    return x' || chr(10)
+                   || 'class Cls' || CAST(doc_id AS VARCHAR) || ':'
+                   || chr(10) || '    pass' || chr(10)
+                   || 'import mod_' || CAST(doc_id % 50 AS VARCHAR)
+                   || chr(10) || 'from pkg' || CAST(doc_id % 7 AS VARCHAR)
+                   || ' import thing' || chr(10)
+                   || 'public static int meth' || CAST(doc_id AS VARCHAR)
+                   || '(int a) {' AS content
+       FROM documents"""
+
+
+def _q_symbol_defs(spark, sf):
+    """Symbol-extraction gate: every (doc_id, kind, symbol) occurrence from
+    the decorated corpus must match the DuckDB regexp_extract_all twin
+    (same patterns imported from `functions/code_analysis.py`)."""
+    from search_engine_spark.functions.code_analysis import extract_symbols
+
+    return extract_symbols(_code_decorated(spark, sf))
+
+
+def _q_import_graph(spark, sf):
+    """Import-extraction gate: (doc_id, module) edge list byte-identical
+    to the DuckDB twin."""
+    from search_engine_spark.functions.code_analysis import extract_imports
+
+    return extract_imports(_code_decorated(spark, sf))
+
+
 def _q_rank_eval(spark, sf):
     """Ranking-metrics gate: both engines derive the SAME synthetic run —
     qid = doc_id % 8, a Knuth-hash pseudo-score, graded labels rel ∈
@@ -1977,6 +2031,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secret_scrub": _q_secret_scrub,
         "line_chunks": _q_line_chunks,
         "rank_eval": _q_rank_eval,
+        "symbol_defs": _q_symbol_defs,
+        "import_graph": _q_import_graph,
         "paragraph_dedup": _q_paragraph_dedup,
         "span_dedup": _q_span_dedup,
         "sequence_pack_shuffled": _q_sequence_pack_shuffled,
@@ -2897,6 +2953,10 @@ def oracle_sql() -> dict[str, str]:
                   CAST(least(8, len(l) - st + 1) AS BIGINT) AS n_lines,
                   array_to_string(l[st : st + 7], chr(10)) AS chunk
            FROM s""",
+        # symbol/import extraction twins: same decoration CTE, same
+        # patterns imported from functions/code_analysis.py, group 1
+        "symbol_defs": _symbols_oracle_sql(),
+        "import_graph": _imports_oracle_sql(),
         # ranking-metrics twin: same synthetic run, same two windows
         # (serving tie-break score DESC, doc_id ASC; ideal rel DESC,
         # doc_id ASC), both sides round to 6 digits
@@ -3381,6 +3441,31 @@ def _secrets_oracle_sql() -> str:
               CAST(len(regexp_extract_all(t, '{as_re}')) AS BIGINT)
                 AS n_assigned,
               {scrub} AS scrubbed
+       FROM d"""
+
+
+def _symbols_oracle_sql() -> str:
+    from search_engine_spark.functions.code_analysis import SYMBOL_PATTERNS
+
+    arms = "\n           UNION ALL ".join(
+        f"""SELECT doc_id, '{kind}' AS kind,
+                  unnest(regexp_extract_all(content, '{pat}', 1)) AS symbol
+           FROM d"""
+        for kind, pat in SYMBOL_PATTERNS
+    )
+    return f"""
+       WITH d AS ({_CODE_DECOR_SQL})
+       {arms}"""
+
+
+def _imports_oracle_sql() -> str:
+    from search_engine_spark.functions.code_analysis import IMPORT_PATTERN
+
+    return f"""
+       WITH d AS ({_CODE_DECOR_SQL})
+       SELECT doc_id,
+              unnest(regexp_extract_all(content, '{IMPORT_PATTERN}', 1))
+                AS module
        FROM d"""
 
 

@@ -292,6 +292,8 @@ def main() -> None:
         "secret_scrub",
         "line_chunks",
         "rank_eval",
+        "symbol_defs",
+        "import_graph",
         "paragraph_dedup",
         "image_channel_stats",
         "audio_window_feats",

@@ -1,0 +1,82 @@
+"""Code-structure extraction over a source-code corpus: symbol definitions
+(functions / classes / Java-style methods) and import statements, as
+relational tables — the backbone of symbol search ("jump to definition"),
+dependency analytics, and import-graph ranking (`operators/graph.pagerank`
+takes the module edges directly).
+
+Every pattern is in the Java-regex ∩ RE2 subset (no lookaround/backrefs;
+`(?m)` multiline IS in both) so a DuckDB oracle replays the exact
+extraction; capture group 1 is the symbol/module name in every pattern.
+
+Plan shape at 10^12 files: a single projection builds, per row, an array of
+(kind, names[]) structs — ONE regexp pass per pattern per row inside the
+scan stage — then two explodes fan out to (doc_id, kind, symbol) rows.
+Zero shuffles, zero UDFs; the output is a map-side table you aggregate or
+join downstream as needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# (kind, pattern) — group 1 captures the name.
+SYMBOL_PATTERNS: tuple[tuple[str, str], ...] = (
+    # python/scala-style function definition
+    ("function", r"\bdef\s+([A-Za-z_][A-Za-z0-9_]*)\s*\("),
+    # python/java/scala class definition
+    ("class", r"\bclass\s+([A-Za-z_][A-Za-z0-9_]*)\b"),
+    # java/c#-style method: visibility modifier, optional static, a return
+    # type token, then the name before '('
+    (
+        "method",
+        r"\b(?:public|private|protected)\s+(?:static\s+)?"
+        r"[A-Za-z_][A-Za-z0-9_<>\[\]]*\s+([A-Za-z_][A-Za-z0-9_]*)\s*\(",
+    ),
+)
+
+# `import a.b.c` / `from a.b import x` at line start — group 1 is the
+# imported module path (python-shaped; java `import a.b.C;` matches too).
+IMPORT_PATTERN = r"(?m)^\s*(?:from|import)\s+([A-Za-z_][A-Za-z0-9_.]*)"
+
+
+def extract_symbols(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "content"
+) -> DataFrame:
+    """One row per symbol occurrence: ``(doc_id, kind, symbol)`` in
+    ``SYMBOL_PATTERNS`` kind order per doc (duplicates kept — occurrence
+    count is signal; ``groupBy`` downstream if you want distinct)."""
+    t = F.col(text_col)
+    per_kind = F.array(
+        *[
+            F.struct(
+                F.lit(kind).alias("kind"),
+                F.regexp_extract_all(t, F.lit(pat), F.lit(1)).alias("names"),
+            )
+            for kind, pat in SYMBOL_PATTERNS
+        ]
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), per_kind.alias("ks"))
+        .select("doc_id", F.explode("ks").alias("k"))
+        .select(
+            "doc_id",
+            F.col("k.kind").alias("kind"),
+            F.explode("k.names").alias("symbol"),
+        )
+    )
+
+
+def extract_imports(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "content"
+) -> DataFrame:
+    """One row per import statement: ``(doc_id, module)`` — the edge list
+    of the dependency graph (join modules to their defining repo/path and
+    the edges feed `operators/graph.pagerank` for import-rank)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(IMPORT_PATTERN), F.lit(1)
+            )
+        ).alias("module"),
+    )

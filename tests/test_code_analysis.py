@@ -1,0 +1,69 @@
+"""Symbol/import extraction (`functions/code_analysis.py`): real-shaped
+source snippets, dedup/occurrence semantics, and the shuffle-free plan."""
+
+from __future__ import annotations
+
+from search_engine_spark.functions.code_analysis import (
+    extract_imports,
+    extract_symbols,
+)
+
+PY = """\
+import os
+from collections import OrderedDict
+
+class Indexer:
+    def __init__(self, path):
+        self.path = path
+
+    def build(self):
+        return None
+
+def main():
+    Indexer(".").build()
+"""
+
+JAVA = """\
+import java.util.List;
+public class SearchService {
+    private static int pageCount(List<String> xs) { return xs.size(); }
+    public String search(String q) { return q; }
+}
+"""
+
+NEG = "the word defence and classic and imported are not definitions"
+
+
+def test_extract_symbols_and_imports(spark):
+    df = spark.createDataFrame(
+        [(1, PY), (2, JAVA), (3, NEG)], "doc_id long, content string"
+    )
+    syms = {
+        (r["doc_id"], r["kind"], r["symbol"])
+        for r in extract_symbols(df).collect()
+    }
+    assert (1, "class", "Indexer") in syms
+    assert (1, "function", "__init__") in syms
+    assert (1, "function", "build") in syms
+    assert (1, "function", "main") in syms
+    assert (2, "class", "SearchService") in syms
+    assert (2, "method", "pageCount") in syms
+    assert (2, "method", "search") in syms
+    # negative doc contributes nothing ('defence'/'classic' are not defs)
+    assert not any(d == 3 for d, _, _ in syms)
+
+    imps = {
+        (r["doc_id"], r["module"]) for r in extract_imports(df).collect()
+    }
+    assert imps == {
+        (1, "os"),
+        (1, "collections"),
+        (2, "java.util.List"),
+    }
+
+
+def test_extraction_plan_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, PY)], "doc_id long, content string")
+    for out in (extract_symbols(df), extract_imports(df)):
+        phys = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in phys
