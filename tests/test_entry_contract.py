@@ -1,0 +1,58 @@
+"""Driver-contract safety net for `__spark_entry__.py`: every
+`oracle_sql()` key must have a `queries()` twin, every oracle statement
+must PARSE AND BIND in DuckDB against the real sf0.001 views (EXPLAIN —
+no execution, so the whole 100+-statement sweep is seconds), and
+`entry(spark)` must produce rows with the stable flagship schema. Catches
+a broken registration or SQL typo instantly instead of at driver time."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def test_every_oracle_has_a_query_twin():
+    q, o = E.queries(), E.oracle_sql()
+    assert set(o) <= set(q), sorted(set(o) - set(q))
+    assert all(callable(f) for f in q.values())
+    # the driver's gate is only as strong as its coverage — keep the
+    # rows-only share bounded so oracle coverage cannot silently erode
+    assert len(o) / len(q) >= 0.85, (len(o), len(q))
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+def test_all_oracle_sql_binds_in_duckdb():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    bad = {}
+    for name, sql in E.oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as e:  # noqa: BLE001
+            bad[name] = repr(e)[:200]
+    assert not bad, bad
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+def test_entry_flagship_schema(spark):
+    df = E.entry(spark)
+    rows = df.collect()
+    assert df.columns == ["doc_id", "score"]
+    assert 0 < len(rows) <= 20
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
