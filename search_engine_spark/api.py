@@ -603,6 +603,13 @@ class EngineAPI:
                     "uri": d["path"],
                     "title": d["path"].rsplit("/", 1)[-1] or DEFAULT_TITLE,
                     "snippet": snippet,
+                    # grep -n: 1-based line of the first match (None when
+                    # the needle is regex-only and not literally present) —
+                    # O(k) driver strings, computed on the already-fetched
+                    # page
+                    "line": (d["content"][:pos].count("\n") + 1)
+                    if pos >= 0
+                    else None,
                     "hits": int(r["hits"]),
                 }
             )

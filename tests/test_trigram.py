@@ -412,10 +412,11 @@ def test_api_grep_egrep(spark, tmp_path_factory):
     )["content"][4:14]
     before = api.grep(needle, limit=10)
     assert before["result"] and before["count"] >= 1
-    assert {"site", "uri", "title", "snippet", "hits"} <= set(
+    assert {"site", "uri", "title", "snippet", "hits", "line"} <= set(
         before["data"][0]
     )
     assert needle in before["data"][0]["snippet"]
+    assert before["data"][0]["line"] == 1  # synth content is single-line
 
     built = api.build_code_index()
     assert built["result"] and built["postings"] > 0
@@ -458,3 +459,26 @@ def test_catalyst_substring_scan_matches_python(tri, spark):
     got = {r["doc_id"]: r["hits"]
            for r in substring_scan(cat.read(spark, "docs"), needle).collect()}
     assert got == _truth_substring(spark, cat, needle)
+
+
+def test_api_grep_line_numbers(spark, tmp_path_factory):
+    """grep -n semantics: `line` is the 1-based line of the first match."""
+    from search_engine_spark.api import EngineAPI
+    from search_engine_spark.plans.build_job import build_index
+    from search_engine_spark.sources.catalog import Catalog as _Cat
+
+    root = str(tmp_path_factory.mktemp("tri_line"))
+    cat = _Cat(root)
+    rows = [
+        ("org0/r", f"f{i}.py", "0" * 40, "python",
+         "line one\nline two\nneedlemark here\nline four")
+        for i in range(3)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    build_index(spark, corpus, cat, n_shards=1)
+    api = EngineAPI(spark, cat, code=True)
+    got = api.grep("needlemark", limit=5)
+    assert got["count"] == 3
+    assert all(d["line"] == 3 for d in got["data"])
