@@ -658,6 +658,63 @@ class EngineAPI:
             hits, limit, lits[0] if lits else ""
         )
 
+    # definition-site patterns per kind; {n} is the escaped symbol name.
+    # Kept kind-SPECIFIC (not one alternation) so `regex_literals` extracts
+    # ['def ', name] etc. and the trigram index prunes every search — the
+    # conservative literal extractor returns [] for a top-level alternation.
+    _SYMBOL_RES = {
+        "function": r"\bdef\s+{n}\s*\(",
+        "class": r"\bclass\s+{n}\b",
+        "method": (
+            r"\b(?:public|private|protected)\s+(?:static\s+)?"
+            r"[A-Za-z_][A-Za-z0-9_<>\[\]]*\s+{n}\s*\("
+        ),
+    }
+
+    def symbol_search(
+        self,
+        name: str,
+        kind: str | None = None,
+        limit: int = 20,
+        site: str | None = None,
+    ) -> dict:
+        """Jump-to-definition: exact definition-site search for ``name``
+        (python def/class, Java-style methods — the
+        `functions/code_analysis.py` pattern family with the name inlined).
+        One trigram-pruned regex search per kind (the name itself is a
+        required literal, so pruning stays selective even for one-letter
+        kinds), hit counts summed per doc across kinds, decorated with
+        path/snippet/line like grep. ``kind`` restricts to one pattern."""
+        import re as _re
+
+        if not name or not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            return {"result": False, "error": ERR_EMPTY_QUERY}
+        kinds = [kind] if kind else list(self._SYMBOL_RES)
+        if any(k not in self._SYMBOL_RES for k in kinds):
+            return {
+                "result": False,
+                "error": f"unknown symbol kind {kind!r} "
+                f"(one of {sorted(self._SYMBOL_RES)})",
+            }
+        from .operators.trigram import regex_scan
+
+        tri = self._get_tri()
+        per_kind = []
+        for k in kinds:
+            pat = self._SYMBOL_RES[k].format(n=_re.escape(name))
+            if tri is not None:
+                per_kind.append(tri.regex_search(pat, site=site))
+            else:
+                docs = self.catalog.read(self.spark, "docs")
+                if site is not None:
+                    docs = docs.filter(F.col("repo") == site)
+                per_kind.append(regex_scan(docs, pat))
+        hits = per_kind[0]
+        for h in per_kind[1:]:
+            hits = hits.unionByName(h)
+        hits = hits.groupBy("doc_id").agg(F.sum("hits").alias("hits"))
+        return self._code_hits_response(hits, limit, name)
+
     # -- GET /api/statistics (ApiController.java:20-23) ----------------------
 
     def _build_status(self) -> tuple[str, float | None, str | None]:

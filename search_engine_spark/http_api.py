@@ -152,6 +152,18 @@ class _Handler(BaseHTTPRequestHandler):
                 if needle is None:
                     return self._bad("needle parameter is required")
                 return self._json(api.grep(needle, limit=int(_one(q, "limit", "20"))))
+            if u.path == "/api/symbol":
+                name = _one(q, "name")
+                if name is None:
+                    return self._bad("name parameter is required")
+                return self._json(
+                    api.symbol_search(
+                        name,
+                        kind=_one(q, "kind"),
+                        limit=int(_one(q, "limit", "20")),
+                        site=_one(q, "site"),
+                    )
+                )
             if u.path == "/api/egrep":
                 pattern = _one(q, "pattern")
                 if pattern is None:

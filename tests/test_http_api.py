@@ -161,3 +161,16 @@ def test_similar_route(server):
 
     st, body = _get(server, "/api/similar")
     assert st == 400
+
+
+def test_symbol_endpoint(server):
+    # module-ordered like the statistics test: runs after the
+    # startIndexing test has built the index. The synth corpus has
+    # identifier soup but no guaranteed defs; validation + envelope
+    # shape is what the route test pins.
+    st, body = _get(server, "/api/symbol?name=ZzzNotDefined")
+    assert st == 200 and body["result"] is True and body["count"] == 0
+    st, body = _get(server, "/api/symbol?name=bad-name!")
+    assert body["result"] is False
+    st, body = _get(server, "/api/symbol")
+    assert st == 400

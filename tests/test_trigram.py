@@ -482,3 +482,46 @@ def test_api_grep_line_numbers(spark, tmp_path_factory):
     got = api.grep("needlemark", limit=5)
     assert got["count"] == 3
     assert all(d["line"] == 3 for d in got["data"])
+
+
+def test_api_symbol_search(spark, tmp_path_factory):
+    """symbol_search finds definition sites only (not call sites), sums
+    hits across kinds, prunes through the trigram index when built, and
+    reports the definition's line number."""
+    from search_engine_spark.api import EngineAPI
+    from search_engine_spark.plans.build_job import build_index
+    from search_engine_spark.sources.catalog import Catalog as _Cat
+
+    root = str(tmp_path_factory.mktemp("tri_sym"))
+    cat = _Cat(root)
+    rows = [
+        ("org0/r", "a.py", "0" * 40, "python",
+         "import os\ndef target(x):\n    return x\ntarget(1)\ntarget(2)"),
+        ("org0/r", "b.py", "1" * 40, "python",
+         "class target:\n    pass\n"),
+        ("org0/r", "c.java", "2" * 40, "java",
+         "class Svc {\n  public static int target(int a) { return a; }\n}"),
+        ("org1/r", "d.py", "3" * 40, "python",
+         "result = target(5)  # call site only\n"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    build_index(spark, corpus, cat, n_shards=1)
+    api = EngineAPI(spark, cat, code=True)
+
+    pre = api.symbol_search("target")
+    assert pre["result"] and pre["count"] == 3  # d.py (call only) excluded
+    uris = {d["uri"] for d in pre["data"]}
+    assert uris == {"a.py", "b.py", "c.java"}
+    # kind restriction
+    fn = api.symbol_search("target", kind="function")
+    assert {d["uri"] for d in fn["data"]} == {"a.py"}
+    assert fn["data"][0]["line"] == 2
+    # same result through the trigram-pruned path
+    assert api.build_code_index()["result"]
+    post = api.symbol_search("target")
+    assert {d["uri"] for d in post["data"]} == uris
+    # validation
+    assert api.symbol_search("not-an-identifier!")["result"] is False
+    assert api.symbol_search("target", kind="enum")["result"] is False
