@@ -286,6 +286,13 @@ class EngineAPI:
             # options win over the corresponding explicit arguments (the
             # string IS the user's intent); everything the parser does not
             # set passes through unchanged.
+            import re as _re
+
+            m = _re.fullmatch(
+                r"\s*sym:([A-Za-z_][A-Za-z0-9_]*)\s*", query
+            )
+            if m:  # whole-query sym:Name → definition-site search
+                return self.symbol_search(m.group(1), limit=limit, site=site)
             try:
                 opts = parse_query(query)
             except ValueError as e:

@@ -132,3 +132,9 @@ def test_auto_multiterm_wildcard_rewrites_to_blended_group(api):
     # ...and OR drops the clause (Lucene empty-rewrite semantics)
     none_or = api.search("fast OR zzzz*", mode="auto", limit=10)
     assert none_or["result"] and none_or["count"] > 0
+
+
+def test_auto_sym_routes_to_symbol_search(api):
+    auto = api.search("sym:ZzzNotDefined", mode="auto", limit=5)
+    direct = api.symbol_search("ZzzNotDefined", limit=5)
+    assert auto == direct and auto["result"] and auto["count"] == 0
