@@ -45,7 +45,8 @@ def _build_parser() -> argparse.ArgumentParser:
     s.add_argument("--offset", type=int, default=0)
     s.add_argument("--site", default=None)
     s.add_argument("--mode", default="all",
-                   choices=["all", "any", "phrase", "near", "prefix"])
+                   choices=["all", "any", "phrase", "near", "prefix",
+                            "auto"])
     s.add_argument("--scorer", default="bm25",
                    choices=["bm25", "lmd", "legacy"])
     s.add_argument("--lang", default=None, help="filter: doc language")
@@ -59,6 +60,13 @@ def _build_parser() -> argparse.ArgumentParser:
     r = sub.add_parser("remove", help="delete a document")
     r.add_argument("repo")
     r.add_argument("path")
+
+    y = sub.add_parser("symbol", help="jump-to-definition search")
+    y.add_argument("name")
+    y.add_argument("--kind", default=None,
+                   choices=["function", "class", "method"])
+    y.add_argument("-k", "--limit", type=int, default=10)
+    y.add_argument("--site", default=None)
 
     v = sub.add_parser("serve", help="run the HTTP facade")
     v.add_argument("--port", type=int, default=8080)
@@ -106,6 +114,10 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "remove":
         api = EngineAPI(spark, Catalog(args.catalog), code=code)
         out = api.remove_doc(args.repo, args.path)
+    elif args.cmd == "symbol":
+        api = EngineAPI(spark, Catalog(args.catalog), code=code)
+        out = api.symbol_search(args.name, kind=args.kind,
+                                limit=args.limit, site=args.site)
     else:  # serve
         from .http_api import serve
 

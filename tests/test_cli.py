@@ -62,3 +62,16 @@ def test_cli_build_search_stats_remove(setup, capsys):
     # empty-query error → exit 1 with the reference error string
     rc, out = _run(capsys, ["--catalog", cat, "search", "  "])
     assert rc == 1 and out["result"] is False
+
+
+def test_cli_symbol_and_auto(setup, capsys):
+    cat, corpus = setup
+    # reuses the index test_cli_build_search_stats_remove built (module
+    # fixture + ordered file, same convention as the http facade tests)
+    rc, out = _run(capsys, ["--catalog", cat, "symbol", "ZzzNope"])
+    assert rc == 0 and out["result"] is True and out["count"] == 0
+    rc, out = _run(capsys, ["--catalog", cat, "symbol", "bad-name!"])
+    assert rc == 1 and out["result"] is False
+    rc, out = _run(capsys, ["--catalog", cat, "search", "engine OR block",
+                            "--mode", "auto", "-k", "3"])
+    assert rc == 0 and out["result"] is True and out["data"]
