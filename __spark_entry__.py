@@ -1481,6 +1481,42 @@ def _q_import_graph(spark, sf):
     return extract_imports(_code_decorated(spark, sf))
 
 
+_WINNOW_LICENSE = "copyright acme corp all rights reserved internal"
+
+
+def _q_winnow_fps(spark, sf):
+    """Winnowing fingerprint gate: MOSS fingerprints (k=5 char grams,
+    w=4 window, rightmost-min) of every document — engine array-HOF
+    formulation vs the DuckDB window-frame twin, (doc_id, fp_hash, pos)
+    byte-identical."""
+    from search_engine_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf, "documents"), text_col="text", k=5, w=4
+    )
+
+
+def _q_winnow_pairs(spark, sf):
+    """Winnowing near-dup pair gate: every 25th doc gets the SAME license
+    suffix (long shared normalized substring ⇒ guaranteed shared
+    fingerprints by the w+k−1 theorem); candidate pairs sharing ≥ 8
+    fingerprints must match the DuckDB twin exactly (8 cuts the long tail
+    of generic shared-vocabulary pairs; the ~48-char suffix alone yields
+    ~17 shared fingerprints at winnowing density 2/(w+1))."""
+    from search_engine_spark.operators.dedup import winnow_pairs
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 25 == 0,
+            F.concat(F.col("text"), F.lit(" " + _WINNOW_LICENSE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return winnow_pairs(d, text_col="text", k=5, w=4, min_shared=8)
+
+
 def _q_rank_eval(spark, sf):
     """Ranking-metrics gate: both engines derive the SAME synthetic run —
     qid = doc_id % 8, a Knuth-hash pseudo-score, graded labels rel ∈
@@ -2031,6 +2067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secret_scrub": _q_secret_scrub,
         "line_chunks": _q_line_chunks,
         "rank_eval": _q_rank_eval,
+        "winnow_fps": _q_winnow_fps,
+        "winnow_dup_pairs": _q_winnow_pairs,
         "symbol_defs": _q_symbol_defs,
         "import_graph": _q_import_graph,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -2953,6 +2991,10 @@ def oracle_sql() -> dict[str, str]:
                   CAST(least(8, len(l) - st + 1) AS BIGINT) AS n_lines,
                   array_to_string(l[st : st + 7], chr(10)) AS chunk
            FROM s""",
+        # winnowing twins: engine map-side arrays vs SQL window frame —
+        # two formulations, one MOSS contract
+        "winnow_fps": _winnow_fps_oracle_sql(),
+        "winnow_dup_pairs": _winnow_pairs_oracle_sql(),
         # symbol/import extraction twins: same decoration CTE, same
         # patterns imported from functions/code_analysis.py, group 1
         "symbol_defs": _symbols_oracle_sql(),
@@ -3442,6 +3484,65 @@ def _secrets_oracle_sql() -> str:
                 AS n_assigned,
               {scrub} AS scrubbed
        FROM d"""
+
+
+def _winnow_base_sql(decorated: bool) -> str:
+    """Shared winnowing CTE chain (k=5, w=4): gram hashes with the
+    engine-portable md5-prefix hash, window minima via a ROWS frame,
+    rightmost-min via a max(pos) join — the relational twin of the
+    engine's map-side array formulation."""
+    src = (
+        f"""SELECT doc_id,
+               CASE WHEN doc_id % 25 = 0
+                    THEN text || ' {_WINNOW_LICENSE}' ELSE text END AS text
+            FROM documents"""
+        if decorated
+        else "SELECT doc_id, text FROM documents"
+    )
+    return f"""
+       WITH src AS ({src}),
+       d AS (SELECT doc_id,
+                    regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')
+                      AS norm
+             FROM src),
+       g AS (SELECT doc_id, i,
+                    ('0x' || substr(md5(substr(norm, CAST(i AS INT), 5)),
+                                    1, 15))::BIGINT AS h,
+                    len(norm) - 4 AS ng
+             FROM d, UNNEST(range(1, greatest(len(norm) - 4, 0) + 1)) AS t(i)
+             WHERE len(norm) >= 5),
+       m AS (SELECT doc_id, i AS j, ng,
+                    min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                      AS mh
+             FROM g),
+       sel AS (SELECT doc_id, j, mh FROM m WHERE j <= greatest(ng - 3, 1)),
+       fp AS (SELECT s.doc_id, s.mh AS fp_hash, max(g.i) AS pos
+              FROM sel s JOIN g ON g.doc_id = s.doc_id
+                   AND g.i BETWEEN s.j AND s.j + 3 AND g.h = s.mh
+              GROUP BY s.doc_id, s.j, s.mh),
+       fps AS (SELECT DISTINCT doc_id, fp_hash, CAST(pos AS BIGINT) AS pos
+               FROM fp)"""
+
+
+def _winnow_fps_oracle_sql() -> str:
+    return _winnow_base_sql(False) + "\n       SELECT * FROM fps"
+
+
+def _winnow_pairs_oracle_sql() -> str:
+    return (
+        _winnow_base_sql(True)
+        + """,
+       u AS (SELECT DISTINCT doc_id, fp_hash FROM fps),
+       keep AS (SELECT fp_hash FROM u GROUP BY fp_hash
+                HAVING count(*) <= 200),
+       k AS (SELECT u.doc_id, u.fp_hash FROM u JOIN keep USING (fp_hash))
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(count(*) AS BIGINT) AS shared
+       FROM k a JOIN k b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id
+       HAVING count(*) >= 8"""
+    )
 
 
 def _symbols_oracle_sql() -> str:

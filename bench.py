@@ -293,6 +293,7 @@ def main() -> None:
         "line_chunks",
         "rank_eval",
         "symbol_defs",
+        "winnow_fps",
         "import_graph",
         "paragraph_dedup",
         "image_channel_stats",

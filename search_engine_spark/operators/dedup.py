@@ -758,3 +758,138 @@ def span_dedup(
         ).cast("long").alias("n_removed"),
         F.coalesce(F.col("text"), F.lit("")).alias("text"),
     )
+
+
+# --------------------------------------------------------------- winnowing
+
+# 15 hex digits of md5 → 60-bit int: the ENGINE-PORTABLE gram hash
+# (Spark `conv(substr(md5(x),1,15),16,10)` ≡ DuckDB
+# `('0x'||substr(md5(x),1,15))::BIGINT`) — winnowing selects by hash
+# ORDER, so both engines must rank grams identically.
+def _portable_hash(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03;
+    the MOSS algorithm): the standard code-similarity fingerprint.
+
+    Text is normalized MOSS-style (lowercase, every non-alphanumeric
+    removed — whitespace/punctuation/identifier-separator changes don't
+    move fingerprints), hashed as overlapping character k-grams, then a
+    window of ``w`` consecutive hashes slides over the sequence and the
+    MINIMUM hash of each window is selected, RIGHTMOST position on ties
+    (the paper's robust-winnowing rule). Output one row per distinct
+    selected (hash, position): ``(doc_id, fp_hash, pos)`` (pos = 1-based
+    gram start in the normalized text, kept for span alignment).
+
+    Guarantee (paper, Thm 1 territory): any shared normalized substring
+    of length ≥ w + k − 1 contributes at least one IDENTICAL fingerprint
+    to both documents; no substring shorter than k is ever matched.
+    Density: ~2/(w+1) of all grams are selected.
+
+    Docs whose normalized length is < k emit nothing; docs with fewer
+    than ``w`` grams emit the (rightmost) minimum over all their grams
+    (the single truncated window).
+
+    Plan shape at 10^12 files: everything is ONE map-side projection —
+    gram hashes via transform, window minima via a nested
+    transform/filter/aggregate over index arrays, then one explode +
+    distinct. The only exchange is the distinct's; no window function,
+    no sort of a token stream. The DuckDB twin uses the relational
+    formulation (ROWS BETWEEN frame + rightmost-min join) — two shapes,
+    one contract, which is exactly what the hash gate checks.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", "")
+    n_grams = (F.length("norm") - (k - 1)).cast("int")
+    hs = F.transform(
+        F.sequence(F.lit(1), F.col("ng")),
+        lambda i: _portable_hash(F.col("norm").substr(i, F.lit(k))),
+    )
+    j_seq = F.sequence(F.lit(1), F.greatest(F.col("ng") - (w - 1), F.lit(1)))
+    init = F.struct(
+        F.lit(2**63 - 1).cast("long").alias("m"),
+        F.lit(-1).cast("long").alias("p"),
+    )
+
+    def _win_min(j):
+        offs = F.filter(
+            F.sequence(F.lit(0), F.lit(w - 1)),
+            lambda o: (j + o) <= F.col("ng"),
+        )
+        return F.aggregate(
+            offs,
+            init,
+            lambda acc, o: F.when(
+                F.element_at(F.col("hs"), (j + o).cast("int")) <= acc["m"],
+                F.struct(
+                    F.element_at(F.col("hs"), (j + o).cast("int")).alias("m"),
+                    (j + o).cast("long").alias("p"),
+                ),
+            ).otherwise(acc),
+        )
+
+    return (
+        df.select(F.col(id_col).alias("doc_id"), norm.alias("norm"))
+        .select("doc_id", "norm", n_grams.alias("ng"))
+        .filter(F.col("ng") >= 1)
+        .select("doc_id", "ng", hs.alias("hs"))
+        .select("doc_id", F.explode(F.transform(j_seq, _win_min)).alias("f"))
+        .select(
+            "doc_id",
+            F.col("f.m").alias("fp_hash"),
+            F.col("f.p").alias("pos"),
+        )
+        .distinct()
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = 200,
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints —
+    ``(doc_a, doc_b, shared)`` with ``shared`` = count of distinct common
+    fp hashes ≥ ``min_shared``. Same join discipline as
+    `ngram_jaccard_pairs`: docs only meet on a shared hash (never
+    all-pairs), and ``max_fp_df`` drops boilerplate hashes appearing in
+    more than that many docs BEFORE the self-join (fan-out per hash
+    bounded by max_fp_df²)."""
+    fps = (
+        winnow_fingerprints(df, id_col=id_col, text_col=text_col, k=k, w=w)
+        .select("doc_id", "fp_hash")
+        .distinct()
+    )
+    if max_fp_df is not None:
+        hot = (
+            fps.groupBy("fp_hash")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") > max_fp_df)
+            .select("fp_hash")
+        )
+        fps = fps.join(F.broadcast(hot), "fp_hash", "left_anti")
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp_hash") == F.col("b.fp_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

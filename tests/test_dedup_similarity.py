@@ -632,3 +632,68 @@ def test_ngram_hashed_equals_string_keys(spark):
         for r in ngram_jaccard_pairs(df, hash_shingles=False, **kw).collect()
     }
     assert hashed == strings and len(hashed) > 0
+
+
+# --------------------------------------------------------------- winnowing
+
+
+def _py_winnow(text, k=5, w=4):
+    """Independent reference implementation of robust winnowing."""
+    import hashlib
+    import re as _re
+
+    norm = _re.sub(r"[^a-z0-9]+", "", text.lower())
+    if len(norm) < k:
+        return set()
+    hs = [
+        int(hashlib.md5(norm[i : i + k].encode()).hexdigest()[:15], 16)
+        for i in range(len(norm) - k + 1)
+    ]
+    out = set()
+    for j in range(max(len(hs) - w + 1, 1)):
+        win = hs[j : j + w]
+        m = min(win)
+        p = j + max(i for i, h in enumerate(win) if h == m)  # rightmost
+        out.add((m, p + 1))
+    return out
+
+
+def test_winnow_fingerprints_vs_reference(spark):
+    from search_engine_spark.operators.dedup import winnow_fingerprints
+
+    texts = [
+        (1, "def hash_table(x):\n    return x  # the quick brown fox"),
+        (2, "short"),          # exactly k normalized chars: one gram
+        (3, "ab"),             # below k: nothing
+        (4, "aaaaaaaaaaaa"),   # all-equal hashes: rightmost-min tie rule
+        (5, "DEF HASH_TABLE(X):  return x ## the quick brown fox!"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, content string")
+    got = {}
+    for r in winnow_fingerprints(df).collect():
+        got.setdefault(r["doc_id"], set()).add((r["fp_hash"], r["pos"]))
+    for i, t in texts:
+        assert got.get(i, set()) == _py_winnow(t), i
+    # normalization invariance: whitespace/punct/case changes keep the
+    # fingerprint set identical
+    assert got[1] == got[5]
+
+
+def test_winnow_guarantee_and_pairs(spark):
+    """The paper's guarantee: documents sharing a normalized substring of
+    length >= w+k-1 (= 8 here) share at least one fingerprint — and
+    winnow_pairs surfaces exactly the planted near-dups."""
+    from search_engine_spark.operators.dedup import winnow_pairs
+
+    shared = "sparkwinnowingsharedblockofsubstantiallength"
+    rows = [
+        (1, f"left padding {shared} right tail one"),
+        (2, f"completely different frame {shared} other ending"),
+        (3, "neutral words entirely disjoint vocabulary zzz"),
+        (4, "second standalone file qqq wwy xun blob"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    got = {(r["doc_a"], r["doc_b"]): r["shared"]
+           for r in winnow_pairs(df, min_shared=2).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 2
+    assert all(p == (1, 2) for p in got)
