@@ -1492,7 +1492,8 @@ def _q_winnow_fps(spark, sf):
     from search_engine_spark.operators.dedup import winnow_fingerprints
 
     return winnow_fingerprints(
-        _t(spark, sf, "documents"), text_col="text", k=5, w=4
+        _t(spark, sf, "documents"), text_col="text", k=5, w=4,
+        portable_hash=True,
     )
 
 
@@ -1514,7 +1515,8 @@ def _q_winnow_pairs(spark, sf):
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    return winnow_pairs(d, text_col="text", k=5, w=4, min_shared=8)
+    return winnow_pairs(d, text_col="text", k=5, w=4, min_shared=8,
+                        portable_hash=True)
 
 
 def _q_rank_eval(spark, sf):

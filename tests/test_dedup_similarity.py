@@ -670,7 +670,7 @@ def test_winnow_fingerprints_vs_reference(spark):
     ]
     df = spark.createDataFrame(texts, "doc_id long, content string")
     got = {}
-    for r in winnow_fingerprints(df).collect():
+    for r in winnow_fingerprints(df, portable_hash=True).collect():
         got.setdefault(r["doc_id"], set()).add((r["fp_hash"], r["pos"]))
     for i, t in texts:
         assert got.get(i, set()) == _py_winnow(t), i
