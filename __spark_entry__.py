@@ -1519,6 +1519,38 @@ def _q_winnow_pairs(spark, sf):
                         portable_hash=True)
 
 
+def _q_license_detect(spark, sf):
+    """License-detection gate: doc_id % 9 plants one of the 8 header
+    phrases (residues 0-7, from the shared LICENSE_PHRASES constant) or —
+    residue 8 — an SPDX tag PLUS a conflicting GPL phrase, pinning the
+    spdx-wins precedence. Both engines decorate identically; (spdx,
+    license) must match exactly."""
+    from search_engine_spark.functions.license import (
+        LICENSE_PHRASES,
+        detect_license,
+        spdx_tag,
+    )
+
+    d = _t(spark, sf, "documents")
+    r = F.col("doc_id") % 9
+    dec = F.col("text")
+    for i, (_, phrase) in enumerate(LICENSE_PHRASES):
+        dec = F.when(r == i, F.concat(F.col("text"), F.lit(f" /* {phrase} */"))).otherwise(dec)
+    dec = F.when(
+        r == 8,
+        F.concat(
+            F.lit("// SPDX-License-Identifier: BSD-3-Clause\n"),
+            F.col("text"),
+            F.lit(" gnu general public license"),
+        ),
+    ).otherwise(dec)
+    return d.select(
+        "doc_id",
+        spdx_tag(dec).alias("spdx"),
+        detect_license(dec).alias("license"),
+    )
+
+
 def _q_rank_eval(spark, sf):
     """Ranking-metrics gate: both engines derive the SAME synthetic run —
     qid = doc_id % 8, a Knuth-hash pseudo-score, graded labels rel ∈
@@ -2069,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "secret_scrub": _q_secret_scrub,
         "line_chunks": _q_line_chunks,
         "rank_eval": _q_rank_eval,
+        "license_detect": _q_license_detect,
         "winnow_fps": _q_winnow_fps,
         "winnow_dup_pairs": _q_winnow_pairs,
         "symbol_defs": _q_symbol_defs,
@@ -2993,6 +3026,8 @@ def oracle_sql() -> dict[str, str]:
                   CAST(least(8, len(l) - st + 1) AS BIGINT) AS n_lines,
                   array_to_string(l[st : st + 7], chr(10)) AS chunk
            FROM s""",
+        # license-detection twin: same decoration CASE, same precedence
+        "license_detect": _license_oracle_sql(),
         # winnowing twins: engine map-side arrays vs SQL window frame —
         # two formulations, one MOSS contract
         "winnow_fps": _winnow_fps_oracle_sql(),
@@ -3486,6 +3521,39 @@ def _secrets_oracle_sql() -> str:
                 AS n_assigned,
               {scrub} AS scrubbed
        FROM d"""
+
+
+def _license_oracle_sql() -> str:
+    from search_engine_spark.functions.license import (
+        LICENSE_PHRASES,
+        SPDX_RE,
+    )
+
+    plant = "text"
+    for i, (_, phrase) in enumerate(LICENSE_PHRASES):
+        plant = (
+            f"CASE WHEN doc_id % 9 = {i} THEN text || ' /* {phrase} */' "
+            f"ELSE {plant} END"
+        )
+    plant = (
+        "CASE WHEN doc_id % 9 = 8 THEN "
+        "'// SPDX-License-Identifier: BSD-3-Clause' || chr(10) || text "
+        "|| ' gnu general public license' "
+        f"ELSE {plant} END"
+    )
+    guess = "NULL"
+    for tag, phrase in reversed(LICENSE_PHRASES):
+        guess = (
+            f"CASE WHEN contains(lower(t), '{phrase}') THEN '{tag}' "
+            f"ELSE {guess} END"
+        )
+    return f"""
+       WITH d AS (SELECT doc_id, {plant} AS t FROM documents),
+       x AS (SELECT doc_id, t,
+                    nullif(regexp_extract(t, '{SPDX_RE}', 1), '') AS spdx
+             FROM d)
+       SELECT doc_id, spdx, coalesce(spdx, {guess}) AS license
+       FROM x"""
 
 
 def _winnow_base_sql(decorated: bool) -> str:

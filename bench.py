@@ -294,6 +294,7 @@ def main() -> None:
         "rank_eval",
         "symbol_defs",
         "winnow_fps",
+        "license_detect",
         "import_graph",
         "paragraph_dedup",
         "image_channel_stats",

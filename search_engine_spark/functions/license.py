@@ -1,0 +1,56 @@
+"""License detection for source-code curation: the compliance signal every
+code-corpus pipeline filters or stratifies on (permissive-only training
+sets, copyleft exclusion). Two detectors, both pure Catalyst:
+
+* the explicit ``SPDX-License-Identifier: <tag>`` machine tag (exact
+  extract — authoritative when present);
+* a fixed-precedence phrase match over the lowercased text for the common
+  license headers (MIT / Apache-2.0 / GPL / LGPL / BSD / MPL) — first
+  match in ``LICENSE_PHRASES`` order wins, copyleft checked before
+  permissive so "GPL with exceptions" never reads as permissive.
+
+Phrase matching is `contains` on normalized text — Java ∩ RE2 regex only
+for the SPDX extract, so the DuckDB twin replays both detectors exactly.
+Zero UDFs, zero shuffles; runs inside the ingest scan at any corpus size.
+Classification is HEURISTIC by design (headers, not full-text matching) —
+the standard first-pass filter, not a compliance authority.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+SPDX_RE = r"SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)"
+
+# (tag, lowercase phrase) in precedence order — copyleft before permissive.
+LICENSE_PHRASES: tuple[tuple[str, str], ...] = (
+    ("AGPL-3.0", "gnu affero general public license"),
+    ("LGPL", "gnu lesser general public license"),
+    ("GPL", "gnu general public license"),
+    ("MPL-2.0", "mozilla public license"),
+    ("Apache-2.0", "apache license"),
+    ("MIT", "mit license"),
+    ("BSD", "bsd license"),
+    ("Unlicense", "this is free and unencumbered software"),
+)
+
+
+def spdx_tag(text: Column) -> Column:
+    """The explicit SPDX tag, or NULL when absent."""
+    tag = F.regexp_extract(text, SPDX_RE, 1)
+    return F.when(tag != "", tag)
+
+
+def license_guess(text: Column) -> Column:
+    """First matching header phrase in precedence order, else NULL."""
+    low = F.lower(text)
+    out = F.lit(None).cast("string")
+    for tag, phrase in reversed(LICENSE_PHRASES):
+        out = F.when(low.contains(phrase), F.lit(tag)).otherwise(out)
+    return out
+
+
+def detect_license(text: Column) -> Column:
+    """SPDX tag when present (authoritative), else the phrase guess, else
+    NULL (= no recognizable license statement)."""
+    return F.coalesce(spdx_tag(text), license_guess(text))

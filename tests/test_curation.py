@@ -689,3 +689,44 @@ def test_chunk_by_lines_plan_is_shuffle_free(spark):
     out = chunk_by_lines(df, window=2, overlap=1)
     phys = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in phys  # embarrassingly parallel by construction
+
+
+# --------------------------------------------------------------- licenses
+
+
+def test_license_detection_cases(spark):
+    from search_engine_spark.functions.license import (
+        detect_license,
+        license_guess,
+        spdx_tag,
+    )
+
+    rows = [
+        (1, "# SPDX-License-Identifier: Apache-2.0\ncode here"),
+        (2, "Licensed under the Apache License, Version 2.0 (the License)"),
+        (3, "This program is free software: GNU General Public License v3"),
+        (4, "MIT License\n\nPermission is hereby granted, free of charge"),
+        # spdx beats a conflicting phrase
+        (5, "// SPDX-License-Identifier: MIT\n GNU General Public License"),
+        # copyleft precedence: LGPL text mentions the GPL too
+        (6, "GNU Lesser General Public License; see also the GNU General "
+            "Public License for details"),
+        (7, "no license statement at all in this file"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    got = {
+        r["doc_id"]: (r["s"], r["g"], r["d"])
+        for r in df.select(
+            "doc_id",
+            spdx_tag(F.col("t")).alias("s"),
+            license_guess(F.col("t")).alias("g"),
+            detect_license(F.col("t")).alias("d"),
+        ).collect()
+    }
+    assert got[1] == ("Apache-2.0", None, "Apache-2.0")
+    assert got[2] == (None, "Apache-2.0", "Apache-2.0")
+    assert got[3] == (None, "GPL", "GPL")
+    assert got[4] == (None, "MIT", "MIT")
+    assert got[5] == ("MIT", "GPL", "MIT")   # spdx wins
+    assert got[6] == (None, "LGPL", "LGPL")  # copyleft precedence
+    assert got[7] == (None, None, None)
