@@ -45,6 +45,7 @@ def curate_corpus(
     benchmark: DataFrame | None = None,
     decontaminate_n: int = 8,
     drop_secrets: bool = False,
+    license_allow: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Curated-survivor rows: one per unique kept document —
     ``(doc_id, lang, quality, n_ws_tokens, n_bpe_tokens, n_copies)``
@@ -66,12 +67,27 @@ def curate_corpus(
     assignments) are rejected in the SAME scan-stage filter as the
     language/quality/length gates — zero extra exchanges, the policy a
     code-corpus pretraining build actually wants (redaction keeps a
-    mutilated file; a file that embeds a credential is dropped)."""
+    mutilated file; a file that embeds a credential is dropped).
+
+    ``license_allow`` (optional tuple of license tags): keep only docs
+    whose detected license (`functions/license.detect_license` — SPDX
+    tag, else precedence-ordered header phrases) is in the allow-list.
+    Include ``None`` in the tuple to also keep license-less files (many
+    pipelines do; many don't — the caller decides). Same scan-stage
+    filter, zero extra exchanges."""
+    from ..functions.license import detect_license
     from ..functions.secrets import has_secret
 
     t = F.col(text_col)
     if drop_secrets:
         df = df.filter(~has_secret(t))
+    if license_allow is not None:
+        lic = detect_license(t)
+        tags = [x for x in license_allow if x is not None]
+        cond = lic.isin(tags) if tags else F.lit(False)
+        if None in license_allow:
+            cond = cond | lic.isNull()
+        df = df.filter(cond)
     if benchmark is not None:
         flagged = contamination(
             df, benchmark, n=decontaminate_n,

@@ -730,3 +730,29 @@ def test_license_detection_cases(spark):
     assert got[5] == ("MIT", "GPL", "MIT")   # spdx wins
     assert got[6] == (None, "LGPL", "LGPL")  # copyleft precedence
     assert got[7] == (None, None, None)
+
+
+def test_curate_license_allow_gate(spark):
+    from search_engine_spark.operators.curation import curate_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base + " /* mit license */"),
+        (2, base + " gnu general public license text"),
+        (3, base + " apache license, version 2.0"),
+        (4, base + " plain file, no license words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def kept(allow):
+        return {r["doc_id"] for r in curate_corpus(
+            df, min_quality=0.0, license_allow=allow).collect()}
+
+    assert kept(("MIT", "Apache-2.0")) == {1, 3}      # permissive only
+    assert kept(("MIT", "Apache-2.0", None)) == {1, 3, 4}  # + unlicensed
+    assert kept(("GPL",)) == {2}
+    assert kept((None,)) == {4}
+    # plan shape: still exactly one aggregate, no join
+    plan = curate_corpus(df, min_quality=0.0, license_allow=("MIT",)
+                         )._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") == 1 and "Join" not in plan
