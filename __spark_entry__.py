@@ -1519,6 +1519,15 @@ def _q_winnow_pairs(spark, sf):
                         portable_hash=True)
 
 
+def _q_corpus_report(spark, sf):
+    """Dataset-card rollup gate: per-lang doc/dup/token/quality/license/
+    secret rollup over documents (lang taken from the table column so the
+    twin is compact); one row per language, every count exact."""
+    from search_engine_spark.operators.curation import corpus_report
+
+    return corpus_report(_t(spark, sf, "documents"), lang_col="lang")
+
+
 def _q_license_detect(spark, sf):
     """License-detection gate: doc_id % 9 plants one of the 8 header
     phrases (residues 0-7, from the shared LICENSE_PHRASES constant) or —
@@ -2102,6 +2111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_chunks": _q_line_chunks,
         "rank_eval": _q_rank_eval,
         "license_detect": _q_license_detect,
+        "corpus_report": _q_corpus_report,
         "winnow_fps": _q_winnow_fps,
         "winnow_dup_pairs": _q_winnow_pairs,
         "symbol_defs": _q_symbol_defs,
@@ -3028,6 +3038,7 @@ def oracle_sql() -> dict[str, str]:
            FROM s""",
         # license-detection twin: same decoration CASE, same precedence
         "license_detect": _license_oracle_sql(),
+        "corpus_report": _corpus_report_oracle_sql(),
         # winnowing twins: engine map-side arrays vs SQL window frame —
         # two formulations, one MOSS contract
         "winnow_fps": _winnow_fps_oracle_sql(),
@@ -3521,6 +3532,77 @@ def _secrets_oracle_sql() -> str:
                 AS n_assigned,
               {scrub} AS scrubbed
        FROM d"""
+
+
+def _corpus_report_oracle_sql() -> str:
+    """DuckDB twin of `corpus_report(lang_col="lang")`: per-doc signals
+    replayed from the same shared formulas (token CTE discipline, quality
+    CASE weights, license precedence chain, secret-pattern ORs), then the
+    identical two-level aggregate."""
+    from search_engine_spark.functions.license import (
+        LICENSE_PHRASES,
+        SPDX_RE,
+    )
+    from search_engine_spark.functions.secrets import SECRET_PATTERNS
+
+    guess = "NULL"
+    for tag, phrase in reversed(LICENSE_PHRASES):
+        guess = (
+            f"CASE WHEN contains(lower(text), '{phrase}') THEN '{tag}' "
+            f"ELSE {guess} END"
+        )
+    sec = " OR ".join(
+        f"len(regexp_extract_all(text, '{pat}')) > 0"
+        for pat, _ in SECRET_PATTERNS
+    )
+    return f"""
+       WITH p AS (
+         SELECT lang, sha256(text) AS digest,
+                len(list_filter(regexp_split_to_array(lower(text),
+                    '[^a-z0-9]+'), x -> length(x) >= 2)) AS n_tok,
+                (SELECT round(
+                   CASE WHEN n_tok2 BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END
+                 + CASE WHEN pr < 0.2 THEN 0.3 ELSE 0.0 END
+                 + CASE WHEN sr > 0.01 AND sr < 0.7 THEN 0.3 ELSE 0.0 END, 2)
+                 FROM (SELECT
+                   len(list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9]+'), x -> length(x) >= 2)) AS n_tok2,
+                   CASE WHEN length(text) > 0
+                        THEN (length(text) - length(regexp_replace(text,
+                             '[^\\w\\s]', '', 'g'))) * 1.0 / length(text)
+                        ELSE 0.0 END AS pr,
+                   CASE WHEN len(list_filter(regexp_split_to_array(
+                            lower(text), '[^a-z0-9]+'),
+                            x -> length(x) >= 2)) > 0
+                        THEN len(list_filter(list_filter(
+                               regexp_split_to_array(lower(text),
+                               '[^a-z0-9]+'), x -> length(x) >= 2),
+                               x -> x IN ('the','a','an','of','and','is',
+                                          'to','in'))) * 1.0
+                             / len(list_filter(regexp_split_to_array(
+                               lower(text), '[^a-z0-9]+'),
+                               x -> length(x) >= 2))
+                        ELSE 0.0 END AS sr)) AS quality,
+                CASE WHEN coalesce(
+                       nullif(regexp_extract(text, '{SPDX_RE}', 1), ''),
+                       {guess}) IS NOT NULL THEN 1 ELSE 0 END AS has_license,
+                CASE WHEN {sec} THEN 1 ELSE 0 END AS has_secret
+         FROM documents),
+       pd AS (SELECT lang, digest, count(*) AS copies,
+                     min(n_tok) AS n_tok, min(quality) AS quality,
+                     min(has_license) AS has_license,
+                     min(has_secret) AS has_secret
+              FROM p GROUP BY lang, digest)
+       SELECT lang,
+              CAST(sum(copies) AS BIGINT) AS n_docs,
+              CAST(count(*) AS BIGINT) AS n_unique,
+              CAST(sum(copies) - count(*) AS BIGINT) AS n_dup_docs,
+              CAST(sum(n_tok * copies) AS BIGINT) AS total_tokens,
+              CAST(sum(n_tok) AS BIGINT) AS unique_tokens,
+              round(avg(quality), 4) AS mean_quality,
+              CAST(sum(has_license) AS BIGINT) AS n_licensed,
+              CAST(sum(has_secret) AS BIGINT) AS n_with_secrets
+       FROM pd GROUP BY lang ORDER BY lang"""
 
 
 def _license_oracle_sql() -> str:

@@ -295,6 +295,7 @@ def main() -> None:
         "symbol_defs",
         "winnow_fps",
         "license_detect",
+        "corpus_report",
         "import_graph",
         "paragraph_dedup",
         "image_channel_stats",

@@ -703,3 +703,58 @@ def chunk_by_lines(
             F.array_join(F.slice("l", st, window), "\n").alias("chunk"),
         )
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = None,
+) -> DataFrame:
+    """Dataset-card rollup: one row per language with the numbers a
+    corpus release documents — doc count, exact-duplicate share, token
+    totals, quality mean, and how many docs carry a recognizable license
+    or credential material. ``lang_col`` uses an existing language column;
+    None derives one via `lang_id`.
+
+    Plan shape: every per-doc signal (digest, tokens, quality, license,
+    secret flag) is a scan-stage expression; the ONLY exchanges are the
+    two aggregates (per-(lang, digest) dedup count, then per-lang rollup
+    — the first pre-groups by the second's key, so Catalyst reuses the
+    partitioning). Output is vocabulary-sized (one row per language).
+    """
+    from ..functions.license import detect_license
+    from ..functions.secrets import has_secret
+    from ..functions.text_quality import lang_id, quality_score, token_count
+
+    t = F.col(text_col)
+    lang = F.col(lang_col) if lang_col else lang_id(t)
+    per_doc = df.select(
+        lang.alias("lang"),
+        F.sha2(t, 256).alias("digest"),
+        token_count(t).cast("long").alias("n_tok"),
+        F.round(quality_score(t), 2).alias("quality"),
+        detect_license(t).isNotNull().cast("int").alias("has_license"),
+        has_secret(t).cast("int").alias("has_secret"),
+    )
+    per_digest = per_doc.groupBy("lang", "digest").agg(
+        F.count("*").alias("copies"),
+        F.first("n_tok").alias("n_tok"),
+        F.first("quality").alias("quality"),
+        F.first("has_license").alias("has_license"),
+        F.first("has_secret").alias("has_secret"),
+    )
+    return (
+        per_digest.groupBy("lang")
+        .agg(
+            F.sum("copies").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_unique"),
+            (F.sum("copies") - F.count("*")).cast("long").alias("n_dup_docs"),
+            F.sum(F.col("n_tok") * F.col("copies")).cast("long").alias("total_tokens"),
+            F.sum("n_tok").cast("long").alias("unique_tokens"),
+            F.round(F.avg("quality"), 4).alias("mean_quality"),
+            F.sum("has_license").cast("long").alias("n_licensed"),
+            F.sum("has_secret").cast("long").alias("n_with_secrets"),
+        )
+        .orderBy("lang")
+    )
