@@ -53,3 +53,13 @@ def test_ranking_metrics_cutoff_excludes_tail(spark):
     r3 = ranking_metrics(df, k=3).collect()[0]
     assert r3["mrr"] == round(1 / 3, 6)
     assert r3["ndcg"] == round((1 / math.log2(4)) / (1 / math.log2(2)), 6)
+
+
+def test_ranking_metrics_single_exchange(spark):
+    """Both windows and the aggregate share the qid partitioning — the
+    physical plan must contain exactly ONE Exchange (the docstring's
+    scale claim, asserted)."""
+    rows = [(q, d, float(d), d % 2) for q in range(3) for d in range(1, 8)]
+    df = spark.createDataFrame(rows, "qid long, doc_id long, score double, rel int")
+    plan = ranking_metrics(df, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
