@@ -665,6 +665,24 @@ class EngineAPI:
             hits, limit, lits[0] if lits else ""
         )
 
+    def explain(
+        self,
+        query: str,
+        doc_id: int,
+        site: str | None = None,
+        scorer: str = "bm25",
+    ) -> dict:
+        """Lucene explain() parity: per-term tf/df/idf and contribution
+        for one document, score bit-identical to serving (same sorted-term
+        float summation). Result envelope mirrors the search contract."""
+        if not query or not query.strip():
+            return {"result": False, "error": ERR_EMPTY_QUERY}
+        exp = self._get_engine().explain(
+            query, int(doc_id), site=site, scorer=scorer
+        )
+        exp["result"] = True
+        return exp
+
     # definition-site patterns per kind; {n} is the escaped symbol name.
     # Kept kind-SPECIFIC (not one alternation) so `regex_literals` extracts
     # ['def ', name] etc. and the trigram index prunes every search — the

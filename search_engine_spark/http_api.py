@@ -152,6 +152,19 @@ class _Handler(BaseHTTPRequestHandler):
                 if needle is None:
                     return self._bad("needle parameter is required")
                 return self._json(api.grep(needle, limit=int(_one(q, "limit", "20"))))
+            if u.path == "/api/explain":
+                query = _one(q, "query")
+                doc = _one(q, "doc")
+                if query is None or doc is None:
+                    return self._bad("query and doc parameters are required")
+                return self._json(
+                    api.explain(
+                        query,
+                        int(doc),
+                        site=_one(q, "site"),
+                        scorer=_one(q, "scorer", "bm25"),
+                    )
+                )
             if u.path == "/api/symbol":
                 name = _one(q, "name")
                 if name is None:

@@ -2343,5 +2343,116 @@ class SearchEngine:
         )
 
 
+    # -- score explanation (Lucene explain() parity) ------------------------
+
+    def _term_doc_posting(
+        self, term: str, doc_id: int
+    ) -> tuple[float, float] | None:
+        """(tf, doclen) for one (term, doc) — or None when the doc is not
+        in the term's posting list. Driver path: blocks are doc-ascending
+        with (min_doc, max_doc) metadata, so the covering block is a
+        binary search + ONE point-read block fetch. Hot terms (metadata
+        capped, `_TOO_HOT`) fall back to one bounded distributed job over
+        the term's covering blocks."""
+        meta = self._get_meta([term])[term]
+        if meta is None:
+            return None
+        if meta is not _TOO_HOT:
+            i = int(np.searchsorted(meta.min_doc, doc_id, side="right")) - 1
+            if i < 0 or doc_id > meta.max_doc[i]:
+                return None
+            self._fetch_blocks({term: meta.block_id[i : i + 1]})
+            ids, tfs, dls = self._blocks[(term, int(meta.block_id[i]))]
+            j = int(np.searchsorted(ids, doc_id))
+            if j < len(ids) and ids[j] == doc_id:
+                return float(tfs[j]), float(dls[j])
+            return None
+        rows = (
+            decode_blocks(
+                self.postings.filter(
+                    (F.col("term") == term)
+                    & (F.col("min_doc") <= doc_id)
+                    & (F.col("max_doc") >= doc_id)
+                )
+            )
+            .filter(F.col("doc_id") == doc_id)
+            .select("tf", "doclen")
+            .collect()
+        )
+        if not rows:
+            return None
+        return float(rows[0]["tf"]), float(rows[0]["doclen"])
+
+    def explain(
+        self,
+        query: str,
+        doc_id: int,
+        site: str | None = None,
+        scorer: str = "bm25",
+    ) -> dict:
+        """Lucene-style score explanation: per-term tf / df / idf (or
+        μ·P(t|C) for lmd) and contribution for ONE document, summed in the
+        same sorted-term float order `_score` uses — the returned ``score``
+        is bit-identical to the served score for a matching doc. Terms the
+        doc lacks (or the vocabulary lacks) appear with ``matched=False``
+        and zero contribution; ``matched_all`` mirrors the AND contract."""
+        q_terms = analyze_query(query, code=self.code)
+        out: dict = {
+            "doc_id": int(doc_id),
+            "scorer": scorer,
+            "site": site,
+            "score": 0.0,
+            "matched_all": False,
+            "terms": [],
+        }
+        if not q_terms:
+            return out
+        ctx = self._resolve(q_terms, site, require_all=False)
+        if ctx is None:  # no query term in the vocabulary at all
+            out["terms"] = [
+                {"term": t, "in_vocab": False, "matched": False,
+                 "contribution": 0.0}
+                for t in sorted(set(q_terms))
+            ]
+            return out
+        out["n_docs"] = int(ctx.n_docs)
+        out["avgdl"] = float(ctx.avgdl)
+        score, matched_n = 0.0, 0
+        for t in sorted(set(q_terms)):  # `_score`'s summation order
+            if t not in ctx.dfs:
+                out["terms"].append(
+                    {"term": t, "in_vocab": False, "matched": False,
+                     "contribution": 0.0}
+                )
+                continue
+            d: dict = {"term": t, "in_vocab": True, "df": int(ctx.dfs[t])}
+            if scorer == "bm25":
+                d["idf"] = float(ctx.idf(t))
+            elif scorer == "lmd":
+                d["mu_p"] = float(ctx.term_stat(t, "lmd"))
+            hit = self._term_doc_posting(t, int(doc_id))
+            if hit is None:
+                d.update(matched=False, contribution=0.0)
+            else:
+                tf, dl = hit
+                contrib = float(
+                    _np_contrib(
+                        ctx.term_stat(t, scorer),
+                        np.array([tf]), np.array([dl]), ctx.avgdl, scorer,
+                    )[0]
+                )
+                d.update(
+                    matched=True, tf=tf, doclen=dl, contribution=contrib
+                )
+                out.setdefault("doclen", dl)
+                score += contrib
+                matched_n += 1
+            out["terms"].append(d)
+        out["score"] = score
+        out["matched_all"] = matched_n == len(set(q_terms))
+        return out
+
+
 class _CapTripped(Exception):
     pass
+

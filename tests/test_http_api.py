@@ -174,3 +174,19 @@ def test_symbol_endpoint(server):
     assert body["result"] is False
     st, body = _get(server, "/api/symbol")
     assert st == 400
+
+
+def test_explain_endpoint(server):
+    # module-ordered: index built by the startIndexing test
+    st, hits = _get(server, "/api/search?query=query%20index&limit=1")
+    assert hits["result"] and hits["data"]
+    # recover a doc id through symbol-free means: explain needs the id;
+    # use the first hit's uri via a direct search on the api object
+    api = server.api
+    doc = api._get_engine().topk("query index", 1).collect()[0]
+    st, body = _get(server, f"/api/explain?query=query%20index&doc={int(doc['doc_id'])}")
+    assert st == 200 and body["result"] is True
+    assert body["matched_all"] is True
+    assert abs(body["score"] - float(doc["score"])) == 0.0
+    st, body = _get(server, "/api/explain?query=x")
+    assert st == 400

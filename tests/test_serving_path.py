@@ -176,3 +176,35 @@ def test_estimate_matches_contract(engine):
         assert engine.estimate_matches("import def") > 0
     finally:
         engine.postings = real
+
+
+def test_explain_score_matches_serving(engine):
+    """explain() is score-faithful: for every served top-k hit, the
+    per-term contributions sum BIT-IDENTICALLY to the served score (same
+    sorted-term float order); non-matching and vocab-missing terms report
+    matched=False with zero contribution."""
+    q = "query index"
+    served = engine.topk(q, 5, strategy="exhaustive").collect()
+    assert served
+    for r in served:
+        exp = engine.explain(q, int(r["doc_id"]))
+        assert exp["matched_all"] is True
+        assert exp["score"] == float(r["score"])  # bit-identical
+        assert {t["term"] for t in exp["terms"] if t["matched"]} == \
+            {t["term"] for t in exp["terms"]}
+        for t in exp["terms"]:
+            assert t["in_vocab"] and t["df"] > 0 and t["idf"] > 0
+    # a doc that matches only one of the two terms
+    one = engine.topk("query", 200, strategy="exhaustive").collect()
+    both = {int(r["doc_id"]) for r in served}
+    partial = [int(r["doc_id"]) for r in one
+               if int(r["doc_id"]) not in
+               {int(x["doc_id"]) for x in engine.topk(q, 10_000, strategy="exhaustive").collect()}]
+    if partial:
+        exp = engine.explain(q, partial[0])
+        assert exp["matched_all"] is False
+        assert sum(1 for t in exp["terms"] if t["matched"]) == 1
+    # vocabulary-missing term
+    exp = engine.explain("query zzzznotaterm", int(served[0]["doc_id"]))
+    assert exp["matched_all"] is False
+    assert any(t["in_vocab"] is False for t in exp["terms"])
