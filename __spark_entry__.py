@@ -937,6 +937,42 @@ def _q_top_orders(spark, sf):  # J5 decoration join + T1 top-k
     )
 
 
+def _q_volume_shipping_q7(spark, sf):  # nation-pair bidirectional revenue
+    from search_engine_spark.operators.relational import volume_shipping
+
+    return volume_shipping(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "orders"),
+        _t(spark, sf, "customer"), _t(spark, sf, "supplier"),
+        _t(spark, sf, "nation"),
+    )
+
+
+def _q_market_share_q8(spark, sf):  # conditional share by year
+    from search_engine_spark.operators.relational import national_market_share
+
+    return national_market_share(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "orders"),
+        _t(spark, sf, "customer"), _t(spark, sf, "supplier"),
+        _t(spark, sf, "nation"), _t(spark, sf, "region"),
+        part=_t(spark, sf, "part"),
+    )
+
+
+def _q_promo_share_q14(spark, sf):  # one-pass conditional percentage
+    from search_engine_spark.operators.relational import promo_revenue_share
+
+    return promo_revenue_share(_t(spark, sf, "lineitem"), _t(spark, sf, "part"))
+
+
+def _q_large_orders_q18(spark, sf):  # group-HAVING-then-join
+    from search_engine_spark.operators.relational import large_volume_customers
+
+    return large_volume_customers(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "orders"),
+        _t(spark, sf, "customer"),
+    )
+
+
 def _q_pricing_q1(spark, sf):  # multi-agg fact rollup (VERDICT r02 #6)
     from search_engine_spark.operators.relational import pricing_summary
 
@@ -2049,6 +2085,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions_stream": _q_sessions_stream,
         "top_orders_join_j5": _q_top_orders,
         "pricing_summary_q1": _q_pricing_q1,
+        "volume_shipping_q7": _q_volume_shipping_q7,
+        "market_share_q8": _q_market_share_q8,
+        "promo_share_q14": _q_promo_share_q14,
+        "large_orders_q18": _q_large_orders_q18,
         "shipping_priority_q3": _q_shipping_q3,
         "nation_promo_revenue": _q_nation_promo,
         "local_supplier_volume_q5": _q_local_volume_q5,
@@ -2686,6 +2726,73 @@ def oracle_sql() -> dict[str, str]:
            FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01'
            GROUP BY l_returnflag, l_linestatus
            ORDER BY l_returnflag, l_linestatus""",
+        "volume_shipping_q7": """
+           SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                  CAST(year(l_shipdate) AS INT) AS l_year,
+                  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                           * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE), 2)
+                    AS revenue
+           FROM lineitem
+           JOIN orders   ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation sn ON s_nationkey = sn.n_nationkey
+           JOIN nation cn ON c_nationkey = cn.n_nationkey
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate <  TIMESTAMP '1998-01-01'
+             AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+               OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+           GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+        "market_share_q8": """
+           SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                  round(CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+                           THEN CAST(l_extendedprice AS DECIMAL(12,4))
+                              * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+                           ELSE CAST(0 AS DECIMAL(12,4)) END) AS DOUBLE)
+                      / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                           * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE), 6)
+                    AS mkt_share,
+                  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                           * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE), 2)
+                    AS total_volume
+           FROM lineitem
+           JOIN part     ON l_partkey = p_partkey AND p_type = 'PROMO'
+           JOIN orders   ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation cn ON c_nationkey = cn.n_nationkey
+           JOIN region   ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation sn ON s_nationkey = sn.n_nationkey
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate <  TIMESTAMP '1998-01-01'
+           GROUP BY 1 ORDER BY 1""",
+        "promo_share_q14": """
+           SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                           THEN CAST(l_extendedprice AS DECIMAL(12,4))
+                              * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+                           ELSE CAST(0 AS DECIMAL(12,4)) END) AS DOUBLE)
+                      / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                           * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE), 6)
+                    AS promo_share_pct,
+                  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                           * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE), 2)
+                    AS total_revenue
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate <  TIMESTAMP '1996-07-01'""",
+        "large_orders_q18": """
+           WITH big AS (
+             SELECT l_orderkey,
+                    round(CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE), 2)
+                      AS total_qty
+             FROM lineitem GROUP BY l_orderkey
+             HAVING round(CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE), 2) > 400.0)
+           SELECT c_name, c_custkey AS custkey, l_orderkey AS orderkey,
+                  o_orderdate, o_totalprice, total_qty
+           FROM big
+           JOIN orders   ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           ORDER BY total_qty DESC, orderkey LIMIT 20""",
         "shipping_priority_q3": """
            WITH cust AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
            o AS (SELECT o_orderkey, o_orderdate, o_orderpriority

@@ -270,6 +270,10 @@ def main() -> None:
         "ann_lsh_topk",
         "top_orders_join_j5",
         "pricing_summary_q1",
+        "volume_shipping_q7",
+        "market_share_q8",
+        "promo_share_q14",
+        "large_orders_q18",
         "shipping_priority_q3",
         "nation_promo_revenue",
         "local_supplier_volume_q5",

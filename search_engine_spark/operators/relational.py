@@ -618,3 +618,195 @@ def lone_fault_suppliers(
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(k)
     )
+
+
+def volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue between a nation PAIR in
+    both directions, by year — the nation-pair join discipline. Supplier
+    and customer each resolve to a nation through their own BROADCAST copy
+    of the (pre-filtered, 2-row) nation dim; the disjunctive pair predicate
+    `(n1=A AND n2=B) OR (n1=B AND n2=A)` applies AFTER both joins. The one
+    big exchange is lineitem ⋈ orders on orderkey (fact-to-fact — orders
+    cannot be broadcast at scale; AQE may choose broadcast at sandbox SF);
+    customer/supplier carry no forced hint (they scale with SF — the
+    r3-ADVICE rule), nation is forced (bounded 25 rows)."""
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin(nation_a, nation_b))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin(nation_a, nation_b))
+    rev = _money("l_extendedprice") * _one_minus("l_discount")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                F.year("l_shipdate").alias("l_year"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier.select("s_suppkey", "s_nationkey"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def national_market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_nation: str = "NATION_3",
+    r_name: str = "ASIA",
+    p_type: str = "PROMO",
+    part: DataFrame | None = None,
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the target nation's share
+    of regional revenue for one part type, by order year — the
+    conditional-share discipline (`sum(CASE)/sum(*)` over one pass, NEVER
+    two scans). Customers resolve to the REGION (forced-broadcast
+    region⋈nation collapse, 25 rows); suppliers to their nation name for
+    the share numerator. Exchanges: lineitem⋈orders on orderkey, then the
+    per-year rollup. Share division happens in decimal and rounds at the
+    end — the one non-associative step is a per-group scalar."""
+    rn = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == r_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = _money("l_extendedprice") * _one_minus("l_discount")
+    li = lineitem.select("l_orderkey", "l_partkey", "l_suppkey",
+                         "l_extendedprice", "l_discount")
+    if part is not None:
+        li = li.join(
+            F.broadcast(part.filter(F.col("p_type") == p_type).select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    return (
+        li.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+            ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(rn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(supplier.select("s_suppkey", "s_nationkey"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .withColumn("vol", rev)
+        .groupBy("o_year")
+        .agg(
+            # both sums are EXACT decimals; the division runs in double on
+            # both engines (decimal-division scale rules differ between
+            # engines; a double ratio of two exactly-equal sums + round(6)
+            # is engine-portable)
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == target_nation, F.col("vol"))
+                      .otherwise(F.lit(0).cast(_MONEY))).cast("double")
+                / F.sum("vol").cast("double"),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum("vol").cast("double"), 2).alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def promo_revenue_share(
+    lineitem: DataFrame,
+    part: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-07-01",
+) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): percentage of the period's
+    revenue from PROMO-type parts — one fact pass, one broadcast dim, the
+    `100 * sum(CASE) / sum(*)` scalar. The part join is the only join;
+    the single-row output means the final exchange carries partials of
+    two decimal sums."""
+    rev = _money("l_extendedprice") * _one_minus("l_discount")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(part.select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("rev", rev)
+        .agg(
+            # double ratio of exact decimal sums (see national_market_share)
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev"))
+                        .otherwise(F.lit(0).cast(_MONEY))).cast("double")
+                / F.sum("rev").cast("double"),
+                6,
+            ).alias("promo_share_pct"),
+            F.round(F.sum("rev").cast("double"), 2).alias("total_revenue"),
+        )
+    )
+
+
+def large_volume_customers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    min_qty: float = 400.0,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose TOTAL line
+    quantity exceeds a threshold, decorated with the customer — the
+    group-HAVING-then-join discipline. The qty rollup groups the fact on
+    its own key (one exchange, map-side combinable); only the few
+    qualifying orderkeys join onward (AQE broadcasts the survivors), so
+    the decoration joins never move the fact stream again."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum(_money("l_quantity")).cast("double"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    return (
+        big.join(orders.select("o_orderkey", "o_custkey", "o_orderdate",
+                               "o_totalprice"),
+                 F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_name"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", F.col("c_custkey").alias("custkey"),
+                F.col("l_orderkey").alias("orderkey"),
+                "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.desc("total_qty"), "orderkey")
+        .limit(k)
+    )

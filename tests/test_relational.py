@@ -299,3 +299,61 @@ def test_q21_decorrelation_matches_textbook_and_single_fact_shuffle(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert plan.count("Exchange hashpartitioning(l_orderkey") <= 2  # agg + join side, same key
     assert "SortMergeJoin" not in plan
+
+
+def test_q7_nation_pair_and_q8_share_plans(spark):
+    """Q7/Q8's 100 TB property: nation (and region-collapsed nation) joins
+    are broadcast; no dim join degrades to sort-merge under AQE at this SF;
+    Q8 computes its share in ONE pass (a single final aggregate over the
+    joined stream — never two scans of the fact)."""
+    import __spark_entry__ as E
+
+    for name in ("volume_shipping_q7", "market_share_q8"):
+        df = E.queries()[name](spark, SF)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" not in plan, name
+    opt = E.queries()["market_share_q8"](spark, SF)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert opt.count("Aggregate") == 1  # sum(CASE)/sum(*) in one pass
+
+
+def test_q18_aggregates_fact_before_decoration(spark):
+    """Q18's 100 TB property: the quantity rollup groups the fact on its
+    own key BEFORE any join — the decoration joins see only qualifying
+    orders (bounded by the HAVING), never the fact stream."""
+    import __spark_entry__ as E
+    from search_engine_spark.operators.relational import (
+        large_volume_customers,
+    )
+
+    # row semantics at a threshold sf0.001's small orders can clear
+    lo = large_volume_customers(
+        spark.read.parquet(f"{SF}/lineitem.parquet"),
+        spark.read.parquet(f"{SF}/orders.parquet"),
+        spark.read.parquet(f"{SF}/customer.parquet"),
+        min_qty=100.0,
+    ).collect()
+    assert lo and all(r["total_qty"] > 100.0 for r in lo)
+
+    df = E.queries()["large_orders_q18"](spark, SF)
+    df.collect()
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # the Aggregate must appear BELOW the joins in the tree (deeper =
+    # later in the string for a left-deep plan): assert the join operators
+    # take the aggregate as input, i.e. no Aggregate above a Join
+    first_join = opt.index("Join")
+    assert "Aggregate" in opt[first_join:]
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in phys.split("== Initial Plan ==")[0]
+
+
+def test_q14_single_fact_pass(spark):
+    import __spark_entry__ as E
+
+    df = E.queries()["promo_share_q14"](spark, SF)
+    r = df.collect()[0]
+    assert 0.0 <= r["promo_share_pct"] <= 100.0 and r["total_revenue"] > 0
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("Aggregate") == 1 and opt.count("Join") == 1
