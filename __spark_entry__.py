@@ -937,6 +937,50 @@ def _q_top_orders(spark, sf):  # J5 decoration join + T1 top-k
     )
 
 
+def _derived_partsupp(spark, sf):
+    from search_engine_spark.operators.relational import derived_partsupp
+
+    return derived_partsupp(_t(spark, sf, "part"), _t(spark, sf, "supplier"))
+
+
+def _q_min_cost_supplier_q2(spark, sf):  # correlated-min, decorrelated
+    from search_engine_spark.operators.relational import min_cost_supplier
+
+    return min_cost_supplier(
+        _derived_partsupp(spark, sf), _t(spark, sf, "part"),
+        _t(spark, sf, "supplier"), _t(spark, sf, "nation"),
+        _t(spark, sf, "region"),
+    )
+
+
+def _q_important_stock_q11(spark, sf):  # scalar-subquery threshold
+    from search_engine_spark.operators.relational import important_stock
+
+    return important_stock(
+        _derived_partsupp(spark, sf), _t(spark, sf, "supplier"),
+        _t(spark, sf, "nation"),
+    )
+
+
+def _q_supplier_part_counts_q16(spark, sf):  # distinct count + anti list
+    from search_engine_spark.operators.relational import supplier_part_counts
+
+    return supplier_part_counts(
+        _derived_partsupp(spark, sf), _t(spark, sf, "part"),
+        _t(spark, sf, "supplier"),
+    )
+
+
+def _q_excess_stock_q20(spark, sf):  # nested semi-join
+    from search_engine_spark.operators.relational import excess_stock_suppliers
+
+    return excess_stock_suppliers(
+        _derived_partsupp(spark, sf), _t(spark, sf, "lineitem"),
+        _t(spark, sf, "part"), _t(spark, sf, "supplier"),
+        _t(spark, sf, "nation"),
+    )
+
+
 def _q_volume_shipping_q7(spark, sf):  # nation-pair bidirectional revenue
     from search_engine_spark.operators.relational import volume_shipping
 
@@ -2086,6 +2130,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_join_j5": _q_top_orders,
         "pricing_summary_q1": _q_pricing_q1,
         "volume_shipping_q7": _q_volume_shipping_q7,
+        "min_cost_supplier_q2": _q_min_cost_supplier_q2,
+        "important_stock_q11": _q_important_stock_q11,
+        "supplier_part_counts_q16": _q_supplier_part_counts_q16,
+        "excess_stock_q20": _q_excess_stock_q20,
         "market_share_q8": _q_market_share_q8,
         "promo_share_q14": _q_promo_share_q14,
         "large_orders_q18": _q_large_orders_q18,
@@ -2165,6 +2213,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_channel_stats": _q_image_stats,
         "audio_window_feats": _q_audio_windows,
     }
+
+
+_PS_CTE = """
+       WITH partsupp AS (
+         SELECT p_partkey AS ps_partkey, s_suppkey AS ps_suppkey,
+                CAST((p_partkey*7 + s_suppkey*11) % 5000 + 1 AS BIGINT)
+                  AS ps_availqty,
+                CAST((p_partkey*31 + s_suppkey*17) % 90000 + 100
+                     AS DECIMAL(12,4)) * CAST(0.01 AS DECIMAL(8,4))
+                  AS ps_supplycost
+         FROM part, supplier WHERE (p_partkey + s_suppkey) % 3 = 0)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2726,6 +2785,70 @@ def oracle_sql() -> dict[str, str]:
            FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01'
            GROUP BY l_returnflag, l_linestatus
            ORDER BY l_returnflag, l_linestatus""",
+        "min_cost_supplier_q2": _PS_CTE + """
+           , p AS (SELECT p_partkey FROM part WHERE p_size = 5),
+           sn AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+                  FROM supplier
+                  JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+                  WHERE r_name = 'ASIA'),
+           psr AS (SELECT ps_partkey, ps_suppkey, ps_supplycost,
+                          s_name, s_acctbal, n_name
+                   FROM partsupp
+                   JOIN p ON ps_partkey = p_partkey
+                   JOIN sn ON ps_suppkey = s_suppkey),
+           mc AS (SELECT ps_partkey AS mc_key, min(ps_supplycost) AS min_cost
+                  FROM psr GROUP BY 1)
+           SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+                  ps_partkey AS p_partkey,
+                  round(CAST(ps_supplycost AS DOUBLE), 2) AS supplycost
+           FROM psr JOIN mc ON ps_partkey = mc_key
+                            AND ps_supplycost = min_cost
+           ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+        "important_stock_q11": _PS_CTE + """
+           , psn AS (SELECT ps_partkey,
+                            CAST(ps_supplycost AS DECIMAL(10,2))
+                              * CAST(ps_availqty AS DECIMAL(8,0)) AS v
+                     FROM partsupp
+                     JOIN supplier ON ps_suppkey = s_suppkey
+                     JOIN nation ON s_nationkey = n_nationkey
+                     WHERE n_name = 'NATION_9'),
+           val AS (SELECT ps_partkey, sum(v) AS value FROM psn GROUP BY 1),
+           tot AS (SELECT sum(value) AS total FROM val)
+           SELECT ps_partkey, round(CAST(value AS DOUBLE), 2) AS value
+           FROM val, tot
+           WHERE value * 1500 > total
+           ORDER BY value DESC, ps_partkey""",
+        "supplier_part_counts_q16": _PS_CTE + """
+           SELECT p_brand, p_type, p_size,
+                  count(DISTINCT ps_suppkey) AS supplier_cnt
+           FROM partsupp
+           JOIN part ON ps_partkey = p_partkey AND p_brand <> 'Brand#1'
+           WHERE ps_suppkey NOT IN
+                 (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+           GROUP BY 1, 2, 3
+           ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 50""",
+        "excess_stock_q20": _PS_CTE + """
+           , shipped AS (SELECT l_partkey, l_suppkey,
+                                sum(CAST(l_quantity AS DECIMAL(12,4))) AS qty
+                         FROM lineitem
+                         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                           AND l_shipdate <  TIMESTAMP '1997-01-01'
+                         GROUP BY 1, 2),
+           cand AS (SELECT DISTINCT ps_suppkey
+                    FROM partsupp
+                    JOIN part ON ps_partkey = p_partkey
+                                AND p_type = 'SMALL'
+                    JOIN shipped ON ps_partkey = l_partkey
+                                AND ps_suppkey = l_suppkey
+                    WHERE CAST(ps_availqty AS DECIMAL(12,4))
+                          > CAST(0.5 AS DECIMAL(8,4)) * qty)
+           SELECT s_name, s_suppkey AS suppkey
+           FROM cand
+           JOIN supplier ON ps_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_name = 'NATION_9'
+           ORDER BY s_name, suppkey""",
         "volume_shipping_q7": """
            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
                   CAST(year(l_shipdate) AS INT) AS l_year,

@@ -271,6 +271,10 @@ def main() -> None:
         "top_orders_join_j5",
         "pricing_summary_q1",
         "volume_shipping_q7",
+        "min_cost_supplier_q2",
+        "important_stock_q11",
+        "supplier_part_counts_q16",
+        "excess_stock_q20",
         "market_share_q8",
         "promo_share_q14",
         "large_orders_q18",

@@ -810,3 +810,214 @@ def large_volume_customers(
         .orderBy(F.desc("total_qty"), "orderkey")
         .limit(k)
     )
+
+
+def derived_partsupp(part: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Deterministic partsupp fixture: the driver testdata ships no
+    partsupp table and the brief forbids external data, so the Q2/Q11/
+    Q16/Q20 gates DERIVE one — every (part, supplier) pair with
+    ``(p_partkey + s_suppkey) % 3 == 0`` supplies, with availqty and
+    supplycost pure integer arithmetic on the keys (supplycost = exact
+    decimal cents × 0.01 — multiplication, never division, so both
+    engines hold the identical exact value). The operators below take ANY
+    partsupp-shaped frame; this builder exists for the oracle gates and
+    tests. Size: |part|·|supplier|/3 rows — dim-scale at any SF."""
+    pairs = (
+        part.select("p_partkey")
+        .crossJoin(supplier.select("s_suppkey"))
+        .filter((F.col("p_partkey") + F.col("s_suppkey")) % 3 == 0)
+    )
+    cents = (F.col("p_partkey") * 31 + F.col("s_suppkey") * 17) % 90000 + 100
+    return pairs.select(
+        F.col("p_partkey").alias("ps_partkey"),
+        F.col("s_suppkey").alias("ps_suppkey"),
+        ((F.col("p_partkey") * 7 + F.col("s_suppkey") * 11) % 5000 + 1)
+        .cast("long")
+        .alias("ps_availqty"),
+        (cents.cast(_MONEY) * F.lit("0.01").cast(_RATE)).alias("ps_supplycost"),
+    )
+
+
+def min_cost_supplier(
+    partsupp: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    r_name: str = "ASIA",
+    p_size: int = 5,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each qualifying part,
+    the regional supplier(s) achieving the MINIMUM supply cost — the
+    correlated-min-subquery discipline, decorrelated the warehouse way:
+    one grouped min over the regional partsupp slice, joined back on
+    (partkey, cost == min). The min comparison is exact decimal, so ties
+    (all of them) surface deterministically. region⋈nation collapses to
+    a forced broadcast; supplier/partsupp carry no hint."""
+    p = part.filter(F.col("p_size") == p_size).select("p_partkey")
+    sn = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == r_name)),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    psr = (
+        partsupp.join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(sn, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost",
+                "s_name", "s_acctbal", "n_name")
+    )
+    mc = psr.groupBy(F.col("ps_partkey").alias("mc_key")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        psr.join(
+            mc,
+            (F.col("ps_partkey") == F.col("mc_key"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select(
+            F.round(F.col("s_acctbal"), 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            F.round(F.col("ps_supplycost").cast("double"), 2).alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(k)
+    )
+
+
+def important_stock(
+    partsupp: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    n_name: str = "NATION_9",
+    fraction_denominator: int = 1500,
+) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part inventory value held by
+    one nation's suppliers, keeping parts whose value exceeds 1/denominator
+    of the nation's total — the scalar-subquery-threshold discipline. The
+    1-row total cross-joins back as a broadcast. The threshold compares as
+    the integer cross-multiplication ``value * denominator > total``:
+    exact decimal on both engines, and it never widens the total's decimal
+    type past what a fractional multiplier would overflow."""
+    psn = (
+        partsupp.join(
+            supplier.join(
+                F.broadcast(nation.filter(F.col("n_name") == n_name)),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            ).select("s_suppkey"),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "ps_partkey",
+            # supplycost's VALUE has exactly 2 decimals (cents × 0.01), so
+            # the (10,2) cast is lossless; narrowing both operands keeps
+            # the product's unscaled int inside 64 bits on every engine
+            (
+                F.col("ps_supplycost").cast("decimal(10,2)")
+                * F.col("ps_availqty").cast("decimal(8,0)")
+            ).alias("v"),
+        )
+    )
+    val = psn.groupBy("ps_partkey").agg(F.sum("v").alias("value"))
+    tot = val.agg(F.sum("value").alias("total"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("value") * fraction_denominator > F.col("total"))
+        .select(
+            "ps_partkey",
+            F.round(F.col("value").cast("double"), 2).alias("value"),
+        )
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+def supplier_part_counts(
+    partsupp: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    exclude_brand: str = "Brand#1",
+    k: int = 50,
+) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    count per (brand, type, size), excluding one brand and an exclusion
+    LIST of suppliers (Q16's complaint suppliers — stood in by negative
+    account balance, the testdata's only disqualifying attribute) via a
+    broadcast anti-join BEFORE the count. Exact two-phase distinct
+    aggregate; output bounded by the attribute cross product."""
+    excl = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = part.filter(F.col("p_brand") != exclude_brand).select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    return (
+        partsupp.join(F.broadcast(excl),
+                      F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(p, F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(k)
+    )
+
+
+def excess_stock_suppliers(
+    partsupp: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    n_name: str = "NATION_9",
+    p_type: str = "SMALL",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers in one nation
+    holding MORE stock of a part type than half of what they shipped in a
+    year — the nested-semi-join discipline. The fact touch is one grouped
+    sum per (partkey, suppkey) (its own key — map-side combinable); the
+    availqty comparison joins partsupp to that aggregate, then collapses
+    to distinct suppliers before decoration. Quantity math in exact
+    decimal; `> 0.5 * shipped` multiplies, never divides."""
+    shipped = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_money("l_quantity")).alias("qty"))
+    )
+    p = part.filter(F.col("p_type") == p_type).select("p_partkey")
+    cand = (
+        partsupp.join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(
+            F.col("ps_availqty").cast(_MONEY)
+            > F.lit("0.5").cast(_RATE) * F.col("qty")
+        )
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        cand.join(
+            supplier.join(
+                F.broadcast(nation.filter(F.col("n_name") == n_name)),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            ).select("s_suppkey", "s_name"),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_name", F.col("s_suppkey").alias("suppkey"))
+        .orderBy("s_name", "suppkey")
+    )
