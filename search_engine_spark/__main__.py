@@ -61,6 +61,8 @@ def _build_parser() -> argparse.ArgumentParser:
     r.add_argument("repo")
     r.add_argument("path")
 
+    sub.add_parser("report", help="dataset-card rollup of the indexed corpus")
+
     y = sub.add_parser("symbol", help="jump-to-definition search")
     y.add_argument("name")
     y.add_argument("--kind", default=None,
@@ -114,6 +116,9 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "remove":
         api = EngineAPI(spark, Catalog(args.catalog), code=code)
         out = api.remove_doc(args.repo, args.path)
+    elif args.cmd == "report":
+        api = EngineAPI(spark, Catalog(args.catalog), code=code)
+        out = api.corpus_report()
     elif args.cmd == "symbol":
         api = EngineAPI(spark, Catalog(args.catalog), code=code)
         out = api.symbol_search(args.name, kind=args.kind,

@@ -665,6 +665,17 @@ class EngineAPI:
             hits, limit, lits[0] if lits else ""
         )
 
+    def corpus_report(self) -> dict:
+        """Dataset-card rollup over the INDEXED corpus (the docs table):
+        per-language doc/dup/token/quality/license/secret counts
+        (`operators/curation.corpus_report`). Language-count rows, so the
+        response is always tiny."""
+        from .operators.curation import corpus_report as _report
+
+        docs = self.catalog.read(self.spark, "docs")
+        rows = _report(docs, text_col="content", lang_col="lang").collect()
+        return {"result": True, "report": [r.asDict() for r in rows]}
+
     def explain(
         self,
         query: str,

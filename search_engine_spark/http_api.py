@@ -152,6 +152,8 @@ class _Handler(BaseHTTPRequestHandler):
                 if needle is None:
                     return self._bad("needle parameter is required")
                 return self._json(api.grep(needle, limit=int(_one(q, "limit", "20"))))
+            if u.path == "/api/report":
+                return self._json(api.corpus_report())
             if u.path == "/api/explain":
                 query = _one(q, "query")
                 doc = _one(q, "doc")

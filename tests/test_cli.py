@@ -75,3 +75,11 @@ def test_cli_symbol_and_auto(setup, capsys):
     rc, out = _run(capsys, ["--catalog", cat, "search", "engine OR block",
                             "--mode", "auto", "-k", "3"])
     assert rc == 0 and out["result"] is True and out["data"]
+
+
+def test_cli_report(setup, capsys):
+    cat, corpus = setup
+    rc, out = _run(capsys, ["--catalog", cat, "report"])
+    assert rc == 0 and out["result"] is True
+    langs = {r["lang"] for r in out["report"]}
+    assert langs and all(r["n_docs"] >= r["n_unique"] > 0 for r in out["report"])

@@ -190,3 +190,9 @@ def test_explain_endpoint(server):
     assert abs(body["score"] - float(doc["score"])) == 0.0
     st, body = _get(server, "/api/explain?query=x")
     assert st == 400
+
+
+def test_report_endpoint(server):
+    st, body = _get(server, "/api/report")
+    assert st == 200 and body["result"] is True
+    assert body["report"] and all("n_docs" in r for r in body["report"])
