@@ -769,6 +769,16 @@ def _q_events_hourly(spark, sf):  # streaming-analog tumbling-window agg
     )
 
 
+def _q_events_sliding(spark, sf):
+    """Hopping-window rollup gate (batch twin of the streaming shape):
+    1-hour windows sliding every 30 minutes — every event lands in exactly
+    2 windows; the oracle reproduces Spark's epoch-aligned window starts
+    by unnesting both slide offsets per event."""
+    from search_engine_spark.streaming.events import sliding_rollup
+
+    return sliding_rollup(_t(spark, sf, "events"))
+
+
 def _stream_tmp(sf: str, table: str) -> str:
     """Stage one sf table file as a streaming source directory."""
     import shutil
@@ -2120,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": _q_facet_counts,
         "more_like_this": _q_more_like_this,
         "events_hourly": _q_events_hourly,
+        "events_sliding": _q_events_sliding,
         "events_hourly_stream": _q_events_stream,
         "events_dedup_stream": _q_events_dedup_stream,
         "view_purchase_attrib": _q_view_purchase,
@@ -2702,6 +2713,23 @@ def oracle_sql() -> dict[str, str]:
            SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
                   round(sum(value), 2) AS total_value
            FROM events GROUP BY 1, 2""",
+        # hopping-window twin: Spark's window(ts, 1h, 30m) starts are
+        # epoch-aligned 30-min boundaries; every event lands in the 2
+        # windows starting at trunc30(ts) and trunc30(ts) - 30min —
+        # reproduced by unnesting both offsets (make_timestamp keeps the
+        # naive TIMESTAMP type; to_timestamp would yield TIMESTAMPTZ)
+        "events_sliding": """
+           WITH w AS (
+             SELECT event_type, value,
+                    make_timestamp(
+                      (CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800
+                       - i * 1800) * 1000000) AS win_start
+             FROM events, UNNEST(range(0, 2)) AS t(i))
+           SELECT win_start, win_start + INTERVAL 1 HOUR AS win_end,
+                  event_type, count(*) AS n,
+                  round(CAST(sum(CAST(value AS DECIMAL(18,6)))
+                        AS DOUBLE), 2) AS total_value
+           FROM w GROUP BY 1, 2, 3""",
         "events_dedup_stream": """
            SELECT DISTINCT ts, user_id, event_type FROM events""",
         # interval-join twin: the same plain join gates BOTH the batch

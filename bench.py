@@ -265,6 +265,7 @@ def main() -> None:
         "simhash_pairs",
         "text_profile",
         "events_hourly",
+        "events_sliding",
         "view_purchase_attrib",
         "ann_dot_topk",
         "ann_lsh_topk",

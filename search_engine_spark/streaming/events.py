@@ -105,8 +105,10 @@ def run_stream_rollup(
     checkpoint_dir: str,
     sink_table: str = "events_rollup_stream",
     max_files_per_trigger: int = 1,
+    rollup=None,
 ) -> DataFrame:
-    """Drain a file-source events stream through the rollup into an
+    """Drain a file-source events stream through the rollup (default
+    `hourly_rollup`; pass `sliding_rollup` for the hopping shape) into an
     in-memory sink (complete mode) and return the final result frame."""
     stream = (
         spark.readStream.schema(EVENTS)
@@ -114,7 +116,7 @@ def run_stream_rollup(
         .parquet(input_path)
     )
     q = (
-        hourly_rollup(stream)
+        (hourly_rollup(stream) if rollup is None else rollup(stream))
         .writeStream.outputMode("complete")
         .format("memory")
         .queryName(sink_table)
@@ -194,3 +196,43 @@ def run_stream_join(
     )
     q.awaitTermination()
     return spark.table(sink_table)
+
+
+def sliding_rollup(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """HOPPING (sliding) window rollup per event_type: count + Σvalue over
+    overlapping windows — the trend-smoothing shape tumbling windows can't
+    express (each event lands in window/slide windows). Works on a batch OR
+    streaming frame; the watermark bounds the per-window state exactly as
+    in `hourly_rollup` (state ∝ open windows × groups, and the overlap
+    factor multiplies state by window/slide — the scale dial to document,
+    not a surprise).
+
+    Value math: Σvalue in exact DECIMAL(18,6) (events.value has ≤6 dp) so
+    the per-window sums are partition- and engine-independent, then double
+    + round(2) at the end — same policy as the relational family."""
+    src = events
+    if watermark is not None and events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(
+            F.window("ts", window, slide).alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

@@ -207,3 +207,29 @@ def test_stream_stream_join_equals_batch(spark, tmp_path):
     want = want.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_like=True)
     assert len(got) > 5
+
+
+def test_stream_sliding_rollup_equals_batch(spark, tmp_path):
+    """Hopping windows (1h/30m) through a REAL streaming execution ==
+    the batch plan on the same files — every event in exactly 2 windows."""
+    from search_engine_spark.streaming.events import sliding_rollup
+
+    events = spark.read.parquet(EVENTS_PARQUET)
+    mid = events.select(F.expr("percentile_approx(ts, 0.5)").alias("m")).first()["m"]
+    stream_dir = str(tmp_path / "events_sl")
+    os.makedirs(stream_dir, exist_ok=True)
+    events.filter(F.col("ts") <= mid).coalesce(1).write.mode("append").parquet(stream_dir)
+    events.filter(F.col("ts") > mid).coalesce(1).write.mode("append").parquet(stream_dir)
+
+    got = run_stream_rollup(
+        spark, stream_dir, str(tmp_path / "ckpt_sl"), sink_table="t_slide",
+        rollup=sliding_rollup,
+    ).toPandas()
+    want = sliding_rollup(spark.read.schema(EVENTS).parquet(stream_dir)).toPandas()
+    key = ["win_start", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_like=True)
+    # overlap invariant: Σn over windows = 2 × events (1h window, 30m slide)
+    n_events = spark.read.parquet(stream_dir).count()
+    assert int(want["n"].sum()) == 2 * n_events
