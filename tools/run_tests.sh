@@ -17,7 +17,7 @@ cd "$(dirname "$0")/.."
 
 G1="tests/test_incremental_resume.py::test_upsert_touches_only_affected_shards \
     tests/test_incremental_resume.py::test_crash_after_docs_commit_retry_converges \
-    tests/test_compaction.py tests/test_phrase.py"
+    tests/test_compaction.py tests/test_phrase.py tests/test_dedup_similarity.py"
 G2="tests/test_incremental_resume.py tests/test_streaming.py tests/test_http_api.py"
 G2_DESELECT="--deselect tests/test_incremental_resume.py::test_upsert_touches_only_affected_shards \
     --deselect tests/test_incremental_resume.py::test_crash_after_docs_commit_retry_converges"
@@ -26,12 +26,12 @@ G3="tests/test_lifecycle.py tests/test_api_incremental.py tests/test_catalog_rec
 # g5 carries the index-building heavyweights split out of g4 (g4 hit 13 min
 # once the round-4 operator files landed); 5 × local[4] = 20 threads on 32.
 G5="tests/test_build_query.py tests/test_wand.py tests/test_packed_postings.py \
-    tests/test_spark_submit.py tests/test_remove_docs.py"
+    tests/test_spark_submit.py tests/test_remove_docs.py tests/test_relational.py"
 G4=$(ls tests/test_*.py | grep -v -e incremental_resume -e test_streaming \
      -e api_incremental -e catalog_recovery -e lifecycle -e test_compaction \
      -e test_phrase -e test_trigram -e test_http_api -e test_build_query \
      -e test_wand -e test_packed_postings -e test_spark_submit \
-     -e test_remove_docs)
+     -e test_remove_docs -e test_dedup_similarity -e test_relational)
 
 t0=$SECONDS
 python -m pytest $G1 -q >/tmp/se_tests_g1.log 2>&1 &
