@@ -2840,7 +2840,7 @@ def oracle_sql() -> dict[str, str]:
                      FROM partsupp
                      JOIN supplier ON ps_suppkey = s_suppkey
                      JOIN nation ON s_nationkey = n_nationkey
-                     WHERE n_name = 'NATION_9'),
+                     WHERE n_name = 'NATION_12'),
            val AS (SELECT ps_partkey, sum(v) AS value FROM psn GROUP BY 1),
            tot AS (SELECT sum(value) AS total FROM val)
            SELECT ps_partkey, round(CAST(value AS DOUBLE), 2) AS value
@@ -2875,7 +2875,7 @@ def oracle_sql() -> dict[str, str]:
            FROM cand
            JOIN supplier ON ps_suppkey = s_suppkey
            JOIN nation ON s_nationkey = n_nationkey
-           WHERE n_name = 'NATION_9'
+           WHERE n_name = 'NATION_12'
            ORDER BY s_name, suppkey""",
         "volume_shipping_q7": """
            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
@@ -2891,8 +2891,8 @@ def oracle_sql() -> dict[str, str]:
            JOIN nation cn ON c_nationkey = cn.n_nationkey
            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
              AND l_shipdate <  TIMESTAMP '1998-01-01'
-             AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-               OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+             AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_8')
+               OR (sn.n_name = 'NATION_8' AND cn.n_name = 'NATION_3'))
            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
         "market_share_q8": """
            SELECT CAST(year(o_orderdate) AS INT) AS o_year,

@@ -626,8 +626,8 @@ def volume_shipping(
     customer: DataFrame,
     supplier: DataFrame,
     nation: DataFrame,
-    nation_a: str = "NATION_1",
-    nation_b: str = "NATION_2",
+    nation_a: str = "NATION_3",
+    nation_b: str = "NATION_8",
     date_from: str = "1996-01-01",
     date_to: str = "1998-01-01",
 ) -> DataFrame:
@@ -899,7 +899,7 @@ def important_stock(
     partsupp: DataFrame,
     supplier: DataFrame,
     nation: DataFrame,
-    n_name: str = "NATION_9",
+    n_name: str = "NATION_12",
     fraction_denominator: int = 1500,
 ) -> DataFrame:
     """TPC-H Q11 shape (important stock): per-part inventory value held by
@@ -975,7 +975,7 @@ def excess_stock_suppliers(
     part: DataFrame,
     supplier: DataFrame,
     nation: DataFrame,
-    n_name: str = "NATION_9",
+    n_name: str = "NATION_12",
     p_type: str = "SMALL",
     date_from: str = "1996-01-01",
     date_to: str = "1997-01-01",

@@ -415,7 +415,7 @@ def test_q11_threshold_is_exact_cross_multiplication(spark):
     got = important_stock(
         ps, spark.read.parquet(f"{SF}/supplier.parquet"),
         spark.read.parquet(f"{SF}/nation.parquet"),
-        n_name="NATION_9", fraction_denominator=1,
+        n_name="NATION_12", fraction_denominator=1,
     ).collect()
     # denominator 1: value > total keeps nothing (no part holds it all)
     assert got == []
