@@ -1650,6 +1650,27 @@ def _q_license_detect(spark, sf):
     )
 
 
+def _q_cross_repo_clones(spark, sf):
+    """Cross-repo clone gate: the winnow_dup_pairs decoration (license
+    suffix on doc_id%25==0) plus the documents' `source` as repo — only
+    pairs crossing a source boundary survive, decorated with both repos."""
+    from search_engine_spark.operators.dedup import cross_repo_clones
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.col("source").alias("repo"),
+        F.when(
+            F.col("doc_id") % 25 == 0,
+            F.concat(F.col("text"), F.lit(" " + _WINNOW_LICENSE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return cross_repo_clones(
+        d, text_col="text", k=5, w=4, min_shared=8, portable_hash=True
+    )
+
+
 def _q_rank_eval(spark, sf):
     """Ranking-metrics gate: both engines derive the SAME synthetic run —
     qid = doc_id % 8, a Knuth-hash pseudo-score, graded labels rel ∈
@@ -2213,6 +2234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": _q_corpus_report,
         "winnow_fps": _q_winnow_fps,
         "winnow_dup_pairs": _q_winnow_pairs,
+        "cross_repo_clones": _q_cross_repo_clones,
         "symbol_defs": _q_symbol_defs,
         "import_graph": _q_import_graph,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -3301,6 +3323,7 @@ def oracle_sql() -> dict[str, str]:
         # two formulations, one MOSS contract
         "winnow_fps": _winnow_fps_oracle_sql(),
         "winnow_dup_pairs": _winnow_pairs_oracle_sql(),
+        "cross_repo_clones": _cross_repo_clones_oracle_sql(),
         # symbol/import extraction twins: same decoration CTE, same
         # patterns imported from functions/code_analysis.py, group 1
         "symbol_defs": _symbols_oracle_sql(),
@@ -3933,6 +3956,29 @@ def _winnow_base_sql(decorated: bool) -> str:
               GROUP BY s.doc_id, s.j, s.mh),
        fps AS (SELECT DISTINCT doc_id, fp_hash, CAST(pos AS BIGINT) AS pos
                FROM fp)"""
+
+
+def _cross_repo_clones_oracle_sql() -> str:
+    return (
+        _winnow_base_sql(True)
+        + """,
+       u AS (SELECT DISTINCT doc_id, fp_hash FROM fps),
+       keep AS (SELECT fp_hash FROM u GROUP BY fp_hash
+                HAVING count(*) <= 200),
+       k AS (SELECT u.doc_id, u.fp_hash FROM u JOIN keep USING (fp_hash)),
+       pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(count(*) AS BIGINT) AS shared
+              FROM k a JOIN k b ON a.fp_hash = b.fp_hash
+                               AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+              HAVING count(*) >= 8)
+       SELECT doc_a, doc_b, da.source AS repo_a, db.source AS repo_b,
+              shared
+       FROM pr
+       JOIN documents da ON pr.doc_a = da.doc_id
+       JOIN documents db ON pr.doc_b = db.doc_id
+       WHERE da.source <> db.source"""
+    )
 
 
 def _winnow_fps_oracle_sql() -> str:

@@ -303,6 +303,7 @@ def main() -> None:
         "rank_eval",
         "symbol_defs",
         "winnow_fps",
+        "cross_repo_clones",
         "license_detect",
         "corpus_report",
         "import_graph",

@@ -903,3 +903,47 @@ def winnow_pairs(
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def cross_repo_clones(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    repo_col: str = "repo",
+    text_col: str = "content",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = 200,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Clone pairs across REPOSITORY boundaries: `winnow_pairs` restricted
+    to pairs whose documents live in different repos — the provenance/
+    licensing signal a code-corpus audit actually wants (intra-repo
+    duplication is mostly vendoring and templates; cross-repo clones are
+    copied code). Output ``(doc_a, doc_b, repo_a, repo_b, shared)``.
+
+    Plan shape: the repo decoration joins run AFTER the pair aggregate —
+    their left side is pair-count-sized, never fingerprint-count-sized;
+    at sandbox SF AQE broadcasts the id→repo side."""
+    pairs = winnow_pairs(
+        df, id_col=id_col, text_col=text_col, k=k, w=w,
+        min_shared=min_shared, max_fp_df=max_fp_df,
+        portable_hash=portable_hash,
+    )
+    meta = df.select(
+        F.col(id_col).alias("m_id"), F.col(repo_col).alias("m_repo")
+    )
+    return (
+        pairs.join(
+            meta.select(F.col("m_id").alias("doc_a"),
+                        F.col("m_repo").alias("repo_a")),
+            "doc_a",
+        )
+        .join(
+            meta.select(F.col("m_id").alias("doc_b"),
+                        F.col("m_repo").alias("repo_b")),
+            "doc_b",
+        )
+        .filter(F.col("repo_a") != F.col("repo_b"))
+        .select("doc_a", "doc_b", "repo_a", "repo_b", "shared")
+    )

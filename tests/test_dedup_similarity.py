@@ -697,3 +697,20 @@ def test_winnow_guarantee_and_pairs(spark):
            for r in winnow_pairs(df, min_shared=2).collect()}
     assert (1, 2) in got and got[(1, 2)] >= 2
     assert all(p == (1, 2) for p in got)
+
+
+def test_cross_repo_clones_filters_intra_repo(spark):
+    from search_engine_spark.operators.dedup import cross_repo_clones
+
+    blk = "sparkwinnowingsharedblockofsubstantiallength"
+    rows = [
+        (1, "org0/a", f"lead {blk} tail"),
+        (2, "org0/a", f"other {blk} end"),      # same repo as 1
+        (3, "org1/b", f"frame {blk} close"),    # cross-repo with 1 and 2
+        (4, "org2/c", "nothing matching here at all zzz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, repo string, content string")
+    got = {(r["doc_a"], r["doc_b"]): (r["repo_a"], r["repo_b"], r["shared"])
+           for r in cross_repo_clones(df, min_shared=2).collect()}
+    assert set(got) == {(1, 3), (2, 3)}  # (1,2) intra-repo excluded
+    assert all(ra != rb for ra, rb, _ in got.values())
