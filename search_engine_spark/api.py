@@ -240,6 +240,7 @@ class EngineAPI:
         min_match: int | None = None,
         synonyms: dict | None = None,
         filters: dict | None = None,
+        auto_correct: bool = False,
     ) -> dict:
         """``mode='all'`` (default) is the reference AND contract with an
         exact count. ``mode='any'`` is the ranked union (missing terms
@@ -270,6 +271,14 @@ class EngineAPI:
         restricts results on doc metadata without rescoping stats (Lucene
         fq); the banner is truncation-aware under filters.
 
+        ``auto_correct=True`` (modes all/any): when the query returns ZERO
+        results, each vocabulary-missing word is replaced by its best
+        spell correction (`did_you_mean`, Levenshtein ≤ 2) and the search
+        re-runs ONCE; a non-empty retry is returned with
+        ``correctedQuery`` set ("showing results for …" semantics — the
+        original empty response is returned when correction finds nothing
+        or changes nothing).
+
         ``mode='auto'`` parses Lucene-style syntax out of the query string
         itself (`functions/qparser.py`): ``"exact phrase"``,
         ``"near terms"~N``, ``a OR b``, ``quer*``, ``-not``, ``site:`` /
@@ -280,6 +289,21 @@ class EngineAPI:
         """
         if not query or not query.strip():
             return {"result": False, "error": ERR_EMPTY_QUERY}
+        if auto_correct and mode in ("all", "any"):
+            kw = dict(
+                site=site, offset=offset, limit=limit, scorer=scorer,
+                strategy=strategy, near_window=near_window, mode=mode,
+                min_match=min_match, synonyms=synonyms, filters=filters,
+            )
+            resp = self.search(query, **kw)
+            if resp.get("result") and not resp.get("data"):
+                corrected = self._correct_query(query)
+                if corrected and corrected != query:
+                    retry = self.search(corrected, **kw)
+                    if retry.get("result") and retry.get("data"):
+                        retry["correctedQuery"] = corrected
+                        return retry
+            return resp
         if mode == "auto":
             # Lucene-style syntax: parse the string into mode/site/filters
             # (functions/qparser.py) and re-dispatch once. Parser-derived
@@ -664,6 +688,30 @@ class EngineAPI:
         return self._code_hits_response(
             hits, limit, lits[0] if lits else ""
         )
+
+    def _correct_query(self, query: str) -> str | None:
+        """Replace each vocabulary-missing positive word with its best
+        spell correction; None when nothing is correctable. NOT clauses
+        (-word) and vocabulary-present words pass through unchanged."""
+        eng = self._get_engine()
+        out, changed = [], False
+        for tok in query.split():
+            if tok.startswith("-") and len(tok) > 1:
+                out.append(tok)
+                continue
+            forms = analyze_query(tok, code=self.code)
+            if forms and all(
+                v is not None for v in eng._global_dfs(forms).values()
+            ):
+                out.append(tok)
+                continue
+            dym = eng.did_you_mean(tok, k=1)
+            if dym:
+                out.append(dym[0][0])
+                changed = True
+            else:
+                out.append(tok)
+        return " ".join(out) if changed else None
 
     def corpus_report(self) -> dict:
         """Dataset-card rollup over the INDEXED corpus (the docs table):

@@ -94,6 +94,7 @@ class _Handler(BaseHTTPRequestHandler):
                             if _one(q, "synonyms") is not None
                             else None
                         ),
+                        auto_correct=_one(q, "autoCorrect", "0") in ("1", "true"),
                         filters=(
                             {
                                 k: _one(q, p)

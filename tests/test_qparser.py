@@ -138,3 +138,22 @@ def test_auto_sym_routes_to_symbol_search(api):
     auto = api.search("sym:ZzzNotDefined", mode="auto", limit=5)
     direct = api.symbol_search("ZzzNotDefined", limit=5)
     assert auto == direct and auto["result"] and auto["count"] == 0
+
+
+def test_auto_correct_retries_once(api):
+    # 'quary' is vocabulary-missing; its best correction is 'query'
+    plain = api.search("quary", auto_correct=False)
+    assert plain["result"] and plain["count"] == 0
+    fixed = api.search("quary", auto_correct=True)
+    assert fixed["result"] and fixed["count"] > 0
+    assert fixed["correctedQuery"] == "query"
+    # response body identical to searching the corrected query directly
+    direct = api.search("query")
+    direct["correctedQuery"] = "query"
+    assert fixed == direct
+    # a query with results never gets rewritten
+    ok = api.search("query", auto_correct=True)
+    assert "correctedQuery" not in ok and ok["count"] > 0
+    # uncorrectable garbage: the original empty response comes back
+    none = api.search("zzqqxxyy", auto_correct=True)
+    assert none["result"] and none["count"] == 0 and "correctedQuery" not in none
