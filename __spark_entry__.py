@@ -1671,6 +1671,29 @@ def _q_cross_repo_clones(spark, sf):
     )
 
 
+_PERCOLATE_QUERIES = [
+    ("q_and2", ["table", "hash"]),
+    ("q_and3", ["data", "query", "scan"]),
+    ("q_single", ["vector"]),
+    ("q_dup_terms", ["merge", "merge", "scan"]),  # dedup → arity 2
+    ("q_missing", ["table", "zzznotaterm"]),      # never matches
+    ("q_empty", []),                              # vacuous — never matches
+]
+
+
+def _q_percolate(spark, sf):
+    """Percolation gate: 6 frozen stored queries (AND bags incl. a
+    duplicate-term and an empty query) matched against every document's
+    token set — (doc_id, query_id) pairs must equal the DuckDB
+    group-count twin exactly."""
+    from search_engine_spark.operators.percolate import percolate
+
+    stored = spark.createDataFrame(
+        _PERCOLATE_QUERIES, "query_id string, terms array<string>"
+    )
+    return percolate(_tokens(spark, sf), stored)
+
+
 def _q_rank_eval(spark, sf):
     """Ranking-metrics gate: both engines derive the SAME synthetic run —
     qid = doc_id % 8, a Knuth-hash pseudo-score, graded labels rel ∈
@@ -2235,6 +2258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fps": _q_winnow_fps,
         "winnow_dup_pairs": _q_winnow_pairs,
         "cross_repo_clones": _q_cross_repo_clones,
+        "percolate_matches": _q_percolate,
         "symbol_defs": _q_symbol_defs,
         "import_graph": _q_import_graph,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -3324,6 +3348,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fps": _winnow_fps_oracle_sql(),
         "winnow_dup_pairs": _winnow_pairs_oracle_sql(),
         "cross_repo_clones": _cross_repo_clones_oracle_sql(),
+        "percolate_matches": _percolate_oracle_sql(),
         # symbol/import extraction twins: same decoration CTE, same
         # patterns imported from functions/code_analysis.py, group 1
         "symbol_defs": _symbols_oracle_sql(),
@@ -3956,6 +3981,29 @@ def _winnow_base_sql(decorated: bool) -> str:
               GROUP BY s.doc_id, s.j, s.mh),
        fps AS (SELECT DISTINCT doc_id, fp_hash, CAST(pos AS BIGINT) AS pos
                FROM fp)"""
+
+
+def _percolate_oracle_sql() -> str:
+    """DuckDB twin of the percolation gate: the SAME frozen stored-query
+    list inlined as VALUES rows (deduped arity), joined against the shared
+    token CTE, full-match group filter."""
+    rows = []
+    for qid, terms in _PERCOLATE_QUERIES:
+        for t in sorted(set(terms)):
+            rows.append(f"('{qid}', '{t}')")
+    values = ",\n                  ".join(rows) or "('never', NULL)"
+    return (
+        _TOK_CTE
+        + f""", q(query_id, term) AS (
+             VALUES {values}),
+           qn AS (SELECT query_id, count(*) AS nq FROM q GROUP BY 1),
+           dt AS (SELECT DISTINCT doc_id, term FROM tok2)
+           SELECT doc_id, q.query_id
+           FROM dt JOIN q USING (term)
+           JOIN qn ON q.query_id = qn.query_id
+           GROUP BY doc_id, q.query_id, nq
+           HAVING count(*) = nq"""
+    )
 
 
 def _cross_repo_clones_oracle_sql() -> str:

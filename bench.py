@@ -304,6 +304,7 @@ def main() -> None:
         "symbol_defs",
         "winnow_fps",
         "cross_repo_clones",
+        "percolate_matches",
         "license_detect",
         "corpus_report",
         "import_graph",

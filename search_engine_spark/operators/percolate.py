@@ -1,0 +1,45 @@
+"""Percolation (reverse search): match DOCUMENTS against a table of stored
+queries — the alerting/subscription primitive (Elasticsearch percolator,
+Lucene MemoryIndex use case). Forward search asks "which docs match this
+query"; percolation asks "which stored queries match this doc", the shape a
+saved-search notification pipeline needs at ingest time.
+
+Semantics: a stored query is an AND bag of analyzed terms; it matches a doc
+when EVERY term appears in the doc's analyzed term set (the reference's
+search contract, J4, applied in reverse).
+
+Plan shape at scale: explode the stored queries once (queries × terms — the
+small side, broadcast at any realistic subscription count), join on the
+term against the doc term-set rows, then one aggregate counting distinct
+matched terms per (doc, query) and keeping full matches. The fact-side
+exchange is the (doc_id, query_id) aggregate; the corpus-sized token table
+never shuffles on anything but that compound key. Zero UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def percolate(doc_terms: DataFrame, stored: DataFrame) -> DataFrame:
+    """``doc_terms``: (doc_id, term) rows — duplicates fine (deduped here);
+    ``stored``: (query_id, terms array<string>) — terms ALREADY analyzed,
+    empty-term queries never match (vacuous truth is an alerting footgun).
+    → (doc_id, query_id) pairs, one per full AND match."""
+    qd = stored.select(
+        "query_id", F.array_distinct("terms").alias("terms")
+    ).filter(F.size("terms") > 0)
+    q = qd.select(
+        "query_id",
+        F.size("terms").alias("nq"),  # distinct-term count — the AND arity
+        F.explode("terms").alias("term"),
+    )
+    return (
+        doc_terms.select("doc_id", "term")
+        .distinct()
+        .join(F.broadcast(q), "term")
+        .groupBy("doc_id", "query_id")
+        .agg(F.count("*").alias("nt"), F.first("nq").alias("nq"))
+        .filter(F.col("nt") == F.col("nq"))
+        .select("doc_id", "query_id")
+    )

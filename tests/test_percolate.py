@@ -1,0 +1,40 @@
+"""Percolation (reverse search) contracts: AND semantics, duplicate-term
+dedup, empty-query rejection, and the broadcast plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F  # noqa: F401
+
+from search_engine_spark.operators.percolate import percolate
+
+
+def _run(spark, docs, queries):
+    dt = spark.createDataFrame(docs, "doc_id long, term string")
+    st = spark.createDataFrame(queries, "query_id string, terms array<string>")
+    return {(r["doc_id"], r["query_id"]) for r in percolate(dt, st).collect()}
+
+
+def test_percolate_and_semantics(spark):
+    docs = [(1, "alpha"), (1, "beta"), (1, "gamma"),
+            (2, "alpha"), (2, "alpha"),  # duplicate doc term
+            (3, "beta")]
+    queries = [
+        ("q_ab", ["alpha", "beta"]),
+        ("q_a", ["alpha"]),
+        ("q_dup", ["beta", "beta"]),       # arity 1 after dedup
+        ("q_none", ["alpha", "delta"]),    # partial → no match
+        ("q_empty", []),                   # vacuous → never matches
+    ]
+    got = _run(spark, docs, queries)
+    assert got == {
+        (1, "q_ab"), (1, "q_a"), (1, "q_dup"),
+        (2, "q_a"),
+        (3, "q_dup"),
+    }
+
+
+def test_percolate_plan_broadcasts_queries(spark):
+    dt = spark.createDataFrame([(1, "x")], "doc_id long, term string")
+    st = spark.createDataFrame([("q", ["x"])], "query_id string, terms array<string>")
+    plan = percolate(dt, st)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
