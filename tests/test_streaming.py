@@ -233,3 +233,38 @@ def test_stream_sliding_rollup_equals_batch(spark, tmp_path):
     # overlap invariant: Σn over windows = 2 × events (1h window, 30m slide)
     n_events = spark.read.parquet(stream_dir).count()
     assert int(want["n"].sum()) == 2 * n_events
+
+
+def test_stream_percolate_equals_batch(spark, tmp_path):
+    """Saved-search alerting through a REAL streaming execution: alerts
+    accumulated across micro-batches == the batch percolation of the same
+    corpus (docs split across two files → two batches, zero cross-batch
+    state needed because a doc's terms arrive together)."""
+    from search_engine_spark.operators.percolate import percolate
+    from search_engine_spark.streaming.alerts import (
+        doc_terms,
+        run_stream_percolate,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha alone here"),
+         (3, "beta delta words"), (4, "nothing relevant zz")],
+        "doc_id long, content string",
+    )
+    stored = spark.createDataFrame(
+        [("q_ab", ["alpha", "beta"]), ("q_b", ["beta"])],
+        "query_id string, terms array<string>",
+    )
+    stream_dir = str(tmp_path / "docs_in")
+    os.makedirs(stream_dir, exist_ok=True)
+    docs.filter("doc_id <= 2").coalesce(1).write.mode("append").parquet(stream_dir)
+    docs.filter("doc_id > 2").coalesce(1).write.mode("append").parquet(stream_dir)
+
+    got = run_stream_percolate(
+        spark, stream_dir, stored, str(tmp_path / "ckpt_alerts"),
+        schema=docs.schema, alerts_path=str(tmp_path / "alerts"),
+    )
+    want = {(r["doc_id"], r["query_id"])
+            for r in percolate(doc_terms(docs), stored).collect()}
+    assert {(r["doc_id"], r["query_id"]) for r in got.collect()} == want
+    assert want == {(1, "q_ab"), (1, "q_b"), (3, "q_b")}
