@@ -1694,6 +1694,16 @@ def _q_percolate(spark, sf):
     return percolate(_tokens(spark, sf), stored)
 
 
+def _q_def_chunks(spark, sf):
+    """Symbol-aligned chunking gate: the `_code_decorated` corpus (every
+    doc gets the same def/class/method block) split at definition starts —
+    chunk text, id, start line, and height byte-identical to the DuckDB
+    window-sum + ordered-string_agg twin."""
+    from search_engine_spark.operators.curation import chunk_by_defs
+
+    return chunk_by_defs(_code_decorated(spark, sf), text_col="content")
+
+
 def _q_rank_eval(spark, sf):
     """Ranking-metrics gate: both engines derive the SAME synthetic run —
     qid = doc_id % 8, a Knuth-hash pseudo-score, graded labels rel ∈
@@ -2259,6 +2269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_dup_pairs": _q_winnow_pairs,
         "cross_repo_clones": _q_cross_repo_clones,
         "percolate_matches": _q_percolate,
+        "def_chunks": _q_def_chunks,
         "symbol_defs": _q_symbol_defs,
         "import_graph": _q_import_graph,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -3349,6 +3360,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_dup_pairs": _winnow_pairs_oracle_sql(),
         "cross_repo_clones": _cross_repo_clones_oracle_sql(),
         "percolate_matches": _percolate_oracle_sql(),
+        "def_chunks": _def_chunks_oracle_sql(),
         # symbol/import extraction twins: same decoration CTE, same
         # patterns imported from functions/code_analysis.py, group 1
         "symbol_defs": _symbols_oracle_sql(),
@@ -3981,6 +3993,28 @@ def _winnow_base_sql(decorated: bool) -> str:
               GROUP BY s.doc_id, s.j, s.mh),
        fps AS (SELECT DISTINCT doc_id, fp_hash, CAST(pos AS BIGINT) AS pos
                FROM fp)"""
+
+
+def _def_chunks_oracle_sql() -> str:
+    from search_engine_spark.operators.curation import DEF_LINE_RE
+
+    return f"""
+       WITH d AS ({_CODE_DECOR_SQL}),
+       ln AS (SELECT doc_id,
+                     unnest(string_split(content, chr(10))) AS line,
+                     generate_subscripts(string_split(content, chr(10)), 1)
+                       - 1 AS i
+              FROM d),
+       m AS (SELECT doc_id, i, line,
+                    sum(CASE WHEN regexp_matches(line, '{DEF_LINE_RE}')
+                             THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY doc_id ORDER BY i) AS chunk_id
+             FROM ln)
+       SELECT doc_id, chunk_id,
+              CAST(min(i) + 1 AS BIGINT) AS start_line,
+              CAST(count(*) AS BIGINT) AS n_lines,
+              string_agg(line, chr(10) ORDER BY i) AS chunk
+       FROM m GROUP BY doc_id, chunk_id"""
 
 
 def _percolate_oracle_sql() -> str:

@@ -300,6 +300,7 @@ def main() -> None:
         "pii_scrub",
         "secret_scrub",
         "line_chunks",
+        "def_chunks",
         "rank_eval",
         "symbol_defs",
         "winnow_fps",

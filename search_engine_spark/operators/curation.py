@@ -758,3 +758,59 @@ def corpus_report(
         )
         .orderBy("lang")
     )
+
+
+# definition-start line pattern (Java ∩ RE2): python def/class or a
+# Java-style visibility-modifier line — shared with the oracle twin
+DEF_LINE_RE = r"^\s*(def |class |(public|private|protected)\s)"
+
+
+def chunk_by_defs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Symbol-aligned chunking: split source files at definition starts
+    (python ``def``/``class`` lines, Java-style visibility-modifier lines)
+    so every chunk is one function/class plus its trailing body — the
+    code-RAG unit line windows approximate and this cuts exactly. Lines
+    before the first definition form chunk 0 (imports/module docstring).
+    Output ``(doc_id, chunk_id, start_line, n_lines, chunk)``.
+
+    Plan: posexplode the line array map-side, mark definition-start lines
+    with one rlike, assign chunks by a running sum over the per-doc line
+    order, rebuild each chunk with the sort_array(collect_list(struct))
+    discipline (order-free aggregate — same pattern as paragraph_dedup's
+    rebuild). ONE exchange (the per-(doc, chunk) aggregate; the window's
+    partitioning is the same doc key, so Catalyst reuses it)."""
+    from pyspark.sql import Window
+
+    lines = F.split(F.col(text_col), "\n", -1)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = (
+        df.select(F.col(id_col).alias("doc_id"), lines.alias("l"))
+        .select("doc_id", F.posexplode("l").alias("i", "line"))
+        .withColumn(
+            "chunk_id",
+            F.sum(F.col("line").rlike(DEF_LINE_RE).cast("long")).over(w),
+        )
+    )
+    return (
+        marked.groupBy("doc_id", "chunk_id")
+        .agg(
+            (F.min("i") + 1).cast("long").alias("start_line"),
+            F.count("*").cast("long").alias("n_lines"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("chunk"),
+        )
+        .select("doc_id", "chunk_id", "start_line", "n_lines", "chunk")
+    )

@@ -781,3 +781,35 @@ def test_corpus_report_counts(spark):
     # partitioning is a Catalyst concern; assert no join/window at least)
     plan = corpus_report(df, lang_col="lang")._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_chunk_by_defs_splits_at_definitions(spark):
+    from search_engine_spark.operators.curation import chunk_by_defs
+
+    src = (
+        "import os\n"
+        "# module header\n"
+        "def first(x):\n"
+        "    return x\n"
+        "class Box:\n"
+        "    def method(self):\n"
+        "        pass\n"
+        "public static int jm(int a) {\n"
+        "    return a; }\n"
+    )
+    df = spark.createDataFrame([(1, src), (2, "no defs at all\njust text")],
+                               "doc_id long, text string")
+    got = {(r["doc_id"], r["chunk_id"]): r for r in chunk_by_defs(df).collect()}
+    d1 = sorted(k[1] for k in got if k[0] == 1)
+    assert d1 == [0, 1, 2, 3, 4]  # preamble + def + class + method + java
+    assert got[(1, 0)]["chunk"] == "import os\n# module header"
+    assert got[(1, 1)]["chunk"] == "def first(x):\n    return x"
+    assert got[(1, 2)]["chunk"] == "class Box:"
+    assert got[(1, 3)]["chunk"].startswith("    def method")
+    assert got[(1, 4)]["chunk"].startswith("public static int jm")
+    assert got[(1, 1)]["start_line"] == 3
+    # a def-less file is one chunk 0 containing everything
+    assert got[(2, 0)]["chunk"] == "no defs at all\njust text"
+    # reassembly invariant: chunks joined in id order rebuild the file
+    rebuilt = "\n".join(got[(1, c)]["chunk"] for c in d1)
+    assert rebuilt == src  # the trailing newline's empty line rides chunk 4
