@@ -947,3 +947,39 @@ def cross_repo_clones(
         .filter(F.col("repo_a") != F.col("repo_b"))
         .select("doc_a", "doc_b", "repo_a", "repo_b", "shared")
     )
+
+
+def near_dedup_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    method: str = "minhash",
+    **pair_kw,
+) -> DataFrame:
+    """The end-to-end near-dedup cut: candidate pairs (``method`` ∈
+    {'minhash', 'simhash', 'winnow'}) → connected components → keep ONE
+    survivor per cluster (the component's min id — the same deterministic
+    rule `exact_dups`/`dup_cluster_report` use) → the input rows minus the
+    dropped duplicates. This is the composition a pretraining pipeline
+    actually runs after `curate_corpus`'s exact-dedup collapse.
+
+    Scale shape: pairs and components are CLUSTER-sized (near-dups only),
+    never corpus-sized; the final cut is one anti-join of the corpus
+    against the dropped-id set (cluster-sized — AQE broadcasts it until
+    dup rates are pathological). Signature methods are hash-seeded
+    (rows-only by nature — the per-method contracts are unit/gate-covered
+    upstream); 'winnow' is the MOSS path."""
+    if method == "minhash":
+        pairs = minhash_lsh_pairs(df, id_col, text_col, **pair_kw)
+    elif method == "simhash":
+        pairs = simhash_near_pairs(df, id_col=id_col, text_col=text_col,
+                                   **pair_kw)
+    elif method == "winnow":
+        pairs = winnow_pairs(df, id_col=id_col, text_col=text_col, **pair_kw)
+    else:
+        raise ValueError(f"unknown near-dedup method {method!r}")
+    comp = connected_components(pairs, a_col="doc_a", b_col="doc_b")
+    dropped = comp.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(dropped, id_col, "left_anti")

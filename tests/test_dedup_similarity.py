@@ -714,3 +714,18 @@ def test_cross_repo_clones_filters_intra_repo(spark):
            for r in cross_repo_clones(df, min_shared=2).collect()}
     assert set(got) == {(1, 3), (2, 3)}  # (1,2) intra-repo excluded
     assert all(ra != rb for ra, rb, _ in got.values())
+
+
+@pytest.mark.parametrize("method", ["minhash", "winnow"])
+def test_near_dedup_corpus_keeps_min_id_survivor(spark, method):
+    from search_engine_spark.operators.dedup import near_dedup_corpus
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    rows = [
+        (5, base), (9, base + " tok2b"), (2, base + " tok5x"),  # one cluster
+        (7, " ".join(f"zz{i}" for i in range(40))),             # singleton
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    kw = {"minhash": {}, "winnow": {"min_shared": 2}}[method]
+    kept = {r["doc_id"] for r in near_dedup_corpus(df, method=method, **kw).collect()}
+    assert kept == {2, 7}  # min id of the near-dup cluster + the singleton
