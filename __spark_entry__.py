@@ -385,7 +385,7 @@ def _q_bm25_syn(spark, sf):
 
 
 def _bm25_scored(spark, sf, toks=None, mode="all", min_match=None,
-                 keep_ids=None):
+                 keep_ids=None, limit=20):
     if toks is None:
         toks = _tokens(spark, sf)
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
@@ -427,7 +427,8 @@ def _bm25_scored(spark, sf, toks=None, mode="all", min_match=None,
             scored = scored.filter(F.col("nt") >= min_match)
     if keep_ids is not None:  # fq restriction BEFORE the top-k cut
         scored = scored.join(keep_ids, "doc_id", "left_semi")
-    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+    scored = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+    return scored if limit is None else scored.limit(limit)
 
 
 def _q_bm25_collapse(spark, sf):
@@ -1694,6 +1695,32 @@ def _q_percolate(spark, sf):
     return percolate(_tokens(spark, sf), stored)
 
 
+def _q_search_after(spark, sf):
+    """Cursor-pagination gate: page 2 of the Q3 BM25 ranking via the
+    search-after predicate — cursor = page 1's last (score, doc_id) row,
+    computed declaratively on BOTH engines (no collect), then
+    `score < s₀ OR (score = s₀ AND doc_id > d₀)`, top 20. Must equal the
+    oracle's identical construction — and, transitively, rows 21-40 of
+    the offset formulation (`pagination_t2` gates offsets separately)."""
+    sc = _bm25_scored(spark, sf, limit=None)
+    cursor = (
+        sc.limit(20)
+        .orderBy(F.asc("score"), F.desc("doc_id"))
+        .limit(1)
+        .select(F.col("score").alias("s0"), F.col("doc_id").alias("d0"))
+    )
+    return (
+        sc.crossJoin(F.broadcast(cursor))
+        .filter(
+            (F.col("score") < F.col("s0"))
+            | ((F.col("score") == F.col("s0")) & (F.col("doc_id") > F.col("d0")))
+        )
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 def _q_def_chunks(spark, sf):
     """Symbol-aligned chunking gate: the `_code_decorated` corpus (every
     doc gets the same def/class/method block) split at definition starts —
@@ -2270,6 +2297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_repo_clones": _q_cross_repo_clones,
         "percolate_matches": _q_percolate,
         "def_chunks": _q_def_chunks,
+        "search_after_page2": _q_search_after,
         "symbol_defs": _q_symbol_defs,
         "import_graph": _q_import_graph,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -3361,6 +3389,28 @@ def oracle_sql() -> dict[str, str]:
         "cross_repo_clones": _cross_repo_clones_oracle_sql(),
         "percolate_matches": _percolate_oracle_sql(),
         "def_chunks": _def_chunks_oracle_sql(),
+        "search_after_page2": _TOK_CTE
+        + f""", tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
+           dl AS (SELECT doc_id, count(*) AS doclen FROM tok2 GROUP BY doc_id),
+           dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY term),
+           st AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+           sc AS (
+             SELECT tf.doc_id,
+                    count(DISTINCT tf.term) AS nt,
+                    sum(ln((st.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                        * 2.2 * tf.tf
+                        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl))) AS s
+             FROM tf JOIN dl USING (doc_id) JOIN dft USING (term) CROSS JOIN st
+             WHERE tf.term IN {q3}
+             GROUP BY tf.doc_id),
+           scored AS (SELECT doc_id, round(s, 4) AS score FROM sc WHERE nt = 3),
+           page1 AS (SELECT doc_id, score FROM scored
+                     ORDER BY score DESC, doc_id LIMIT 20),
+           cur AS (SELECT score AS s0, doc_id AS d0 FROM page1
+                   ORDER BY score ASC, doc_id DESC LIMIT 1)
+           SELECT doc_id, score FROM scored, cur
+           WHERE score < s0 OR (score = s0 AND doc_id > d0)
+           ORDER BY score DESC, doc_id LIMIT 20""",
         # symbol/import extraction twins: same decoration CTE, same
         # patterns imported from functions/code_analysis.py, group 1
         "symbol_defs": _symbols_oracle_sql(),

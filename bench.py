@@ -255,6 +255,7 @@ def main() -> None:
     for name in [
         "tf_a1",
         "bm25_topk",
+        "search_after_page2",
         "and_intersect_j4",
         "statistics_a6",
         "dedup_exact",

@@ -2343,6 +2343,40 @@ class SearchEngine:
         )
 
 
+    def topk_after(
+        self,
+        query: str,
+        k: int = 20,
+        after: tuple[float, int] | None = None,
+        site: str | None = None,
+        scorer: str = "bm25",
+    ) -> DataFrame:
+        """Cursor (search-after) pagination: ``after`` is the LAST row of
+        the previous page as ``(score, doc_id)`` — the deep-pagination
+        form whose cost does NOT grow with page depth (offset pagination
+        over-fetches offset+k rows; a cursor page always fetches k). The
+        predicate is the strict tie-break order the engine serves:
+        ``score < s₀ OR (score = s₀ AND doc_id > d₀)`` — exact on the
+        engine's reproducible doubles (rank-identity means page 1's last
+        score re-emerges bit-identical). Runs the exhaustive distributed
+        plan (the cursor predicate cannot prune block-max bounds — it
+        BOUNDS them above, which inverts the WAND pruning direction; a
+        bounded-above WAND is the documented upgrade path)."""
+        q_terms = analyze_query(query, code=self.code)
+        if not q_terms:
+            return self._empty()
+        ctx = self._resolve(q_terms, site)
+        if ctx is None:
+            return self._empty()
+        scored = self._exhaustive_scored(q_terms, ctx, scorer)
+        if after is not None:
+            s0, d0 = float(after[0]), int(after[1])
+            scored = scored.filter(
+                (F.col("score") < s0)
+                | ((F.col("score") == s0) & (F.col("doc_id") > d0))
+            )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     # -- score explanation (Lucene explain() parity) ------------------------
 
     def _term_doc_posting(

@@ -339,3 +339,27 @@ def test_api_prefix_mode_and_suggest(engine, spark):
     assert {"term", "dist", "df"} == set(dym["data"][0])
     assert dym["data"][0]["dist"] <= dym["data"][-1]["dist"]
     assert api.did_you_mean(" ")["result"] is False
+
+
+def test_topk_after_cursor_pages_stitch(engine):
+    """Cursor pagination: page1 (k=10) + topk_after(cursor) (k=10) ==
+    topk (k=20) — exact scores, exact order; cursor past the end yields
+    nothing."""
+    q = "query index"
+    full = [(int(r["doc_id"]), float(r["score"]))
+            for r in engine.topk(q, 20, strategy="exhaustive").collect()]
+    assert len(full) == 20
+    p1 = full[:10]
+    cursor = p1[-1][1], p1[-1][0]  # (score, doc_id)
+    p2 = [(int(r["doc_id"]), float(r["score"]))
+          for r in engine.topk_after(q, k=10, after=cursor).collect()]
+    assert p1 + p2 == full
+    # first page via topk_after(after=None) equals topk
+    p1b = [(int(r["doc_id"]), float(r["score"]))
+           for r in engine.topk_after(q, k=10).collect()]
+    assert p1b == p1
+    # cursor at the very end → empty page
+    last = full[-1]
+    tail = engine.topk_after(q, k=10, after=(last[1], last[0])).collect()
+    tail_ids = {int(r["doc_id"]) for r in tail}
+    assert not tail_ids & {d for d, _ in full}
