@@ -225,6 +225,16 @@ class EngineAPI:
 
         return {"result": True, "shards": fragmentation(self.spark, self.catalog)}
 
+    def fsck(self, deep: bool = False) -> dict:
+        """Index consistency verification (`plans/fsck.py`): cross-table
+        invariants — df ≡ Σ block counts, doc counts agree across
+        docs/doc_stats/corpus_stats, per-site counts match, block ranges
+        sane; ``deep=True`` decodes every payload against its metadata."""
+        from .plans.fsck import verify_index
+
+        return {"result": True, **verify_index(self.spark, self.catalog,
+                                               deep=deep)}
+
     # -- GET /api/search (ApiController.java:40-47) --------------------------
 
     def search(

@@ -153,6 +153,10 @@ class _Handler(BaseHTTPRequestHandler):
                 if needle is None:
                     return self._bad("needle parameter is required")
                 return self._json(api.grep(needle, limit=int(_one(q, "limit", "20"))))
+            if u.path == "/api/fsck":
+                return self._json(
+                    api.fsck(deep=_one(q, "deep", "0") in ("1", "true"))
+                )
             if u.path == "/api/report":
                 return self._json(api.corpus_report())
             if u.path == "/api/explain":

@@ -1,0 +1,138 @@
+"""Index consistency verification (fsck): cross-table invariants an
+operator runs after a crash, a migration, or a suspicious upsert — the
+maintenance sibling of `plans/compaction.py`'s fragmentation report. The
+reference has no analogue (MySQL FK constraints stood in for it); a
+table-per-stage layout needs an explicit checker.
+
+Cheap checks (metadata only — no posting-payload decode):
+
+* ``df_consistency``   — per (scope='', term): terms.df == Σ block counts
+  over that term's postings (the invariant every build/upsert/delete path
+  must preserve; its violation is the classic lost-update symptom);
+* ``doc_counts``       — corpus_stats.n_docs == |docs| == |doc_stats|;
+* ``site_doc_counts``  — Σ site_stats.n_docs == corpus n_docs AND every
+  per-site count matches the docs table's groupBy;
+* ``block_ranges``     — per block: min_doc ≤ max_doc and count ≥ 1.
+
+``deep=True`` adds the payload-level check: decode every block and verify
+count, min_doc, max_doc against the actual ids (a full-scan job — the
+offline maintenance pass, priced like compaction).
+
+All checks are one aggregate each over dimension-or-metadata-sized tables;
+`deep` is the only corpus-priced pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..schemas import SITE_STATS
+from ..sources.catalog import Catalog
+
+
+def _check(name: str, bad_df: DataFrame, detail_cols: list[str], out: dict,
+           cap: int = 5) -> None:
+    rows = bad_df.limit(cap).collect()
+    out[name] = {
+        "ok": not rows,
+        "violations": [
+            {c: (None if r[c] is None else str(r[c])) for c in detail_cols}
+            for r in rows
+        ],
+    }
+
+
+def verify_index(spark: SparkSession, catalog: Catalog, deep: bool = False) -> dict:
+    """→ {check_name: {ok, violations[:5]}, "ok": all-green} — see module
+    docstring for the invariant list."""
+    out: dict = {}
+    docs = catalog.read(spark, "docs")
+    terms = catalog.read(spark, "terms")
+    postings = catalog.read(spark, "postings")
+    doc_stats = catalog.read(spark, "doc_stats")
+    corpus = catalog.read(spark, "corpus_stats").collect()[0]
+
+    block_df = postings.groupBy("term").agg(F.sum("count").alias("block_df"))
+    _check(
+        "df_consistency",
+        terms.filter(F.col("scope") == "")
+        .join(block_df, "term", "full_outer")
+        .filter(
+            F.col("df").isNull()
+            | F.col("block_df").isNull()
+            | (F.col("df") != F.col("block_df"))
+        ),
+        ["term", "df", "block_df"],
+        out,
+    )
+
+    n_docs, n_stats = docs.count(), doc_stats.count()
+    out["doc_counts"] = {
+        "ok": int(corpus["n_docs"]) == n_docs == n_stats,
+        "violations": []
+        if int(corpus["n_docs"]) == n_docs == n_stats
+        else [{"corpus_stats": int(corpus["n_docs"]), "docs": n_docs,
+               "doc_stats": n_stats}],
+    }
+
+    site = catalog.read_or_empty(spark, "site_stats", SITE_STATS).select(
+        F.col("repo").alias("s_repo"), F.col("pages")
+    )
+    per_repo = docs.groupBy("repo").agg(F.count("*").alias("actual"))
+    _check(
+        "site_doc_counts",
+        site.join(per_repo, site["s_repo"] == per_repo["repo"], "full_outer")
+        .filter(
+            F.col("pages").isNull()
+            | F.col("actual").isNull()
+            | (F.col("pages") != F.col("actual"))
+        )
+        .select(
+            F.coalesce(F.col("repo"), F.col("s_repo")).alias("repo"),
+            "pages",
+            "actual",
+        ),
+        ["repo", "pages", "actual"],
+        out,
+    )
+
+    _check(
+        "block_ranges",
+        postings.filter(
+            (F.col("min_doc") > F.col("max_doc")) | (F.col("count") < 1)
+        ),
+        ["term", "block_id", "min_doc", "max_doc", "count"],
+        out,
+    )
+
+    if deep:
+        # decode_blocks flattens away block_id, so the payload check runs
+        # per TERM: decoded posting count and id range must match the
+        # metadata rollup (Σ count, min(min_doc), max(max_doc))
+        from ..operators.query import decode_blocks
+
+        dec = decode_blocks(postings).groupBy("term").agg(
+            F.count("*").alias("dec_count"),
+            F.min("doc_id").alias("dec_min"),
+            F.max("doc_id").alias("dec_max"),
+        )
+        meta = postings.groupBy("term").agg(
+            F.sum("count").alias("count"),
+            F.min("min_doc").alias("min_doc"),
+            F.max("max_doc").alias("max_doc"),
+        )
+        _check(
+            "deep_block_payloads",
+            meta.join(dec, "term", "full_outer").filter(
+                F.col("dec_count").isNull()
+                | F.col("count").isNull()
+                | (F.col("count") != F.col("dec_count"))
+                | (F.col("min_doc") != F.col("dec_min"))
+                | (F.col("max_doc") != F.col("dec_max"))
+            ),
+            ["term", "count", "dec_count"],
+            out,
+        )
+
+    out["ok"] = all(v["ok"] for v in out.values() if isinstance(v, dict))
+    return out

@@ -1,0 +1,66 @@
+"""Index fsck contracts: a fresh build passes every check (incl. deep);
+doctoring one table is detected with an actionable violation row."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.api import EngineAPI
+from search_engine_spark.plans.build_job import build_index
+from search_engine_spark.plans.fsck import verify_index
+from search_engine_spark.sources.catalog import Catalog
+from search_engine_spark.synth import make_corpus
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("fsck_idx"))
+    cat = Catalog(root)
+    build_index(spark, make_corpus(spark, 120, seed=17, partitions=2), cat,
+                n_shards=2, skew_df_threshold=60, salt_target_rows=40)
+    return cat
+
+
+def test_fresh_index_passes_all_checks(spark, built):
+    rep = verify_index(spark, built, deep=True)
+    assert rep["ok"], rep
+    assert set(rep) >= {"df_consistency", "doc_counts", "site_doc_counts",
+                        "block_ranges", "deep_block_payloads"}
+    assert all(v["ok"] for k, v in rep.items() if isinstance(v, dict)), rep
+
+
+def test_doctored_terms_detected(spark, built):
+    # inflate one global term's df — the lost-update symptom fsck exists for
+    terms = built.read(spark, "terms")
+    victim = terms.filter(F.col("scope") == "").limit(1).collect()[0]["term"]
+    doctored = terms.withColumn(
+        "df",
+        F.when((F.col("scope") == "") & (F.col("term") == victim),
+               F.col("df") + 1).otherwise(F.col("df")),
+    )
+    built.rewrite(doctored, "terms")
+    try:
+        rep = verify_index(spark, built)
+        assert rep["ok"] is False
+        bad = rep["df_consistency"]
+        assert bad["ok"] is False
+        assert any(v["term"] == victim for v in bad["violations"])
+    finally:
+        # re-read: `doctored` still references the swapped-away files
+        current = built.read(spark, "terms")
+        built.rewrite(
+            current.withColumn(
+                "df",
+                F.when((F.col("scope") == "") & (F.col("term") == victim),
+                       F.col("df") - 1).otherwise(F.col("df")),
+            ),
+            "terms",
+        )
+    assert verify_index(spark, built)["ok"] is True
+
+
+def test_fsck_api_surface(spark, built):
+    api = EngineAPI(spark, built, code=True)
+    out = api.fsck()
+    assert out["result"] is True and out["ok"] is True
