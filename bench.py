@@ -305,7 +305,9 @@ def main() -> None:
         "rank_eval",
         "symbol_defs",
         "winnow_fps",
-        "cross_repo_clones",
+        # cross_repo_clones re-runs the whole winnowing pipeline (12s at
+        # sf0.1, all of it already timed via winnow_fps) — gated for
+        # correctness at sf0.01, excluded from the wall-clock suite
         "percolate_matches",
         "license_detect",
         "corpus_report",
