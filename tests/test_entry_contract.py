@@ -56,3 +56,18 @@ def test_entry_flagship_schema(spark):
     assert 0 < len(rows) <= 20
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_bench_list_names_are_real_queries():
+    """Every name bench.py times must be a queries() entry — a rename that
+    orphans a bench entry would silently record -1 errors per round."""
+    import re
+
+    bench_path = os.path.join(os.path.dirname(os.path.abspath(E.__file__)),
+                              "bench.py")
+    src = open(bench_path).read()
+    m = re.search(r"for name in \[(.*?)\]:", src, re.S)
+    names = re.findall(r'"([a-z0-9_]+)"', m.group(1))
+    qs = set(E.queries())
+    assert names and not [n for n in names if n not in qs]
+    assert len(names) == len(set(names))  # no duplicate timings
