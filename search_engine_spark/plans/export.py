@@ -1,0 +1,132 @@
+"""Engine-version-portable index export/import (migration path).
+
+``export_index`` writes the index in a format that survives ANY future
+change of the block codec or physical layout: postings DECODED to exploded
+``(term, doc_id, tf, doclen)`` parquet rows plus straight copies of the
+dimension tables (docs / terms / doc_stats / corpus_stats / site_stats)
+and a ``manifest.json`` with format version and row counts.
+
+``import_index`` rebuilds a fully serveable catalog from an export: copies
+the dimension tables, then re-encodes the exploded rows through the SAME
+per-shard postings stage a fresh build runs (`operators/build.build_postings`
+— salting, packed/direct choice, metadata sidecar), and records an
+``import`` manifest row so status/resume surfaces stay coherent. Because
+the exploded form is the postings stage's own input shape, an import is a
+build that skips tokenization — the expensive half.
+
+Scale shape: export's one heavy step is the decode scan (corpus-priced,
+like deep fsck); import's is the postings re-encode (the same cost profile
+as the build stage it reuses). Everything else is dimension-sized copies.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import build as B
+from ..operators.query import decode_blocks
+from ..sources.catalog import Catalog
+from .build_job import write_shard_meta
+from .manifest import Manifest
+
+FORMAT_VERSION = 1
+_COPY_TABLES = ("docs", "terms", "doc_stats", "corpus_stats", "site_stats")
+
+
+def export_index(spark: SparkSession, catalog: Catalog, out_dir: str) -> dict:
+    """→ manifest dict (also written to ``out_dir/manifest.json``)."""
+    os.makedirs(out_dir, exist_ok=True)
+    counts: dict[str, int] = {}
+    exploded = decode_blocks(catalog.read(spark, "postings"))
+    exploded.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "postings_exploded")
+    )
+    counts["postings_exploded"] = spark.read.parquet(
+        os.path.join(out_dir, "postings_exploded")
+    ).count()
+    for t in _COPY_TABLES:
+        if not catalog.exists(t):
+            continue
+        df = catalog.read(spark, t)
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, t))
+        counts[t] = spark.read.parquet(os.path.join(out_dir, t)).count()
+    manifest = {
+        "format_version": FORMAT_VERSION,
+        "exported_at": time.time(),
+        "counts": counts,
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def import_index(
+    spark: SparkSession,
+    export_dir: str,
+    catalog: Catalog,
+    n_shards: int = 2,
+    skew_df_threshold: int = B.SKEW_DF_THRESHOLD,
+    salt_target_rows: int = B.SALT_TARGET_ROWS,
+    packed: bool | str = "auto",
+) -> dict:
+    """Rebuild a serveable catalog from an export. Returns the export
+    manifest it consumed."""
+    with open(os.path.join(export_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    if manifest["format_version"] > FORMAT_VERSION:
+        raise ValueError(
+            f"export format {manifest['format_version']} is newer than this "
+            f"engine's {FORMAT_VERSION}"
+        )
+    for t in _COPY_TABLES:
+        p = os.path.join(export_dir, t)
+        if os.path.isdir(p):
+            catalog.write(spark.read.parquet(p), t)
+    corpus = catalog.read(spark, "corpus_stats").collect()[0]
+    avgdl = float(corpus["avgdl"])
+    tf_dl = spark.read.parquet(os.path.join(export_dir, "postings_exploded"))
+    global_terms = catalog.read(spark, "terms").filter(F.col("scope") == "")
+    est_by_shard: dict[int, int] = {}
+    if packed == "auto":
+        est_by_shard = {
+            int(r["k"]): int(r["p"])
+            for r in global_terms.groupBy(
+                F.pmod(F.xxhash64("term"), F.lit(n_shards)).alias("k")
+            )
+            .agg(F.sum("df").alias("p"))
+            .collect()
+        }
+    import uuid
+
+    man = Manifest(catalog.path("build_manifest.jsonl"),
+                   build_id=f"import-{uuid.uuid4().hex[:8]}")
+    man.start("import", -1)
+    for k in range(n_shards):
+        shard_tf = tf_dl.filter(
+            F.pmod(F.xxhash64("term"), F.lit(n_shards)) == k
+        )
+        shard_terms = global_terms.filter(
+            F.pmod(F.xxhash64("term"), F.lit(n_shards)) == k
+        )
+        use_packed = (
+            packed
+            if isinstance(packed, bool)
+            else est_by_shard.get(k, 0) >= B.PACKED_MIN_POSTINGS
+        )
+        blocks = B.build_postings(
+            shard_tf,
+            shard_terms,
+            avgdl,
+            skew_df_threshold=skew_df_threshold,
+            salt_target_rows=salt_target_rows,
+            packed=use_packed,
+        )
+        catalog.write(blocks, f"postings/shard={k}")
+        write_shard_meta(spark, catalog, k)
+        man.done("postings", partition_id=k)
+    man.done("import")
+    return manifest
