@@ -63,6 +63,10 @@ def _build_parser() -> argparse.ArgumentParser:
 
     sub.add_parser("report", help="dataset-card rollup of the indexed corpus")
 
+    fs = sub.add_parser("fsck", help="verify index consistency invariants")
+    fs.add_argument("--deep", action="store_true",
+                    help="decode every payload against its metadata")
+
     y = sub.add_parser("symbol", help="jump-to-definition search")
     y.add_argument("name")
     y.add_argument("--kind", default=None,
@@ -119,6 +123,9 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "report":
         api = EngineAPI(spark, Catalog(args.catalog), code=code)
         out = api.corpus_report()
+    elif args.cmd == "fsck":
+        api = EngineAPI(spark, Catalog(args.catalog), code=code)
+        out = api.fsck(deep=args.deep)
     elif args.cmd == "symbol":
         api = EngineAPI(spark, Catalog(args.catalog), code=code)
         out = api.symbol_search(args.name, kind=args.kind,

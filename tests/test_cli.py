@@ -83,3 +83,10 @@ def test_cli_report(setup, capsys):
     assert rc == 0 and out["result"] is True
     langs = {r["lang"] for r in out["report"]}
     assert langs and all(r["n_docs"] >= r["n_unique"] > 0 for r in out["report"])
+
+
+def test_cli_fsck(setup, capsys):
+    cat, corpus = setup
+    rc, out = _run(capsys, ["--catalog", cat, "fsck"])
+    assert rc == 0 and out["result"] is True and out["ok"] is True
+    assert out["df_consistency"]["ok"] is True
