@@ -1340,6 +1340,29 @@ def _q_search_decorated(spark, sf):
     return spark.createDataFrame(rows, schema)
 
 
+def _q_minhash_portable(spark, sf):
+    """MinHash-LSH pairs under the engine-portable spec (md5-prefix hashes,
+    LCG permutation constants, pure Catalyst) — the HASH-GATED twin of the
+    `pd.util.hash_array` fast path (VERDICT r03 missing-#2 promotion)."""
+    from search_engine_spark.operators.dedup import minhash_portable_pairs
+
+    return minhash_portable_pairs(
+        _t(spark, sf, "documents"), id_col="doc_id", text_col="text",
+        n_hashes=16, bands=4,
+    )
+
+
+def _q_simhash_portable(spark, sf):
+    """SimHash pairs under the engine-portable 60-bit spec — the hash-gated
+    twin of the fast `simhash_near_pairs` path."""
+    from search_engine_spark.operators.dedup import simhash_portable_pairs
+
+    return simhash_portable_pairs(
+        _t(spark, sf, "documents"), id_col="doc_id", text_col="text",
+        max_hamming=3, n_bands=4,
+    )
+
+
 def _q_minhash_pairs(spark, sf):
     from search_engine_spark.operators.dedup import minhash_lsh_pairs
 
@@ -2275,6 +2298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_decorated": _q_search_decorated,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
+        "minhash_portable_pairs": _q_minhash_portable,
+        "simhash_portable_pairs": _q_simhash_portable,
         # oracle-gated since r4 (DuckDB list_dot_product twins — planes
         # inlined as literals; minhash/simhash CANNOT get twins without
         # changing the engine hash: pd.util.hash_array has no DuckDB
@@ -2323,8 +2348,19 @@ _PS_CTE = """
 
 
 def oracle_sql() -> dict[str, str]:
+    from search_engine_spark.operators.dedup import (
+        minhash_portable_oracle_sql,
+        simhash_portable_oracle_sql,
+    )
+
     q3 = "('data','query','scan')"
     return {
+        "minhash_portable_pairs": minhash_portable_oracle_sql(
+            n_hashes=16, bands=4
+        ),
+        "simhash_portable_pairs": simhash_portable_oracle_sql(
+            max_hamming=3, n_bands=4
+        ),
         "tf_a1": _TOK_CTE
         + "SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term",
         "df_a2": _TOK_CTE

@@ -33,17 +33,25 @@ def package_zip() -> str:
         default=0.0,
     )
     if not os.path.exists(out) or os.path.getmtime(out) < newest:
-        tmp = out + ".tmp"
-        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
-            for root, _, files in os.walk(pkg_dir):
-                if "__pycache__" in root:
-                    continue
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        z.write(full, rel)
-        os.replace(tmp, out)
+        # per-process tmp name: concurrent builders (parallel pytest groups)
+        # must not share one .tmp path, or the loser's os.replace finds the
+        # winner already renamed it away. Each writes its own file; the
+        # atomic rename makes last-writer-wins safe (contents identical).
+        tmp = f"{out}.{os.getpid()}.tmp"
+        try:
+            with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+                for root, _, files in os.walk(pkg_dir):
+                    if "__pycache__" in root:
+                        continue
+                    for f in files:
+                        if f.endswith(".py"):
+                            full = os.path.join(root, f)
+                            rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                            z.write(full, rel)
+            os.replace(tmp, out)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
     return out
 
 

@@ -729,3 +729,82 @@ def test_near_dedup_corpus_keeps_min_id_survivor(spark, method):
     kw = {"minhash": {}, "winnow": {"min_shared": 2}}[method]
     kept = {r["doc_id"] for r in near_dedup_corpus(df, method=method, **kw).collect()}
     assert kept == {2, 7}  # min id of the near-dup cluster + the singleton
+
+
+# -------------------------------------- engine-portable signature gates
+
+_PORTABLE_ROWS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "the quick brown fox jumps over the lazy dog again and again!"),  # near-dup of 1
+    (3, "completely different content about spark query engines and parquet files"),
+    (4, "completely different content about spark query engines and parquet files"),
+    (5, "unrelated short text entirely on its own topic here today"),
+    (6, "zz"),   # fewer tokens than the shingle width
+    (7, ""),     # empty doc
+]
+
+
+def _duck_portable(sql):
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(_PORTABLE_ROWS, columns=["doc_id", "text"]))
+    return sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+
+def test_minhash_portable_matches_duckdb_bitexact(spark):
+    """The portable MinHash spec replays identically on a second SQL engine
+    — every permutation value, band key, and pair (the property the
+    pd.util.hash_array fast path cannot have)."""
+    from search_engine_spark.operators.dedup import (
+        minhash_portable_oracle_sql,
+        minhash_portable_pairs,
+    )
+
+    df = spark.createDataFrame(_PORTABLE_ROWS, "doc_id long, text string")
+    got = sorted(tuple(r) for r in minhash_portable_pairs(df, text_col="text").collect())
+    assert got == _duck_portable(minhash_portable_oracle_sql())
+    # the planted near-dup and exact-dup pairs surface with all 4 bands
+    assert {(a, b) for a, b, _ in got} == {(1, 2), (3, 4)}
+
+
+def test_simhash_portable_matches_duckdb_bitexact(spark):
+    from search_engine_spark.operators.dedup import (
+        simhash_portable_oracle_sql,
+        simhash_portable_pairs,
+    )
+
+    df = spark.createDataFrame(_PORTABLE_ROWS, "doc_id long, text string")
+    got = sorted(tuple(r) for r in simhash_portable_pairs(df, text_col="text").collect())
+    assert got == _duck_portable(simhash_portable_oracle_sql())
+    assert {(a, b) for a, b, _ in got} == {(1, 2), (3, 4)}
+
+
+def test_portable_paths_agree_with_fast_paths_on_planted_dups(spark):
+    """Portable and fast signatures use different hash families, so exact
+    pair sets may differ on borderline similarity — but both MUST surface
+    unambiguous near-duplicates. Fast-path parity on the planted corpus."""
+    from search_engine_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_near_pairs,
+    )
+
+    df = spark.createDataFrame(_PORTABLE_ROWS, "doc_id long, text string")
+    fast_mh = {(r["doc_a"], r["doc_b"])
+               for r in minhash_lsh_pairs(df, text_col="text").collect()}
+    fast_sh = {(r["doc_a"], r["doc_b"])
+               for r in simhash_near_pairs(df, text_col="text").collect()}
+    assert {(1, 2), (3, 4)} <= fast_mh
+    # the fast path tokenizes by WHITESPACE ("again!" is a distinct token
+    # from "again"), so pair (1,2) legitimately sits past hamming 3 there;
+    # the portable spec strips punctuation and sees them identical. The
+    # exact-dup pair must surface under any tokenizer.
+    assert (3, 4) in fast_sh
+
+
+def test_simhash_portable_band_recall_guard():
+    from search_engine_spark.operators.dedup import simhash_portable_pairs
+
+    with pytest.raises(ValueError):
+        simhash_portable_pairs(None, max_hamming=4, n_bands=4)
