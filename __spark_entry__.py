@@ -1438,6 +1438,51 @@ def _q_ann_ivf(spark, sf):
     )
 
 
+_PQ_QV = [((7 * i + 3) % 31 - 15) / 16.0 for i in range(64)]  # exact fractions
+
+
+def _q_ann_pq(spark, sf):
+    """Pure-ADC PQ ranking under the auditable spec: deterministic demo
+    codebooks of exact binary fractions (m=4, ksub=8 over dim 64), fixed
+    literal query, encode argmax + m table lookups — every double replays
+    identically from inlined literals in DuckDB, so this is the PQ
+    family's HASH-GATED entry (the trained path `ann_pq_topk` below is
+    rows-only by k-means nature)."""
+    from search_engine_spark.operators.similarity import (
+        pq_adc_score_expr,
+        pq_adc_tables,
+        pq_code_expr,
+        pq_demo_codebooks,
+    )
+
+    books = pq_demo_codebooks(64, m=4, ksub=8)
+    tables = pq_adc_tables(_PQ_QV, books)
+    emb = _t(spark, sf, "embeddings")
+    codes = emb.select("vec_id", pq_code_expr("embedding", books).alias("codes"))
+    return (
+        codes.select("vec_id", pq_adc_score_expr("codes", tables).alias("adc"))
+        .orderBy(F.desc("adc"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("adc", 4).alias("adc_score"))
+    )
+
+
+def _q_ann_pq_trained(spark, sf):
+    """The production PQ path: sample-trained per-subspace codebooks
+    (m=8, ksub=16 — 8 codes/vector = 32x smaller than float32), ADC
+    candidate phase over the codes, exact float rerank. k-means training
+    is iterative float math with no SQL twin → rows-only; the arithmetic
+    is gated by `ann_pq_adc_topk` and the recall/exactness contracts by
+    tests."""
+    from search_engine_spark.operators.similarity import pq_adc_topk
+
+    emb = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return pq_adc_topk(emb, qv, k=10).select(
+        "vec_id", F.round("score", 4).alias("score")
+    )
+
+
 def _q_sequence_pack(spark, sf):
     """Concat-and-chunk sequence packing (two-pass distributed prefix sum —
     see `curation.pack_sequences`): every doc's global token offset and the
@@ -2301,11 +2346,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_portable_pairs": _q_minhash_portable,
         "simhash_portable_pairs": _q_simhash_portable,
         # oracle-gated since r4 (DuckDB list_dot_product twins — planes
-        # inlined as literals; minhash/simhash CANNOT get twins without
-        # changing the engine hash: pd.util.hash_array has no DuckDB
-        # equivalent, so those stay rows-only with bit-identity unit tests):
+        # inlined as literals; the FAST minhash/simhash paths stay rows-only
+        # with bit-identity unit tests — pd.util.hash_array has no DuckDB
+        # equivalent — while the *_portable_pairs entries above carry the
+        # family's hash gate under the md5-prefix spec):
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_pq_adc_topk": _q_ann_pq,
+        "ann_pq_topk": _q_ann_pq_trained,
         "ann_allpairs_topk": _q_allpairs_ann,
         "sq8_quantize_stats": _q_sq8_stats,
         "ann_sq8_topk": _q_ann_sq8,
@@ -2351,6 +2399,10 @@ def oracle_sql() -> dict[str, str]:
     from search_engine_spark.operators.dedup import (
         minhash_portable_oracle_sql,
         simhash_portable_oracle_sql,
+    )
+    from search_engine_spark.operators.similarity import (
+        pq_adc_oracle_sql,
+        pq_demo_codebooks,
     )
 
     q3 = "('data','query','scan')"
@@ -3365,6 +3417,9 @@ def oracle_sql() -> dict[str, str]:
            FROM u GROUP BY doc_id
            ORDER BY rrf_score DESC, doc_id LIMIT 20""",
         "ann_allpairs_topk": _allpairs_oracle_sql(),
+        "ann_pq_adc_topk": pq_adc_oracle_sql(
+            _PQ_QV, pq_demo_codebooks(64, m=4, ksub=8), k=10
+        ),
         "ann_lsh_topk": _lsh_ann_oracle_sql(),
         # SQ8 twins: codes are floor(v/scale + 0.5) on IDENTICAL doubles in
         # both engines (same float32 widening, same /127), so quantization

@@ -397,3 +397,266 @@ def sq8_ann_topk(
         metric=metric,
     )
     return exact
+
+
+# ---------------------------------------------------------------------------
+# PQ (product quantization): the memory-compression play FAISS pairs with
+# IVF at billion-vector scale (Jégou, Douze, Schmid — "Product Quantization
+# for Nearest Neighbor Search", TPAMI'11). The vector splits into ``m``
+# subspaces; each subvector is vector-quantized against ``ksub`` centroids
+# trained per subspace, so a d-dim float32 vector (4d bytes) becomes m
+# small codes (m bytes at ksub<=256) — 16-64x smaller than float32, vs
+# SQ8's fixed 4x. Query-time scoring is ADC (asymmetric distance
+# computation): ONE (m × ksub) table of query-subvector · centroid dot
+# products, computed on the driver and inlined as literals, then every
+# candidate's approximate score is m array lookups + adds — the phase-1
+# scan never touches a float vector.
+#
+# At 100 TB: the codes table is the index artifact (written once per
+# embedding version, column-pruned scan of ~m bytes/row); the codebooks
+# and ADC tables ride the plan as constant-folded literals (a few KB);
+# rerank touches the float table only through an O(rerank·k) broadcast
+# semi-join. Everything below is pure Catalyst — zero Python in any scan.
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 8,
+    sample_rows: int = 4096,
+    seed: int = 42,
+) -> np.ndarray:
+    """Per-subspace Lloyd's k-means on the same bounded driver-side sample
+    `ivf_train_centroids` uses (TakeOrdered on id — deterministic under any
+    partitioning; FAISS likewise trains PQ on a fixed-size sample no matter
+    the corpus). Returns (m, ksub, dsub) float64, deterministic given seed.
+    """
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(int(sample_rows))
+        .collect()
+    )
+    x = np.asarray([r[1] for r in rows], dtype=np.float64)
+    n, dim = x.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    k = min(ksub, n)
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for j in range(m):
+        xj = x[:, j * dsub : (j + 1) * dsub]
+        cent = xj[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(n_iters):
+            d2 = (
+                (xj * xj).sum(axis=1)[:, None]
+                - 2.0 * (xj @ cent.T)
+                + (cent * cent).sum(axis=1)[None, :]
+            )
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = xj[mask].mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_code_expr(vec_col: str, codebooks: np.ndarray):
+    """codes array<int> (length m) as a pure Catalyst expression: for each
+    subspace, code = argmin_c ||v_j − c||² = argmax_c (v_j·c − |c|²/2) —
+    the same first-occurrence argmax discipline `ivf_cell_expr` uses, over
+    a `slice` of the vector, so assignment matches the numpy trainer."""
+    m, ksub, dsub = codebooks.shape
+    codes = []
+    for j in range(m):
+        sub = F.transform(
+            F.slice(F.col(vec_col), j * dsub + 1, dsub),
+            lambda x: x.cast("double"),
+        )
+        scores = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.array(*[F.lit(float(v)) for v in c]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                - F.lit(float(np.dot(c, c)) / 2.0)
+                for c in codebooks[j]
+            ]
+        )
+        codes.append((F.array_position(scores, F.array_max(scores)) - 1).cast("int"))
+    return F.array(*codes)
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (vec_id, codes array<int>): the persisted PQ index table."""
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        pq_code_expr(vec_col, codebooks).alias("codes"),
+    )
+
+
+def pq_adc_tables(query_vec: list[float], codebooks: np.ndarray) -> list[list[float]]:
+    """The (m × ksub) ADC lookup tables for one query: T[j][c] = q_j · c,
+    computed on the driver in float64 and inlined as literals — the scan
+    does lookups and adds only."""
+    m, ksub, dsub = codebooks.shape
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    return [
+        [float(np.dot(q[j * dsub : (j + 1) * dsub], c)) for c in codebooks[j]]
+        for j in range(m)
+    ]
+
+
+def pq_adc_score_expr(codes_col: str, tables: list[list[float]]):
+    """Approximate inner product as m literal-array lookups over the codes
+    column, summed left-to-right (fixed fold order — reproducible across
+    engines)."""
+    terms = [
+        F.element_at(
+            F.array(*[F.lit(float(v)) for v in tj]),
+            F.element_at(F.col(codes_col), j + 1) + 1,
+        )
+        for j, tj in enumerate(tables)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 6,
+    metric: str = "cosine",
+    codebooks: np.ndarray | None = None,
+    codes_df: DataFrame | None = None,
+) -> DataFrame:
+    """Two-phase PQ ANN, the shape FAISS serves billion-vector indexes
+    with: (1) rank ALL rows by the ADC approximation (m table lookups per
+    row over the codes table — TakeOrdered, no full sort) and keep
+    ``rerank * k`` candidates; (2) exactly re-score only those on the
+    float vectors. ``rerank * k >= n_rows`` makes every row a candidate,
+    so the result is EXACTLY `brute_force_topk` (tested bit-identical —
+    the accuracy dial reaches exact, same contract as IVF/SQ8). Pass
+    persisted ``codes_df`` (`pq_encode` output) so phase 1 scans m
+    bytes/row instead of 4·dim."""
+    if codebooks is None:
+        codebooks = pq_train(
+            embeddings, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
+        )
+    tables = pq_adc_tables(query_vec, codebooks)
+    qc = (
+        codes_df
+        if codes_df is not None
+        else pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
+    )
+    cand = (
+        qc.select("vec_id", pq_adc_score_expr("codes", tables).alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.asc("vec_id"))
+        .limit(max(1, int(rerank) * k))
+    )
+    cand_ids = cand.select(F.col("vec_id").alias("_cand_id"))
+    return brute_force_topk(
+        embeddings.join(
+            F.broadcast(cand_ids),
+            on=embeddings[id_col] == F.col("_cand_id"),
+            how="left_semi",
+        ),
+        query_vec,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        metric=metric,
+    )
+
+
+def pq_demo_codebooks(dim: int, m: int = 4, ksub: int = 8, seed: int = 5) -> np.ndarray:
+    """Deterministic UNTRAINED codebooks of exact binary fractions
+    (k/16 ∈ [−1, 1)) from a Lehmer LCG — for the cross-engine gate: every
+    centroid component has an exact double representation, so the encode
+    argmax and ADC sums replay identically from inlined literals in any
+    engine. (Trained codebooks are for recall; these are for arithmetic
+    auditability.)"""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    x = seed
+    vals = []
+    for _ in range(m * ksub * dsub):
+        x = (48271 * x) % 2147483647
+        vals.append(((x % 32) - 16) / 16.0)
+    return np.asarray(vals, dtype=np.float64).reshape(m, ksub, dsub)
+
+
+def pq_adc_oracle_sql(
+    query_vec: list[float],
+    codebooks: np.ndarray,
+    k: int = 10,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of the pure-ADC ranking (encode → table-lookup score →
+    top-k), generated from the SAME codebooks/query: every centroid
+    component and ADC table value is inlined as a ::DOUBLE literal, dots
+    are written as explicit left-to-right products (matching the Spark
+    fold order exactly), and argmax is first-occurrence on both sides —
+    so codes, scores, and ranking replay bit-for-bit. Use with
+    `pq_demo_codebooks` (exact binary fractions) so literal parsing is
+    exact; trained codebooks work too via repr round-tripping."""
+    m, ksub, dsub = codebooks.shape
+    tables = pq_adc_tables(query_vec, codebooks)
+
+    def _lit(v: float) -> str:
+        return f"CAST({v!r} AS DOUBLE)"
+
+    score_lists = []
+    for j in range(m):
+        cents = []
+        for c in codebooks[j]:
+            dot = " + ".join(
+                f"{vec_col}[{j * dsub + i + 1}]::DOUBLE * {_lit(float(c[i]))}"
+                for i in range(dsub)
+            )
+            cents.append(f"({dot}) - {_lit(float(np.dot(c, c)) / 2.0)}")
+        score_lists.append(f"[{', '.join(cents)}] AS sc{j}")
+    sc_cols = ",\n                ".join(score_lists)
+    pos_cols = ",\n                ".join(
+        f"list_position(sc{j}, list_max(sc{j})) AS p{j}" for j in range(m)
+    )
+    adc = " + ".join(
+        f"([{', '.join(_lit(v) for v in tables[j])}])[p{j}]" for j in range(m)
+    )
+    return f"""
+       WITH s AS (
+         SELECT {id_col} AS vec_id,
+                {sc_cols}
+         FROM {table}),
+       c AS (SELECT vec_id,
+                {pos_cols}
+             FROM s),
+       a AS (SELECT vec_id, {adc} AS adc FROM c)
+       SELECT vec_id, round(adc, 4) AS adc_score
+       FROM a ORDER BY adc DESC, vec_id LIMIT {k}"""

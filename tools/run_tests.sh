@@ -2,10 +2,10 @@
 # Full-suite green path under 10 minutes (VERDICT r03 next-#8).
 #
 # The suite is ~420 Spark-heavy tests, well past 25 min serially in one
-# local[4] session. pytest-xdist is not installed, so this script runs FIVE
+# local[4] session. pytest-xdist is not installed, so this script runs SIX
 # concurrent pytest processes — each builds its own SparkSession (UI
 # disabled: no port conflicts; temp dirs per-process), so they share only
-# CPU, and the box has 32 cores (5 × local[4] = 20 executor threads).
+# CPU, and the box has 32 cores (6 × local[4] = 24 executor threads).
 #
 # Group sizing from measured durations (--durations=25, 2026-08):
 #   test_incremental_resume.py is ~546 s alone — split by test id into
@@ -24,14 +24,21 @@ G2_DESELECT="--deselect tests/test_incremental_resume.py::test_upsert_touches_on
 G3="tests/test_lifecycle.py tests/test_api_incremental.py tests/test_catalog_recovery.py \
     tests/test_trigram.py"
 # g5 carries the index-building heavyweights split out of g4 (g4 hit 13 min
-# once the round-4 operator files landed); 5 × local[4] = 20 threads on 32.
+# once the round-4 operator files landed); g6 carries the serving-path
+# integration files split out next (g4 hit 12 min again as the API-surface
+# files accumulated — measured per-file durations 2026-08-20: serving_path
+# 48 s, lmd 40 s, hybrid 26 s, export_import 15 s solo). 6 × local[4] = 24
+# executor threads on 32 cores.
 G5="tests/test_build_query.py tests/test_wand.py tests/test_packed_postings.py \
     tests/test_spark_submit.py tests/test_remove_docs.py tests/test_relational.py"
+G6="tests/test_serving_path.py tests/test_lmd.py tests/test_hybrid.py \
+    tests/test_export_import.py"
 G4=$(ls tests/test_*.py | grep -v -e incremental_resume -e test_streaming \
      -e api_incremental -e catalog_recovery -e lifecycle -e test_compaction \
      -e test_phrase -e test_trigram -e test_http_api -e test_build_query \
      -e test_wand -e test_packed_postings -e test_spark_submit \
-     -e test_remove_docs -e test_dedup_similarity -e test_relational)
+     -e test_remove_docs -e test_dedup_similarity -e test_relational \
+     -e test_serving_path -e test_lmd -e test_hybrid -e test_export_import)
 
 t0=$SECONDS
 python -m pytest $G1 -q >/tmp/se_tests_g1.log 2>&1 &
@@ -44,14 +51,17 @@ python -m pytest $G4 -q >/tmp/se_tests_g4.log 2>&1 &
 P4=$!
 python -m pytest $G5 -q >/tmp/se_tests_g5.log 2>&1 &
 P5=$!
+python -m pytest $G6 -q >/tmp/se_tests_g6.log 2>&1 &
+P6=$!
 wait "$P1"; R1=$?
 wait "$P2"; R2=$?
 wait "$P3"; R3=$?
 wait "$P4"; R4=$?
 wait "$P5"; R5=$?
+wait "$P6"; R6=$?
 
-for i in 1 2 3 4 5; do
+for i in 1 2 3 4 5 6; do
   echo "--- group $i ---"; tail -2 "/tmp/se_tests_g$i.log"
 done
-echo "wall: $((SECONDS - t0))s  (logs: /tmp/se_tests_g{1..5}.log)"
-exit $(( R1 != 0 || R2 != 0 || R3 != 0 || R4 != 0 || R5 != 0 ? 1 : 0 ))
+echo "wall: $((SECONDS - t0))s  (logs: /tmp/se_tests_g{1..6}.log)"
+exit $(( R1 != 0 || R2 != 0 || R3 != 0 || R4 != 0 || R5 != 0 || R6 != 0 ? 1 : 0 ))
