@@ -1483,6 +1483,21 @@ def _q_ann_pq_trained(spark, sf):
     )
 
 
+def _q_ann_ivfpq(spark, sf):
+    """IVF-PQ (FAISS IVFx,PQy, no-residual): coarse cells prune the scan,
+    ADC ranks survivors, float rerank exact-scores the top slice.
+    k-means-seeded → rows-only; both component dials are gated/tested
+    upstream (`ann_pq_adc_topk` hash gate, probe-all/rerank-all ≡ brute
+    force bit-identity)."""
+    from search_engine_spark.operators.similarity import ivfpq_ann_topk
+
+    emb = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivfpq_ann_topk(emb, qv, k=10).select(
+        "vec_id", F.round("score", 4).alias("score")
+    )
+
+
 def _q_sequence_pack(spark, sf):
     """Concat-and-chunk sequence packing (two-pass distributed prefix sum —
     see `curation.pack_sequences`): every doc's global token offset and the
@@ -2354,6 +2369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "ann_pq_adc_topk": _q_ann_pq,
         "ann_pq_topk": _q_ann_pq_trained,
+        "ann_ivfpq_topk": _q_ann_ivfpq,
         "ann_allpairs_topk": _q_allpairs_ann,
         "sq8_quantize_stats": _q_sq8_stats,
         "ann_sq8_topk": _q_ann_sq8,

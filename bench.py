@@ -347,6 +347,11 @@ def main() -> None:
         "pmi_collocations",
         "bm25_boosted_topk",
         "bpe_word_counts",
+        # round-4 late additions: pure-Catalyst cross-engine signature and
+        # PQ-ADC paths (zero UDFs — times the codegen'd md5/argmax plans)
+        "minhash_portable_pairs",
+        "simhash_portable_pairs",
+        "ann_pq_adc_topk",
         # rep 1 includes the one-time trigram index build (cached per
         # sf_dir); rep 2 is the warm pruned serve — timing_reps shows both
         "trigram_substring",

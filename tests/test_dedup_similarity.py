@@ -911,3 +911,55 @@ def test_pq_demo_codebooks_are_exact_fractions():
     # every component is k/16 with k integer — exact in binary floating point
     assert np.all(books * 16 == np.round(books * 16))
     assert books.min() >= -1.0 and books.max() < 1.0
+
+
+def test_ivfpq_both_dials_max_is_exact_brute_force(spark):
+    """Probing every IVF cell AND rerank-all composes the two exactness
+    contracts: the result is bit-identical to brute force."""
+    from search_engine_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_ann_topk,
+    )
+
+    emb = spark.read.parquet(EMB)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 9).first()["embedding"]]
+    exact = [(r["vec_id"], r["score"])
+             for r in brute_force_topk(emb, qv, k=10).collect()]
+    got = [(r["vec_id"], r["score"])
+           for r in ivfpq_ann_topk(emb, qv, k=10, n_centroids=8,
+                                   n_probes=8, rerank=10**6).collect()]
+    assert got == exact
+
+
+def test_ivfpq_persisted_codes_and_recall(spark, tmp_path):
+    """Production path: a persisted `ivfpq_encode` table (cell + codes)
+    returns IDENTICAL results to encode-on-the-fly, and default dials
+    keep recall@10 >= 0.7 on the synthetic embeddings with every
+    surviving score exact (phase 2)."""
+    from search_engine_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_train_centroids,
+        ivfpq_ann_topk,
+        ivfpq_encode,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(EMB)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cent = ivf_train_centroids(emb, 8, seed=42)
+    books = pq_train(emb, m=8, ksub=16, seed=42)
+    path = str(tmp_path / "ivfpq_codes")
+    ivfpq_encode(emb, cent, books).write.parquet(path)
+    codes = spark.read.parquet(path)
+    kw = dict(k=10, centroids=cent, codebooks=books)
+    a = ivfpq_ann_topk(emb, qv, codes_df=codes, **kw).collect()
+    b = ivfpq_ann_topk(emb, qv, **kw).collect()
+    assert [(r["vec_id"], r["score"]) for r in a] == [
+        (r["vec_id"], r["score"]) for r in b
+    ]
+    exact_by_id = {r["vec_id"]: r["score"]
+                   for r in brute_force_topk(emb, qv, k=10).collect()}
+    hits = [r for r in a if r["vec_id"] in exact_by_id]
+    assert len(hits) >= 7
+    for r in hits:
+        assert r["score"] == exact_by_id[r["vec_id"]]
