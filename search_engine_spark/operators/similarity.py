@@ -746,3 +746,66 @@ def ivfpq_ann_topk(
         vec_col=vec_col,
         metric=metric,
     )
+
+
+def kmeans_train_distributed(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 8,
+    sample_rows: int = 4096,
+    seed: int = 42,
+) -> np.ndarray:
+    """Lloyd's k-means over the FULL DataFrame — the 100 TB twin of the
+    driver-sample trainers (`ivf_train_centroids`/`pq_train`). Per
+    iteration: assignment is the pure-Catalyst `ivf_cell_expr` argmax
+    (centroids ride the plan as constant-folded literals — no broadcast
+    variable, no Python), and the update is ONE hash aggregate producing
+    ``n_centroids`` rows of (Σv per component, count) — partial sums
+    combine map-side, so the exchange carries k rows regardless of corpus
+    size. The driver's per-iteration work is a (k × dim) divide.
+
+    Initialization reuses the deterministic TakeOrdered-sample + seeded
+    choice of the sample trainers, so at n_iters=0 this returns exactly
+    the same init. Empty cells keep their previous centroid.
+
+    Determinism note, stated honestly: cross-partition float sums make
+    centroid VALUES partitioning-dependent at the 1-ulp scale (unlike
+    every serving path in this module, which is bit-exact). Assignments
+    are argmaxes over well-separated scores, so they are stable in
+    practice; tests pin allclose-equality to a single-node Lloyd run and
+    assignment equality under repartitioning. Pass ``dim`` to skip the
+    one-row width probe."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(int(sample_rows))
+        .collect()
+    )
+    x0 = np.asarray([r[1] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, x0.shape[0])
+    cent = x0[rng.choice(x0.shape[0], size=k, replace=False)].copy()
+    v = F.transform(F.col(vec_col), lambda c: c.cast("double"))
+    for _ in range(n_iters):
+        agg = (
+            embeddings.select(
+                ivf_cell_expr(vec_col, cent).alias("_cell"), v.alias("_v")
+            )
+            .groupBy("_cell")
+            .agg(
+                F.count("*").alias("_n"),
+                *[F.sum(F.element_at("_v", i + 1)).alias(f"_s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        for r in agg:
+            c = int(r["_cell"])
+            n = int(r["_n"])
+            if n:
+                cent[c] = np.array([r[f"_s{i}"] for i in range(dim)]) / n
+    return cent

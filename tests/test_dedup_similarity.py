@@ -963,3 +963,81 @@ def test_ivfpq_persisted_codes_and_recall(spark, tmp_path):
     assert len(hits) >= 7
     for r in hits:
         assert r["score"] == exact_by_id[r["vec_id"]]
+
+
+def test_portable_and_pq_plans_are_pure_catalyst(spark):
+    """The portable-signature and PQ-ADC paths claim zero Python UDFs and
+    bucket-key joins: their physical plans must contain no
+    Python-evaluation node and no cartesian/nested-loop join."""
+    from search_engine_spark.operators.dedup import (
+        minhash_portable_pairs,
+        simhash_portable_pairs,
+    )
+    from search_engine_spark.operators.similarity import (
+        pq_adc_score_expr,
+        pq_adc_tables,
+        pq_code_expr,
+        pq_demo_codebooks,
+    )
+
+    df = spark.createDataFrame(_PORTABLE_ROWS, "doc_id long, text string")
+    emb = spark.read.parquet(EMB)
+    books = pq_demo_codebooks(64, m=4, ksub=8)
+    tables = pq_adc_tables([0.5] * 64, books)
+    plans = {
+        "minhash_portable": minhash_portable_pairs(df, text_col="text"),
+        "simhash_portable": simhash_portable_pairs(df, text_col="text"),
+        "pq_adc": emb.select(
+            "vec_id", pq_code_expr("embedding", books).alias("codes")
+        ).select("vec_id", pq_adc_score_expr("codes", tables).alias("adc")),
+    }
+    for name, q in plans.items():
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, name       # no Python UDF anywhere
+        assert "Cartesian" not in plan, name
+        assert "NestedLoop" not in plan, name
+
+
+def test_kmeans_distributed_matches_single_node_lloyd(spark):
+    """The full-corpus trainer must reproduce a single-node Lloyd run from
+    the same deterministic init: allclose centroids (cross-partition float
+    sums differ only at ulp scale) and IDENTICAL assignments — also under
+    a different partitioning. Its centroids slot straight into
+    ivf_ann_topk, where probe-all stays exact."""
+    from search_engine_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_ann_topk,
+        ivf_cell_expr,
+        kmeans_train_distributed,
+    )
+
+    emb = spark.read.parquet(EMB)
+    rows = emb.collect()
+    x = np.asarray([r["embedding"] for r in sorted(rows, key=lambda r: r["vec_id"])],
+                   dtype=np.float64)
+    # single-node Lloyd from the same init rule
+    rng = np.random.default_rng(42)
+    cent = x[rng.choice(x.shape[0], size=8, replace=False)].copy()
+    for _ in range(4):
+        score = x @ cent.T - (cent * cent).sum(axis=1)[None, :] / 2.0
+        assign = score.argmax(axis=1)
+        for c in range(8):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+
+    got = kmeans_train_distributed(emb, 8, dim=64, n_iters=4, seed=42)
+    assert np.allclose(got, cent, rtol=0, atol=1e-9)
+    got2 = kmeans_train_distributed(emb.repartition(7), 8, dim=64, n_iters=4, seed=42)
+    ref_cells = {int(r["vec_id"]): int(r["_cell"]) for r in emb.withColumn(
+        "_cell", ivf_cell_expr("embedding", got)).select("vec_id", "_cell").collect()}
+    alt_cells = {int(r["vec_id"]): int(r["_cell"]) for r in emb.withColumn(
+        "_cell", ivf_cell_expr("embedding", got2)).select("vec_id", "_cell").collect()}
+    assert ref_cells == alt_cells
+
+    qv = [float(x_) for x_ in rows[4]["embedding"]]
+    exact = [(r["vec_id"], r["score"])
+             for r in brute_force_topk(emb, qv, k=10).collect()]
+    via = [(r["vec_id"], r["score"])
+           for r in ivf_ann_topk(emb, qv, k=10, n_probes=8, centroids=got).collect()]
+    assert via == exact
