@@ -1498,6 +1498,20 @@ def _q_ann_ivfpq(spark, sf):
     )
 
 
+def _q_ann_ivfpq_residual(spark, sf):
+    """IVF-PQ with residual encoding (FAISS by_residual=True default):
+    codes quantize v − µ_cell; serving adds one q·µ constant per probed
+    cell to the shared ADC tables. rows-only (k-means-seeded); exactness
+    dials and code assignment pinned by tests."""
+    from search_engine_spark.operators.similarity import ivfpq_residual_ann_topk
+
+    emb = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivfpq_residual_ann_topk(emb, qv, k=10).select(
+        "vec_id", F.round("score", 4).alias("score")
+    )
+
+
 def _q_sequence_pack(spark, sf):
     """Concat-and-chunk sequence packing (two-pass distributed prefix sum —
     see `curation.pack_sequences`): every doc's global token offset and the
@@ -2370,6 +2384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_adc_topk": _q_ann_pq,
         "ann_pq_topk": _q_ann_pq_trained,
         "ann_ivfpq_topk": _q_ann_ivfpq,
+        "ann_ivfpq_residual_topk": _q_ann_ivfpq_residual,
         "ann_allpairs_topk": _q_allpairs_ann,
         "sq8_quantize_stats": _q_sq8_stats,
         "ann_sq8_topk": _q_ann_sq8,

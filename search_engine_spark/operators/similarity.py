@@ -705,9 +705,9 @@ def ivfpq_ann_topk(
 
     This is the no-residual variant (FAISS ``by_residual=False``): codes
     quantize the raw vectors, so ONE (m × ksub) ADC table serves every
-    probed cell. The residual variant buys recall at nlist-fold table
-    cost per query (n_probes × m × ksub lookups built per cell) — the
-    standard trade, declared not implemented.
+    probed cell. `ivfpq_residual_ann_topk` below is the ``by_residual=
+    True`` default — tighter codes for one extra q·µ constant per probed
+    cell.
 
     Pass ``centroids``/``codebooks`` (trained once, shipped with the
     index) and ``codes_df`` (`ivfpq_encode` output, cell-partitioned) for
@@ -809,3 +809,188 @@ def kmeans_train_distributed(
             if n:
                 cent[c] = np.array([r[f"_s{i}"] for i in range(dim)]) / n
     return cent
+
+
+def ivfpq_train_residual(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 8,
+    sample_rows: int = 4096,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray]:
+    """FAISS ``by_residual=True`` training: coarse centroids first, then PQ
+    codebooks trained on the RESIDUALS (v − centroid(cell)) of the same
+    deterministic driver sample. Returns (centroids, codebooks)."""
+    cent = ivf_train_centroids(
+        embeddings, n_centroids, id_col=id_col, vec_col=vec_col,
+        n_iters=n_iters, sample_rows=sample_rows, seed=seed,
+    )
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(int(sample_rows))
+        .collect()
+    )
+    x = np.asarray([r[1] for r in rows], dtype=np.float64)
+    score = x @ cent.T - (cent * cent).sum(axis=1)[None, :] / 2.0
+    resid = x - cent[score.argmax(axis=1)]
+    n, dim = resid.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    k = min(ksub, n)
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for j in range(m):
+        xj = resid[:, j * dsub : (j + 1) * dsub]
+        cb = xj[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(n_iters):
+            d2 = (
+                (xj * xj).sum(axis=1)[:, None]
+                - 2.0 * (xj @ cb.T)
+                + (cb * cb).sum(axis=1)[None, :]
+            )
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cb[c] = xj[mask].mean(axis=0)
+        books[j] = cb
+    return cent, books
+
+
+def _residual_code_expr(vec_col: str, centroids: np.ndarray, codebooks: np.ndarray):
+    """Residual PQ codes as pure Catalyst. The residual subvector distance
+    decomposes: argmin_c ||(v−µ)_j − c||² = argmax_c ((v_j·c) − (µ_j·c) −
+    |c|²/2) — the first term is the SAME shared dot array raw PQ computes,
+    the second is a per-(cell, c) constant. So: one dots array per
+    subspace + a CASE over _cell selecting a literal offset array, zipped
+    by subtraction. No per-cell recomputation of anything data-dependent."""
+    m, ksub, dsub = codebooks.shape
+    nlist = centroids.shape[0]
+    codes = []
+    for j in range(m):
+        sub = F.transform(
+            F.slice(F.col(vec_col), j * dsub + 1, dsub),
+            lambda x: x.cast("double"),
+        )
+        dots = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.array(*[F.lit(float(v)) for v in c]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                for c in codebooks[j]
+            ]
+        )
+        # offsets[cell][c] = µ_cell_j · c + |c|²/2  (both literal-known)
+        off = None
+        for cell in range(nlist):
+            mu_j = centroids[cell, j * dsub : (j + 1) * dsub]
+            arr = F.array(
+                *[
+                    F.lit(float(np.dot(mu_j, c) + np.dot(c, c) / 2.0))
+                    for c in codebooks[j]
+                ]
+            )
+            off = arr if off is None else F.when(F.col("_cell") == cell, arr).otherwise(off)
+            # build as nested whens: last cell checked first — order
+            # irrelevant, cells are exclusive
+        scores = F.zip_with(dots, off, lambda d, o: d - o)
+        codes.append((F.array_position(scores, F.array_max(scores)) - 1).cast("int"))
+    return F.array(*codes)
+
+
+def ivfpq_encode_residual(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (vec_id, _cell, codes) with codes over residuals — the
+    ``by_residual=True`` index table."""
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col),
+        ivf_cell_expr(vec_col, centroids).alias("_cell"),
+    ).select(
+        "vec_id",
+        "_cell",
+        _residual_code_expr(vec_col, centroids, codebooks).alias("codes"),
+    )
+
+
+def ivfpq_residual_ann_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_probes: int = 3,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 6,
+    metric: str = "cosine",
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+    codes_df: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ with residual encoding — FAISS's default (``by_residual=
+    True``): codes quantize (v − µ_cell), so the quantization error is the
+    residual's, not the raw vector's (tighter cells → better recall at
+    equal code budget). The approximate inner product decomposes as
+    q·µ_cell + Σ_j T_j[code_j] with the SAME shared ADC tables raw PQ
+    uses — the per-query extra cost over no-residual is just n_probes
+    precomputed q·µ constants selected by a CASE on the cell column.
+    Everything stays pure Catalyst; rerank is the exact float phase."""
+    if centroids is None or codebooks is None:
+        centroids, codebooks = ivfpq_train_residual(
+            embeddings, n_centroids, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
+        )
+    probes = ivf_probe_cells(query_vec, centroids, n_probes)
+    tables = pq_adc_tables(query_vec, codebooks)
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qc = (
+        codes_df
+        if codes_df is not None
+        else ivfpq_encode_residual(
+            embeddings, centroids, codebooks, id_col=id_col, vec_col=vec_col
+        )
+    )
+    qmu = None
+    for cell in probes:
+        lit = F.lit(float(np.dot(q, centroids[cell])))
+        qmu = lit if qmu is None else F.when(F.col("_cell") == cell, lit).otherwise(qmu)
+    cand = (
+        qc.filter(F.col("_cell").isin(probes))
+        .select(
+            "vec_id",
+            (qmu + pq_adc_score_expr("codes", tables)).alias("adc_score"),
+        )
+        .orderBy(F.desc("adc_score"), F.asc("vec_id"))
+        .limit(max(1, int(rerank) * k))
+    )
+    cand_ids = cand.select(F.col("vec_id").alias("_cand_id"))
+    return brute_force_topk(
+        embeddings.join(
+            F.broadcast(cand_ids),
+            on=embeddings[id_col] == F.col("_cand_id"),
+            how="left_semi",
+        ),
+        query_vec,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        metric=metric,
+    )

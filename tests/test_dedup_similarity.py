@@ -1041,3 +1041,61 @@ def test_kmeans_distributed_matches_single_node_lloyd(spark):
     via = [(r["vec_id"], r["score"])
            for r in ivf_ann_topk(emb, qv, k=10, n_probes=8, centroids=got).collect()]
     assert via == exact
+
+
+def test_ivfpq_residual_contract(spark, tmp_path):
+    """by_residual=True: (a) probe-all + rerank-all ≡ exact brute force;
+    (b) Spark residual codes == numpy residual argmin per subspace;
+    (c) persisted codes path identical; (d) default-dial recall@10 >= 0.7
+    with surviving scores exact."""
+    from search_engine_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_encode_residual,
+        ivfpq_residual_ann_topk,
+        ivfpq_train_residual,
+    )
+
+    emb = spark.read.parquet(EMB)
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    qv = [float(x) for x in rows[0]["embedding"]]
+    cent, books = ivfpq_train_residual(emb, 8, m=8, ksub=16, seed=42)
+    m, ksub, dsub = books.shape
+
+    exact = [(r["vec_id"], r["score"])
+             for r in brute_force_topk(emb, qv, k=10).collect()]
+    got = [(r["vec_id"], r["score"])
+           for r in ivfpq_residual_ann_topk(
+               emb, qv, k=10, n_probes=8, rerank=10**6,
+               centroids=cent, codebooks=books).collect()]
+    assert got == exact
+
+    def residual_codes_of(v):
+        x = np.asarray(v, dtype=np.float64)
+        cell = int((cent @ x - (cent * cent).sum(axis=1) / 2.0).argmax())
+        r = x - cent[cell]
+        out = []
+        for j in range(m):
+            rj = r[j * dsub : (j + 1) * dsub]
+            d2 = ((rj[None, :] - books[j]) ** 2).sum(axis=1)
+            out.append(int(d2.argmin()))
+        return cell, out
+
+    enc = {int(r["vec_id"]): (int(r["_cell"]), list(r["codes"]))
+           for r in ivfpq_encode_residual(emb, cent, books).collect()}
+    for r in rows[:40]:
+        assert enc[int(r["vec_id"])] == residual_codes_of(r["embedding"]), r["vec_id"]
+
+    path = str(tmp_path / "ivfpq_res")
+    ivfpq_encode_residual(emb, cent, books).write.parquet(path)
+    codes = spark.read.parquet(path)
+    kw = dict(k=10, centroids=cent, codebooks=books)
+    a = ivfpq_residual_ann_topk(emb, qv, codes_df=codes, **kw).collect()
+    b = ivfpq_residual_ann_topk(emb, qv, **kw).collect()
+    assert [(r["vec_id"], r["score"]) for r in a] == [
+        (r["vec_id"], r["score"]) for r in b
+    ]
+    exact_by_id = dict(exact)
+    hits = [r for r in a if r["vec_id"] in exact_by_id]
+    assert len(hits) >= 7
+    for r in hits:
+        assert r["score"] == exact_by_id[r["vec_id"]]
