@@ -265,6 +265,25 @@ def _q_bpe_merges(spark, sf):
     )
 
 
+def _q_bpe_doc_ids(spark, sf):
+    """Documents tokenized to id sequences under the corpus-trained BPE
+    vocabulary (SURVEY delta 86) — the pretraining tokenization output
+    (doc_id, n_tokens, first/last token id summary columns; full id
+    arrays carried by the operator). rows-only (iterative merges);
+    round-trip decode and per-word id parity are unit-pinned."""
+    from search_engine_spark.functions.bpe import bpe_encode_ids, train_bpe
+
+    docs = _t(spark, sf, "documents")
+    merges = train_bpe(docs, text_col="text", n_merges=50, min_freq=2)
+    enc = bpe_encode_ids(docs, merges, text_col="text")
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.element_at("token_ids", 1).alias("first_id"),
+        F.element_at("token_ids", -1).alias("last_id"),
+    )
+
+
 def _q_bm25_boosted(spark, sf):
     """Prior-boosted BM25 top-20 (SURVEY delta 56): the Q3 AND scores
     fused with a static doc prior — score' = s + 0.2·ln(n_chars). The
@@ -2285,6 +2304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_boosted_topk": _q_bm25_boosted,
         "bpe_word_counts": _q_bpe_word_counts,
         "bpe_merges": _q_bpe_merges,
+        "bpe_doc_ids": _q_bpe_doc_ids,
         "bm25_collapse_topk": _q_bm25_collapse,
         "not_topk": _q_not_topk,
         "bm25_scoped_topk": _q_bm25_scoped,

@@ -170,3 +170,107 @@ def bpe_token_count(
         return text.map(n_tokens)
 
     return docs.select(id_col, _count(F.col(text_col)).alias("bpe_tokens"))
+
+
+# base alphabet of the engine-portable token stream: TOKEN_SPLIT guarantees
+# words are [a-z0-9]+, so this closed set + EOW covers every input symbol —
+# no UNK token can ever be needed
+_ALPHABET = tuple("abcdefghijklmnopqrstuvwxyz0123456789") + (EOW,)
+
+
+def bpe_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """Deterministic symbol → id table: the 37 base symbols first (fixed
+    order), then each merge's output symbol in merge order — the GPT-2
+    vocabulary construction rule, so ids are stable across engines and
+    runs given the same merge list. Duplicate merge outputs (possible if
+    a symbol arises from two merge paths) keep their FIRST id."""
+    vocab: dict[str, int] = {s: i for i, s in enumerate(_ALPHABET)}
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab))
+    return vocab
+
+
+def bpe_decode_ids(ids: list[int], merges: list[tuple[str, str]]) -> str:
+    """Driver-side inverse for round-trip tests: token ids → the
+    normalized word stream (words joined by single spaces). Exact by
+    construction — symbols concatenate to words, EOW marks boundaries."""
+    inv = {i: s for s, i in bpe_vocab(merges).items()}
+    out: list[str] = []
+    cur = ""
+    for t in ids:
+        s = inv[t]
+        if s.endswith(EOW):
+            cur += s[: -len(EOW)]
+            out.append(cur)
+            cur = ""
+        else:
+            cur += s
+    if cur:
+        out.append(cur)
+    return " ".join(w for w in out if w)
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (doc_id, token_ids array<int>, n_tokens): the tokenization job a
+    pretraining pipeline actually runs — every document becomes its
+    id sequence under the trained vocabulary, ready for
+    `curation.pack_sequences` (which consumes exactly such counts/ids).
+
+    Arrow-batched mapInPandas; the merge table and vocab ride the closure
+    (n_merges entries — corpus-independent, the broadcast-model shape).
+    Per-batch unique-word cache: Zipf repetition means the greedy merge
+    loop runs once per DISTINCT word per batch, not once per occurrence.
+    No UNK is possible: TOKEN_SPLIT's charset is closed over the base
+    alphabet."""
+    from collections.abc import Iterator as _It
+
+    import re as _re
+
+    mg = list(merges)
+    splitter = _re.compile(TOKEN_SPLIT)
+
+    def _enc(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        rank = {p: i for i, p in enumerate(mg)}
+        vocab = bpe_vocab(mg)
+        cache: dict[str, list[int]] = {}
+
+        def word_ids(w: str) -> list[int]:
+            got = cache.get(w)
+            if got is None:
+                sym = list(w) + [EOW]
+                while len(sym) > 1:
+                    best_i, best_r = -1, None
+                    for i in range(len(sym) - 1):
+                        r = rank.get((sym[i], sym[i + 1]))
+                        if r is not None and (best_r is None or r < best_r):
+                            best_i, best_r = i, r
+                    if best_r is None:
+                        break
+                    sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+                got = cache[w] = [vocab[s] for s in sym]
+            return got
+
+        for pdf in batches:
+            ids_col = []
+            for t in pdf[text_col]:
+                ids: list[int] = []
+                for w in splitter.split(str(t).lower()):
+                    if w:
+                        ids.extend(word_ids(w))
+                ids_col.append(ids)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "token_ids": ids_col,
+                    "n_tokens": [len(x) for x in ids_col],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        _enc, schema="doc_id long, token_ids array<int>, n_tokens long"
+    )

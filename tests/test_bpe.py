@@ -79,3 +79,55 @@ def test_train_and_token_count_on_corpus(spark):
             if w
         )
         assert got[r["doc_id"]] == want
+
+
+def test_vocab_is_deterministic_and_covers_merges():
+    from search_engine_spark.functions.bpe import EOW, bpe_vocab
+
+    merges = [("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t"), ("est", EOW)]
+    v = bpe_vocab(merges)
+    assert v == bpe_vocab(merges)
+    assert v["a"] == 0 and v["0"] == 26 and v[EOW] == 36  # fixed base order
+    assert [v["lo"], v["low"], v["es"], v["est"], v["est" + EOW]] == [37, 38, 39, 40, 41]
+
+
+def test_encode_ids_roundtrip_and_consistency(spark):
+    """Document → id sequence: decode reproduces the normalized word
+    stream exactly; n_tokens agrees with bpe_token_count; per-word ids
+    agree with the reference bpe_encode."""
+    import re
+
+    from search_engine_spark.functions.bpe import (
+        bpe_decode_ids,
+        bpe_encode,
+        bpe_encode_ids,
+        bpe_token_count,
+        bpe_vocab,
+        train_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low lower lowest newest widest"),
+            (2, "the Newest-Widest; lowest!"),
+            (3, ""),
+            (4, "zz9 zz9 zz9"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(docs, n_merges=30, min_freq=1)
+    vocab = bpe_vocab(merges)
+    got = {r["doc_id"]: (list(r["token_ids"]), r["n_tokens"])
+           for r in bpe_encode_ids(docs, merges).collect()}
+    counts = {r["doc_id"]: r["bpe_tokens"]
+              for r in bpe_token_count(docs, merges).collect()}
+    for did, text in [(1, "low lower lowest newest widest"),
+                      (2, "the Newest-Widest; lowest!"), (3, ""), (4, "zz9 zz9 zz9")]:
+        ids, n = got[did]
+        assert n == len(ids) == counts[did]
+        norm = " ".join(w for w in re.split("[^a-z0-9]+", text.lower()) if w)
+        assert bpe_decode_ids(ids, merges) == norm
+        want: list[int] = []
+        for w in norm.split():
+            want.extend(vocab[s] for s in bpe_encode(w, merges))
+        assert ids == want, did
