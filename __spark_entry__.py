@@ -284,6 +284,37 @@ def _q_bpe_doc_ids(spark, sf):
     )
 
 
+def _q_packed_seq_ids(spark, sf):
+    """Materialized fixed-length training sequences (SURVEY delta 87),
+    cross-engine gated: per-doc token ids from the portable md5-prefix
+    hash (%% 50021), packed by `materialize_sequences` at seq_len=512 —
+    the oracle replays tokenize → offsets → concat-and-chunk and must
+    reproduce every sequence's exact id string."""
+    from search_engine_spark.operators.curation import materialize_sequences
+
+    docs = _t(spark, sf, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+    ids = F.transform(
+        toks,
+        lambda t: F.pmod(
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+            F.lit(50021),
+        ).cast("int"),
+    )
+    seqs = materialize_sequences(
+        docs.select("doc_id", ids.alias("token_ids")), seq_len=512
+    )
+    return seqs.select(
+        "seq_id",
+        "n_tokens",
+        F.concat_ws(
+            "_", F.transform("token_ids", lambda x: x.cast("string"))
+        ).alias("ids_str"),
+    )
+
+
 def _q_bm25_boosted(spark, sf):
     """Prior-boosted BM25 top-20 (SURVEY delta 56): the Q3 AND scores
     fused with a static doc prior — score' = s + 0.2·ln(n_chars). The
@@ -2305,6 +2336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_word_counts": _q_bpe_word_counts,
         "bpe_merges": _q_bpe_merges,
         "bpe_doc_ids": _q_bpe_doc_ids,
+        "packed_sequences_ids": _q_packed_seq_ids,
         "bm25_collapse_topk": _q_bm25_collapse,
         "not_topk": _q_not_topk,
         "bm25_scoped_topk": _q_bm25_scoped,
@@ -3500,6 +3532,30 @@ def oracle_sql() -> dict[str, str]:
                             - (start_off // 512) + 1
                        ELSE CAST(0 AS BIGINT) END AS n_seqs
            FROM p""",
+        "packed_sequences_ids": r"""
+           WITH raw AS (
+             SELECT doc_id,
+                    unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok,
+                    generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS i
+             FROM documents),
+           tok AS (SELECT doc_id, i,
+                          ('0x' || substr(md5(tok), 1, 15))::BIGINT % 50021 AS tid
+                   FROM raw WHERE length(tok) >= 1),
+           rn AS (SELECT doc_id, tid,
+                         row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+                  FROM tok),
+           cnt AS (SELECT doc_id, count(*) AS n FROM rn GROUP BY doc_id),
+           off AS (SELECT doc_id,
+                          CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                               0) AS BIGINT) AS start_off
+                   FROM cnt),
+           g AS (SELECT (start_off + pos) AS gpos, tid
+                 FROM rn JOIN off USING (doc_id))
+           SELECT gpos // 512 AS seq_id,
+                  count(*) AS n_tokens,
+                  string_agg(CAST(tid AS VARCHAR), '_' ORDER BY gpos) AS ids_str
+           FROM g GROUP BY 1""",
         "pii_scrub": _pii_oracle_sql(),
         "secret_scrub": _secrets_oracle_sql(),
         # line-window chunking twin: same one-word-per-line decoration,

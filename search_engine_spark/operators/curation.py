@@ -814,3 +814,62 @@ def chunk_by_defs(
         )
         .select("doc_id", "chunk_id", "start_line", "n_lines", "chunk")
     )
+
+
+def materialize_sequences(
+    df: DataFrame,
+    seq_len: int = 2048,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    shuffle_salt: int | None = None,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """The dataloader artifact itself: fixed-length training sequences of
+    token ids, materialized from per-document id arrays (any tokenizer —
+    `bpe_encode_ids` output slots in directly) under the exact
+    concat-and-chunk semantics `pack_sequences` plans. → (seq_id,
+    n_tokens, token_ids) with n_tokens == seq_len everywhere except the
+    final ragged sequence.
+
+    Plan at 10^12 tokens: the offsets come from the same two-pass prefix
+    sum (no window over the corpus); the token-level explode is the
+    inherent cost of materialization (every id must move to its
+    sequence) and feeds ONE exchange keyed by seq_id whose groups are
+    bounded by seq_len — `collect_list` state is ≤ seq_len structs per
+    group regardless of corpus size, and the in-group `array_sort`
+    sorts seq_len elements, never a corpus-scale stream.
+
+    ``shuffle_salt`` packs in the deterministically shuffled order (same
+    Lehmer key as `pack_sequences`) — the pretraining shuffle with
+    re-run-identical output."""
+    d = df.select(
+        F.col(id_col).alias("doc_id"), F.col(ids_col).alias("_ids")
+    ).withColumn("_n", F.size("_ids").cast("long"))
+    plan = pack_sequences(
+        d,
+        seq_len=seq_len,
+        id_col="doc_id",
+        tokens_col="_n",
+        shuffle_salt=shuffle_salt,
+        n_parts=n_parts,
+    )
+    L = F.lit(int(seq_len))
+    tok = (
+        d.join(plan.select("doc_id", "start_off"), "doc_id")
+        .select("start_off", F.posexplode("_ids").alias("_pos", "_tid"))
+        .select((F.col("start_off") + F.col("_pos")).alias("_gpos"), "_tid")
+    )
+    return (
+        tok.groupBy(F.floor(F.col("_gpos") / L).cast("long").alias("seq_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.array_sort(
+                F.collect_list(F.struct((F.col("_gpos") % L).alias("o"), F.col("_tid").alias("t")))
+            ).alias("_s"),
+        )
+        .select(
+            "seq_id",
+            "n_tokens",
+            F.transform("_s", lambda x: x["t"]).alias("token_ids"),
+        )
+    )

@@ -813,3 +813,39 @@ def test_chunk_by_defs_splits_at_definitions(spark):
     # reassembly invariant: chunks joined in id order rebuild the file
     rebuilt = "\n".join(got[(1, c)]["chunk"] for c in d1)
     assert rebuilt == src  # the trailing newline's empty line rides chunk 4
+
+
+def test_materialize_sequences_exact_concat_and_chunk(spark):
+    """Materialized sequences are EXACTLY the concatenation of the
+    per-doc id arrays in pack order, chunked at seq_len: every sequence
+    full except the last, global stream reassembles bit-for-bit, and the
+    shuffled variant reassembles to the Lehmer-order stream."""
+    from search_engine_spark.operators.curation import (
+        SPLIT_A,
+        SPLIT_P,
+        materialize_sequences,
+    )
+
+    rows = [(i, [int(i * 100 + j) for j in range(7 + (i * 3) % 11)])
+            for i in range(1, 40)]
+    rows.append((40, []))  # empty doc occupies no tokens
+    df = spark.createDataFrame(rows, "doc_id long, token_ids array<int>")
+
+    for salt in (None, 7):
+        got = {r["seq_id"]: (r["n_tokens"], list(r["token_ids"]))
+               for r in materialize_sequences(df, seq_len=16,
+                                              shuffle_salt=salt).collect()}
+        order = sorted(
+            (r for r in rows if r[1]),
+            key=(lambda r: ((r[0] % SPLIT_P * SPLIT_A + 7) % SPLIT_P, r[0]))
+            if salt == 7 else (lambda r: r[0]),
+        )
+        stream = [t for _, ids in order for t in ids]
+        want = [stream[i : i + 16] for i in range(0, len(stream), 16)]
+        assert sorted(got) == list(range(len(want)))
+        for sid, chunk in enumerate(want):
+            n, ids = got[sid]
+            assert ids == chunk, (salt, sid)
+            assert n == len(chunk)
+            if sid < len(want) - 1:
+                assert n == 16
