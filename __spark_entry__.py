@@ -315,6 +315,18 @@ def _q_packed_seq_ids(spark, sf):
     )
 
 
+def _q_mmr_rerank(spark, sf):
+    """Diversity re-ranking (MMR, SURVEY delta 88) of the Q3 BM25 list
+    against the embeddings table: depth-50 cut, broadcast-semi-join
+    vector fetch, greedy driver selection. rows-only (iterative greedy);
+    λ=1-reduction and single-node-reference identity are unit-pinned."""
+    from search_engine_spark.operators.hybrid import mmr_rerank
+
+    lex = _bm25_scored_all(spark, sf)
+    emb = _t(spark, sf, "embeddings")
+    return mmr_rerank(lex, emb, k=10, lam=0.7, depth=50)
+
+
 def _q_bm25_boosted(spark, sf):
     """Prior-boosted BM25 top-20 (SURVEY delta 56): the Q3 AND scores
     fused with a static doc prior — score' = s + 0.2·ln(n_chars). The
@@ -2337,6 +2349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "bpe_doc_ids": _q_bpe_doc_ids,
         "packed_sequences_ids": _q_packed_seq_ids,
+        "mmr_rerank_topk": _q_mmr_rerank,
         "bm25_collapse_topk": _q_bm25_collapse,
         "not_topk": _q_not_topk,
         "bm25_scoped_topk": _q_bm25_scoped,

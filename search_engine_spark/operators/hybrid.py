@@ -129,3 +129,96 @@ def hybrid_search(
         embeddings, query_vec, k=depth, id_col=vec_id_col, vec_col=vec_col
     ).withColumnRenamed("vec_id", "doc_id")
     return rrf_fuse([lex, vec], k=k, k0=k0, depth=depth)
+
+
+def mmr_select(
+    candidates: list[tuple[int, float]],
+    vectors: dict[int, list[float]],
+    k: int = 10,
+    lam: float = 0.7,
+    score_digits: int = 4,
+) -> list[tuple[int, float, float]]:
+    """Greedy Maximal Marginal Relevance (Carbonell & Goldstein,
+    SIGIR'98) over a bounded candidate list: repeatedly pick
+    argmax λ·rel − (1−λ)·max_selected cosine, ties on (rounded mmr DESC,
+    id ASC) — deterministic. Pure driver-side float math over ≤ depth
+    candidates; candidates missing a vector contribute similarity 0
+    (they can't be redundant with anything). Returns
+    [(id, rel, mmr_score)] in selection order."""
+    import math
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        acc = na = nb = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+            na += float(x) * float(x)
+            nb += float(y) * float(y)
+        d = math.sqrt(na) * math.sqrt(nb)
+        return acc / d if d else 0.0
+
+    rest = [(int(i), float(r)) for i, r in candidates]
+    chosen: list[tuple[int, float, float]] = []
+    while rest and len(chosen) < k:
+        best = None
+        for i, rel in rest:
+            red = 0.0
+            vi = vectors.get(i)
+            if vi is not None:
+                for j, _, _ in chosen:
+                    vj = vectors.get(j)
+                    if vj is not None:
+                        red = max(red, _cos(vi, vj))
+            mmr = lam * rel - (1.0 - lam) * red
+            key = (-round(mmr, score_digits), i)
+            if best is None or key < best[0]:
+                best = (key, i, rel, mmr)
+        _, i, rel, mmr = best
+        chosen.append((i, rel, round(mmr, score_digits)))
+        rest = [(j, r) for j, r in rest if j != i]
+    return chosen
+
+
+def mmr_rerank(
+    results: DataFrame,
+    embeddings: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    depth: int = 50,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity re-ranking of a scored result list: cut to ``depth``
+    (TakeOrdered), fetch ONLY those candidates' embeddings through a
+    broadcast semi-join (≤ depth rows to the driver — never a corpus
+    scan), then greedy MMR on the driver. λ=1 reduces to pure relevance
+    order (tested). → (rank, doc_id, rel, mmr_score).
+
+    Scale shape: identical to the serving paths — the corpus-sized
+    inputs are touched only by the depth cut and the semi-joined
+    embedding fetch; the O(k·depth) similarity work happens on ≤ depth
+    vectors driver-side."""
+    cand = [
+        (int(r[0]), float(r[1]))
+        for r in results.select(id_col, score_col)
+        .orderBy(F.desc(score_col), F.asc(id_col))
+        .limit(depth)
+        .collect()
+    ]
+    ids_df = results.sparkSession.createDataFrame(
+        [(i,) for i, _ in cand], f"{vec_id_col} long"
+    )
+    vecs = {
+        int(r[0]): list(r[1])
+        for r in embeddings.join(
+            F.broadcast(ids_df), vec_id_col, "left_semi"
+        ).select(vec_id_col, vec_col).collect()
+    }
+    rows = [
+        (rank, i, rel, mmr)
+        for rank, (i, rel, mmr) in enumerate(mmr_select(cand, vecs, k=k, lam=lam))
+    ]
+    return results.sparkSession.createDataFrame(
+        rows, "rank int, doc_id long, rel double, mmr_score double"
+    )

@@ -145,3 +145,58 @@ def test_hybrid_vector_only_degrade(spark, tmp_path):
     # AND-mode lexical list is empty (missing term) → fusion is vector-only
     assert len(got) == 5
     assert all(r["n_sources"] == 1 for r in got)
+
+
+# ----------------------------------------------------------------- mmr
+
+
+def test_mmr_lambda_one_is_relevance_order_and_reference_match(spark):
+    """λ=1 must reduce to pure relevance order; at λ<1 the Spark path
+    must equal an independent single-node greedy MMR; near-duplicate
+    candidates must be demoted below a diverse lower-relevance one."""
+    import math
+
+    from search_engine_spark.operators.hybrid import mmr_rerank, mmr_select
+
+    # candidates: 1 and 2 are near-identical vectors, 3 is orthogonal
+    vecs = {
+        1: [1.0, 0.0, 0.0, 0.0],
+        2: [0.999, 0.04, 0.0, 0.0],
+        3: [0.0, 1.0, 0.0, 0.0],
+        4: [0.0, 0.0, 1.0, 0.0],
+    }
+    res = spark.createDataFrame(
+        [(1, 10.0), (2, 6.2), (3, 6.0), (4, 5.0)], "doc_id long, score double"
+    )
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    pure = mmr_rerank(res, emb, k=4, lam=1.0).collect()
+    assert [r["doc_id"] for r in sorted(pure, key=lambda r: r["rank"])] == [1, 2, 3, 4]
+
+    got = sorted(mmr_rerank(res, emb, k=4, lam=0.5).collect(),
+                 key=lambda r: r["rank"])
+    # greedy reference on the driver
+    want = mmr_select([(1, 10.0), (2, 6.2), (3, 6.0), (4, 5.0)], vecs, k=4, lam=0.5)
+    assert [(r["doc_id"], r["rel"], r["mmr_score"]) for r in got] == want
+    # the near-dup of the top hit is demoted below the diverse candidates
+    order = [r["doc_id"] for r in got]
+    assert order[0] == 1 and order.index(2) > order.index(3)
+    # spot-check one mmr value by hand: pick #2 is doc 3 with
+    # mmr = 0.5*6.0 - 0.5*cos(v3, v1) = 3.0 - 0
+    assert got[1]["doc_id"] == 3 and math.isclose(got[1]["mmr_score"], 3.0)
+
+
+def test_mmr_missing_vectors_contribute_zero_similarity(spark):
+    from search_engine_spark.operators.hybrid import mmr_rerank
+
+    res = spark.createDataFrame(
+        [(1, 5.0), (2, 4.0)], "doc_id long, score double"
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    got = sorted(mmr_rerank(res, emb, k=2, lam=0.5).collect(),
+                 key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in got] == [1, 2]
+    assert got[1]["mmr_score"] == 2.0  # 0.5*4.0 - 0.5*0 (no vector => 0)
