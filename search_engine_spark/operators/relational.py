@@ -821,11 +821,19 @@ def derived_partsupp(part: DataFrame, supplier: DataFrame) -> DataFrame:
     decimal cents × 0.01 — multiplication, never division, so both
     engines hold the identical exact value). The operators below take ANY
     partsupp-shaped frame; this builder exists for the oracle gates and
-    tests. Size: |part|·|supplier|/3 rows — dim-scale at any SF."""
-    pairs = (
-        part.select("p_partkey")
-        .crossJoin(supplier.select("s_suppkey"))
-        .filter((F.col("p_partkey") + F.col("s_suppkey")) % 3 == 0)
+    tests. Size: |part|·|supplier|/3 rows — dim-scale at any SF.
+
+    The pair set is built as a RESIDUE-CLASS EQUI-JOIN, not a filtered
+    cross join: (p + s) % 3 == 0 ⇔ s % 3 == (3 − p % 3) % 3, so joining
+    on the residue hashes straight to the |output| rows instead of
+    evaluating the predicate over |part|·|supplier| nested-loop pairs
+    (the BroadcastNestedLoopJoin the crossJoin formulation planned —
+    measured ~3x of the Q16 gate's wall time at sf0.1)."""
+    pairs = part.select(
+        "p_partkey", ((3 - F.col("p_partkey") % 3) % 3).alias("_r")
+    ).join(
+        supplier.select("s_suppkey", (F.col("s_suppkey") % 3).alias("_r")),
+        "_r",
     )
     cents = (F.col("p_partkey") * 31 + F.col("s_suppkey") * 17) % 90000 + 100
     return pairs.select(
