@@ -1734,6 +1734,16 @@ def _q_import_graph(spark, sf):
 _WINNOW_LICENSE = "copyright acme corp all rights reserved internal"
 
 
+def _q_code_metrics(spark, sf):
+    """Code-quality curation signals (SURVEY delta 89) over the decorated
+    code corpus: comment ratio, indent depth, line-length stats, branch
+    density, generated/minified flag — one scan-stage projection, every
+    formula replayed in the DuckDB twin."""
+    from search_engine_spark.functions.code_quality import code_metrics
+
+    return code_metrics(_code_decorated(spark, sf))
+
+
 def _q_winnow_fps(spark, sf):
     """Winnowing fingerprint gate: MOSS fingerprints (k=5 char grams,
     w=4 window, rightmost-min) of every document — engine array-HOF
@@ -2462,6 +2472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "license_detect": _q_license_detect,
         "corpus_report": _q_corpus_report,
         "winnow_fps": _q_winnow_fps,
+        "code_metrics": _q_code_metrics,
         "winnow_dup_pairs": _q_winnow_pairs,
         "cross_repo_clones": _q_cross_repo_clones,
         "percolate_matches": _q_percolate,
@@ -3624,6 +3635,43 @@ def oracle_sql() -> dict[str, str]:
            ORDER BY score DESC, doc_id LIMIT 20""",
         # symbol/import extraction twins: same decoration CTE, same
         # patterns imported from functions/code_analysis.py, group 1
+        "code_metrics": """
+           WITH c AS (""" + _CODE_DECOR_SQL + r"""),
+           l AS (SELECT doc_id, content,
+                        list_filter(string_split(content, chr(10)),
+                                    x -> regexp_matches(x, '[^ \t\r]')) AS nb,
+                        string_split(content, chr(10)) AS alllines
+                 FROM c),
+           m AS (SELECT doc_id, content, nb,
+                        len(nb) AS n_lines,
+                        list_transform(nb, x -> length(x)) AS lens,
+                        COALESCE(list_max(list_transform(alllines,
+                            x -> length(regexp_extract(x, '^[ \t]*', 0)))), 0)
+                          AS max_indent
+                 FROM l)
+           SELECT doc_id,
+                  CAST(n_lines AS BIGINT) AS n_lines,
+                  CASE WHEN n_lines > 0 THEN round(
+                       len(regexp_extract_all(content,
+                           '(?m)^[ \t]*(#|//|/\*|\*|--|;)')) * 1.0 / n_lines, 4)
+                       ELSE 0.0 END AS comment_ratio,
+                  CAST(max_indent AS INT) AS max_indent,
+                  CASE WHEN n_lines > 0
+                       THEN round(list_sum(lens) * 1.0 / n_lines, 4)
+                       ELSE 0.0 END AS avg_line_len,
+                  CAST(COALESCE(list_max(lens), 0) AS INT) AS max_line_len,
+                  CASE WHEN n_lines > 0 THEN round(
+                       len(regexp_extract_all(lower(content),
+                           '\b(if|elif|else|for|while|case|switch|catch|except)\b'))
+                       * 1.0 / n_lines, 4)
+                       ELSE 0.0 END AS branch_density,
+                  (CASE WHEN n_lines > 0
+                        THEN list_sum(lens) * 1.0 / n_lines ELSE 0.0 END) > 200.0
+                  OR COALESCE(list_max(lens), 0) > 1000
+                  OR len(regexp_extract_all(substring(content, 1, 400),
+                         '(?i)(do not edit|auto-?generated|generated by|this file was generated|code generated)')) > 0
+                    AS is_generated
+           FROM m""",
         "symbol_defs": _symbols_oracle_sql(),
         "import_graph": _imports_oracle_sql(),
         # ranking-metrics twin: same synthetic run, same two windows
