@@ -46,6 +46,7 @@ def curate_corpus(
     decontaminate_n: int = 8,
     drop_secrets: bool = False,
     license_allow: tuple[str, ...] | None = None,
+    drop_generated: bool = False,
 ) -> DataFrame:
     """Curated-survivor rows: one per unique kept document —
     ``(doc_id, lang, quality, n_ws_tokens, n_bpe_tokens, n_copies)``
@@ -74,11 +75,19 @@ def curate_corpus(
     tag, else precedence-ordered header phrases) is in the allow-list.
     Include ``None`` in the tuple to also keep license-less files (many
     pipelines do; many don't — the caller decides). Same scan-stage
-    filter, zero extra exchanges."""
+    filter, zero extra exchanges.
+
+    ``drop_generated=True`` chains the generated/minified heuristic in
+    (`functions/code_quality.is_generated`): machine-emitted blobs are
+    rejected in the same scan-stage filter — the code-corpus gate next
+    to secrets and license."""
+    from ..functions.code_quality import is_generated
     from ..functions.license import detect_license
     from ..functions.secrets import has_secret
 
     t = F.col(text_col)
+    if drop_generated:
+        df = df.filter(~is_generated(t))
     if drop_secrets:
         df = df.filter(~has_secret(t))
     if license_allow is not None:
