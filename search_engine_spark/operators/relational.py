@@ -827,8 +827,12 @@ def derived_partsupp(part: DataFrame, supplier: DataFrame) -> DataFrame:
     cross join: (p + s) % 3 == 0 ⇔ s % 3 == (3 − p % 3) % 3, so joining
     on the residue hashes straight to the |output| rows instead of
     evaluating the predicate over |part|·|supplier| nested-loop pairs
-    (the BroadcastNestedLoopJoin the crossJoin formulation planned —
-    measured ~3x of the Q16 gate's wall time at sf0.1)."""
+    (the BroadcastNestedLoopJoin the crossJoin formulation planned).
+    At sandbox SF the predicate sweep is cheap (measured ~20% off the
+    derivation, little of the whole Q16 gate — its cost is the 6.7M-row
+    count-distinct aggregate); the fix is structural: at TPC-H SF1e5
+    the sweep is |part|·|supplier| ≈ 2e15 predicate evaluations while
+    the equi-join stays output-bounded."""
     pairs = part.select(
         "p_partkey", ((3 - F.col("p_partkey") % 3) % 3).alias("_r")
     ).join(
