@@ -1,0 +1,41 @@
+"""Regression pin for the package-zip rebuild race: concurrent fresh
+processes all seeing a stale zip must ALL rebuild successfully (the old
+shared-.tmp scheme crashed every loser of the os.replace rename)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def test_concurrent_package_zip_rebuild_all_succeed():
+    zip_path = os.path.join(tempfile.gettempdir(), "search_engine_spark_pyfiles.zip")
+    # force staleness: make a source file newer than any existing zip
+    import search_engine_spark
+
+    pkg = os.path.dirname(os.path.abspath(search_engine_spark.__file__))
+    os.utime(os.path.join(pkg, "__init__.py"), None)
+    if os.path.exists(zip_path):
+        os.utime(zip_path, (0, 0))
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "from search_engine_spark.session import package_zip; "
+        "print(package_zip())" % os.path.dirname(pkg)
+    )
+    procs = [
+        subprocess.Popen([sys.executable, "-c", code],
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for _ in range(6)
+    ]
+    outs = [p.communicate(timeout=120) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[:500]
+        assert out.decode().strip() == zip_path
+    assert os.path.getmtime(zip_path) > 0
+    # no orphaned per-pid tmp files left behind
+    leftovers = [f for f in os.listdir(tempfile.gettempdir())
+                 if f.startswith("search_engine_spark_pyfiles.zip.") and f.endswith(".tmp")]
+    assert leftovers == []
