@@ -315,6 +315,31 @@ def _q_packed_seq_ids(spark, sf):
     )
 
 
+def _q_revenue_cube(spark, sf):
+    """CUBE rollup (SURVEY delta 90): order revenue across every subset of
+    (orderpriority, order year) — the multi-dimensional aggregate a
+    reporting layer asks an analytics engine for. Catalyst plans the cube
+    as ONE Expand (x4 grouping sets) + partial-agg + one exchange — the
+    same shape the GROUPING SETS terms stage uses. grouping_id
+    distinguishes the rollup levels; decimal-exact sums keep the hash
+    gate partition-count-independent."""
+    o = _t(spark, sf, "orders")
+    year = F.year("o_orderdate")
+    return (
+        o.select(
+            "o_orderpriority",
+            year.alias("o_year"),
+            F.col("o_totalprice").cast("decimal(14,4)").alias("p"),
+        )
+        .cube("o_orderpriority", "o_year")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("p").cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
 def _q_mmr_rerank(spark, sf):
     """Diversity re-ranking (MMR, SURVEY delta 88) of the Q3 BM25 list
     against the embeddings table: depth-50 cut, broadcast-semi-join
@@ -2360,6 +2385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_doc_ids": _q_bpe_doc_ids,
         "packed_sequences_ids": _q_packed_seq_ids,
         "mmr_rerank_topk": _q_mmr_rerank,
+        "revenue_cube": _q_revenue_cube,
         "bm25_collapse_topk": _q_bm25_collapse,
         "not_topk": _q_not_topk,
         "bm25_scoped_topk": _q_bm25_scoped,
@@ -3556,6 +3582,16 @@ def oracle_sql() -> dict[str, str]:
                             - (start_off // 512) + 1
                        ELSE CAST(0 AS BIGINT) END AS n_seqs
            FROM p""",
+        "revenue_cube": """
+           SELECT o_orderpriority,
+                  CAST(year(o_orderdate) AS INT) AS o_year,
+                  CAST(GROUPING(o_orderpriority) * 2 + GROUPING(year(o_orderdate))
+                       AS BIGINT) AS gid,
+                  count(*) AS n_orders,
+                  round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE), 2)
+                    AS revenue
+           FROM orders
+           GROUP BY CUBE (o_orderpriority, year(o_orderdate))""",
         "packed_sequences_ids": r"""
            WITH raw AS (
              SELECT doc_id,
