@@ -340,6 +340,25 @@ def _q_revenue_cube(spark, sf):
     )
 
 
+def _q_funnel(spark, sf):
+    """Ordered first-touch funnel (SURVEY delta 91): signup → view →
+    click → purchase conversion counts over the events stream — one
+    per-user min-timestamp aggregate, then user-count-sized arithmetic."""
+    from search_engine_spark.operators.analytics import funnel_counts
+
+    return funnel_counts(
+        _t(spark, sf, "events"), ["signup", "view", "click", "purchase"]
+    )
+
+
+def _q_retention(spark, sf):
+    """Weekly retention cohort triangle (SURVEY delta 91): users bucketed
+    by first-activity week, counted in each week they returned."""
+    from search_engine_spark.operators.analytics import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf, "events"), period="week", max_offset=8)
+
+
 def _q_mmr_rerank(spark, sf):
     """Diversity re-ranking (MMR, SURVEY delta 88) of the Q3 BM25 list
     against the embeddings table: depth-50 cut, broadcast-semi-join
@@ -2386,6 +2405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_sequences_ids": _q_packed_seq_ids,
         "mmr_rerank_topk": _q_mmr_rerank,
         "revenue_cube": _q_revenue_cube,
+        "funnel_steps": _q_funnel,
+        "retention_weekly": _q_retention,
         "bm25_collapse_topk": _q_bm25_collapse,
         "not_topk": _q_not_topk,
         "bm25_scoped_topk": _q_bm25_scoped,
@@ -3582,6 +3603,37 @@ def oracle_sql() -> dict[str, str]:
                             - (start_off // 512) + 1
                        ELSE CAST(0 AS BIGINT) END AS n_seqs
            FROM p""",
+        "funnel_steps": """
+           WITH m AS (
+             SELECT user_id,
+                    min(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+                    min(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+                    min(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+                    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+             FROM events GROUP BY user_id),
+           d AS (SELECT CASE
+                   WHEN t0 IS NULL THEN 0
+                   WHEN t1 IS NULL OR NOT (t1 > t0) THEN 1
+                   WHEN t2 IS NULL OR NOT (t2 > t1) THEN 2
+                   WHEN t3 IS NULL OR NOT (t3 > t2) THEN 3
+                   ELSE 4 END AS depth
+                 FROM m),
+           s(step_idx, step) AS (
+             VALUES (0, 'signup'), (1, 'view'), (2, 'click'), (3, 'purchase'))
+           SELECT step_idx, step,
+                  (SELECT count(*) FROM d WHERE depth > step_idx) AS n_users
+           FROM s ORDER BY step_idx""",
+        "retention_weekly": """
+           WITH a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS p
+                      FROM events),
+           c AS (SELECT user_id, min(p) AS cohort FROM a GROUP BY user_id)
+           SELECT cohort,
+                  CAST((epoch(p) - epoch(cohort)) / 604800 AS BIGINT)
+                    AS period_offset,
+                  count(*) AS n_users
+           FROM a JOIN c USING (user_id)
+           WHERE (epoch(p) - epoch(cohort)) / 604800 <= 8
+           GROUP BY 1, 2 ORDER BY 1, 2""",
         "revenue_cube": """
            SELECT o_orderpriority,
                   CAST(year(o_orderdate) AS INT) AS o_year,

@@ -1,0 +1,107 @@
+"""Event-funnel and retention-cohort analytics over the events stream —
+the product-analytics disciplines (ordered-step conversion, cohort
+decay) every warehouse engine is asked for, expressed as one- or
+two-exchange DataFrame plans.
+
+Scale notes (10^12 events): both operators reduce the event stream to
+per-(user, step) MINIMA before anything else — the only corpus-sized
+exchange carries one row per (user, distinct step), never raw events;
+everything after is user-count-sized. No windows over the raw stream,
+no self-joins of the event table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel conversion: how many users reached step i having
+    passed steps 0..i−1 IN ORDER (each step's earliest occurrence must be
+    strictly after the previous step's earliest — the standard
+    first-touch funnel rule, deterministic and SQL-twinnable).
+
+    → (step_idx, step, n_users), one row per step, n_users
+    non-increasing. Plan: filter to the step set → ONE groupBy(user)
+    aggregate of per-step min timestamps (map-side partial) → per-user
+    reached-depth arithmetic → one tiny groupBy(depth) count, expanded to
+    cumulative counts via a ≤ len(steps)-row triangular join."""
+    mins = (
+        events.filter(F.col(type_col).isin(list(steps)))
+        .groupBy(F.col(user_col).alias("user_id"))
+        .agg(
+            *[
+                F.min(F.when(F.col(type_col) == s, F.col(ts_col))).alias(f"t{i}")
+                for i, s in enumerate(steps)
+            ]
+        )
+    )
+    # reached depth = longest prefix with t0 < t1 < ... < t_{d-1}
+    depth = F.when(F.col("t0").isNull(), F.lit(0))
+    cond = F.col("t0").isNotNull()
+    for i in range(1, len(steps)):
+        cond_i = cond & F.col(f"t{i}").isNotNull() & (
+            F.col(f"t{i}") > F.col(f"t{i-1}")
+        )
+        depth = depth.when(~cond_i & cond, F.lit(i))
+        cond = cond_i
+    depth = depth.when(cond, F.lit(len(steps))).otherwise(F.lit(0))
+    per_depth = mins.select(depth.alias("depth")).groupBy("depth").count()
+    steps_df = events.sparkSession.createDataFrame(
+        [(i, s) for i, s in enumerate(steps)], "step_idx int, step string"
+    )
+    return (
+        steps_df.join(per_depth, F.col("depth") > F.col("step_idx"), "left")
+        .groupBy("step_idx", "step")
+        .agg(F.coalesce(F.sum("count"), F.lit(0)).cast("long").alias("n_users"))
+        .orderBy("step_idx")
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+    max_offset: int = 8,
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by their FIRST-ACTIVITY
+    period (the cohort), counted in each later period they returned.
+
+    → (cohort, period_offset, n_users) with offset 0 = the cohort's own period
+    (n_users = cohort size). Plan: one groupBy(user, period) distinct
+    reduction → one groupBy(user) min-period (cohort assignment, reuses
+    the same reduced frame) → join back (user-count-sized both sides) →
+    one (cohort, offset) count. ``period`` ∈ {'week','month','day'}."""
+    trunc = F.date_trunc(period, F.col(ts_col))
+    active = (
+        events.select(F.col(user_col).alias("user_id"), trunc.alias("p"))
+        .distinct()
+    )
+    cohorts = active.groupBy("user_id").agg(F.min("p").alias("cohort"))
+    div = {"day": 86400, "week": 7 * 86400}.get(period)
+    if div is not None:
+        off = (
+            (F.unix_timestamp("p") - F.unix_timestamp("cohort")) / F.lit(div)
+        ).cast("long")
+    else:  # calendar months: 12*years + months
+        off = (
+            (F.year("p") - F.year("cohort")) * 12
+            + (F.month("p") - F.month("cohort"))
+        ).cast("long")
+    return (
+        active.join(cohorts, "user_id")
+        .select("cohort", off.alias("period_offset"))
+        .filter(F.col("period_offset") <= max_offset)
+        .groupBy("cohort", "period_offset")
+        # active is distinct per (user, period), so count(*) IS the
+        # distinct-user count — no expand-style distinct agg needed
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy("cohort", "period_offset")
+    )

@@ -1,0 +1,61 @@
+"""Funnel + retention contracts over handcrafted event fixtures (the
+cross-engine formula parity is covered by the oracle gates)."""
+
+from __future__ import annotations
+
+from datetime import datetime as DT
+
+from search_engine_spark.operators.analytics import funnel_counts, retention_cohorts
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, ts, u, et) for i, (ts, u, et) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+
+
+def test_funnel_ordered_first_touch(spark):
+    rows = [
+        # u1 completes all three in order
+        (DT(2024, 1, 1, 9), 1, "signup"), (DT(2024, 1, 1, 10), 1, "view"),
+        (DT(2024, 1, 1, 11), 1, "purchase"),
+        # u2: view BEFORE signup -> stops at depth 1 (signup only)
+        (DT(2024, 1, 2, 8), 2, "view"), (DT(2024, 1, 2, 9), 2, "signup"),
+        (DT(2024, 1, 2, 10), 2, "purchase"),
+        # u3: signup+view, no purchase
+        (DT(2024, 1, 3, 8), 3, "signup"), (DT(2024, 1, 3, 9), 3, "view"),
+        # u4: unrelated events only
+        (DT(2024, 1, 4, 8), 4, "click"),
+    ]
+    got = {r["step"]: (r["step_idx"], r["n_users"])
+           for r in funnel_counts(_events(spark, rows),
+                                  ["signup", "view", "purchase"]).collect()}
+    assert got == {"signup": (0, 3), "view": (1, 2), "purchase": (2, 1)}
+    # first-touch rule: u2's later view does NOT count (earliest view < signup)
+
+
+def test_funnel_counts_non_increasing_on_real_data(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ns = [r["n_users"] for r in
+          funnel_counts(ev, ["signup", "view", "click", "purchase"]).collect()]
+    assert len(ns) == 4 and all(a >= b for a, b in zip(ns, ns[1:]))
+
+
+def test_retention_triangle(spark):
+    rows = [
+        (DT(2024, 1, 1), 1, "view"),            # w0 cohort
+        (DT(2024, 1, 8), 1, "click"),           # back in w1
+        (DT(2024, 1, 15), 1, "view"),           # back in w2
+        (DT(2024, 1, 2), 2, "view"),            # w0 cohort (same week)
+        (DT(2024, 1, 16), 2, "view"),           # back in w2
+        (DT(2024, 1, 8), 3, "view"),            # w1 cohort
+        (DT(2024, 1, 8, 12), 3, "view"),        # same period, counted once
+    ]
+    got = {(str(r["cohort"]), r["period_offset"]): r["n_users"]
+           for r in retention_cohorts(_events(spark, rows)).collect()}
+    w0, w1 = "2024-01-01 00:00:00", "2024-01-08 00:00:00"
+    assert got == {
+        (w0, 0): 2, (w0, 1): 1, (w0, 2): 2,
+        (w1, 0): 1,
+    }
