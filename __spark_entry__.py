@@ -359,6 +359,14 @@ def _q_retention(spark, sf):
     return retention_cohorts(_t(spark, sf, "events"), period="week", max_offset=8)
 
 
+def _q_transitions(spark, sf):
+    """Markov transition counts over user event journeys (SURVEY delta
+    91) — in-group sorted pairs vs the DuckDB lead-window twin."""
+    from search_engine_spark.operators.analytics import event_transitions
+
+    return event_transitions(_t(spark, sf, "events"))
+
+
 def _q_mmr_rerank(spark, sf):
     """Diversity re-ranking (MMR, SURVEY delta 88) of the Q3 BM25 list
     against the embeddings table: depth-50 cut, broadcast-semi-join
@@ -2407,6 +2415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_cube": _q_revenue_cube,
         "funnel_steps": _q_funnel,
         "retention_weekly": _q_retention,
+        "event_transitions": _q_transitions,
         "bm25_collapse_topk": _q_bm25_collapse,
         "not_topk": _q_not_topk,
         "bm25_scoped_topk": _q_bm25_scoped,
@@ -3633,6 +3642,15 @@ def oracle_sql() -> dict[str, str]:
                   count(*) AS n_users
            FROM a JOIN c USING (user_id)
            WHERE (epoch(p) - epoch(cohort)) / 604800 <= 8
+           GROUP BY 1, 2 ORDER BY 1, 2""",
+        "event_transitions": """
+           WITH o AS (
+             SELECT user_id, event_type,
+                    lead(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS nxt
+             FROM events)
+           SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
+           FROM o WHERE nxt IS NOT NULL
            GROUP BY 1, 2 ORDER BY 1, 2""",
         "revenue_cube": """
            SELECT o_orderpriority,

@@ -352,6 +352,9 @@ def main() -> None:
         "minhash_portable_pairs",
         "simhash_portable_pairs",
         "ann_pq_adc_topk",
+        "revenue_cube",
+        "funnel_steps",
+        "retention_weekly",
         # rep 1 includes the one-time trigram index build (cached per
         # sf_dir); rep 2 is the warm pruned serve — timing_reps shows both
         "trigram_substring",

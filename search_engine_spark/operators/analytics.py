@@ -105,3 +105,54 @@ def retention_cohorts(
         .agg(F.count("*").cast("long").alias("n_users"))
         .orderBy("cohort", "period_offset")
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    min_count: int = 1,
+) -> DataFrame:
+    """User-journey transition counts: for each user's events in
+    (ts, event_id) order, count consecutive (from_type → to_type) pairs —
+    the Markov transition matrix product analytics reads funnels out of.
+
+    → (from_type, to_type, n). Plan: ONE groupBy(user) with an in-group
+    sort of that user's events (array_sort over structs — bounded by the
+    user's own event count, the same per-group-bounded discipline
+    `materialize_sequences` uses), adjacent pairs via transform over
+    indices (map-side), then one tiny (from, to) count whose cardinality
+    is |event types|². No corpus-wide window/sort."""
+    ev = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(id_col).alias("i"),
+                F.col(type_col).alias("e"),
+            )
+        )
+    )
+    # sequence(1, n) flips to a DESCENDING range when n < 1, so guard the
+    # single-event/empty case to an empty pair array explicitly
+    pairs = F.when(
+        F.size(F.col("_ev")) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("_ev")) - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("_ev"), i)["e"].alias("from_type"),
+                F.element_at(F.col("_ev"), i + 1)["e"].alias("to_type"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<from_type:string,to_type:string>>"))
+    return (
+        events.groupBy(F.col(user_col).alias("user_id"))
+        .agg(ev.alias("_ev"))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.from_type", "p.to_type")
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("long").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .orderBy("from_type", "to_type")
+    )

@@ -59,3 +59,29 @@ def test_retention_triangle(spark):
         (w0, 0): 2, (w0, 1): 1, (w0, 2): 2,
         (w1, 0): 1,
     }
+
+
+def test_event_transitions_counts_adjacent_pairs(spark):
+    rows = [
+        (DT(2024, 1, 1, 9), 1, "view"), (DT(2024, 1, 1, 10), 1, "click"),
+        (DT(2024, 1, 1, 11), 1, "view"), (DT(2024, 1, 1, 12), 1, "click"),
+        (DT(2024, 1, 2, 9), 2, "view"), (DT(2024, 1, 2, 10), 2, "click"),
+        (DT(2024, 1, 3, 9), 3, "signup"),   # single event -> no pairs
+    ]
+    from search_engine_spark.operators.analytics import event_transitions
+
+    got = {(r["from_type"], r["to_type"]): r["n"]
+           for r in event_transitions(_events(spark, rows)).collect()}
+    assert got == {("view", "click"): 3, ("click", "view"): 1}
+
+
+def test_event_transitions_tie_break_on_event_id(spark):
+    # same timestamp: order falls back to event_id (struct sort order)
+    df = spark.createDataFrame(
+        [(10, DT(2024, 1, 1, 9), 1, "a"), (11, DT(2024, 1, 1, 9), 1, "b")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    from search_engine_spark.operators.analytics import event_transitions
+
+    got = [(r["from_type"], r["to_type"]) for r in event_transitions(df).collect()]
+    assert got == [("a", "b")]
