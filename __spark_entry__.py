@@ -367,6 +367,15 @@ def _q_transitions(spark, sf):
     return event_transitions(_t(spark, sf, "events"))
 
 
+def _q_resample(spark, sf):
+    """Gap-filled hourly resample + 3h trailing moving average (SURVEY
+    delta 91): every hour between the stream's bounds emitted, empty
+    hours as zeros — the dashboard read with honest rate math."""
+    from search_engine_spark.operators.analytics import resample_timeseries
+
+    return resample_timeseries(_t(spark, sf, "events"), period="hour")
+
+
 def _q_mmr_rerank(spark, sf):
     """Diversity re-ranking (MMR, SURVEY delta 88) of the Q3 BM25 list
     against the embeddings table: depth-50 cut, broadcast-semi-join
@@ -2416,6 +2425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": _q_funnel,
         "retention_weekly": _q_retention,
         "event_transitions": _q_transitions,
+        "events_resampled": _q_resample,
         "bm25_collapse_topk": _q_bm25_collapse,
         "not_topk": _q_not_topk,
         "bm25_scoped_topk": _q_bm25_scoped,
@@ -3643,6 +3653,21 @@ def oracle_sql() -> dict[str, str]:
            FROM a JOIN c USING (user_id)
            WHERE (epoch(p) - epoch(cohort)) / 604800 <= 8
            GROUP BY 1, 2 ORDER BY 1, 2""",
+        "events_resampled": """
+           WITH per AS (
+             SELECT date_trunc('hour', ts) AS bucket, count(*) AS n,
+                    round(sum(CAST(value AS DOUBLE)), 4) AS total
+             FROM events WHERE ts IS NOT NULL GROUP BY 1),
+           bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM per),
+           spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                       AS bucket FROM bounds),
+           filled AS (SELECT s.bucket, COALESCE(n, 0) AS n,
+                             COALESCE(total, 0.0) AS total
+                      FROM spine s LEFT JOIN per USING (bucket))
+           SELECT bucket, n, total,
+                  round(avg(n) OVER (ORDER BY bucket
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma_n
+           FROM filled ORDER BY bucket""",
         "event_transitions": """
            WITH o AS (
              SELECT user_id, event_type,

@@ -356,6 +356,7 @@ def main() -> None:
         "funnel_steps",
         "retention_weekly",
         "event_transitions",
+        "events_resampled",
         # rep 1 includes the one-time trigram index build (cached per
         # sf_dir); rep 2 is the warm pruned serve — timing_reps shows both
         "trigram_substring",

@@ -156,3 +156,63 @@ def event_transitions(
         .filter(F.col("n") >= min_count)
         .orderBy("from_type", "to_type")
     )
+
+
+def resample_timeseries(
+    events: DataFrame,
+    period: str = "hour",
+    ts_col: str = "ts",
+    value_col: str | None = "value",
+    window: int = 3,
+) -> DataFrame:
+    """Gap-filled resample + trailing moving average: the time-series
+    read every metrics dashboard runs. Buckets events by
+    ``date_trunc(period)``, emits EVERY period between the stream's min
+    and max (empty periods as n=0 / total=0 — the gap-fill dashboards
+    need for honest rate math), and adds a ``window``-period trailing
+    mean of n.
+
+    → (bucket, n, total, ma_n). Plan: one groupBy(bucket) aggregate of
+    the stream (map-side partials; the only corpus-sized exchange), one
+    1-row min/max aggregate, the full bucket spine from
+    explode(sequence(min, max, interval)) — period-count-sized, NOT
+    event-count-sized — and a window over that spine (bounded by the
+    calendar range, never the corpus). Events with NULL ts are ignored.
+    """
+    iv = {"hour": "1 hour", "day": "1 day", "week": "7 days"}[period]
+    b = F.date_trunc(period, F.col(ts_col))
+    per = (
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            (
+                F.round(F.sum(F.col(value_col).cast("double")), 4)
+                if value_col is not None
+                else F.lit(None).cast("double")
+            ).alias("total"),
+        )
+    )
+    spine = (
+        per.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr(f"INTERVAL {iv}"))
+            ).alias("bucket")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    filled = (
+        spine.join(per, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.coalesce("total", F.lit(0.0)).alias("total"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(-(window - 1), 0)
+    return (
+        filled.withColumn("ma_n", F.round(F.avg("n").over(w), 4))
+        .orderBy("bucket")
+    )

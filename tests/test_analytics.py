@@ -85,3 +85,25 @@ def test_event_transitions_tie_break_on_event_id(spark):
 
     got = [(r["from_type"], r["to_type"]) for r in event_transitions(df).collect()]
     assert got == [("a", "b")]
+
+
+def test_resample_gap_fill_and_moving_average(spark):
+    from search_engine_spark.operators.analytics import resample_timeseries
+
+    rows = [
+        (DT(2024, 1, 1, 0, 10), 1, "view"),
+        (DT(2024, 1, 1, 0, 40), 2, "view"),
+        # hour 1 empty (the gap)
+        (DT(2024, 1, 1, 2, 5), 1, "view"),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, et, 2.5) for i, (ts, u, et) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = [(str(r["bucket"]), r["n"], r["total"], r["ma_n"])
+           for r in resample_timeseries(df, period="hour").collect()]
+    assert got == [
+        ("2024-01-01 00:00:00", 2, 5.0, 2.0),
+        ("2024-01-01 01:00:00", 0, 0.0, 1.0),     # gap emitted, ma=(2+0)/2
+        ("2024-01-01 02:00:00", 1, 2.5, 1.0),     # ma=(2+0+1)/3
+    ]
