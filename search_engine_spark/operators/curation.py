@@ -882,3 +882,68 @@ def materialize_sequences(
             F.transform("_s", lambda x: x["t"]).alias("token_ids"),
         )
     )
+
+
+def build_training_dataset(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 2048,
+    n_merges: int = 200,
+    min_merge_freq: int = 2,
+    dedup_method: str = "minhash",
+    shuffle_salt: int | None = 7,
+    dedup_kw: dict | None = None,
+    **curate_kw,
+):
+    """The capstone composition — the whole pretraining data build as one
+    call: exact-dedup + gates (`curate_corpus`) → near-duplicate cut
+    (`near_dedup_corpus`) → BPE trained on the SURVIVORS (`train_bpe` —
+    vocabulary statistics come from the cleaned corpus, the order every
+    real pipeline uses) → documents encoded to id sequences
+    (`bpe_encode_ids`) → deterministically shuffled fixed-length
+    training sequences (`materialize_sequences`).
+
+    Returns ``(sequences, report)``: the (seq_id, n_tokens, token_ids)
+    dataloader frame and a dict with the per-stage audit counts
+    (docs_in / after_curation / after_near_dedup / n_merges /
+    total_tokens / n_sequences) plus the trained ``merges`` list (ship
+    it with the dataset — ids are meaningless without it).
+
+    Scale shape: every stage is one of the already-audited plans; the
+    only corpus-sized exchanges are curation's dedup aggregate, the
+    pair-generator's bucket join, the BPE word-count aggregate, and the
+    packing shuffle — nothing here adds a new corpus-scale pattern.
+    """
+    from ..functions.bpe import bpe_encode_ids, train_bpe
+    from .dedup import near_dedup_corpus
+
+    docs_in = df.count()
+    survivors = curate_corpus(df, id_col=id_col, text_col=text_col, **curate_kw)
+    kept = df.join(survivors.select(id_col), id_col, "left_semi")
+    after_curation = kept.count()
+    deduped = near_dedup_corpus(
+        kept, id_col=id_col, text_col=text_col, method=dedup_method,
+        **(dedup_kw or {}),
+    )
+    after_near_dedup = deduped.count()
+    deduped = deduped.persist()
+    merges = train_bpe(deduped, text_col=text_col, n_merges=n_merges,
+                       min_freq=min_merge_freq)
+    encoded = bpe_encode_ids(deduped, merges, text_col=text_col, id_col=id_col)
+    sequences = materialize_sequences(
+        encoded, seq_len=seq_len, id_col="doc_id", ids_col="token_ids",
+        shuffle_salt=shuffle_salt,
+    )
+    total_tokens = encoded.agg(F.sum("n_tokens")).collect()[0][0] or 0
+    report = {
+        "docs_in": int(docs_in),
+        "after_curation": int(after_curation),
+        "after_near_dedup": int(after_near_dedup),
+        "n_merges": len(merges),
+        "merges": merges,
+        "total_tokens": int(total_tokens),
+        "n_sequences": -(-int(total_tokens) // int(seq_len)),
+        "seq_len": int(seq_len),
+    }
+    return sequences, report

@@ -849,3 +849,44 @@ def test_materialize_sequences_exact_concat_and_chunk(spark):
             assert n == len(chunk)
             if sid < len(want) - 1:
                 assert n == 16
+
+
+def test_build_training_dataset_end_to_end(spark):
+    """The capstone composition: gates drop the junk, near-dedup keeps one
+    of the clone cluster, BPE trains on survivors only, and the packed
+    sequences reassemble to exactly the survivors' token streams."""
+    from search_engine_spark.functions.bpe import bpe_decode_ids
+    from search_engine_spark.operators.curation import build_training_dataset
+
+    base = " ".join(f"the token{i} of word{i % 7} and extra" for i in range(40))
+    rows = [
+        (1, base),                               # survivor (min id of cluster)
+        (2, base + " tok2tail"),                  # near-dup of 1 -> dropped
+        (3, " ".join(f"the zz{i} is item{i % 5} data" for i in range(35))),  # unique
+        (4, "short"),                             # fails min_tokens gate
+        (5, base),                                # exact dup of 1 -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    seqs, rep = build_training_dataset(
+        df, seq_len=32, n_merges=20, min_merge_freq=1,
+        min_quality=0.0, min_tokens=10, shuffle_salt=None,
+    )
+    assert rep["docs_in"] == 5
+    assert rep["after_curation"] == 3        # 4 gated out, 5 collapsed into 1
+    assert rep["after_near_dedup"] == 2      # 2 near-dups onto 1
+    assert rep["n_merges"] == 20
+
+    got = sorted(((r["seq_id"], list(r["token_ids"]), r["n_tokens"])
+                  for r in seqs.collect()))
+    stream = [t for _, ids, _ in got for t in ids]
+    assert len(stream) == rep["total_tokens"]
+    assert len(got) == rep["n_sequences"]
+    assert all(n == 32 for _, _, n in got[:-1])
+    # decoding the whole stream reproduces survivors' normalized text,
+    # doc_id order (shuffle_salt=None)
+    import re
+    want = " ".join(
+        " ".join(w for w in re.split("[^a-z0-9]+", t.lower()) if w)
+        for i, t in rows if i in (1, 3)
+    )
+    assert bpe_decode_ids(stream, rep["merges"]) == want
