@@ -107,3 +107,19 @@ def test_resample_gap_fill_and_moving_average(spark):
         ("2024-01-01 01:00:00", 0, 0.0, 1.0),     # gap emitted, ma=(2+0)/2
         ("2024-01-01 02:00:00", 1, 2.5, 1.0),     # ma=(2+0+1)/3
     ]
+
+
+def test_retention_month_offsets_are_calendar(spark):
+    """period='month' uses calendar month arithmetic (12*years + months),
+    not fixed-length seconds — Jan 31 -> Mar 1 is offset 2."""
+    from search_engine_spark.operators.analytics import retention_cohorts
+
+    rows = [
+        (DT(2024, 1, 31), 1, "view"),
+        (DT(2024, 3, 1), 1, "view"),
+        (DT(2025, 1, 15), 1, "view"),   # 12 months out -> cut by max_offset=8
+    ]
+    got = {(str(r["cohort"])[:7], r["period_offset"]): r["n_users"]
+           for r in retention_cohorts(_events(spark, rows),
+                                      period="month").collect()}
+    assert got == {("2024-01", 0): 1, ("2024-01", 2): 1}

@@ -1,7 +1,7 @@
 #!/usr/bin/env bash
 # Full-suite green path under 10 minutes (VERDICT r03 next-#8).
 #
-# The suite is ~420 Spark-heavy tests, well past 25 min serially in one
+# The suite is ~508 Spark-heavy tests, well past 25 min serially in one
 # local[4] session. pytest-xdist is not installed, so this script runs SIX
 # concurrent pytest processes — each builds its own SparkSession (UI
 # disabled: no port conflicts; temp dirs per-process), so they share only
