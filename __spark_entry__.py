@@ -376,6 +376,25 @@ def _q_resample(spark, sf):
     return resample_timeseries(_t(spark, sf, "events"), period="hour")
 
 
+def _q_funnel_stream(spark, sf):
+    """Streaming funnel (SURVEY delta 93), PROVEN duplicate-safe end to
+    end: the source dir stages the events file TWICE (the at-least-once
+    delivery of a real ingest bus), the foreachBatch min-merge collapses
+    the replays by algebra, and the oracle is the SINGLE-copy batch
+    funnel — a pass means duplicate delivery changed nothing."""
+    import shutil
+    import uuid
+
+    from search_engine_spark.streaming.funnels import run_stream_funnel
+
+    d = _stream_tmp(sf, "events")
+    shutil.copy(os.path.join(d, "part-0.parquet"), os.path.join(d, "part-1.parquet"))
+    return run_stream_funnel(
+        spark, d, os.path.join(d, "_ckpt"), os.path.join(d, "_state"),
+        ["signup", "view", "click", "purchase"],
+    )
+
+
 def _q_mmr_rerank(spark, sf):
     """Diversity re-ranking (MMR, SURVEY delta 88) of the Q3 BM25 list
     against the embeddings table: depth-50 cut, broadcast-semi-join
@@ -2426,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_weekly": _q_retention,
         "event_transitions": _q_transitions,
         "events_resampled": _q_resample,
+        "funnel_stream": _q_funnel_stream,
         "bm25_collapse_topk": _q_bm25_collapse,
         "not_topk": _q_not_topk,
         "bm25_scoped_topk": _q_bm25_scoped,
@@ -3653,6 +3673,26 @@ def oracle_sql() -> dict[str, str]:
            FROM a JOIN c USING (user_id)
            WHERE (epoch(p) - epoch(cohort)) / 604800 <= 8
            GROUP BY 1, 2 ORDER BY 1, 2""",
+        "funnel_stream": """
+           WITH m AS (
+             SELECT user_id,
+                    min(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+                    min(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+                    min(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+                    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+             FROM events GROUP BY user_id),
+           d AS (SELECT CASE
+                   WHEN t0 IS NULL THEN 0
+                   WHEN t1 IS NULL OR NOT (t1 > t0) THEN 1
+                   WHEN t2 IS NULL OR NOT (t2 > t1) THEN 2
+                   WHEN t3 IS NULL OR NOT (t3 > t2) THEN 3
+                   ELSE 4 END AS depth
+                 FROM m),
+           s(step_idx, step) AS (
+             VALUES (0, 'signup'), (1, 'view'), (2, 'click'), (3, 'purchase'))
+           SELECT step_idx, step,
+                  (SELECT count(*) FROM d WHERE depth > step_idx) AS n_users
+           FROM s ORDER BY step_idx""",
         "events_resampled": """
            WITH per AS (
              SELECT date_trunc('hour', ts) AS bucket, count(*) AS n,

@@ -32,7 +32,23 @@ def funnel_counts(
     aggregate of per-step min timestamps (map-side partial) → per-user
     reached-depth arithmetic → one tiny groupBy(depth) count, expanded to
     cumulative counts via a ≤ len(steps)-row triangular join."""
-    mins = (
+    return funnel_from_minima(
+        funnel_step_minima(events, steps, user_col, type_col, ts_col), steps
+    )
+
+
+def funnel_step_minima(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """→ (user_id, t0..t_{m-1}): each user's EARLIEST occurrence of every
+    step — the funnel's sufficient statistic. min is idempotent and
+    commutative, so these rows merge associatively across any batching of
+    the event stream (the property the streaming funnel leans on)."""
+    return (
         events.filter(F.col(type_col).isin(list(steps)))
         .groupBy(F.col(user_col).alias("user_id"))
         .agg(
@@ -42,6 +58,11 @@ def funnel_counts(
             ]
         )
     )
+
+
+def funnel_from_minima(mins: DataFrame, steps: list[str]) -> DataFrame:
+    """Depth arithmetic + cumulative counts over a `funnel_step_minima`
+    frame (user-count-sized — everything here is post-reduction)."""
     # reached depth = longest prefix with t0 < t1 < ... < t_{d-1}
     depth = F.when(F.col("t0").isNull(), F.lit(0))
     cond = F.col("t0").isNotNull()
@@ -53,7 +74,7 @@ def funnel_counts(
         cond = cond_i
     depth = depth.when(cond, F.lit(len(steps))).otherwise(F.lit(0))
     per_depth = mins.select(depth.alias("depth")).groupBy("depth").count()
-    steps_df = events.sparkSession.createDataFrame(
+    steps_df = mins.sparkSession.createDataFrame(
         [(i, s) for i, s in enumerate(steps)], "step_idx int, step string"
     )
     return (

@@ -268,3 +268,40 @@ def test_stream_percolate_equals_batch(spark, tmp_path):
             for r in percolate(doc_terms(docs), stored).collect()}
     assert {(r["doc_id"], r["query_id"]) for r in got.collect()} == want
     assert want == {(1, "q_ab"), (1, "q_b"), (3, "q_b")}
+
+
+def test_stream_funnel_equals_batch_and_replay_safe(spark, tmp_path):
+    """The foreachBatch min-merge funnel must produce IDENTICAL rows to
+    the batch operator over the same events, and re-merging a batch
+    (at-least-once replay) must not change the state (min idempotence)."""
+    from search_engine_spark.operators.analytics import funnel_counts
+    from search_engine_spark.streaming.funnels import (
+        merge_funnel_state,
+        run_stream_funnel,
+    )
+
+    import shutil
+
+    steps = ["signup", "view", "click", "purchase"]
+    src = str(tmp_path / "src")
+    import os as _os
+    _os.makedirs(src)
+    shutil.copy(EVENTS_PARQUET, _os.path.join(src, "part-0.parquet"))
+    got = run_stream_funnel(
+        spark, src, str(tmp_path / "ckpt"), str(tmp_path / "state"), steps
+    ).collect()
+    want = funnel_counts(spark.read.parquet(src), steps).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    # replay: merging the full batch AGAIN leaves the funnel unchanged
+    import os
+
+    state = str(tmp_path / "state")
+    before = sorted(
+        map(tuple, spark.read.parquet(os.path.join(state, "state")).collect())
+    )
+    merge_funnel_state(spark, spark.read.parquet(src), steps, state)
+    after = sorted(
+        map(tuple, spark.read.parquet(os.path.join(state, "state")).collect())
+    )
+    assert before == after
