@@ -2337,6 +2337,51 @@ def _q_doc_keywords(spark, sf):
     return doc_keywords(_tokens(spark, sf).select("doc_id", "term"), k=3)
 
 
+def _q_nb_classify(spark, sf):
+    """Trained multinomial Naive Bayes classifier (operators/classify.py
+    nb_classify): fit on labels = documents.lang by distributed counting,
+    score every doc, argmax with rounded-score label tie-break. The one
+    TRAINED classifier whose whole fit+predict replays in ANSI SQL, so it
+    is hash-gated end to end. On this lang-independent synthetic text
+    accuracy is chance level by construction — the gate certifies the
+    distributed computation (the CCNet/fastText-filter shape), not model
+    skill."""
+    from search_engine_spark.operators.classify import nb_classify
+
+    labels = _t(spark, sf, "documents").select(
+        "doc_id", F.col("lang").alias("label")
+    )
+    return nb_classify(_tokens(spark, sf).select("doc_id", "term"), labels)
+
+
+def _q_compression(spark, sf):
+    """Per-doc zlib compressibility (functions/text_quality.py
+    compression_stats) — the Gopher-style redundancy proxy; map-side
+    mapInPandas, deterministic for the pinned zlib level, rows-only
+    (no deflate in SQL) + unit-gated against direct zlib."""
+    from search_engine_spark.functions.text_quality import compression_stats
+
+    return compression_stats(_t(spark, sf, "documents"))
+
+
+def _q_ann_recall(spark, sf):
+    """Recall@10 of the served IVF ANN plan vs exact brute force
+    (operators/evaluate.py ann_recall): one broadcast of the eval
+    queries, exact side via crossJoin + per-qid window, approx side via
+    the probe-cell join — the FAISS-style accuracy dial, measured on the
+    very plan the engine serves. Rows-only (trained float centroids);
+    the n_probes == n_centroids ⇒ recall 1.0 contract is unit-tested."""
+    from search_engine_spark.operators.evaluate import ann_recall
+
+    return ann_recall(
+        _t(spark, sf, "embeddings"),
+        query_ids=[0, 7, 21, 42, 99],
+        k=10,
+        n_centroids=8,
+        n_probes=3,
+    )
+
+
 def _q_user_counts(spark, sf):
     """Grouped exact count-distinct (operators/sketch.py distinct_counts);
     approx_count_distinct is the same-shape HLL++ flag, contract-tested."""
@@ -2517,6 +2562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": _q_doc_keywords,
         "lm_doc_quality": _q_lm_quality,
         "dsir_logweights": _q_dsir,
+        "nb_lang_pred": _q_nb_classify,
         "doclen_quantiles": _q_doclen_quantiles,
         "events_user_counts": _q_user_counts,
         "prefix_match": _q_prefix,
@@ -2524,6 +2570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_substring": _q_tri_substring,
         "trigram_regex": _q_tri_regex,
         # rows-only (no oracle_sql entry):
+        "compression_ratio": _q_compression,
+        "ann_recall_eval": _q_ann_recall,
         "engine_phrase_topk": _q_engine_phrase,
         "engine_near_topk": _q_engine_near,
         "engine_prefix_topk": _q_engine_prefix,
@@ -4137,6 +4185,45 @@ def oracle_sql() -> dict[str, str]:
                   round(sum(tf * llr), 6) AS logweight
            FROM tf JOIN model USING (term)
            GROUP BY doc_id""",
+        # NB twin: full fit+predict replay — add-0.5-smoothed class
+        # unigram models in the same sparse-plus-closed-form decomposition
+        # as operators/classify.py (scores rounded to 6 BEFORE ranking,
+        # ties by label ascending)
+        "nb_lang_pred": _TOK_CTE
+        + """, lab AS (SELECT doc_id, lang AS label FROM documents),
+           tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+                  GROUP BY doc_id, term),
+           dl AS (SELECT doc_id, sum(tf) AS n FROM tf GROUP BY doc_id),
+           ctf AS (SELECT l.label, t.term, sum(t.tf) AS c
+                   FROM tf t JOIN lab l USING (doc_id)
+                   GROUP BY l.label, t.term),
+           cls AS (SELECT label, sum(c) AS n_l FROM ctf GROUP BY label),
+           pri AS (SELECT label, count(*) AS d_l FROM lab GROUP BY label),
+           tot AS (SELECT count(*) AS d_tot FROM lab),
+           voc AS (SELECT count(DISTINCT term) AS v FROM tok2),
+           base AS (SELECT dl.doc_id, cls.label,
+                           ln(pri.d_l * 1.0 / tot.d_tot)
+                         + dl.n * ln(0.5)
+                         - dl.n * ln(cls.n_l + 0.5 * voc.v) AS b
+                    FROM dl CROSS JOIN cls JOIN pri USING (label)
+                    CROSS JOIN tot CROSS JOIN voc),
+           sp AS (SELECT tf.doc_id, ctf.label,
+                         sum(tf.tf * (ln(ctf.c + 0.5) - ln(0.5))) AS s
+                  FROM tf JOIN ctf USING (term)
+                  GROUP BY tf.doc_id, ctf.label),
+           sc AS (SELECT base.doc_id, base.label,
+                         round(base.b + coalesce(sp.s, 0), 6) AS score
+                  FROM base LEFT JOIN sp
+                    ON base.doc_id = sp.doc_id AND base.label = sp.label),
+           rk AS (SELECT doc_id, label, score,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY score DESC, label) AS rn,
+                         lead(score) OVER (PARTITION BY doc_id
+                                           ORDER BY score DESC, label) AS second
+                  FROM sc)
+           SELECT doc_id, label AS pred_label, score,
+                  round(score - second, 6) AS margin
+           FROM rk WHERE rn = 1""",
         "events_user_counts": """
            SELECT event_type, count(*) AS n,
                   count(DISTINCT user_id) AS distinct_user_id

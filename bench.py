@@ -336,6 +336,9 @@ def main() -> None:
         "doc_keywords",
         "lm_doc_quality",
         "dsir_logweights",
+        "nb_lang_pred",
+        "compression_ratio",
+        "ann_recall_eval",
         "doclen_quantiles",
         "events_user_counts",
         "hybrid_rrf_topk",

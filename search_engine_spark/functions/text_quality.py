@@ -113,3 +113,50 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         lang_id(t).alias("lang_guess"),
         doc_fingerprint(t).alias("fingerprint"),
     )
+
+
+def compression_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """Per-document zlib compressibility — the Gopher-style redundancy
+    signal (Rae et al. 2021 use exact/fuzzy dup fractions; a low
+    compressed/raw ratio is the cheap single-pass proxy: boilerplate,
+    templated spam and token-loop gibberish all compress far below
+    natural text). Complements `repetition_signals` (n-gram fractions):
+    zlib sees ALL repeat structure at once, not one n at a time.
+
+    An opaque byte codec can't be a Catalyst expression, so this is an
+    Arrow-batched mapInPandas whose cost is per-BYTE (the deflate pass),
+    not per-row — the same budget class as the multimodal decoders. Map
+    side only: zero exchanges, chainable into the `curate_corpus` scan
+    stage. Deterministic for a fixed zlib (level pinned), hence
+    rows-only + unit-gated rather than SQL-twinned (no deflate in SQL).
+
+    → (doc_id, n_bytes, z_bytes, ratio): ratio = z_bytes / n_bytes,
+    rounded to 6; empty docs get ratio NULL (nothing to compress).
+    """
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def _comp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            raw = [t.encode("utf-8") if t is not None else b"" for t in b[text_col]]
+            n = [len(r) for r in raw]
+            z = [len(zlib.compress(r, level)) for r in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": b[id_col].astype("int64"),
+                    "n_bytes": pd.Series(n, dtype="int64"),
+                    "z_bytes": pd.Series(z, dtype="int64"),
+                    "ratio": [
+                        round(zb / nb, 6) if nb else None for nb, zb in zip(n, z)
+                    ],
+                }
+            )
+
+    return df.select(F.col(id_col).alias("doc_id"), F.col(text_col)).mapInPandas(
+        _comp,
+        schema="doc_id long, n_bytes long, z_bytes long, ratio double",
+    )

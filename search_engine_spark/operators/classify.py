@@ -1,0 +1,125 @@
+"""Trained multinomial Naive Bayes text classification.
+
+The trained-model counterpart of the heuristic signals in
+`functions/text_quality.py` (`lang_id`, `quality_score`): real curation
+pipelines gate on TRAINED linear classifiers — CCNet's fastText lang-ID,
+FineWeb-Edu's quality scorer — not hand rules. Multinomial NB is the
+closed-form member of that family: training is nothing but counting, so
+both phases (fit and predict) are pure DataFrame aggregations/joins —
+zero UDFs, zero driver loops, zero iterative optimization — and the whole
+train-then-score computation replays exactly in ANSI SQL, which makes it
+the one trained classifier that can be DuckDB hash-gated end to end.
+
+Model (add-k smoothing over the joint observed vocabulary, V = distinct
+terms in the corpus):
+
+    score(d, l) = ln P(l) + Σ_t tf(d,t) · ln( (c(l,t) + k) / (N_l + k·V) )
+
+decomposed so the dense (doc × label × vocab) term never materializes:
+
+    score(d, l) = ln(d_l / d_tot)                       (prior, L rows)
+                + n_d·ln(k) − n_d·ln(N_l + k·V)          (closed form)
+                + Σ_{t: c(l,t)>0} tf(d,t)·(ln(c(l,t)+k) − ln(k))   (sparse)
+
+Plan shape at 100 TB:
+
+* the sparse sum is tf ⋈ class-term counts on `term` — the ONLY
+  corpus-scale shuffle; the class-count table is (L · V_l)-sized
+  (vocabulary-scale, NOT broadcast — web vocabularies don't fit one);
+* the closed-form part is doclen × an L-row broadcast of per-label
+  constants (L = handful of labels at any scale);
+* V and d_tot ride 1-row broadcasts;
+* the argmax window partitions by doc_id over exactly L rows per doc —
+  bounded state regardless of corpus size.
+
+Scores are rounded (`round_digits`) BEFORE ranking and tie-broken by
+label ascending, so the predicted label and margin are engine-independent
+(same convention as `curation.doc_keywords`).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def nb_classify(
+    tokens: DataFrame,
+    labels: DataFrame,
+    k: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Fit multinomial NB on ``labels`` (doc_id, label) over ``tokens``
+    (doc_id, term) and score every document with the fitted model
+    (self-train/self-score — the corpus-conditioning shape; to apply a
+    frozen model to new data, fit on the labeled slice and reuse the
+    aggregates).
+
+    → (doc_id, pred_label, score, margin): the argmax label per doc, its
+    rounded log-posterior, and the gap to the runner-up label.
+    """
+    tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    doclen = tf.groupBy("doc_id").agg(F.sum("tf").alias("n"))
+    # class-conditional term counts: ONE shuffle on (label, term)
+    ctf = (
+        tf.join(labels, "doc_id")
+        .groupBy("label", "term")
+        .agg(F.sum("tf").alias("c"))
+    )
+    cls = ctf.groupBy("label").agg(F.sum("c").alias("n_l"))
+    pri = labels.groupBy("label").agg(F.count("*").alias("d_l"))
+    tot = labels.agg(F.count("*").alias("d_tot"))
+    voc = tokens.agg(F.countDistinct("term").alias("v"))
+
+    # per-label closed-form constants: L rows, broadcast against doclen
+    consts = (
+        cls.join(pri, "label")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(voc))
+        .select(
+            "label",
+            (
+                F.log(F.col("d_l") / F.col("d_tot"))
+            ).alias("lp_prior"),
+            F.log(F.col("n_l") + F.lit(k) * F.col("v")).alias("ln_denom"),
+        )
+    )
+    base = doclen.crossJoin(F.broadcast(consts)).select(
+        "doc_id",
+        "label",
+        (
+            F.col("lp_prior")
+            + F.col("n") * F.lit(math.log(k))
+            - F.col("n") * F.col("ln_denom")
+        ).alias("b"),
+    )
+    sparse = (
+        tf.join(ctf, "term")
+        .groupBy("doc_id", "label")
+        .agg(
+            F.sum(
+                F.col("tf")
+                * (F.log(F.col("c") + F.lit(k)) - F.lit(math.log(k)))
+            ).alias("s")
+        )
+    )
+    scored = base.join(sparse, ["doc_id", "label"], "left").select(
+        "doc_id",
+        "label",
+        F.round(F.col("b") + F.coalesce(F.col("s"), F.lit(0.0)), round_digits).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("label"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("second", F.lead("score").over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("label").alias("pred_label"),
+            "score",
+            F.round(F.col("score") - F.col("second"), round_digits).alias("margin"),
+        )
+    )

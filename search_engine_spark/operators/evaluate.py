@@ -99,3 +99,97 @@ def ranking_metrics(
             F.round("_prec", round_digits).alias("p_at_k"),
         )
     )
+
+
+def ann_recall(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Recall@k of the IVF ANN path against exact brute force — the
+    accuracy dial every approximate index must report (FAISS-style
+    recall curves). One row per query: ``(qid, k, n_hit, recall)``.
+
+    Fully distributed, no per-query jobs: the eval queries (their own
+    corpus vectors, leave-in convention) are ONE broadcast; the exact
+    side scores every (query, vector) pair via that broadcast and cuts
+    top-k with a per-qid window; the approx side joins on the IVF cell
+    (each query expands to its ``n_probes`` probe cells) so it scans
+    only the probed fraction — the same plan the serving path runs, so
+    measured recall is the served recall. Centroids are trained ONCE
+    and shipped to both sides (the persisted-quantizer shape). With
+    ``n_probes == n_centroids`` the probe set covers every cell and
+    recall is exactly 1.0 (contract-tested).
+
+    Ties at the k-cut break by vec_id ascending on BOTH sides (the
+    serving convention), so recall is deterministic. Rows-only gate:
+    the trained centroids are floats of the sampled k-means, not
+    SQL-literal-replayable (the PQ demo gate covers that ground).
+    """
+    from .similarity import (
+        _dot,
+        _norm,
+        ivf_cell_expr,
+        ivf_probe_cells,
+        ivf_train_centroids,
+    )
+
+    centroids = ivf_train_centroids(
+        embeddings, n_centroids, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    queries = (
+        embeddings.filter(F.col(id_col).isin([int(q) for q in query_ids]))
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    )
+    score = _dot(F.col(vec_col), F.col("qvec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("qvec"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+
+    exact = (
+        embeddings.crossJoin(F.broadcast(queries))
+        .select(
+            "qid",
+            F.col(id_col).alias("vec_id"),
+            score.alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id")
+    )
+
+    # (qid, cell) probe table: n_probes rows per query, broadcast
+    spark = embeddings.sparkSession
+    probe_rows = [
+        (int(q["qid"]), int(c))
+        for q in queries.collect()
+        for c in ivf_probe_cells([float(x) for x in q["qvec"]], centroids, n_probes)
+    ]
+    probes = spark.createDataFrame(probe_rows, "qid long, _cell int")
+    celled = embeddings.withColumn("_cell", ivf_cell_expr(vec_col, centroids))
+    approx = (
+        celled.join(F.broadcast(probes), "_cell")
+        .join(F.broadcast(queries), "qid")
+        .select("qid", F.col(id_col).alias("vec_id"), score.alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", F.lit(1).alias("_hit"))
+    )
+
+    return (
+        exact.join(approx, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hit"))
+        .select(
+            "qid",
+            F.lit(k).alias("k"),
+            "n_hit",
+            F.round(F.col("n_hit") / F.lit(k), round_digits).alias("recall"),
+        )
+    )

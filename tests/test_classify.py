@@ -1,0 +1,185 @@
+"""Trained-classifier + compression-signal + ANN-recall tests.
+
+nb_classify is checked against an independent dense numpy reference
+implementation (the textbook formulation, no sparse decomposition) —
+same scores to 1e-9, same argmax, same margins — plus the rounded-score
+label-ascending tie contract. compression_stats is checked byte-exact
+against direct zlib. ann_recall's accuracy dial is contract-tested:
+probing every cell ⇒ recall exactly 1.0.
+"""
+
+from __future__ import annotations
+
+import math
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _tok(spark, rows):
+    # rows: list[(doc_id, label, text)] → tokens + labels frames
+    docs = spark.createDataFrame(rows, "doc_id long, label string, text string")
+    tokens = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda t: F.length(t) >= 2,
+            )
+        ).alias("term"),
+    )
+    return tokens, docs.select("doc_id", "label")
+
+
+ROWS = [
+    (1, "code", "def foo return foo bar import os"),
+    (2, "code", "class bar def method import sys sys exit"),
+    (3, "prose", "the quick brown fox jumps over the lazy dog"),
+    (4, "prose", "a tale of two cities it was the best of times"),
+    (5, "code", "for loop in range print value value"),
+    (6, "prose", "call me ishmael some years ago the whale"),
+]
+
+
+def _nb_reference(rows, k=0.5):
+    """Dense textbook NB in numpy: returns {doc_id: (pred, score, margin)}."""
+    tok = {}
+    for did, _lab, text in rows:
+        terms = [t for t in "".join(
+            c if c.isalnum() else " " for c in text.lower()
+        ).split() if len(t) >= 2]
+        tok[did] = terms
+    labels = sorted({lab for _d, lab, _t in rows})
+    vocab = sorted({t for ts in tok.values() for t in ts})
+    v = len(vocab)
+    out = {}
+    cnt = {lab: {} for lab in labels}
+    nl = {lab: 0 for lab in labels}
+    dl_count = {lab: 0 for lab in labels}
+    for did, lab, _t in rows:
+        dl_count[lab] += 1
+        for t in tok[did]:
+            cnt[lab][t] = cnt[lab].get(t, 0) + 1
+            nl[lab] += 1
+    for did, _lab, _t in rows:
+        scores = []
+        for lab in labels:
+            s = math.log(dl_count[lab] / len(rows))
+            denom = nl[lab] + k * v
+            for t in tok[did]:
+                s += math.log((cnt[lab].get(t, 0) + k) / denom)
+            scores.append((round(s, 6), lab))
+        ranked = sorted(scores, key=lambda p: (-p[0], p[1]))
+        out[did] = (
+            ranked[0][1],
+            ranked[0][0],
+            round(ranked[0][0] - ranked[1][0], 6),
+        )
+    return out
+
+
+def test_nb_matches_dense_reference(spark):
+    from search_engine_spark.operators.classify import nb_classify
+
+    tokens, labels = _tok(spark, ROWS)
+    got = {
+        r["doc_id"]: (r["pred_label"], r["score"], r["margin"])
+        for r in nb_classify(tokens, labels).collect()
+    }
+    want = _nb_reference(ROWS)
+    assert set(got) == set(want)
+    for did in want:
+        assert got[did][0] == want[did][0], did
+        assert got[did][1] == pytest.approx(want[did][1], abs=2e-6)
+        assert got[did][2] == pytest.approx(want[did][2], abs=2e-6)
+
+
+def test_nb_learns_separable_labels(spark):
+    """On genuinely label-correlated text the classifier must recover the
+    labels (sanity that the math discriminates, not just runs)."""
+    from search_engine_spark.operators.classify import nb_classify
+
+    tokens, labels = _tok(spark, ROWS)
+    got = {r["doc_id"]: r["pred_label"] for r in nb_classify(tokens, labels).collect()}
+    truth = {did: lab for did, lab, _t in ROWS}
+    acc = sum(got[d] == truth[d] for d in truth) / len(truth)
+    assert acc == 1.0, got
+
+
+def test_nb_tie_breaks_by_label(spark):
+    """Perfectly symmetric two-doc corpus: both labels score identically on
+    a test doc → pred must be the lexicographically first label."""
+    from search_engine_spark.operators.classify import nb_classify
+
+    rows = [
+        (1, "b_lab", "xx yy"),
+        (2, "a_lab", "xx yy"),
+    ]
+    tokens, labels = _tok(spark, rows)
+    res = {r["doc_id"]: r for r in nb_classify(tokens, labels).collect()}
+    for did in (1, 2):
+        assert res[did]["pred_label"] == "a_lab"
+        assert res[did]["margin"] == 0.0
+
+
+def test_compression_stats_matches_zlib(spark):
+    from search_engine_spark.functions.text_quality import compression_stats
+
+    rows = [
+        (1, "abab" * 50),          # highly repetitive → low ratio
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, ""),                    # empty → NULL ratio
+        (4, "zqjxkvbnm " * 3),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in compression_stats(df).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    for did, text in rows:
+        raw = text.encode("utf-8")
+        z = len(zlib.compress(raw, 6))
+        assert got[did]["n_bytes"] == len(raw)
+        assert got[did]["z_bytes"] == z
+        if raw:
+            assert got[did]["ratio"] == pytest.approx(round(z / len(raw), 6))
+        else:
+            assert got[did]["ratio"] is None
+    assert got[1]["ratio"] < got[2]["ratio"]  # repetition compresses better
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(8)]) for i in range(200)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ann_recall_full_probe_is_exact(spark, emb):
+    from search_engine_spark.operators.evaluate import ann_recall
+
+    res = ann_recall(
+        emb, query_ids=[0, 5, 9], k=10, n_centroids=4, n_probes=4
+    ).collect()
+    assert len(res) == 3
+    for r in res:
+        assert r["k"] == 10
+        assert r["n_hit"] == 10
+        assert r["recall"] == 1.0
+
+
+def test_ann_recall_partial_probe_bounded(spark, emb):
+    from search_engine_spark.operators.evaluate import ann_recall
+
+    res = ann_recall(
+        emb, query_ids=[0, 5, 9], k=10, n_centroids=4, n_probes=1
+    ).collect()
+    assert len(res) == 3
+    for r in res:
+        assert 0 <= r["n_hit"] <= 10
+        assert r["recall"] == pytest.approx(round(r["n_hit"] / 10, 6))
+    # the probed cell contains the query itself → its own vector is always
+    # found (leave-in convention: the query is its own nearest neighbor)
+    assert all(r["n_hit"] >= 1 for r in res)
