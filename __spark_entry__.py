@@ -2382,6 +2382,44 @@ def _q_ann_recall(spark, sf):
     )
 
 
+def _q_hashed_embed(spark, sf):
+    """Feature-hashed document embeddings (functions/embed.py
+    hashed_embedding): the hashing-trick text vectorizer — tf·idf terms
+    signed-summed into 16 buckets via the md5-prefix portable hash, one
+    doc_id aggregate, pure Catalyst. Hash-gated: every ingredient is
+    engine-portable, so the full text→vector featurization replays in
+    DuckDB."""
+    from search_engine_spark.functions.embed import hashed_embedding
+
+    return hashed_embedding(_tokens(spark, sf).select("doc_id", "term"), dim=16)
+
+
+def _q_text_sim(spark, sf):
+    """Model-free related-docs: top-10 by hashed-embedding cosine to doc
+    42 (functions/embed.py text_sim_topk) — text → vector → neighbor in
+    one declarative plan, cosine evaluated in FIXED operand order over
+    the rounded bucket sums so the float score is bit-identical
+    cross-engine. Hash-gated end to end."""
+    from search_engine_spark.functions.embed import text_sim_topk
+
+    return text_sim_topk(
+        _tokens(spark, sf).select("doc_id", "term"), query_doc_id=42, k=10
+    )
+
+
+def _q_domain_cap(spark, sf):
+    """Per-domain quota cut (operators/curation.py domain_cap): keep the
+    top-20 docs per source by (n_chars DESC, doc_id) via the two-phase
+    salted rank (mega-domain skew spreads over 16 tasks; provably equal
+    to the naive single window = the oracle)."""
+    from search_engine_spark.operators.curation import domain_cap
+
+    return domain_cap(
+        _t(spark, sf, "documents").select("doc_id", "source", "n_chars"),
+        cap=20,
+    ).select("doc_id", "source", "n_chars", "rk")
+
+
 def _q_user_counts(spark, sf):
     """Grouped exact count-distinct (operators/sketch.py distinct_counts);
     approx_count_distinct is the same-shape HLL++ flag, contract-tested."""
@@ -2563,6 +2601,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_doc_quality": _q_lm_quality,
         "dsir_logweights": _q_dsir,
         "nb_lang_pred": _q_nb_classify,
+        "hashed_embed": _q_hashed_embed,
+        "text_sim_topk": _q_text_sim,
+        "domain_capped": _q_domain_cap,
         "doclen_quantiles": _q_doclen_quantiles,
         "events_user_counts": _q_user_counts,
         "prefix_match": _q_prefix,
@@ -2634,6 +2675,18 @@ _PS_CTE = """
                      AS DECIMAL(12,4)) * CAST(0.01 AS DECIMAL(8,4))
                   AS ps_supplycost
          FROM part, supplier WHERE (p_partkey + s_suppkey) % 3 = 0)"""
+
+
+def _hashed_embed_sql() -> str:
+    from search_engine_spark.functions.embed import hashed_embedding_sql
+
+    return hashed_embedding_sql(16, _TOK_CTE) + "\n           SELECT * FROM emb"
+
+
+def _text_sim_sql() -> str:
+    from search_engine_spark.functions.embed import text_sim_topk_sql
+
+    return text_sim_topk_sql(_TOK_CTE, query_doc_id=42, k=10, dim=16)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4224,6 +4277,18 @@ def oracle_sql() -> dict[str, str]:
            SELECT doc_id, label AS pred_label, score,
                   round(score - second, 6) AS margin
            FROM rk WHERE rn = 1""",
+        # hashing-trick embedding twins: the CTE chains are GENERATED from
+        # the same dim/spec as the Spark path (functions/embed.py is the
+        # single source of truth, like pq_adc_oracle_sql)
+        "hashed_embed": _hashed_embed_sql(),
+        "text_sim_topk": _text_sim_sql(),
+        "domain_capped": """
+           WITH rk AS (
+             SELECT doc_id, source, n_chars,
+                    row_number() OVER (PARTITION BY source
+                                       ORDER BY n_chars DESC, doc_id) AS rk
+             FROM documents)
+           SELECT doc_id, source, n_chars, rk FROM rk WHERE rk <= 20""",
         "events_user_counts": """
            SELECT event_type, count(*) AS n,
                   count(DISTINCT user_id) AS distinct_user_id

@@ -339,6 +339,9 @@ def main() -> None:
         "nb_lang_pred",
         "compression_ratio",
         "ann_recall_eval",
+        "hashed_embed",
+        "text_sim_topk",
+        "domain_capped",
         "doclen_quantiles",
         "events_user_counts",
         "hybrid_rrf_topk",

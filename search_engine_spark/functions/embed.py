@@ -1,0 +1,203 @@
+"""Feature-hashed document embeddings — the hashing-trick text vectorizer
+(Weinberger et al. 2009, "Feature Hashing for Large Scale Multitask
+Learning"; the Vowpal Wabbit representation).
+
+This is the missing pipe between the engine's text side and its ANN side:
+at 100 TB you don't ship a neural encoder through a SQL engine — you
+featurize text into a FIXED-dim vector with a hash, then hand the vector
+to the ANN family (`operators/similarity.py`). Each term maps to ONE
+bucket (``portable_hash(term) % dim``) with a ±1 sign from an independent
+hash bit, weighted by tf·idf; a document's embedding is the signed sum
+per bucket. One groupBy(doc_id) with ``dim`` conditional-sum aggregates —
+pure Catalyst, map-side combinable, a single corpus exchange, model-free.
+
+Every ingredient is engine-portable by construction (md5-prefix hash —
+same spec as `dedup.minhash_portable_pairs` — exact integer bucket/sign,
+ln of exact rationals, per-bucket rounding), so the whole text → vector →
+cosine-similarity pipeline replays in DuckDB and is HASH-GATED, unlike
+any trained encoder.
+
+Output is WIDE (columns e0..e{dim-1}) because that is what the SQL twin
+and the fixed-order cosine need; `vec_col()` folds the columns into the
+`array<double>` the ANN operators take.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _portable_hash(c: Column) -> Column:
+    # md5 15-hex-digit prefix → non-negative long (60 bits; exactly the
+    # dedup.py portable spec so one hash family serves the whole repo)
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def hashed_embedding(
+    tokens: DataFrame,
+    dim: int = 16,
+    idf: bool = True,
+    round_digits: int = 6,
+) -> DataFrame:
+    """(doc_id, term) → one row per doc with columns ``e0..e{dim-1}``.
+
+    weight(term) = tf · ln((N+1)/(df+1)) (smoothed idf; ``idf=False``
+    gives raw tf), bucket = portable_hash(term) % dim, sign from an
+    independent hash bit. Buckets are rounded AFTER the signed sum, so
+    downstream fixed-order arithmetic (cosine) sees identical doubles in
+    any engine.
+
+    Plan: tf and df are partial+final aggregates; N rides a 1-row
+    broadcast; the bucket pivot is ``dim`` conditional sums inside ONE
+    doc_id aggregate (no explode, no per-bucket shuffle).
+    """
+    tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    if idf:
+        df_t = tokens.groupBy("term").agg(
+            F.countDistinct("doc_id").alias("df")
+        )
+        n = tokens.agg(F.countDistinct("doc_id").alias("n_docs"))
+        weighted = (
+            tf.join(df_t, "term")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "doc_id",
+                "term",
+                (
+                    F.col("tf")
+                    * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+                ).alias("w"),
+            )
+        )
+    else:
+        weighted = tf.select("doc_id", "term", F.col("tf").cast("double").alias("w"))
+
+    bucket = _portable_hash(F.col("term")) % dim
+    sign = F.when(
+        _portable_hash(F.concat(F.col("term"), F.lit("#s"))) % 2 == 0, 1.0
+    ).otherwise(-1.0)
+    signed = weighted.select(
+        "doc_id", bucket.alias("b"), (sign * F.col("w")).alias("sw")
+    )
+    aggs = [
+        F.round(
+            F.coalesce(F.sum(F.when(F.col("b") == i, F.col("sw"))), F.lit(0.0)),
+            round_digits,
+        ).alias(f"e{i}")
+        for i in range(dim)
+    ]
+    return signed.groupBy("doc_id").agg(*aggs)
+
+
+def vec_col(dim: int = 16) -> Column:
+    """e0..e{dim-1} → array<double> for the ANN operators."""
+    return F.array(*[F.col(f"e{i}") for i in range(dim)])
+
+
+def hashed_embedding_sql(dim: int = 16, tok_cte: str | None = None) -> str:
+    """DuckDB replay of `hashed_embedding` (idf=True) as a CTE chain
+    ending in ``emb(doc_id, e0..e{dim-1})``. Caller prepends a token CTE
+    exposing ``tok2(doc_id, term)`` (pass via ``tok_cte`` to inline)."""
+    cols = ",\n                  ".join(
+        f"round(coalesce(sum(case when b = {i} then sw end), 0), 6) AS e{i}"
+        for i in range(dim)
+    )
+    body = f""", tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2
+                  GROUP BY doc_id, term),
+           dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2
+                   GROUP BY term),
+           nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok2),
+           signed AS (SELECT doc_id,
+                  ('0x' || substr(md5(term), 1, 15))::BIGINT % {dim} AS b,
+                  (CASE WHEN ('0x' || substr(md5(term || '#s'), 1, 15))::BIGINT % 2 = 0
+                        THEN 1.0 ELSE -1.0 END)
+                  * tf * ln((n_docs + 1.0) / (df + 1.0)) AS sw
+                  FROM tf JOIN dft USING (term) CROSS JOIN nd),
+           emb AS (SELECT doc_id,
+                  {cols}
+                  FROM signed GROUP BY doc_id)"""
+    return (tok_cte or "") + body
+
+
+def cosine_expr(dim: int, left_prefix: str = "e", right_prefix: str = "q") -> Column:
+    """Fixed-order cosine over wide columns: identical evaluation order to
+    the SQL twin's left-associated expression, so the float result is
+    bit-identical cross-engine (inputs are the rounded bucket sums)."""
+    dot = reduce(
+        lambda a, b: a + b,
+        [
+            F.col(f"{left_prefix}{i}") * F.col(f"{right_prefix}{i}")
+            for i in range(dim)
+        ],
+    )
+    nl = F.sqrt(
+        reduce(
+            lambda a, b: a + b,
+            [F.col(f"{left_prefix}{i}") * F.col(f"{left_prefix}{i}") for i in range(dim)],
+        )
+    )
+    nr = F.sqrt(
+        reduce(
+            lambda a, b: a + b,
+            [F.col(f"{right_prefix}{i}") * F.col(f"{right_prefix}{i}") for i in range(dim)],
+        )
+    )
+    return dot / (nl * nr)
+
+
+def text_sim_topk(
+    tokens: DataFrame,
+    query_doc_id: int,
+    k: int = 10,
+    dim: int = 16,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Model-free text similarity: top-k docs by hashed-embedding cosine
+    to ``query_doc_id`` — text → vector → neighbor in one declarative
+    plan (the shape a semantic-dedup or related-docs pass runs before a
+    real encoder exists). The query embedding is a 1-row broadcast; the
+    cosine is the fixed-order `cosine_expr`, rounded, tie-broken by
+    doc_id; ordered output (score DESC, doc_id). Zero-norm docs (empty
+    bucket vector) are excluded — cosine is undefined there.
+
+    → (doc_id, score), k rows, the query doc itself excluded.
+    """
+    emb = hashed_embedding(tokens, dim=dim, round_digits=round_digits)
+    q = emb.filter(F.col("doc_id") == query_doc_id).select(
+        *[F.col(f"e{i}").alias(f"q{i}") for i in range(dim)]
+    )
+    zero = reduce(
+        lambda a, b: a + b, [F.col(f"e{i}") * F.col(f"e{i}") for i in range(dim)]
+    )
+    return (
+        emb.filter(F.col("doc_id") != query_doc_id)
+        .crossJoin(F.broadcast(q))
+        .filter(zero > 0)
+        .select(
+            "doc_id",
+            F.round(cosine_expr(dim), round_digits).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def text_sim_topk_sql(
+    tok_cte: str, query_doc_id: int, k: int = 10, dim: int = 16
+) -> str:
+    """DuckDB twin of `text_sim_topk` (same fixed-order arithmetic)."""
+    dot = " + ".join(f"emb.e{i} * q.e{i}" for i in range(dim))
+    nl = " + ".join(f"emb.e{i} * emb.e{i}" for i in range(dim))
+    nr = " + ".join(f"q.e{i} * q.e{i}" for i in range(dim))
+    return (
+        hashed_embedding_sql(dim, tok_cte)
+        + f"""
+           SELECT emb.doc_id,
+                  round(({dot}) / (sqrt({nl}) * sqrt({nr})), 6) AS score
+           FROM emb CROSS JOIN (SELECT * FROM emb WHERE doc_id = {query_doc_id}) q
+           WHERE emb.doc_id != {query_doc_id} AND ({nl}) > 0
+           ORDER BY score DESC, emb.doc_id
+           LIMIT {k}"""
+    )

@@ -947,3 +947,47 @@ def build_training_dataset(
         "seq_len": int(seq_len),
     }
     return sequences, report
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str = "source",
+    cap: int = 20,
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Per-domain quota sampling — keep at most ``cap`` documents per
+    domain, best-first by ``(order_col DESC, id ASC)``. The domain-balance
+    cut every web-corpus build runs after dedup (C4/Gopher-style: without
+    it the head domains — wikis, doc mirrors, link farms — dominate the
+    token budget; the reference engine's per-site corpus has the same
+    head-heavy shape, `model/Site.java`).
+
+    Skew is the 100 TB hazard: ``row_number() OVER (PARTITION BY domain)``
+    puts the biggest domain in ONE task. So the cut is TWO-phase: phase 1
+    ranks within (domain, salt = xxhash64(id) % salt_buckets) and keeps
+    ``cap`` per salt bucket — any row cut there has ≥ cap better rows in
+    its own bucket, hence > cap better rows globally, so phase 1 provably
+    never cuts a final survivor; phase 2 ranks the ≤ cap·salt_buckets
+    remnant per domain. The mega-domain's phase-1 work spreads over
+    ``salt_buckets`` tasks; phase 2 touches ≤ cap·salt_buckets rows per
+    domain regardless of domain size. The unique order key makes the
+    result identical to the naive single-window formulation (the SQL
+    oracle) under any partitioning.
+
+    → input columns + ``rk`` (1-based best-first rank within the domain).
+    """
+    desc_then_id = [F.col(order_col).desc(), F.col(id_col).asc()]
+    w1 = Window.partitionBy(
+        F.col(domain_col), F.pmod(F.xxhash64(F.col(id_col)), salt_buckets)
+    ).orderBy(*desc_then_id)
+    pre = (
+        df.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= cap)
+        .drop("_rn1")
+    )
+    w2 = Window.partitionBy(domain_col).orderBy(*desc_then_id)
+    return pre.withColumn("rk", F.row_number().over(w2)).filter(
+        F.col("rk") <= cap
+    )

@@ -1,0 +1,114 @@
+"""Feature-hashed embedding + domain-cap tests.
+
+The embedding is replayed in pure Python from the portable spec (md5
+15-hex prefix, signed tf·idf bucket sums) and must match Spark exactly
+after rounding; text_sim_topk must rank a near-duplicate first with a
+cosine of ~1. domain_cap's two-phase salted rank must equal the naive
+single-window formulation on a skewed corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import Window, functions as F
+
+
+def _ph(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+ROWS = [
+    (1, "spark join window agg spark"),
+    (2, "spark join window agg spark"),          # exact dup of 1
+    (3, "quick brown fox jumps over lazy dog"),
+    (4, "join window the the the spark"),
+    (5, "completely different words entirely here"),
+]
+
+
+def _tok(spark, rows):
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda t: F.length(t) >= 2,
+            )
+        ).alias("term"),
+    )
+
+
+def _ref_embed(rows, dim=16):
+    tok = {
+        did: [t for t in text.lower().split() if len(t) >= 2]
+        for did, text in rows
+    }
+    n_docs = len([d for d, ts in tok.items() if ts])
+    df = {}
+    for ts in tok.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    out = {}
+    for did, ts in tok.items():
+        vec = [0.0] * dim
+        tf = {}
+        for t in ts:
+            tf[t] = tf.get(t, 0) + 1
+        for t, f in tf.items():
+            w = f * math.log((n_docs + 1.0) / (df[t] + 1.0))
+            sign = 1.0 if _ph(t + "#s") % 2 == 0 else -1.0
+            vec[_ph(t) % dim] += sign * w
+        out[did] = [round(v, 6) for v in vec]
+    return out
+
+
+def test_hashed_embedding_matches_portable_spec(spark):
+    from search_engine_spark.functions.embed import hashed_embedding
+
+    emb = hashed_embedding(_tok(spark, ROWS), dim=16)
+    got = {r["doc_id"]: [r[f"e{i}"] for i in range(16)] for r in emb.collect()}
+    want = _ref_embed(ROWS)
+    assert set(got) == set(want)
+    for did in want:
+        assert got[did] == pytest.approx(want[did], abs=1e-9), did
+
+
+def test_text_sim_ranks_duplicate_first(spark):
+    from search_engine_spark.functions.embed import text_sim_topk
+
+    res = text_sim_topk(_tok(spark, ROWS), query_doc_id=1, k=4).collect()
+    assert res[0]["doc_id"] == 2           # the exact dup
+    assert res[0]["score"] == pytest.approx(1.0, abs=1e-6)
+    assert all(res[0]["score"] >= r["score"] for r in res[1:])
+    assert all(r["doc_id"] != 1 for r in res)  # query excluded
+
+
+def test_domain_cap_equals_naive_window(spark):
+    from search_engine_spark.operators.curation import domain_cap
+
+    rows = [
+        # mega-domain a: 40 docs; b: 5; c: 1
+        *[(i, "a", (i * 37) % 100) for i in range(40)],
+        *[(100 + i, "b", i) for i in range(5)],
+        (200, "c", 7),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = domain_cap(df, cap=3, salt_buckets=4).select(
+        "doc_id", "source", "rk"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    naive = (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "source", "rk")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+    per_dom = {r["source"]: r["n"] for r in
+               got.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per_dom == {"a": 3, "b": 3, "c": 1}
