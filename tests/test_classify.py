@@ -183,3 +183,19 @@ def test_ann_recall_partial_probe_bounded(spark, emb):
     # the probed cell contains the query itself → its own vector is always
     # found (leave-in convention: the query is its own nearest neighbor)
     assert all(r["n_hit"] >= 1 for r in res)
+
+
+def test_nb_plan_pure_catalyst(spark):
+    """Plan contract: fit+predict is aggregations/joins only — no Python
+    evaluation anywhere (the property that makes the trained classifier
+    run at corpus scale inside codegen)."""
+    from search_engine_spark.operators.classify import nb_classify
+
+    tokens, labels = _tok(spark, ROWS)
+    plan = (
+        nb_classify(tokens, labels)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

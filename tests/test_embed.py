@@ -112,3 +112,28 @@ def test_domain_cap_equals_naive_window(spark):
     per_dom = {r["source"]: r["n"] for r in
                got.groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert per_dom == {"a": 3, "b": 3, "c": 1}
+
+
+def test_embed_plan_pure_catalyst(spark):
+    """Plan contract: the vectorizer is UDF-free (hash, sign, bucket sums
+    are all Catalyst expressions) — the property that keeps the 100 TB
+    featurization inside whole-stage codegen."""
+    from search_engine_spark.functions.embed import hashed_embedding
+
+    plan = (
+        hashed_embedding(_tok(spark, ROWS), dim=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_domain_cap_plan_pure_catalyst(spark):
+    from search_engine_spark.operators.curation import domain_cap
+
+    df = spark.createDataFrame(
+        [(1, "a", 10)], "doc_id long, source string, n_chars long"
+    )
+    plan = domain_cap(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
