@@ -2382,6 +2382,16 @@ def _q_ann_recall(spark, sf):
     )
 
 
+def _q_kn_bigram(spark, sf):
+    """Interpolated Kneser-Ney bigram LM quality score (operators/
+    curation.py kn_bigram_scores) — the stronger perplexity proxy over
+    the spliced-adjacency bigram stream; hash-gated full train+score
+    replay (fixed-operand-order KN formula, counts exact both engines)."""
+    from search_engine_spark.operators.curation import kn_bigram_scores
+
+    return kn_bigram_scores(_t(spark, sf, "documents"))
+
+
 def _q_hashed_embed(spark, sf):
     """Feature-hashed document embeddings (functions/embed.py
     hashed_embedding): the hashing-trick text vectorizer — tf·idf terms
@@ -2601,6 +2611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_doc_quality": _q_lm_quality,
         "dsir_logweights": _q_dsir,
         "nb_lang_pred": _q_nb_classify,
+        "kn_bigram_quality": _q_kn_bigram,
         "hashed_embed": _q_hashed_embed,
         "text_sim_topk": _q_text_sim,
         "domain_capped": _q_domain_cap,
@@ -4277,6 +4288,34 @@ def oracle_sql() -> dict[str, str]:
            SELECT doc_id, label AS pred_label, score,
                   round(score - second, 6) AS margin
            FROM rk WHERE rn = 1""",
+        # KN bigram twin: adjacency via lead() over the len>=2-filtered
+        # token stream ordered by original subscript (the spliced-adjacency
+        # spec `collocations` froze); KN formula in the same operand order
+        "kn_bigram_quality": """
+           WITH raw AS (
+             SELECT doc_id,
+                    unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok,
+                    generate_subscripts(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS i
+             FROM documents),
+           tok AS (SELECT * FROM raw WHERE length(tok) >= 2),
+           pr AS (SELECT doc_id, tok AS w1,
+                         lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+                  FROM tok),
+           pairs AS (SELECT doc_id, w1, w2 FROM pr WHERE w2 IS NOT NULL),
+           c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+           lft AS (SELECT w1, sum(c12) AS c1, count(*) AS n1f FROM c12 GROUP BY w1),
+           rgt AS (SELECT w2, count(*) AS n1b FROM c12 GROUP BY w2),
+           bt AS (SELECT count(*) AS bt FROM c12),
+           model AS (SELECT c12.w1, c12.w2,
+                            ln((greatest(c12.c12 - 0.75, 0.0)
+                                + 0.75 * lft.n1f * (rgt.n1b * 1.0 / bt.bt))
+                               / lft.c1) AS logp
+                     FROM c12 JOIN lft USING (w1) JOIN rgt USING (w2)
+                     CROSS JOIN bt)
+           SELECT doc_id, count(*) AS n_pairs,
+                  round(sum(logp) / count(*), 6) AS avg_logp
+           FROM pairs JOIN model USING (w1, w2)
+           GROUP BY doc_id""",
         # hashing-trick embedding twins: the CTE chains are GENERATED from
         # the same dim/spec as the Spark path (functions/embed.py is the
         # single source of truth, like pq_adc_oracle_sql)

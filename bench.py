@@ -342,6 +342,7 @@ def main() -> None:
         "hashed_embed",
         "text_sim_topk",
         "domain_capped",
+        "kn_bigram_quality",
         "doclen_quantiles",
         "events_user_counts",
         "hybrid_rrf_topk",

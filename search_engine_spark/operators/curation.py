@@ -991,3 +991,85 @@ def domain_cap(
     return pre.withColumn("rk", F.row_number().over(w2)).filter(
         F.col("rk") <= cap
     )
+
+
+def kn_bigram_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM quality score — the stronger
+    perplexity proxy (`lm_doc_scores` is the unigram floor; a bigram KN
+    model is what CCNet-class pipelines actually bucket on). Self-trained
+    on the scored corpus, so every bigram is observed and the absolute
+    discount never needs an unseen-event branch:
+
+        p_kn(w2 | w1) = ( max(c(w1,w2) − D, 0)
+                        + D · n1+(w1,·) · p_cont(w2) ) / c(w1)
+        p_cont(w2)    = n1+(·,w2) / |distinct bigram types|
+
+    (Kneser & Ney 1995; Chen & Goodman 1999 eq. 4.25-4.27.) The
+    continuation probability is the KN insight: "york" is frequent but
+    follows almost only "new" — its continuation mass is tiny.
+
+    Adjacency is map-side Catalyst array ops over the FILTERED token
+    sequence (the `collocations` spec — no window, no UDF; a doc's
+    bigrams never leave their partition before the count aggregates).
+    Model tables are bigram-vocabulary-sized partial+final aggregates;
+    the scoring join shuffles doc-bigrams on (w1, w2); the type count
+    rides a 1-row broadcast. Float arithmetic is fixed-operand-order so
+    the DuckDB twin replays it to last-ulp-before-rounding.
+
+    → (doc_id, n_pairs, avg_logp) for every doc with ≥ 2 tokens.
+    """
+    from .collocations import _filtered_tokens_col
+
+    lf = docs.select(F.col(id_col).alias("doc_id"),
+                     _filtered_tokens_col(F.col(text_col)).alias("lf"))
+    n = F.size("lf")
+    pairs = (
+        lf.filter(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("lf", 1, n - 1).alias("a"),
+                    F.slice("lf", 2, n - 1).alias("b"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.a").alias("w1"), F.col("p.b").alias("w2"))
+    )
+    c12 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    left = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1f")
+    )
+    right = c12.groupBy("w2").agg(F.count("*").alias("n1b"))
+    bt = c12.agg(F.count("*").alias("bt"))
+    d = F.lit(float(discount))
+    model = (
+        c12.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(bt))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                (
+                    F.greatest(F.col("c12") - d, F.lit(0.0))
+                    + d * F.col("n1f") * (F.col("n1b") * F.lit(1.0) / F.col("bt"))
+                )
+                / F.col("c1")
+            ).alias("logp"),
+        )
+    )
+    return (
+        pairs.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.sum("logp") / F.count("*"), round_digits).alias("avg_logp"),
+        )
+    )

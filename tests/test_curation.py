@@ -890,3 +890,82 @@ def test_build_training_dataset_end_to_end(spark):
         for i, t in rows if i in (1, 3)
     )
     assert bpe_decode_ids(stream, rep["merges"]) == want
+
+
+# ------------------------------------------------- KN bigram LM (r4)
+
+
+def test_kn_bigram_matches_hand_computation(spark):
+    """Tiny corpus KN replay in pure Python (textbook formula, dense) —
+    Spark must match scores to rounding and agree on the continuation-
+    probability asymmetry KN exists for."""
+    import math
+
+    import pytest
+
+    from search_engine_spark.operators.curation import kn_bigram_scores
+
+    rows = [
+        (1, "new york new york new jersey"),
+        (2, "york city is big city"),
+        (3, "xx"),  # one token → no pairs → absent from output
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # dense reference
+    def toks(t):
+        return [w for w in t.split() if len(w) >= 2]
+
+    pairs = {}
+    doc_pairs = {}
+    for did, text in rows:
+        ts = toks(text)
+        ps = list(zip(ts, ts[1:]))
+        doc_pairs[did] = ps
+        for p in ps:
+            pairs[p] = pairs.get(p, 0) + 1
+    c1 = {}
+    n1f = {}
+    n1b = {}
+    for (w1, w2), c in pairs.items():
+        c1[w1] = c1.get(w1, 0) + c
+        n1f[w1] = n1f.get(w1, 0) + 1
+        n1b[w2] = n1b.get(w2, 0) + 1
+    bt = len(pairs)
+    D = 0.75
+
+    def logp(w1, w2):
+        return math.log(
+            (max(pairs[(w1, w2)] - D, 0.0) + D * n1f[w1] * (n1b[w2] * 1.0 / bt))
+            / c1[w1]
+        )
+
+    want = {
+        did: (
+            len(ps),
+            round(sum(logp(*p) for p in ps) / len(ps), 6),
+        )
+        for did, ps in doc_pairs.items()
+        if ps
+    }
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["avg_logp"])
+        for r in kn_bigram_scores(df).collect()
+    }
+    assert set(got) == {1, 2}
+    for did in want:
+        assert got[did][0] == want[did][0]
+        assert got[did][1] == pytest.approx(want[did][1], abs=2e-6)
+    # KN's point: "york" appears 3x but follows ONLY "new" — its
+    # continuation probability is scaled by distinct predecessors (1),
+    # not raw frequency; "city" (2 occurrences, 2 predecessors) gets
+    # double york's continuation mass
+    assert n1b["york"] == 1 and n1b["city"] == 2
+
+
+def test_kn_bigram_plan_pure_catalyst(spark):
+    from search_engine_spark.operators.curation import kn_bigram_scores
+
+    df = spark.createDataFrame([(1, "aa bb cc")], "doc_id long, text string")
+    plan = kn_bigram_scores(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
