@@ -2382,6 +2382,41 @@ def _q_ann_recall(spark, sf):
     )
 
 
+_VINDEX_CACHE: dict[str, object] = {}
+
+
+def _q_vector_index(spark, sf):
+    """Persisted IVF-SQ8 vector index (plans/vector_index.py): build-once
+    catalog tables (centroids + cell-partitioned codes/floats), then the
+    two-phase serve on a PARTITION-PRUNED scan — the 100 TB ANN lifecycle
+    (train once, prune at read). Rows-only (trained float centroids); the
+    full-dial ≡ brute-force and resume/pruning contracts are unit-tested."""
+    import tempfile
+
+    from search_engine_spark.plans.vector_index import (
+        VectorIndex,
+        build_vector_index,
+    )
+    from search_engine_spark.sources.catalog import Catalog
+
+    key = os.path.abspath(sf)
+    if key not in _VINDEX_CACHE:
+        root = os.path.join(
+            tempfile.gettempdir(), "se_spark_vidx_v1", key.strip("/").replace("/", "_")
+        )
+        cat = Catalog(root)
+        build_vector_index(
+            spark, _t(spark, sf, "embeddings"), cat, n_centroids=8, n_iters=2
+        )
+        _VINDEX_CACHE[key] = VectorIndex(spark, cat)
+    idx = _VINDEX_CACHE[key]
+    emb = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return idx.topk(qv, k=10, n_probes=3, rerank=3).select(
+        "vec_id", F.round("score", 4).alias("score")
+    )
+
+
 def _q_kn_bigram(spark, sf):
     """Interpolated Kneser-Ney bigram LM quality score (operators/
     curation.py kn_bigram_scores) — the stronger perplexity proxy over
@@ -2624,6 +2659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no oracle_sql entry):
         "compression_ratio": _q_compression,
         "ann_recall_eval": _q_ann_recall,
+        "vector_index_topk": _q_vector_index,
         "engine_phrase_topk": _q_engine_phrase,
         "engine_near_topk": _q_engine_near,
         "engine_prefix_topk": _q_engine_prefix,

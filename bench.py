@@ -343,6 +343,9 @@ def main() -> None:
         "text_sim_topk",
         "domain_capped",
         "kn_bigram_quality",
+        # rep 1 includes the one-time vector-index build (cached per
+        # sf_dir); rep 2 is the warm partition-pruned serve
+        "vector_index_topk",
         "doclen_quantiles",
         "events_user_counts",
         "hybrid_rrf_topk",

@@ -1,0 +1,187 @@
+"""Persisted vector index: ANN as first-class catalog tables.
+
+The ad-hoc ANN operators (`operators/similarity.py`) quantize/assign per
+call — right for exploration, wrong at 100 TB, where the quantizer is
+trained once per embedding version and every query reuses the artifact.
+This plan gives embeddings the same lifecycle the inverted index has
+(`plans/build_job.py`): staged build, manifest checkpoints, resume,
+metrics, then a serving class that reads only what a query needs.
+
+Tables (FAISS IVF-SQ8 decomposed into a lake layout):
+
+* ``vector_centroids`` (cell, centroid array<double>) — the coarse
+  quantizer, k rows, trained by the distributed Lloyd pass;
+* ``vectors`` (vec_id, scale, codes, embedding) PARTITIONED BY cell —
+  int8 codes for the bandwidth-bound phase 1 AND the float vectors for
+  the exact rerank, clustered so a probe reads only its cells. The
+  partition column IS the index: `hive`-style `cell=k/` directories mean
+  a top-k probe scans n_probes/k of the corpus via PARTITION PRUNING in
+  the parquet source (asserted in tests), no row filter needed.
+
+Serving (`VectorIndex.topk`) = the standard two-phase ANN serve on the
+pruned scan: integer-exact quantized dot → top rerank·k candidates →
+exact float rerank. With ``n_probes = n_centroids`` and a rerank depth
+covering the probed rows it degrades to exact brute force over the whole
+corpus (tested bit-identical vs `brute_force_topk` — the accuracy dial
+reaches exact, same contract as the ad-hoc paths).
+
+Resume: each stage appends a manifest DONE row after its write commits;
+re-running `build_vector_index` with both DONE rows present touches
+nothing (tested byte-identical). Centroid training is the expensive
+stage at scale — a resumed code-assignment crash never retrains.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.similarity import (
+    brute_force_topk,
+    ivf_cell_expr,
+    ivf_probe_cells,
+    kmeans_train_distributed,
+    quantize_query,
+    sq8_quantize,
+)
+from ..sources.catalog import Catalog
+from .manifest import Manifest
+
+
+def build_vector_index(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    catalog: Catalog,
+    n_centroids: int = 8,
+    n_iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    build_id: str | None = None,
+) -> None:
+    """Train + materialize the IVF-SQ8 index tables (idempotent/resumable)."""
+    man = Manifest(
+        path=catalog.path("vector_manifest.jsonl"),
+        build_id=build_id or uuid.uuid4().hex[:12],
+    )
+
+    # -- stage: centroids (the train-once artifact) -----------------------
+    if not (man.stage_done("vector_train") and catalog.exists("vector_centroids")):
+        man.start("vector_train")
+        centroids = kmeans_train_distributed(
+            embeddings,
+            n_centroids,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_iters=n_iters,
+            seed=seed,
+        )
+        cdf = spark.createDataFrame(
+            [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cell int, centroid array<double>",
+        )
+        catalog.write(cdf.coalesce(1), "vector_centroids")
+        man.done("vector_train", extra_cells=float(len(centroids)))
+    centroids = _load_centroids(spark, catalog)
+
+    # -- stage: codes (cell-partitioned codes + floats) -------------------
+    if not (man.stage_done("vector_codes") and catalog.exists("vectors")):
+        man.start("vector_codes")
+        codes = sq8_quantize(embeddings, id_col=id_col, vec_col=vec_col)
+        rows = (
+            embeddings.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("embedding"),
+                ivf_cell_expr(vec_col, centroids).alias("cell"),
+            )
+            .join(codes, "vec_id")
+            # cluster by cell before the partitioned write: one file per
+            # cell instead of (#tasks × #cells) shards, and the write
+            # parallelism is the cell count (Iceberg:
+            # write.distribution-mode=hash on the partition spec)
+            .repartition("cell")
+        )
+        catalog.write(rows, "vectors", partition_by=["cell"])
+        per_cell = (
+            catalog.read(spark, "vectors")
+            .groupBy("cell")
+            .count()
+            .agg(
+                F.sum("count").alias("n"),
+                F.max("count").alias("mx"),
+                F.expr("percentile_approx(count, 0.5)").alias("md"),
+            )
+            .first()
+        )
+        man.done(
+            "vector_codes",
+            docs=int(per_cell["n"]),
+            skew_factor=float(per_cell["mx"]) / max(1.0, float(per_cell["md"])),
+        )
+
+
+def _load_centroids(spark: SparkSession, catalog: Catalog) -> np.ndarray:
+    rows = catalog.read(spark, "vector_centroids").orderBy("cell").collect()
+    return np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+
+
+class VectorIndex:
+    """Serving handle over the persisted tables. Centroids (k rows) load
+    once; every query plans a cell-pruned scan."""
+
+    def __init__(self, spark: SparkSession, catalog: Catalog):
+        self.spark = spark
+        self.catalog = catalog
+        self.centroids = _load_centroids(spark, catalog)
+
+    def probe_scan(self, query_vec: list[float], n_probes: int) -> DataFrame:
+        """The pruned phase-1 input: only the probed cells' partitions are
+        read (PartitionFilters in the parquet scan — tested)."""
+        cells = ivf_probe_cells(
+            [float(x) for x in query_vec], self.centroids, n_probes
+        )
+        return self.catalog.read(self.spark, "vectors").filter(
+            F.col("cell").isin([int(c) for c in cells])
+        )
+
+    def topk(
+        self,
+        query_vec: list[float],
+        k: int = 10,
+        n_probes: int = 2,
+        rerank: int = 3,
+        metric: str = "cosine",
+    ) -> DataFrame:
+        """Two-phase serve on the pruned scan → (vec_id, score), exact
+        floats, ties by vec_id. ``rerank <= 0`` skips phase 1 (exact
+        scan of the probed cells — the recall ceiling for a probe set)."""
+        scan = self.probe_scan(query_vec, n_probes)
+        if rerank and rerank > 0:
+            q_scale, q_codes = quantize_query([float(x) for x in query_vec])
+            q_lit = F.array(*[F.lit(int(c)) for c in q_codes])
+            int_dot = F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    q_lit,
+                    lambda a, b: a.cast("long") * b.cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            cand = (
+                scan.select(
+                    "vec_id",
+                    "embedding",
+                    (
+                        F.col("scale") * F.lit(float(q_scale)) * int_dot.cast("double")
+                    ).alias("approx_score"),
+                )
+                .orderBy(F.desc("approx_score"), F.asc("vec_id"))
+                .limit(max(1, int(rerank) * k))
+            )
+            scan = cand
+        return brute_force_topk(
+            scan, [float(x) for x in query_vec], k=k, metric=metric
+        )

@@ -1,0 +1,90 @@
+"""Persisted vector-index lifecycle tests (plans/vector_index.py):
+full-dial exactness vs brute force, partition pruning in the probe scan,
+and manifest-driven resume that touches nothing on a second build.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.plans.vector_index import VectorIndex, build_vector_index
+from search_engine_spark.sources.catalog import Catalog
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(300)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+@pytest.fixture(scope="module")
+def built(spark, emb, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("vidx"))
+    cat = Catalog(root)
+    build_vector_index(spark, emb, cat, n_centroids=4, n_iters=2)
+    return cat
+
+
+def _tree_state(path):
+    out = {}
+    for dirpath, _d, files in os.walk(path):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out[p] = (st.st_mtime_ns, st.st_size)
+    return out
+
+
+def test_full_dial_is_exact(spark, emb, built):
+    from search_engine_spark.operators.similarity import brute_force_topk
+
+    idx = VectorIndex(spark, built)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 5).first()["embedding"]]
+    got = idx.topk(q, k=10, n_probes=4, rerank=30).collect()
+    want = brute_force_topk(emb, q, k=10).collect()
+    assert [(r["vec_id"], r["score"]) for r in got] == [
+        (r["vec_id"], r["score"]) for r in want
+    ]
+
+
+def test_probe_scan_partition_pruned(spark, emb, built):
+    idx = VectorIndex(spark, built)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    plan = (
+        idx.probe_scan(q, n_probes=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters:")[1][:300]
+    assert "cell" in pf  # the cell IN-list reached the parquet source
+    # and the pruned scan returns a strict subset of the corpus
+    n_probed = idx.probe_scan(q, n_probes=1).count()
+    assert 0 < n_probed < 300
+
+
+def test_rebuild_resumes_and_touches_nothing(spark, emb, built):
+    before = _tree_state(built.root)
+    build_vector_index(spark, emb, built, n_centroids=4, n_iters=2)
+    after = _tree_state(built.root)
+    # manifest may gain rows on a resume probe, but every table file is
+    # byte-identical and untouched
+    tables_before = {p: v for p, v in before.items() if "manifest" not in p}
+    tables_after = {p: v for p, v in after.items() if "manifest" not in p}
+    assert tables_before == tables_after
+
+
+def test_partial_probe_is_subset_ranking(spark, emb, built):
+    idx = VectorIndex(spark, built)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    got = idx.topk(q, k=5, n_probes=1, rerank=0).collect()
+    assert len(got) == 5
+    assert got[0]["vec_id"] == 7  # self-hit: own cell always probed first
+    scores = [r["score"] for r in got]
+    assert scores == sorted(scores, reverse=True)
