@@ -27,6 +27,7 @@ from ..schemas import CORPUS, DOC_STATS, TERMS
 from ..sources.catalog import Catalog
 from .manifest import Manifest
 from .metrics import StageShuffleMeter
+from .partitioning import pinned_bucket_repartition
 
 
 class BuildCancelled(Exception):
@@ -123,10 +124,13 @@ def build_index(
         man.start("doc_stats")
         meter.delta()
         catalog.write(
-            B.doc_stats(tf)
-            .withColumn("bucket", F.pmod(F.xxhash64("repo"), F.lit(n_buckets)))
-            .repartition("bucket")
-            .sortWithinPartitions("bucket", "doc_id"),
+            pinned_bucket_repartition(
+                B.doc_stats(tf).withColumn(
+                    "bucket", F.pmod(F.xxhash64("repo"), F.lit(n_buckets))
+                ),
+                "bucket",
+                n_buckets,
+            ).sortWithinPartitions("bucket", "doc_id"),
             "doc_stats",
             partition_by=["bucket"],
         )
@@ -152,13 +156,23 @@ def build_index(
         man.start("docs")
         meter.delta()
         docs = (
-            B.build_docs(corpus)
-            # bucket(repo) partitioning stand-in (Iceberg: bucket(N, repo))
-            .withColumn("repo_bucket", F.pmod(F.xxhash64("repo"), F.lit(n_buckets)))
-            # cluster rows by bucket before the partitioned write — one file
-            # per bucket instead of (#tasks × #buckets) shards (Iceberg:
-            # write.distribution-mode=hash does exactly this)
-            .repartition("repo_bucket")
+            pinned_bucket_repartition(
+                B.build_docs(corpus)
+                # bucket(repo) partitioning stand-in (Iceberg: bucket(N, repo))
+                .withColumn(
+                    "repo_bucket", F.pmod(F.xxhash64("repo"), F.lit(n_buckets))
+                ),
+                # cluster rows by bucket before the partitioned write — one
+                # file per bucket instead of (#tasks × #buckets) shards
+                # (Iceberg: write.distribution-mode=hash), but with the
+                # buckets PINNED round-robin onto the reduce slots: plain
+                # repartition(bucket) lands on murmur3(b)%P, whose measured
+                # collisions put 4/16 buckets on one slot (2x skew — the
+                # docs stage showed NO 2→8-core speedup in the round-4
+                # scaling records; plans/partitioning.py has the numbers)
+                "repo_bucket",
+                n_buckets,
+            )
             # sort by doc_id inside each bucket file: parquet row-group
             # min/max stats then prune point lookups (search decoration
             # fetches k docs by doc_id — must NOT scan the content-bearing

@@ -48,6 +48,7 @@ from ..operators.similarity import (
 )
 from ..sources.catalog import Catalog
 from .manifest import Manifest
+from .partitioning import pinned_bucket_repartition
 
 
 def build_vector_index(
@@ -97,12 +98,12 @@ def build_vector_index(
                 ivf_cell_expr(vec_col, centroids).alias("cell"),
             )
             .join(codes, "vec_id")
-            # cluster by cell before the partitioned write: one file per
-            # cell instead of (#tasks × #cells) shards, and the write
-            # parallelism is the cell count (Iceberg:
-            # write.distribution-mode=hash on the partition spec)
-            .repartition("cell")
         )
+        # cluster by cell before the partitioned write: one file per cell
+        # instead of (#tasks × #cells) shards, with cells PINNED
+        # round-robin onto the reduce slots (plans/partitioning.py — plain
+        # repartition(cell) hits murmur-collision skew and AQE collapse)
+        rows = pinned_bucket_repartition(rows, "cell", n_centroids)
         catalog.write(rows, "vectors", partition_by=["cell"])
         per_cell = (
             catalog.read(spark, "vectors")

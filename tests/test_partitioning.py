@@ -1,0 +1,103 @@
+"""Pinned bucket placement (plans/partitioning.py): perfect round-robin
+balance where plain repartition(bucket) measurably skews, exact explicit
+partition count (AQE-proof), determinism, and one-file-per-bucket layout
+preserved through the docs build.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.plans.partitioning import (
+    _pin_tokens,
+    pinned_bucket_repartition,
+)
+
+
+def test_pin_tokens_cover_all_residues(spark):
+    for p in (2, 3, 8, 16):
+        toks = _pin_tokens(spark, p)
+        assert sorted(toks) == list(range(p))
+        got = {
+            int(r["r"]): int(r["id"])
+            for r in spark.sql(
+                "SELECT id, pmod(hash(id), %d) AS r FROM range(0, %d)"
+                % (p, max(toks.values()) + 1)
+            ).collect()
+            if int(r["id"]) in set(toks.values())
+        }
+        for r, t in toks.items():
+            assert got[r] == t  # token really hashes to its residue
+
+
+def test_balanced_where_plain_repartition_skews(spark):
+    df = spark.range(0, 160_000).select((F.col("id") % 16).alias("bucket"))
+    per = (
+        pinned_bucket_repartition(df, "bucket", 16, n_slots=8)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    counts = {r["pid"]: r["count"] for r in per}
+    # every slot busy, perfectly even (16 buckets x 10k rows, 2 per slot)
+    assert sorted(counts) == list(range(8))
+    assert set(counts.values()) == {20_000}
+
+
+def test_deterministic_partition_contents(spark):
+    df = spark.range(0, 5_000).select((F.col("id") % 16).alias("bucket"), "id")
+    a = (
+        pinned_bucket_repartition(df, "bucket", 16, n_slots=4)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.sum("id").alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    b = (
+        pinned_bucket_repartition(df, "bucket", 16, n_slots=4)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.sum("id").alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # bucket b pinned to slot b mod 4
+    pin = (
+        pinned_bucket_repartition(df, "bucket", 16, n_slots=4)
+        .withColumn("pid", F.spark_partition_id())
+        .select("bucket", "pid")
+        .distinct()
+        .collect()
+    )
+    for r in pin:
+        assert r["pid"] == r["bucket"] % 4
+
+
+def test_docs_table_still_one_file_per_bucket(spark, tmp_path):
+    from search_engine_spark.plans.build_job import build_index, read_corpus
+    from search_engine_spark.sources.catalog import Catalog
+    from search_engine_spark.synth import make_corpus
+
+    import os
+
+    corpus_path = str(tmp_path / "corpus")
+    make_corpus(spark, 300, seed=3).write.parquet(corpus_path)
+    cat = Catalog(str(tmp_path / "idx"))
+    build_index(
+        spark,
+        read_corpus(spark, corpus_path),
+        cat,
+        n_shards=2,
+        skew_df_threshold=50,
+        salt_target_rows=40,
+    )
+    docs_root = cat.path("docs")
+    for d in os.listdir(docs_root):
+        if d.startswith("repo_bucket="):
+            files = [
+                f
+                for f in os.listdir(os.path.join(docs_root, d))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, (d, files)
