@@ -1,0 +1,76 @@
+"""Corpus ingest from interchange formats: JSONL and CSV alongside the
+parquet default (`plans/build_job.read_corpus`).
+
+Real corpora arrive as JSONL dumps (API exports, crawl pipelines) or CSV
+(tabular extracts) long before anyone converts them to parquet. Both
+readers enforce the fixed CORPUS schema — NO inference: at 100 TB a
+schema-inference pass is a full extra scan, and silently inferred types
+(a commit column of digits becoming BIGINT) corrupt downstream hashing.
+Malformed rows are handled by Spark's PERMISSIVE/FAILFAST modes; default
+is ``strict=True`` (FAILFAST — a corrupt corpus should stop a build, not
+silently shrink it), ``strict=False`` routes bad rows to a rescue column
+and drops them with a count the caller can log.
+
+Both return frames with exactly the CORPUS columns, so every downstream
+stage (`build_index`, curation, dedup) is source-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..schemas import CORPUS
+
+
+def _drop_malformed(df: DataFrame) -> DataFrame:
+    """PERMISSIVE-mode cleanup: a malformed record parses to all-null
+    columns (Spark forbids querying the raw corrupt-record column off the
+    file source directly), and a record missing required fields violates
+    the corpus contract the same way — both are dropped by requiring
+    every CORPUS field non-null."""
+    cond = None
+    for f in CORPUS.fields:
+        c = F.col(f.name).isNotNull()
+        cond = c if cond is None else (cond & c)
+    return df.filter(cond)
+
+
+def read_corpus_jsonl(
+    spark: SparkSession, path: str, strict: bool = True
+) -> DataFrame:
+    """JSON-lines corpus → CORPUS frame. Line-delimited JSON splits by
+    newline, so a 100 TB dump parallelizes like text (multiline=false is
+    the only scalable mode and the default)."""
+    mode = "FAILFAST" if strict else "PERMISSIVE"
+    df = spark.read.schema(CORPUS).option("mode", mode).json(path)
+    df = df.select(*[f.name for f in CORPUS.fields])
+    return df if strict else _drop_malformed(df)
+
+
+def read_corpus_csv(
+    spark: SparkSession,
+    path: str,
+    strict: bool = True,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV corpus → CORPUS frame. Quoted/escaped multi-line content cells
+    are honored (multiLine) — code content contains newlines, so plain
+    line-splitting CSV would shred it; the cost (file-at-a-time parse for
+    multi-line records) is the format's, not the reader's — ship parquet
+    or JSONL for the performance path."""
+    reader = (
+        spark.read.schema(CORPUS)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .option("multiLine", "true")
+        .option("escape", '"')
+        # Spark CSV trims cell whitespace by default — that silently
+        # mutates content bytes (a trailing newline vanishes) and breaks
+        # the content_sha256 per-row invariant; disable both directions
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .option("mode", "FAILFAST" if strict else "PERMISSIVE")
+    )
+    df = reader.csv(path).select(*[f.name for f in CORPUS.fields])
+    return df if strict else _drop_malformed(df)

@@ -1,0 +1,109 @@
+"""JSONL/CSV corpus ingest (sources/formats.py): schema-exact reads,
+format-independent builds (same corpus via parquet / jsonl / csv produces
+the same docs rows), and strict-vs-permissive corrupt-row handling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.sources.formats import read_corpus_csv, read_corpus_jsonl
+
+ROWS = [
+    {"repo": "r1", "path": "a.py", "commit": "c1", "lang": "py",
+     "content": "def foo():\n    return 1\n"},
+    {"repo": "r1", "path": "b.py", "commit": "c1", "lang": "py",
+     "content": 'x = "quoted, with comma"\n'},
+    {"repo": "r2", "path": "c.rs", "commit": "c2", "lang": "rs",
+     "content": "fn main() {}\n"},
+]
+
+
+@pytest.fixture(scope="module")
+def paths(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("formats")
+    jsonl = str(root / "corpus.jsonl")
+    with open(jsonl, "w") as f:
+        for r in ROWS:
+            f.write(json.dumps(r) + "\n")
+    # CSV fixture written with the stdlib writer: Spark's own CSV writer
+    # TRIMS trailing whitespace inside cells (lossy — the reason parquet
+    # is the interchange default), and arriving CSVs are foreign anyway
+    import csv
+
+    csvp = str(root / "corpus.csv")
+    with open(csvp, "w", newline="") as f:
+        w = csv.writer(f, quoting=csv.QUOTE_ALL, doublequote=True)
+        w.writerow(["repo", "path", "commit", "lang", "content"])
+        for r in ROWS:
+            w.writerow([r[k] for k in
+                        ("repo", "path", "commit", "lang", "content")])
+    df = spark.createDataFrame([tuple(r[k] for k in
+        ("repo", "path", "commit", "lang", "content")) for r in ROWS],
+        "repo string, path string, commit string, lang string, content string")
+    pq = str(root / "corpus.parquet")
+    df.write.mode("overwrite").parquet(pq)
+    return {"jsonl": jsonl, "csv": csvp, "parquet": pq}
+
+
+def _rows(df):
+    return sorted(
+        (r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+        for r in df.collect()
+    )
+
+
+def test_jsonl_and_csv_match_parquet(spark, paths):
+    from search_engine_spark.plans.build_job import read_corpus
+    from search_engine_spark.schemas import CORPUS
+
+    want = _rows(read_corpus(spark, paths["parquet"]))
+    got_j = read_corpus_jsonl(spark, paths["jsonl"])
+    got_c = read_corpus_csv(spark, paths["csv"])
+    # json sources are always nullable in Spark — compare names + types
+    assert [(f.name, f.dataType) for f in got_j.schema.fields] == [
+        (f.name, f.dataType) for f in CORPUS.fields
+    ]
+    assert _rows(got_j) == want
+    assert _rows(got_c) == want  # incl. newline + comma content cells
+
+
+def test_jsonl_permissive_drops_corrupt_rows(spark, paths, tmp_path):
+    bad = str(tmp_path / "bad.jsonl")
+    with open(paths["jsonl"]) as f:
+        good = f.read()
+    with open(bad, "w") as f:
+        f.write(good)
+        f.write("{this is not json\n")
+    lax = read_corpus_jsonl(spark, bad, strict=False)
+    assert lax.count() == len(ROWS)
+    with pytest.raises(Exception):
+        read_corpus_jsonl(spark, bad, strict=True).collect()
+
+
+def test_build_from_jsonl_equals_build_from_parquet(spark, paths, tmp_path):
+    from search_engine_spark.plans.build_job import build_index, read_corpus
+    from search_engine_spark.sources.catalog import Catalog
+
+    cats = {}
+    for name, df in (
+        ("pq", read_corpus(spark, paths["parquet"])),
+        ("jl", read_corpus_jsonl(spark, paths["jsonl"])),
+    ):
+        cat = Catalog(str(tmp_path / name))
+        build_index(spark, df, cat, n_shards=1, skew_df_threshold=50,
+                    salt_target_rows=40)
+        cats[name] = cat
+    a = sorted(
+        (r["doc_id"], r["content_sha256"])
+        for r in cats["pq"].read(spark, "docs").collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["content_sha256"])
+        for r in cats["jl"].read(spark, "docs").collect()
+    )
+    assert a == b and len(a) == len(ROWS)
