@@ -894,11 +894,16 @@ def build_training_dataset(
     dedup_method: str = "minhash",
     shuffle_salt: int | None = 7,
     dedup_kw: dict | None = None,
+    domain_col: str | None = None,
+    domain_cap_n: int | None = None,
     **curate_kw,
 ):
     """The capstone composition — the whole pretraining data build as one
     call: exact-dedup + gates (`curate_corpus`) → near-duplicate cut
-    (`near_dedup_corpus`) → BPE trained on the SURVIVORS (`train_bpe` —
+    (`near_dedup_corpus`) → optional per-domain quota (`domain_cap`, when
+    ``domain_col``/``domain_cap_n`` are set — the C4-style balance pass,
+    applied AFTER dedup so a domain's quota is spent on distinct docs)
+    → BPE trained on the SURVIVORS (`train_bpe` —
     vocabulary statistics come from the cleaned corpus, the order every
     real pipeline uses) → documents encoded to id sequences
     (`bpe_encode_ids`) → deterministically shuffled fixed-length
@@ -927,6 +932,16 @@ def build_training_dataset(
         **(dedup_kw or {}),
     )
     after_near_dedup = deduped.count()
+    after_domain_cap = None
+    if domain_col is not None and domain_cap_n is not None:
+        deduped = domain_cap(
+            deduped.withColumn("_len", F.length(F.col(text_col))),
+            domain_col=domain_col,
+            cap=domain_cap_n,
+            order_col="_len",
+            id_col=id_col,
+        ).drop("_len", "rk")
+        after_domain_cap = deduped.count()
     deduped = deduped.persist()
     merges = train_bpe(deduped, text_col=text_col, n_merges=n_merges,
                        min_freq=min_merge_freq)
@@ -940,6 +955,9 @@ def build_training_dataset(
         "docs_in": int(docs_in),
         "after_curation": int(after_curation),
         "after_near_dedup": int(after_near_dedup),
+        "after_domain_cap": (
+            None if after_domain_cap is None else int(after_domain_cap)
+        ),
         "n_merges": len(merges),
         "merges": merges,
         "total_tokens": int(total_tokens),

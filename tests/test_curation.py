@@ -969,3 +969,28 @@ def test_kn_bigram_plan_pure_catalyst(spark):
     df = spark.createDataFrame([(1, "aa bb cc")], "doc_id long, text string")
     plan = kn_bigram_scores(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_build_training_dataset_domain_cap(spark):
+    """Optional per-domain quota inside the capstone: after dedup, each
+    source keeps at most domain_cap_n docs (longest-first) and the audit
+    reports the cut."""
+    from search_engine_spark.operators.curation import build_training_dataset
+
+    def doc(i, dom, n):
+        return (
+            i,
+            dom,
+            " ".join(f"the word{j % 11} of item{i} and tok{j}" for j in range(n)),
+        )
+
+    rows = [doc(i, "a", 30 + i) for i in range(6)] + [doc(100, "b", 25)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    _seqs, rep = build_training_dataset(
+        df, seq_len=32, n_merges=5, min_merge_freq=1,
+        min_quality=0.0, min_tokens=10, shuffle_salt=None,
+        domain_col="source", domain_cap_n=2,
+    )
+    assert rep["docs_in"] == 7
+    assert rep["after_near_dedup"] == 7      # all distinct
+    assert rep["after_domain_cap"] == 3      # a capped 6->2, b keeps 1
