@@ -186,3 +186,88 @@ class VectorIndex:
         return brute_force_topk(
             scan, [float(x) for x in query_vec], k=k, metric=metric
         )
+
+
+def upsert_vectors(
+    spark: SparkSession,
+    delta: DataFrame,
+    catalog: Catalog,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    build_id: str | None = None,
+) -> dict:
+    """Cell-scoped incremental maintenance — the vector twin of the text
+    index's bucket-scoped MERGE (`plans/incremental.py`): new/updated
+    vectors are assigned cells and codes under the FROZEN quantizer (the
+    centroid table is the index artifact; retraining would silently
+    invalidate every stored code — versioned reindex is `build_vector_index`
+    into a fresh catalog), and ONLY the touched cell partitions are
+    rewritten via the crash-safe staged swap (`Catalog.rewrite`).
+
+    Updated vectors may MOVE cells (their embedding changed): the old
+    row is removed from whatever cell holds it, found by an id probe
+    against the cell-partitioned table, so the touched set is
+    old-cells ∪ new-cells.
+
+    The delta is a maintenance batch (the `index_docs` batch-size class),
+    so its id set broadcasts. The per-cell loop is bounded by the
+    centroid count — cells are the unit of commit exactly like postings
+    shards. Re-running a crashed upsert is idempotent: every cell
+    rewrite is anti-join + union of the same inputs.
+
+    → {"n_upserted": ..., "cells_touched": [...]} (+ manifest DONE row).
+    """
+    import uuid as _uuid
+
+    from ..operators.similarity import ivf_cell_expr, sq8_quantize
+
+    man = Manifest(
+        path=catalog.path("vector_manifest.jsonl"),
+        build_id=build_id or _uuid.uuid4().hex[:12],
+    )
+    man.start("vector_upsert")
+    centroids = _load_centroids(spark, catalog)
+    codes = sq8_quantize(delta, id_col=id_col, vec_col=vec_col)
+    rows = (
+        delta.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            ivf_cell_expr(vec_col, centroids).alias("cell"),
+        )
+        .join(codes, "vec_id")
+        .persist()
+    )
+    ids = rows.select("vec_id")
+    new_cells = {int(r["cell"]) for r in rows.select("cell").distinct().collect()}
+    # cells currently holding any updated id (partition-pruned probe is
+    # not possible here — the id decides, not the cell — but the probe
+    # projects only (vec_id, cell): a metadata-thin scan)
+    old_cells = {
+        int(r["cell"])
+        for r in (
+            catalog.read(spark, "vectors")
+            .join(F.broadcast(ids), "vec_id", "left_semi")
+            .select("cell")
+            .distinct()
+            .collect()
+        )
+    }
+    touched = sorted(new_cells | old_cells)
+    cols = ["vec_id", "scale", "codes", "embedding"]
+    for c in touched:
+        part = f"vectors/cell={c}"
+        newc = rows.filter(F.col("cell") == c).select(*cols)
+        if catalog.exists(part):
+            kept = (
+                catalog.read(spark, part)
+                .join(F.broadcast(ids), "vec_id", "left_anti")
+                .select(*cols)
+            )
+            merged = kept.unionByName(newc)
+        else:
+            merged = newc
+        catalog.rewrite(merged.coalesce(1), part, sort_by=["vec_id"])
+    n = rows.count()
+    rows.unpersist()
+    man.done("vector_upsert", docs=n, extra_cells_touched=float(len(touched)))
+    return {"n_upserted": int(n), "cells_touched": touched}

@@ -88,3 +88,82 @@ def test_partial_probe_is_subset_ranking(spark, emb, built):
     assert got[0]["vec_id"] == 7  # self-hit: own cell always probed first
     scores = [r["score"] for r in got]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_upsert_matches_frozen_quantizer_recompute(spark, emb, tmp_path):
+    """upsert ≡ recompute-under-the-frozen-quantizer: after inserting new
+    vectors and updating existing ones (including a forced cell MOVE),
+    the vectors table equals cell/codes computed directly from the merged
+    embedding set with the original centroids, and serving reflects it."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.similarity import (
+        ivf_cell_expr,
+        sq8_quantize,
+    )
+    from search_engine_spark.plans.vector_index import upsert_vectors
+
+    cat = Catalog(str(tmp_path / "vidx_up"))
+    build_vector_index(spark, emb, cat, n_centroids=4, n_iters=2)
+    idx = VectorIndex(spark, cat)
+
+    # updates: vec 0 moved ONTO another cell's centroid (forces a cell
+    # move), vec 1 rescaled in place; inserts: ids 1000-1004
+    rng = np.random.default_rng(99)
+    far_cell_centroid = [float(x) for x in idx.centroids[2]]
+    delta_rows = [
+        (0, far_cell_centroid),
+        (1, [float(2.5 * x) for x in
+             emb.filter(F.col("vec_id") == 1).first()["embedding"]]),
+    ] + [
+        (1000 + i, [float(x) for x in rng.standard_normal(8)])
+        for i in range(5)
+    ]
+    delta = spark.createDataFrame(
+        delta_rows, "vec_id long, embedding array<float>"
+    )
+    out = upsert_vectors(spark, delta, cat)
+    assert out["n_upserted"] == 7
+
+    merged = emb.filter(~F.col("vec_id").isin([0, 1])).unionByName(delta)
+    expected = (
+        merged.select(
+            "vec_id",
+            ivf_cell_expr("embedding", idx.centroids).alias("cell"),
+        )
+        .join(sq8_quantize(merged), "vec_id")
+    )
+    want = sorted(
+        (r["vec_id"], r["cell"], r["scale"], list(r["codes"]))
+        for r in expected.collect()
+    )
+    got = sorted(
+        (r["vec_id"], r["cell"], r["scale"], list(r["codes"]))
+        for r in cat.read(spark, "vectors").collect()
+    )
+    assert got == want
+    # the moved vector serves from its NEW cell: an exact scan of cell
+    # 2's partition (rerank=0 — phase 1's quantized DOT ranking favors
+    # large-norm vectors and a centroid-like vector has a small norm)
+    # must now find vec 0 at cosine ~1
+    top = VectorIndex(spark, cat).topk(
+        far_cell_centroid, k=1, n_probes=1, rerank=0
+    )
+    assert top.first()["vec_id"] == 0
+
+
+def test_upsert_is_idempotent(spark, emb, tmp_path):
+    from search_engine_spark.plans.vector_index import upsert_vectors
+
+    cat = Catalog(str(tmp_path / "vidx_idem"))
+    build_vector_index(spark, emb, cat, n_centroids=4, n_iters=1)
+    delta = spark.createDataFrame(
+        [(2000, [1.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    upsert_vectors(spark, delta, cat)
+    once = sorted(map(tuple, cat.read(spark, "vectors")
+                      .select("vec_id", "cell").collect()))
+    upsert_vectors(spark, delta, cat)  # replay of the same batch
+    twice = sorted(map(tuple, cat.read(spark, "vectors")
+                       .select("vec_id", "cell").collect()))
+    assert once == twice
