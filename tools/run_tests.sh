@@ -18,11 +18,12 @@ cd "$(dirname "$0")/.."
 G1="tests/test_incremental_resume.py::test_upsert_touches_only_affected_shards \
     tests/test_incremental_resume.py::test_crash_after_docs_commit_retry_converges \
     tests/test_compaction.py tests/test_phrase.py tests/test_dedup_similarity.py"
-G2="tests/test_incremental_resume.py tests/test_streaming.py tests/test_http_api.py"
+G2="tests/test_incremental_resume.py tests/test_streaming.py tests/test_http_api.py \
+    tests/test_formats.py"
 G2_DESELECT="--deselect tests/test_incremental_resume.py::test_upsert_touches_only_affected_shards \
     --deselect tests/test_incremental_resume.py::test_crash_after_docs_commit_retry_converges"
 G3="tests/test_lifecycle.py tests/test_api_incremental.py tests/test_catalog_recovery.py \
-    tests/test_trigram.py"
+    tests/test_trigram.py tests/test_vector_index.py tests/test_partitioning.py"
 # g5 carries the index-building heavyweights split out of g4 (g4 hit 13 min
 # once the round-4 operator files landed); g6 carries the serving-path
 # integration files split out next (g4 hit 12 min again as the API-surface
@@ -32,13 +33,15 @@ G3="tests/test_lifecycle.py tests/test_api_incremental.py tests/test_catalog_rec
 G5="tests/test_build_query.py tests/test_wand.py tests/test_packed_postings.py \
     tests/test_spark_submit.py tests/test_remove_docs.py tests/test_relational.py"
 G6="tests/test_serving_path.py tests/test_lmd.py tests/test_hybrid.py \
-    tests/test_export_import.py"
+    tests/test_export_import.py tests/test_classify.py tests/test_embed.py"
 G4=$(ls tests/test_*.py | grep -v -e incremental_resume -e test_streaming \
      -e api_incremental -e catalog_recovery -e lifecycle -e test_compaction \
      -e test_phrase -e test_trigram -e test_http_api -e test_build_query \
      -e test_wand -e test_packed_postings -e test_spark_submit \
      -e test_remove_docs -e test_dedup_similarity -e test_relational \
-     -e test_serving_path -e test_lmd -e test_hybrid -e test_export_import)
+     -e test_serving_path -e test_lmd -e test_hybrid -e test_export_import \
+     -e test_classify -e test_embed -e test_vector_index \
+     -e test_partitioning -e test_formats)
 
 t0=$SECONDS
 python -m pytest $G1 -q >/tmp/se_tests_g1.log 2>&1 &
