@@ -210,14 +210,30 @@ def upsert_vectors(
     old-cells ∪ new-cells.
 
     The delta is a maintenance batch (the `index_docs` batch-size class),
-    so its id set broadcasts. The per-cell loop is bounded by the
-    centroid count — cells are the unit of commit exactly like postings
-    shards. Re-running a crashed upsert is idempotent: every cell
-    rewrite is anti-join + union of the same inputs.
+    so its id set broadcasts. Duplicate ``vec_id`` rows WITHIN the batch
+    collapse to one winner before quantization (last-write-wins with a
+    deterministic tie-break, the same rule the text MERGE applies per
+    (repo, path) — `incremental.py:index_docs_from_df`); without the
+    collapse the codes self-join would multiply duplicate-id rows into
+    the stored table. The per-cell loop is bounded by the centroid count
+    — cells are the unit of commit exactly like postings shards.
+    Re-running a crashed upsert is idempotent: every cell rewrite is
+    anti-join + union of the same inputs.
+
+    Crash-consistency note (in-progress reads): cells commit one at a
+    time, REMOVALS FIRST — old cells that lose a moved vector are
+    rewritten before the vector's new cell is written, so a reader
+    between a mid-loop crash and the idempotent re-run can observe a
+    moved vector as transiently ABSENT, never as a duplicate in two
+    cells. The manifest's start-without-done state
+    (``vector_manifest.jsonl``: a ``vector_upsert`` START row with no
+    matching DONE) is the visible in-progress marker readers can check.
 
     → {"n_upserted": ..., "cells_touched": [...]} (+ manifest DONE row).
     """
     import uuid as _uuid
+
+    from pyspark.sql.window import Window as _W
 
     from ..operators.similarity import ivf_cell_expr, sq8_quantize
 
@@ -227,6 +243,17 @@ def upsert_vectors(
     )
     man.start("vector_upsert")
     centroids = _load_centroids(spark, catalog)
+    # collapse duplicate ids: deterministic winner = lexicographically
+    # greatest embedding fingerprint (stable across partitionings; the
+    # delta carries no ordering column to prefer)
+    dw = _W.partitionBy(id_col).orderBy(
+        F.desc(F.sha2(F.col(vec_col).cast("string").cast("binary"), 256))
+    )
+    delta = (
+        delta.withColumn("_rn", F.row_number().over(dw))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     codes = sq8_quantize(delta, id_col=id_col, vec_col=vec_col)
     rows = (
         delta.select(
@@ -252,7 +279,9 @@ def upsert_vectors(
             .collect()
         )
     }
-    touched = sorted(new_cells | old_cells)
+    # removals first: old-only cells, then old∩new, then new-only — a
+    # moved vector leaves its old cell before appearing in its new one
+    touched = sorted(new_cells | old_cells, key=lambda c: (c in new_cells, c))
     cols = ["vec_id", "scale", "codes", "embedding"]
     for c in touched:
         part = f"vectors/cell={c}"
@@ -270,4 +299,4 @@ def upsert_vectors(
     n = rows.count()
     rows.unpersist()
     man.done("vector_upsert", docs=n, extra_cells_touched=float(len(touched)))
-    return {"n_upserted": int(n), "cells_touched": touched}
+    return {"n_upserted": int(n), "cells_touched": sorted(touched)}

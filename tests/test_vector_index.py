@@ -167,3 +167,38 @@ def test_upsert_is_idempotent(spark, emb, tmp_path):
     twice = sorted(map(tuple, cat.read(spark, "vectors")
                        .select("vec_id", "cell").collect()))
     assert once == twice
+
+def test_upsert_collapses_duplicate_ids_in_batch(spark, emb, tmp_path):
+    """ADVICE r4: duplicate vec_ids within one delta batch must collapse
+    to ONE stored row per id (last-write-wins, deterministic winner) —
+    without the collapse the codes self-join multiplies duplicate-id
+    rows (2 rows for one id -> 4 joined rows) and inflates n_upserted."""
+    from search_engine_spark.plans.vector_index import upsert_vectors
+
+    cat = Catalog(str(tmp_path / "vidx_dup"))
+    build_vector_index(spark, emb, cat, n_centroids=4, n_iters=1)
+    v_a = [1.0] * 8
+    v_b = [0.5] * 8
+    delta = spark.createDataFrame(
+        [(3000, v_a), (3000, v_b), (3001, v_a)],
+        "vec_id long, embedding array<float>",
+    )
+    out = upsert_vectors(spark, delta, cat)
+    assert out["n_upserted"] == 2  # distinct ids, not delta rows
+    stored = [
+        (r["vec_id"], r["scale"], list(r["codes"]))
+        for r in cat.read(spark, "vectors")
+        .filter(F.col("vec_id") >= 3000)
+        .collect()
+    ]
+    assert len(stored) == 2  # one row per distinct id
+    assert sorted({v for v, _s, _c in stored}) == [3000, 3001]
+    # deterministic winner: replaying the SAME duplicate batch converges
+    upsert_vectors(spark, delta, cat)
+    again = [
+        (r["vec_id"], r["scale"], list(r["codes"]))
+        for r in cat.read(spark, "vectors")
+        .filter(F.col("vec_id") >= 3000)
+        .collect()
+    ]
+    assert sorted(again) == sorted(stored)
