@@ -1,0 +1,223 @@
+"""Embedded browser dashboard — the reference's `/` page rebuilt.
+
+The reference serves a Thymeleaf page (`templates/index.html` via
+`controllers/DefaultController.java:14-17`) whose jQuery wiring
+(`static/assets/js/scripts.js:1462-1664`) drives exactly five endpoints:
+GET `/api/statistics`, GET `/api/startIndexing`, GET `/api/stopIndexing`,
+GET `/api/search`, POST `/api/indexPage` (form-urlencoded). This module
+is that page as ONE dependency-free HTML string (vanilla `fetch`, no
+jQuery/Thymeleaf/static assets — the facade stays stdlib-only), served by
+`http_api.py` at `/`. Same three tabs (Dashboard / Management / Search),
+same element roles (`#totalSites` `#totalPages` `#totalLemmas`, per-site
+status blocks, search results with count + load-more offset paging), same
+response envelopes.
+"""
+
+from __future__ import annotations
+
+DASHBOARD_HTML = """<!DOCTYPE html>
+<html lang="en">
+<head>
+<meta charset="utf-8">
+<meta name="viewport" content="width=device-width, initial-scale=1">
+<title>search-engine-spark</title>
+<style>
+  :root { --fg: #1c2733; --muted: #5b6b7b; --line: #dde4ea; --ok: #1d7a36;
+          --warn: #b3831a; --err: #b3261e; --accent: #1a57a6; }
+  * { box-sizing: border-box; }
+  body { margin: 0; font: 15px/1.5 system-ui, sans-serif; color: var(--fg); }
+  header { padding: 14px 24px; border-bottom: 1px solid var(--line);
+           display: flex; gap: 24px; align-items: baseline; }
+  header h1 { font-size: 18px; margin: 0; }
+  nav a { margin-right: 16px; color: var(--accent); text-decoration: none; }
+  nav a.active { font-weight: 700; border-bottom: 2px solid var(--accent); }
+  main { max-width: 860px; margin: 0 auto; padding: 20px 24px; }
+  section { display: none; }
+  section.active { display: block; }
+  .totals { display: flex; gap: 16px; margin: 12px 0 20px; }
+  .tile { border: 1px solid var(--line); border-radius: 8px;
+          padding: 12px 18px; min-width: 140px; }
+  .tile b { display: block; font-size: 26px; }
+  .tile span { color: var(--muted); font-size: 13px; }
+  .site { border: 1px solid var(--line); border-radius: 8px;
+          padding: 10px 14px; margin-bottom: 10px; }
+  .status { font-size: 12px; font-weight: 700; padding: 2px 8px;
+            border-radius: 10px; margin-left: 8px; }
+  .status.INDEXED { color: var(--ok); } .status.INDEXING { color: var(--warn); }
+  .status.FAILED { color: var(--err); }
+  .muted { color: var(--muted); font-size: 13px; }
+  button { font: inherit; padding: 6px 14px; border-radius: 6px;
+           border: 1px solid var(--accent); background: var(--accent);
+           color: #fff; cursor: pointer; }
+  button.secondary { background: #fff; color: var(--accent); }
+  input, textarea, select { font: inherit; padding: 6px 8px; width: 100%;
+           border: 1px solid var(--line); border-radius: 6px; margin: 4px 0 10px; }
+  .error { color: var(--err); margin: 8px 0; }
+  .success { color: var(--ok); margin: 8px 0; }
+  .result { border-bottom: 1px solid var(--line); padding: 10px 0; }
+  .result a { color: var(--accent); text-decoration: none; font-weight: 600; }
+  .hidden { display: none; }
+</style>
+</head>
+<body>
+<header>
+  <h1>search-engine-spark</h1>
+  <nav>
+    <a href="#dashboard" class="active" data-tab="dashboard">Dashboard</a>
+    <a href="#management" data-tab="management">Management</a>
+    <a href="#search" data-tab="search">Search</a>
+  </nav>
+</header>
+<main>
+  <section id="dashboard" class="active">
+    <h2>Dashboard</h2>
+    <div class="totals">
+      <div class="tile"><b id="totalSites">&ndash;</b><span>sites</span></div>
+      <div class="tile"><b id="totalPages">&ndash;</b><span>pages</span></div>
+      <div class="tile"><b id="totalLemmas">&ndash;</b><span>lemmas</span></div>
+    </div>
+    <div id="sites"></div>
+  </section>
+
+  <section id="management">
+    <h2>Management</h2>
+    <p>
+      <button id="startIndexing">START INDEXING</button>
+      <button id="stopIndexing" class="secondary">STOP INDEXING</button>
+    </p>
+    <div id="indexingMsg"></div>
+    <h3>Add/update page</h3>
+    <form id="indexPageForm">
+      <label>URL (repo/path)<input name="url" id="page" required></label>
+      <label>Commit<input name="commit" value="HEAD"></label>
+      <label>Lang<input name="lang" value="text"></label>
+      <label>Content<textarea name="content" rows="4"></textarea></label>
+      <button type="submit">ADD / UPDATE</button>
+    </form>
+    <div id="indexPageMsg"></div>
+  </section>
+
+  <section id="search">
+    <h2>Search</h2>
+    <form id="searchForm">
+      <select name="site" id="siteSelect"><option value="">All sites</option></select>
+      <input name="query" id="query" placeholder="query" required>
+      <button type="submit">SEARCH</button>
+    </form>
+    <div id="searchMsg"></div>
+    <p class="muted hidden" id="countLine">Results: <b id="resultCount">0</b></p>
+    <div id="results"></div>
+    <p><button id="moreBtn" class="secondary hidden">SHOW MORE</button></p>
+  </section>
+</main>
+<script>
+"use strict";
+const $ = (s) => document.querySelector(s);
+const esc = (t) => String(t).replace(/[&<>"]/g,
+  (c) => ({"&":"&amp;","<":"&lt;",">":"&gt;",'"':"&quot;"}[c]));
+
+// -- tabs -----------------------------------------------------------------
+document.querySelectorAll("nav a").forEach((a) => {
+  a.addEventListener("click", () => {
+    document.querySelectorAll("nav a").forEach((x) => x.classList.remove("active"));
+    document.querySelectorAll("main section").forEach((s) => s.classList.remove("active"));
+    a.classList.add("active");
+    $("#" + a.dataset.tab).classList.add("active");
+  });
+});
+
+// -- statistics (auto-load + poll while indexing) -------------------------
+async function loadStatistics() {
+  const r = await fetch("/api/statistics").then((x) => x.json());
+  if (!r.result) return;
+  const s = r.statistics;
+  $("#totalSites").textContent = s.total.sites;
+  $("#totalPages").textContent = s.total.pages;
+  $("#totalLemmas").textContent = s.total.lemmas;
+  const sel = $("#siteSelect");
+  sel.querySelectorAll("option:not(:first-child)").forEach((o) => o.remove());
+  $("#sites").innerHTML = "";
+  (s.detailed || []).forEach((site) => {
+    const opt = document.createElement("option");
+    opt.value = site.url; opt.textContent = site.url;
+    sel.appendChild(opt);
+    const div = document.createElement("div");
+    div.className = "site";
+    div.innerHTML = "<b>" + esc(site.name) + "</b>" +
+      '<span class="status ' + esc(site.status) + '">' + esc(site.status) + "</span>" +
+      '<div class="muted">Status time: ' + esc(site.statusTime || "") +
+      " &middot; Pages: " + site.pages + " &middot; Lemmas: " + site.lemmas +
+      (site.error ? ' &middot; <span class="error">' + esc(site.error) + "</span>" : "") +
+      "</div>";
+    $("#sites").appendChild(div);
+  });
+  if (s.total.indexing || s.total.isIndexing) setTimeout(loadStatistics, 2000);
+}
+loadStatistics();
+
+// -- management -----------------------------------------------------------
+async function indexingCall(endpoint) {
+  const r = await fetch(endpoint).then((x) => x.json());
+  $("#indexingMsg").innerHTML = r.result
+    ? '<div class="success">OK</div>'
+    : '<div class="error">' + esc(r.error) + "</div>";
+  loadStatistics();
+}
+$("#startIndexing").addEventListener("click", () => indexingCall("/api/startIndexing"));
+$("#stopIndexing").addEventListener("click", () => indexingCall("/api/stopIndexing"));
+
+$("#indexPageForm").addEventListener("submit", async (ev) => {
+  ev.preventDefault();
+  const body = new URLSearchParams(new FormData(ev.target));
+  const r = await fetch("/api/indexPage", {
+    method: "POST",
+    headers: { "Content-Type": "application/x-www-form-urlencoded" },
+    body,
+  }).then((x) => x.json());
+  $("#indexPageMsg").innerHTML = r.result
+    ? '<div class="success">Page added/updated</div>'
+    : '<div class="error">' + esc(r.error) + "</div>";
+});
+
+// -- search (count + offset paging, the reference's load-more) ------------
+let searchState = { query: "", site: "", offset: 0, limit: 20 };
+async function runSearch(reset) {
+  const p = new URLSearchParams({
+    query: searchState.query, offset: searchState.offset,
+    limit: searchState.limit,
+  });
+  if (searchState.site) p.set("site", searchState.site);
+  const r = await fetch("/api/search?" + p).then((x) => x.json());
+  if (!r.result) {
+    $("#searchMsg").innerHTML = '<div class="error">' + esc(r.error) + "</div>";
+    return;
+  }
+  $("#searchMsg").innerHTML = "";
+  if (reset) $("#results").innerHTML = "";
+  $("#countLine").classList.remove("hidden");
+  $("#resultCount").textContent = r.count;
+  (r.data || []).forEach((page) => {
+    const div = document.createElement("div");
+    div.className = "result";
+    div.innerHTML = '<a href="' + esc(page.site + page.uri) + '" target="_blank">' +
+      esc((page.siteName ? page.siteName + " - " : "") + page.title) + "</a>" +
+      '<div class="muted">' + (page.snippet || "") + "</div>";
+    $("#results").appendChild(div);
+  });
+  const shown = searchState.offset + (r.data || []).length;
+  $("#moreBtn").classList.toggle("hidden", !(r.count > shown));
+  searchState.offset = shown;
+}
+$("#searchForm").addEventListener("submit", (ev) => {
+  ev.preventDefault();
+  searchState = {
+    query: $("#query").value, site: $("#siteSelect").value,
+    offset: 0, limit: 20,
+  };
+  runSearch(true);
+});
+$("#moreBtn").addEventListener("click", () => runSearch(false));
+</script>
+</body>
+</html>
+"""

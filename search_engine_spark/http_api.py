@@ -55,6 +55,14 @@ class _Handler(BaseHTTPRequestHandler):
     def _bad(self, msg: str) -> None:
         self._json({"result": False, "error": msg}, status=400)
 
+    def _html(self, body: str, status: int = 200) -> None:
+        data = body.encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
     # -- routes --------------------------------------------------------
 
     def do_GET(self) -> None:  # noqa: N802 (http.server contract)
@@ -62,6 +70,13 @@ class _Handler(BaseHTTPRequestHandler):
         q = parse_qs(u.query)
         api = self.server.api  # type: ignore[attr-defined]
         try:
+            if u.path in ("/", "/index.html"):
+                # the reference's browser dashboard (DefaultController.java:
+                # 14-17 serving templates/index.html) — one embedded,
+                # dependency-free page wiring the same five endpoints
+                from .dashboard import DASHBOARD_HTML
+
+                return self._html(DASHBOARD_HTML)
             if u.path == "/api/statistics":
                 return self._json(api.statistics())
             if u.path == "/api/health":

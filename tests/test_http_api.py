@@ -196,3 +196,32 @@ def test_report_endpoint(server):
     st, body = _get(server, "/api/report")
     assert st == 200 and body["result"] is True
     assert body["report"] and all("n_docs" in r for r in body["report"])
+
+
+def test_dashboard_page(server):
+    """`/` serves the reference's browser dashboard (VERDICT r4 #5:
+    DefaultController.java:14-17 + templates/index.html): HTML whose
+    fetch wiring drives the five reference endpoints
+    (scripts.js:1462-1664)."""
+    url = f"http://127.0.0.1:{server.server_port}/"
+    with urllib.request.urlopen(url, timeout=30) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/html")
+        html = r.read().decode()
+    assert html.lstrip().startswith("<!DOCTYPE html>")
+    for endpoint in (
+        "/api/statistics",
+        "/api/startIndexing",
+        "/api/stopIndexing",
+        "/api/search",
+        "/api/indexPage",
+    ):
+        assert endpoint in html, endpoint
+    # the reference page's element roles survive (scripts.js wiring ids)
+    for elem_id in ("totalSites", "totalPages", "totalLemmas", "query", "page"):
+        assert f'id="{elem_id}"' in html, elem_id
+    # /index.html is an alias; unknown paths still 404 as JSON
+    with urllib.request.urlopen(url + "index.html", timeout=30) as r:
+        assert r.status == 200
+    st, body = _get(server, "/nosuchpage")
+    assert st == 404 and body["result"] is False
