@@ -1,0 +1,142 @@
+"""SymSpell deletes-index spell correction (VERDICT r4 next-#8).
+
+`SearchEngine.did_you_mean`'s baseline is a vocabulary-sized codegen'd
+scan (length-band prune + `F.levenshtein`). Correct and parallel, but
+per-query work is O(|vocabulary|) — at a 10^12-file corpus's identifier
+vocabulary that is the one serving path whose per-query cost grows with
+the corpus. SymSpell (Garbe's symmetric-delete algorithm, public domain)
+makes candidate generation SUB-LINEAR by precomputing, once per build,
+every string obtainable from each vocabulary term by deleting up to
+``max_dist`` characters:
+
+* build: ``term_deletes(key, term)`` — the deletes neighborhood as a
+  key-sorted parquet table. Generation is PURE CATALYST (a ``transform``
+  over character positions, iterated ``max_dist`` times, exploded +
+  distinct) — vocabulary-scale work with zero Python, one distinct
+  exchange, written sorted by ``key`` so point lookups row-group-prune.
+* serve: a query word's own ≤``max_dist``-deletes (a driver-side set of
+  O(len^max_dist) strings, ~56 for len 10 / dist 2) point-read the table
+  by ``key``; the candidate union is then verified with EXACT
+  Levenshtein and ranked (dist ASC, df DESC, term ASC) — identical
+  results to the scan, tested.
+
+Soundness (no false negatives): if ``lev(w, t) <= d`` then deleting from
+each side the characters an optimal alignment leaves unmatched (w loses
+its deletions + substitutions, t loses its insertions + substitutions —
+each ≤ d) yields the SAME matched-character subsequence, so the two
+≤d-delete neighborhoods intersect. Both engines' Levenshtein is plain
+unit-cost (no transpositions), matching Spark's ``levenshtein``.
+
+Scale note: the table is |vocabulary| × neighborhood (~50× rows of short
+strings) — the classic SymSpell space-for-time trade, stored once per
+build like any index artifact; a query reads only its ~56 keys' row
+groups.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.catalog import Catalog
+
+SPELL_TABLE = "term_deletes"
+SPELL_META = "spell_meta.json"
+DEFAULT_MAX_DIST = 2
+
+
+def word_deletes(word: str, max_dist: int) -> set[str]:
+    """All strings obtainable from ``word`` by deleting up to ``max_dist``
+    characters (the word itself included) — the query-side neighborhood.
+    BFS frontier by distance; each level deletes one character."""
+    out = {word}
+    frontier = {word}
+    for _ in range(max_dist):
+        frontier = {
+            s[:i] + s[i + 1:] for s in frontier for i in range(len(s))
+        } - out
+        out |= frontier
+    return out
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Plain unit-cost Levenshtein — the same metric as Spark's
+    ``F.levenshtein`` (insert/delete/substitute, NO transposition), so
+    driver-side verification ranks identically to the distributed scan."""
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def deletes_frame(terms: DataFrame, max_dist: int) -> DataFrame:
+    """(key, term) deletes neighborhood for a one-column ``term`` frame —
+    pure Catalyst: ``max_dist`` rounds of explode(all-1-deletions),
+    accumulated + distinct. The per-round deletion is a ``transform``
+    over 1-based character positions (delete position p = prefix(p-1) +
+    suffix from p+1) — no UDF anywhere; the length>0 guard keeps
+    ``sequence`` ascending."""
+    level = terms.select(F.col("term"), F.col("term").alias("key"))
+    acc = level
+    one_del = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length("key")),
+            lambda p: F.concat(
+                F.col("key").substr(F.lit(1), p - 1),
+                F.col("key").substr(p + 1, F.length("key")),
+            ),
+        )
+    )
+    for _ in range(max_dist):
+        level = (
+            level.filter(F.length("key") > 0)
+            .select("term", F.explode(one_del).alias("key"))
+            .distinct()
+        )
+        acc = acc.unionByName(level)
+    return acc.distinct()
+
+
+def build_spell_index(
+    spark: SparkSession,
+    catalog: Catalog,
+    max_dist: int = DEFAULT_MAX_DIST,
+) -> dict:
+    """Materialize the SymSpell deletes table for a built catalog's GLOBAL
+    vocabulary (terms rows, scope='') → ``term_deletes`` sorted by key,
+    plus a tiny sidecar recording ``max_dist`` (a query asking a larger
+    distance than the index was built for falls back to the scan)."""
+    from ..schemas import TERMS
+
+    vocab = (
+        catalog.read(spark, "terms", TERMS)
+        .filter(F.col("scope") == "")
+        .select("term")
+    )
+    table = deletes_frame(vocab, max_dist)
+    catalog.rewrite(table, SPELL_TABLE, sort_by=["key", "term"])
+    meta = {"max_dist": int(max_dist)}
+    with open(os.path.join(catalog.root, SPELL_META), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def spell_meta(catalog: Catalog) -> dict | None:
+    p = os.path.join(catalog.root, SPELL_META)
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except Exception:  # noqa: BLE001 — unreadable sidecar = no index
+        return None

@@ -56,6 +56,7 @@ layer compensates with the avgdl-drift safety factor (operators/query.py).
 
 from __future__ import annotations
 
+import os
 import time
 from collections import Counter
 
@@ -435,6 +436,17 @@ def _run_merge(spark, catalog, new_docs: list[_NewDoc], code: bool,
         man.fail("index_doc", error=f"{type(e).__name__}: {e}")
         raise
     _clear_state(catalog)
+    # the SymSpell deletes table (operators/spell.py) is derived from the
+    # vocabulary this merge may have changed — drop it so did_you_mean
+    # falls back to the (always-exact) scan until the next
+    # build_spell_index; a stale table would silently miss new terms
+    from ..operators.spell import SPELL_META, SPELL_TABLE
+
+    if catalog.exists(SPELL_TABLE):
+        catalog.drop(SPELL_TABLE)
+    _sp = os.path.join(catalog.root, SPELL_META)
+    if os.path.exists(_sp):
+        os.remove(_sp)
     n_postings = sum(sum(d.tf.values()) for d in new_docs)
     man.done(
         "index_doc",

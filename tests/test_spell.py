@@ -1,0 +1,125 @@
+"""SymSpell deletes-index spell correction (operators/spell.py, VERDICT
+r4 next-#8): sub-linear candidate generation must return results
+IDENTICAL to the vocabulary scan, the Catalyst deletes generation must
+equal the Python neighborhood, and incremental merges must invalidate
+the (now stale) table so serving falls back to the exact scan."""
+
+from __future__ import annotations
+
+import random
+import string
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.query import SearchEngine
+from search_engine_spark.operators.spell import (
+    SPELL_TABLE,
+    build_spell_index,
+    deletes_frame,
+    levenshtein,
+    spell_meta,
+    word_deletes,
+)
+from search_engine_spark.plans.build_job import build_index
+from search_engine_spark.sources.catalog import Catalog
+from search_engine_spark.synth import make_corpus
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("spell_idx"))
+    cat = Catalog(root)
+    build_index(
+        spark, make_corpus(spark, 250, seed=3, partitions=4), cat,
+        n_shards=2, skew_df_threshold=40, salt_target_rows=30,
+    )
+    return cat
+
+
+def test_word_deletes_neighborhood():
+    assert word_deletes("ab", 1) == {"ab", "a", "b"}
+    assert word_deletes("abc", 2) == {
+        "abc", "ab", "ac", "bc", "a", "b", "c"
+    }
+    assert word_deletes("a", 2) == {"a", ""}
+    # size bound: 1 + L + L(L-1)/2 for distinct-char words at dist 2
+    w = "abcdefghij"
+    assert len(word_deletes(w, 2)) == 1 + 10 + 45
+
+
+def test_levenshtein_matches_spark(spark):
+    rng = random.Random(7)
+    words = [
+        "".join(rng.choices(string.ascii_lowercase[:6], k=rng.randint(0, 8)))
+        for _ in range(40)
+    ]
+    pairs = [(words[i], words[-1 - i]) for i in range(20)]
+    rows = spark.createDataFrame(pairs, "a string, b string").select(
+        "a", "b", F.levenshtein("a", "b").alias("d")
+    ).collect()
+    for r in rows:
+        assert levenshtein(r["a"], r["b"]) == r["d"], (r["a"], r["b"])
+
+
+def test_deletes_frame_matches_python(spark):
+    vocab = ["query", "data", "ab", "x", "scan"]
+    got = {
+        (r["key"], r["term"])
+        for r in deletes_frame(
+            spark.createDataFrame([(w,) for w in vocab], "term string"), 2
+        ).collect()
+    }
+    want = {(d, w) for w in vocab for d in word_deletes(w, 2)}
+    assert got == want
+
+
+def test_symspell_identical_to_scan(spark, built):
+    eng_scan = SearchEngine(spark, built, code=True)
+    words = ["imoprt", "quey", "engnie", "dta", "zzqqzzqq", "varint", ""]
+    baseline = {
+        (w, md): eng_scan.did_you_mean(w, k=5, max_dist=md)
+        for w in words
+        for md in (1, 2)
+    }
+    assert eng_scan._symspell_candidates("quey", 2) is None  # no index yet
+
+    build_spell_index(spark, built, max_dist=2)
+    assert spell_meta(built) == {"max_dist": 2}
+    eng_sym = SearchEngine(spark, built, code=True)
+    assert eng_sym._symspell_candidates("quey", 2) is not None
+    for (w, md), want in baseline.items():
+        assert eng_sym.did_you_mean(w, k=5, max_dist=md) == want, (w, md)
+    # asking a LARGER distance than the index covers falls back to the
+    # scan (still exact) instead of silently under-recalling
+    assert eng_sym._symspell_candidates("quey", 3) is None
+    assert eng_sym.did_you_mean("quey", k=5, max_dist=3) == eng_scan.did_you_mean(
+        "quey", k=5, max_dist=3
+    )
+
+
+def test_incremental_merge_invalidates_spell_index(spark, tmp_path):
+    from search_engine_spark.plans.incremental import index_doc
+
+    cat = Catalog(str(tmp_path / "spell_inc"))
+    build_index(
+        spark, make_corpus(spark, 60, seed=5, partitions=2), cat,
+        n_shards=1, skew_df_threshold=40, salt_target_rows=30,
+    )
+    build_spell_index(spark, cat, max_dist=2)
+    assert cat.exists(SPELL_TABLE)
+    index_doc(
+        spark, cat, "org0/repo0", "brand/new.py", "HEAD", "python",
+        "def brandnewword(): pass",
+    )
+    # stale table dropped: the scan now serves (and finds the new term)
+    assert not cat.exists(SPELL_TABLE)
+    assert spell_meta(cat) is None
+    eng = SearchEngine(spark, cat, code=True)
+    got = eng.did_you_mean("brandnewwrod", k=3, max_dist=2)
+    assert any(t == "brandnewword" for t, _d, _df in got)
+    # rebuilding restores the sub-linear path with the new vocabulary
+    build_spell_index(spark, cat, max_dist=2)
+    eng2 = SearchEngine(spark, cat, code=True)
+    assert eng2._symspell_candidates("brandnewwrod", 2) is not None
+    assert eng2.did_you_mean("brandnewwrod", k=3, max_dist=2) == got
