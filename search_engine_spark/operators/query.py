@@ -909,10 +909,29 @@ class SearchEngine:
             ctx.idf(t) * (scoring.K1 + 1.0) * meta.max_impact * ctx.drift
         )
 
+    @staticmethod
+    def _after_mask(
+        ids: np.ndarray, sc: np.ndarray, after: tuple[float, int]
+    ) -> np.ndarray:
+        """Cursor admission predicate on EXACT scores — the strict serving
+        tie-break order ``score < s₀ OR (score = s₀ AND doc_id > d₀)``.
+        Exact on the engine's reproducible doubles: driver and distributed
+        scores are bit-identical (tested), so strict float comparison
+        against page N's last score is deterministic."""
+        s0, d0 = after
+        return (sc < s0) | ((sc == s0) & (ids > d0))
+
     def _driver_single(
-        self, term: str, ctx: _Ctx, need: int, scorer: str
+        self, term: str, ctx: _Ctx, need: int, scorer: str,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]] | None:
-        """Single-term θ-terminated bound-descending block fetch."""
+        """Single-term θ-terminated bound-descending block fetch.
+
+        ``after`` (cursor pagination) filters candidates at HEAP ADMISSION
+        on their exact scores; θ-termination is unchanged and stays sound:
+        θ is the need-th best ADMITTED score, every remaining candidate's
+        exact score ≤ its bound, so bound < θ ⇒ it cannot enter the page
+        regardless of the cursor."""
         meta = self._get_meta([term])[term]
         if meta is None:
             return []
@@ -957,6 +976,9 @@ class SearchEngine:
                 ctx.term_stat(term, scorer),
                 tfs, dls, ctx.avgdl, scorer,
             )
+            if after is not None:
+                adm = self._after_mask(ids, sc, after)
+                ids, sc = ids[adm], sc[adm]
             best_ids = np.concatenate([best_ids, ids])
             best_sc = np.concatenate([best_sc, sc])
             top = np.lexsort((best_ids, -best_sc))[:need]
@@ -975,12 +997,21 @@ class SearchEngine:
         need: int,
         scorer: str,
         want_count: bool,
+        after: tuple[float, int] | None = None,
     ) -> tuple[list[tuple[int, float]], int | None] | None:
         """Multi-term WAND: exact AND prune + ub ordering from cached
         metadata, then chunked exact scoring over covering blocks only.
         Returns None when any driver cap trips (→ distributed fallback).
         With ``want_count`` every AND-surviving candidate is evaluated
-        (exact A7 count) in one fetch round; otherwise chunks stop at θ."""
+        (exact A7 count) in one fetch round; otherwise chunks stop at θ.
+
+        ``after`` is the bounded-above cursor (VERDICT r4 next-#7): page
+        N+1's candidates are admitted to the heap only when their EXACT
+        score falls strictly after the cursor in serving order
+        (_after_mask). θ-termination is untouched and stays sound — θ is
+        the need-th best ADMITTED score and bounds still dominate exact
+        scores, so a remaining candidate with ub < θ can't make the page
+        under any cursor. Mutually exclusive with ``want_count``."""
         metas = self._get_meta(q_terms)
         if any(m is None for m in metas.values()):
             return [], 0
@@ -1114,6 +1145,9 @@ class SearchEngine:
                 pos += len(sel)
                 chunk *= 2
                 ids, sc = _score_subset(sel)
+                if after is not None:
+                    adm = self._after_mask(ids, sc, after)
+                    ids, sc = ids[adm], sc[adm]
                 best_ids = np.concatenate([best_ids, ids])
                 best_sc = np.concatenate([best_sc, sc])
                 top = np.lexsort((best_ids, -best_sc))[:need]
@@ -2404,6 +2438,7 @@ class SearchEngine:
         after: tuple[float, int] | None = None,
         site: str | None = None,
         scorer: str = "bm25",
+        strategy: str = "blockmax",
     ) -> DataFrame:
         """Cursor (search-after) pagination: ``after`` is the LAST row of
         the previous page as ``(score, doc_id)`` — the deep-pagination
@@ -2412,16 +2447,33 @@ class SearchEngine:
         predicate is the strict tie-break order the engine serves:
         ``score < s₀ OR (score = s₀ AND doc_id > d₀)`` — exact on the
         engine's reproducible doubles (rank-identity means page 1's last
-        score re-emerges bit-identical). Runs the exhaustive distributed
-        plan (the cursor predicate cannot prune block-max bounds — it
-        BOUNDS them above, which inverts the WAND pruning direction; a
-        bounded-above WAND is the documented upgrade path)."""
+        score re-emerges bit-identical).
+
+        ``strategy='blockmax'`` (default) serves the page with the
+        BOUNDED-ABOVE WAND (VERDICT r4 next-#7): the driver block-max
+        path with the cursor as a heap-admission filter on exact scores
+        — θ-pruning then runs against the page's own k-th admitted
+        score, so deep pages keep skipping blocks; capped queries fall
+        back to the distributed exhaustive plan with the identical
+        predicate (blockmax ≡ exhaustive tested page-by-page).
+        ``strategy='exhaustive'`` forces the distributed plan."""
         q_terms = analyze_query(query, code=self.code)
         if not q_terms:
             return self._empty()
         ctx = self._resolve(q_terms, site)
         if ctx is None:
             return self._empty()
+        aft = (float(after[0]), int(after[1])) if after is not None else None
+        if strategy == "blockmax":
+            if len(q_terms) == 1:
+                res = self._driver_single(q_terms[0], ctx, k, scorer, after=aft)
+            else:
+                out = self._driver_multi(
+                    q_terms, ctx, k, scorer, False, after=aft
+                )
+                res = out[0] if out is not None else None
+            if res is not None:
+                return self._from_pairs(res)
         scored = self._exhaustive_scored(q_terms, ctx, scorer)
         if after is not None:
             s0, d0 = float(after[0]), int(after[1])

@@ -363,3 +363,42 @@ def test_topk_after_cursor_pages_stitch(engine):
     tail = engine.topk_after(q, k=10, after=(last[1], last[0])).collect()
     tail_ids = {int(r["doc_id"]) for r in tail}
     assert not tail_ids & {d for d, _ in full}
+
+
+def test_topk_after_blockmax_equals_exhaustive(engine):
+    """Bounded-above WAND (VERDICT r4 next-#7): the driver block-max
+    cursor path must serve every page BIT-IDENTICAL to the distributed
+    exhaustive plan — walked page-by-page to exhaustion for a multi-term
+    AND and a single-term query."""
+    for q, k in (("query index", 7), ("import", 9), ("import data", 5)):
+        cursor = None
+        for _page in range(40):
+            bm = [(int(r["doc_id"]), float(r["score"]))
+                  for r in engine.topk_after(
+                      q, k=k, after=cursor, strategy="blockmax").collect()]
+            ex = [(int(r["doc_id"]), float(r["score"]))
+                  for r in engine.topk_after(
+                      q, k=k, after=cursor, strategy="exhaustive").collect()]
+            assert bm == ex, (q, cursor)
+            if not bm:
+                break
+            cursor = (bm[-1][1], bm[-1][0])
+        else:
+            raise AssertionError("page walk did not terminate")
+
+
+def test_topk_after_stitches_deep(engine):
+    """Concatenated cursor pages == one deep top-N, for a page size that
+    does not divide the result count."""
+    q = "import data"
+    full = [(int(r["doc_id"]), float(r["score"]))
+            for r in engine.topk(q, 50, strategy="exhaustive").collect()]
+    walked, cursor = [], None
+    while len(walked) < len(full):
+        page = [(int(r["doc_id"]), float(r["score"]))
+                for r in engine.topk_after(q, k=7, after=cursor).collect()]
+        if not page:
+            break
+        walked += page
+        cursor = (page[-1][1], page[-1][0])
+    assert walked[: len(full)] == full
