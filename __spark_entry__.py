@@ -2385,12 +2385,14 @@ def _q_ann_recall(spark, sf):
 _VINDEX_CACHE: dict[str, object] = {}
 
 
-def _q_vector_index(spark, sf):
-    """Persisted IVF-SQ8 vector index (plans/vector_index.py): build-once
-    catalog tables (centroids + cell-partitioned codes/floats), then the
-    two-phase serve on a PARTITION-PRUNED scan — the 100 TB ANN lifecycle
-    (train once, prune at read). Rows-only (trained float centroids); the
-    full-dial ≡ brute-force and resume/pruning contracts are unit-tested."""
+def ensure_vector_index(spark, sf, fresh: bool = False):
+    """Build (once per sf_dir, cached) the persisted IVF-SQ8 vector index
+    over `embeddings` and return the serving handle — the build half of
+    `vector_index_topk`, exposed separately so bench.py can time build
+    and serve as their own rows (VERDICT r4 next-#6). ``fresh=True``
+    drops any prior on-disk catalog first so the timed build is a real
+    cold build, never a manifest resume of a previous round's artifact."""
+    import shutil as _shutil
     import tempfile
 
     from search_engine_spark.plans.vector_index import (
@@ -2400,6 +2402,15 @@ def _q_vector_index(spark, sf):
     from search_engine_spark.sources.catalog import Catalog
 
     key = os.path.abspath(sf)
+    if fresh:
+        _VINDEX_CACHE.pop(key, None)
+        _shutil.rmtree(
+            os.path.join(
+                tempfile.gettempdir(), "se_spark_vidx_v1",
+                key.strip("/").replace("/", "_"),
+            ),
+            ignore_errors=True,
+        )
     if key not in _VINDEX_CACHE:
         root = os.path.join(
             tempfile.gettempdir(), "se_spark_vidx_v1", key.strip("/").replace("/", "_")
@@ -2409,7 +2420,16 @@ def _q_vector_index(spark, sf):
             spark, _t(spark, sf, "embeddings"), cat, n_centroids=8, n_iters=2
         )
         _VINDEX_CACHE[key] = VectorIndex(spark, cat)
-    idx = _VINDEX_CACHE[key]
+    return _VINDEX_CACHE[key]
+
+
+def _q_vector_index(spark, sf):
+    """Persisted IVF-SQ8 vector index (plans/vector_index.py): build-once
+    catalog tables (centroids + cell-partitioned codes/floats), then the
+    two-phase serve on a PARTITION-PRUNED scan — the 100 TB ANN lifecycle
+    (train once, prune at read). Rows-only (trained float centroids); the
+    full-dial ≡ brute-force and resume/pruning contracts are unit-tested."""
+    idx = ensure_vector_index(spark, sf)
     emb = _t(spark, sf, "embeddings")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return idx.topk(qv, k=10, n_probes=3, rerank=3).select(
@@ -2540,12 +2560,88 @@ def _q_engine_near(spark, sf):
 def _q_engine_phrase(spark, sf):
     """Engine phrase top-k: index AND-prune (one analyzed normal form per
     phrase word — a necessary condition) + exact verify-by-content; tested
-    identical to the exhaustive distributed scan in tests/test_phrase.py."""
-    return _engine(spark, sf).phrase_topk("slow hash batch", k=20)
+    identical to the exhaustive distributed scan in tests/test_phrase.py.
+    Phrase frozen to one with hits at EVERY gate scale (sf0.001/0.01/0.1
+    — VERDICT r4 next-#3: a rows-only entry returning 0 rows proves
+    nothing ran)."""
+    return _engine(spark, sf).phrase_topk("data query", k=20)
+
+
+def _q_spell_deletes(spark, sf):
+    """SymSpell deletes neighborhood (operators/spell.py deletes_frame):
+    every (key, term) pair obtainable by deleting up to 2 characters from
+    a vocabulary term — the sub-linear did_you_mean candidate index,
+    generated PURE CATALYST (transform over character positions iterated
+    twice, explode + distinct; zero UDFs). Hash-gated vs the DuckDB
+    generate_series twin — string-exact, so the oracle doubles as a
+    Unicode/off-by-one boundary check on the substr arithmetic."""
+    from search_engine_spark.operators.spell import deletes_frame
+
+    vocab = _tokens(spark, sf).select("term").distinct()
+    return deletes_frame(vocab, max_dist=2)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's correctness gate windows the FIRST 50
+    # entries (VERDICT r4 next-#4). Each round the window is rotated to
+    # {new entries} + {the slice of older gates displaced from the prior
+    # round's window}, keeping every SURVEY-#2 row driver-verified at
+    # least every other round. Round 5 window: the new spell_deletes gate,
+    # the engine_* serving rows, the S6/J7/J5/Q1 core joins, crawl/
+    # pagerank, the 21 TPC-H disciplines, the events/streaming family,
+    # and five analytics rows; the round-4 window (tf_a1 ... more_like_
+    # this) follows immediately after.
     return {
+        "spell_deletes": _q_spell_deletes,
+        "engine_bm25_topk": _q_engine_bm25,
+        "engine_wand_topk": _q_engine_wand,
+        "engine_phrase_topk": _q_engine_phrase,
+        "engine_near_topk": _q_engine_near,
+        "engine_prefix_topk": _q_engine_prefix,
+        "engine_postings_blocks": _q_engine_postings,
+        "search_decorated": _q_search_decorated,
+        "search_after_page2": _q_search_after,
+        "semi_join_s6": _q_semi,
+        "anti_join_j7": _q_anti,
+        "top_orders_join_j5": _q_top_orders,
+        "pricing_summary_q1": _q_pricing_q1,
+        "crawl_frontier_s2": _q_frontier,
+        "pagerank_scores": _q_pagerank,
+        "volume_shipping_q7": _q_volume_shipping_q7,
+        "min_cost_supplier_q2": _q_min_cost_supplier_q2,
+        "important_stock_q11": _q_important_stock_q11,
+        "supplier_part_counts_q16": _q_supplier_part_counts_q16,
+        "excess_stock_q20": _q_excess_stock_q20,
+        "market_share_q8": _q_market_share_q8,
+        "promo_share_q14": _q_promo_share_q14,
+        "large_orders_q18": _q_large_orders_q18,
+        "shipping_priority_q3": _q_shipping_q3,
+        "nation_promo_revenue": _q_nation_promo,
+        "local_supplier_volume_q5": _q_local_volume_q5,
+        "returned_item_q10": _q_returned_q10,
+        "forecast_revenue_q6": _q_forecast_q6,
+        "priority_bands_q12": _q_priority_bands_q12,
+        "order_priority_q4": _q_order_priority_q4,
+        "small_qty_revenue_q17": _q_small_qty_q17,
+        "dormant_customers_q22": _q_dormant_q22,
+        "disjunctive_revenue_q19": _q_disjunctive_q19,
+        "top_supplier_q15": _q_top_supplier_q15,
+        "lone_fault_supplier_q21": _q_lone_fault_q21,
+        "customer_order_dist_q13": _q_cust_dist_q13,
+        "events_hourly": _q_events_hourly,
+        "events_sliding": _q_events_sliding,
+        "events_hourly_stream": _q_events_stream,
+        "events_dedup_stream": _q_events_dedup_stream,
+        "view_purchase_attrib": _q_view_purchase,
+        "view_purchase_stream": _q_view_purchase_stream,
+        "asof_last_view": _q_asof_last_view,
+        "range_click_error": _q_range_click_error,
+        "sessions_stream": _q_sessions_stream,
+        "heavy_hitter_terms": _q_heavy_hitters,
+        "corpus_split": _q_corpus_split,
+        "mixture_weights": _q_mixture,
+        "ann_dot_topk": _q_ann_dot,
+        "hybrid_rrf_topk": _q_hybrid_rrf,
         "tf_a1": _q_tf,
         "df_a2": _q_df,
         "doc_stats": _q_doclen,
@@ -2596,47 +2692,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_stats": _q_lang_stats,
         "facet_counts": _q_facet_counts,
         "more_like_this": _q_more_like_this,
-        "events_hourly": _q_events_hourly,
-        "events_sliding": _q_events_sliding,
-        "events_hourly_stream": _q_events_stream,
-        "events_dedup_stream": _q_events_dedup_stream,
-        "view_purchase_attrib": _q_view_purchase,
-        "view_purchase_stream": _q_view_purchase_stream,
-        "asof_last_view": _q_asof_last_view,
-        "range_click_error": _q_range_click_error,
-        "sessions_stream": _q_sessions_stream,
-        "top_orders_join_j5": _q_top_orders,
-        "pricing_summary_q1": _q_pricing_q1,
-        "volume_shipping_q7": _q_volume_shipping_q7,
-        "min_cost_supplier_q2": _q_min_cost_supplier_q2,
-        "important_stock_q11": _q_important_stock_q11,
-        "supplier_part_counts_q16": _q_supplier_part_counts_q16,
-        "excess_stock_q20": _q_excess_stock_q20,
-        "market_share_q8": _q_market_share_q8,
-        "promo_share_q14": _q_promo_share_q14,
-        "large_orders_q18": _q_large_orders_q18,
-        "shipping_priority_q3": _q_shipping_q3,
-        "nation_promo_revenue": _q_nation_promo,
-        "local_supplier_volume_q5": _q_local_volume_q5,
-        "returned_item_q10": _q_returned_q10,
-        "forecast_revenue_q6": _q_forecast_q6,
-        "priority_bands_q12": _q_priority_bands_q12,
-        "order_priority_q4": _q_order_priority_q4,
-        "small_qty_revenue_q17": _q_small_qty_q17,
-        "dormant_customers_q22": _q_dormant_q22,
-        "disjunctive_revenue_q19": _q_disjunctive_q19,
-        "top_supplier_q15": _q_top_supplier_q15,
-        "lone_fault_supplier_q21": _q_lone_fault_q21,
-        "customer_order_dist_q13": _q_cust_dist_q13,
-        "semi_join_s6": _q_semi,
-        "anti_join_j7": _q_anti,
-        "crawl_frontier_s2": _q_frontier,
-        "pagerank_scores": _q_pagerank,
-        "heavy_hitter_terms": _q_heavy_hitters,
-        "corpus_split": _q_corpus_split,
-        "mixture_weights": _q_mixture,
-        "ann_dot_topk": _q_ann_dot,
-        "hybrid_rrf_topk": _q_hybrid_rrf,
         "phrase_match": _q_phrase,
         "phrase_near": _q_near,
         "decontaminate": _q_decontaminate,
@@ -2656,26 +2711,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_match": _q_fuzzy,
         "trigram_substring": _q_tri_substring,
         "trigram_regex": _q_tri_regex,
-        # rows-only (no oracle_sql entry):
         "compression_ratio": _q_compression,
         "ann_recall_eval": _q_ann_recall,
         "vector_index_topk": _q_vector_index,
-        "engine_phrase_topk": _q_engine_phrase,
-        "engine_near_topk": _q_engine_near,
-        "engine_prefix_topk": _q_engine_prefix,
-        "engine_bm25_topk": _q_engine_bm25,
-        "engine_wand_topk": _q_engine_wand,
-        "engine_postings_blocks": _q_engine_postings,
-        "search_decorated": _q_search_decorated,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "minhash_portable_pairs": _q_minhash_portable,
         "simhash_portable_pairs": _q_simhash_portable,
-        # oracle-gated since r4 (DuckDB list_dot_product twins — planes
-        # inlined as literals; the FAST minhash/simhash paths stay rows-only
-        # with bit-identity unit tests — pd.util.hash_array has no DuckDB
-        # equivalent — while the *_portable_pairs entries above carry the
-        # family's hash gate under the md5-prefix spec):
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_pq_adc_topk": _q_ann_pq,
@@ -2699,7 +2741,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_repo_clones": _q_cross_repo_clones,
         "percolate_matches": _q_percolate,
         "def_chunks": _q_def_chunks,
-        "search_after_page2": _q_search_after,
         "symbol_defs": _q_symbol_defs,
         "import_graph": _q_import_graph,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -4432,6 +4473,31 @@ def oracle_sql() -> dict[str, str]:
              AND levenshtein(term, '{FUZZY_WORD}') <= {FUZZY_MAX_DIST}
            ORDER BY dist ASC, df DESC, term ASC
            LIMIT {FUZZY_K}""",
+        # SymSpell deletes neighborhood (operators/spell.py): generate_
+        # series over 1-based character positions, one round per edit
+        # distance, distinct over (term, key) — string-exact twin of the
+        # Catalyst transform/explode generation
+        "spell_deletes": _TOK_CTE
+        + """,
+           vocab AS (SELECT DISTINCT term FROM tok2),
+           d0 AS (SELECT term, term AS key FROM vocab),
+           d1 AS (
+             SELECT DISTINCT term,
+                    substr(key, 1, g-1) || substr(key, g+1) AS key
+             FROM (SELECT term, key,
+                          unnest(generate_series(1, length(key))) AS g
+                   FROM d0 WHERE length(key) > 0)
+           ),
+           d2 AS (
+             SELECT DISTINCT term,
+                    substr(key, 1, g-1) || substr(key, g+1) AS key
+             FROM (SELECT term, key,
+                          unnest(generate_series(1, length(key))) AS g
+                   FROM d1 WHERE length(key) > 0)
+           )
+           SELECT DISTINCT term, key
+           FROM (SELECT * FROM d0 UNION ALL SELECT * FROM d1
+                 UNION ALL SELECT * FROM d2)""",
         # decontamination twin: identical gram boundaries (DuckDB list
         # slicing toks[i:i+n-1] is end-INCLUSIVE = Spark slice(toks,i,n))
         "decontaminate": """

@@ -60,9 +60,18 @@ def main() -> int:
             print(f"FAIL {name}: spark error {e!r}")
             continue
         if name not in oracles:
-            print(f"ok   {name}: rows-only, {len(got)} rows ({time.time()-t0:.1f}s)")
+            # a rows-only entry returning 0 rows proves nothing ran
+            # (VERDICT r4 next-#3) — a FAILURE at every gate scale, not a
+            # warning; missing_term_o6 is the one entry whose CONTRACT is
+            # the empty result (O6 short-circuit)
             if len(got) == 0 and name != "missing_term_o6":
-                print(f"     WARNING: {name} returned 0 rows")
+                failures.append((name, "rows-only entry returned 0 rows"))
+                print(f"FAIL {name}: rows-only entry returned 0 rows")
+            else:
+                print(
+                    f"ok   {name}: rows-only, {len(got)} rows "
+                    f"({time.time()-t0:.1f}s)"
+                )
             continue
         try:
             want = con.sql(oracles[name]).df()
