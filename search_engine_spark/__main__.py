@@ -74,6 +74,12 @@ def _build_parser() -> argparse.ArgumentParser:
     y.add_argument("-k", "--limit", type=int, default=10)
     y.add_argument("--site", default=None)
 
+    sp = sub.add_parser(
+        "spell",
+        help="build the SymSpell deletes index (sub-linear did-you-mean)",
+    )
+    sp.add_argument("--max-dist", type=int, default=2)
+
     v = sub.add_parser("serve", help="run the HTTP facade")
     v.add_argument("--port", type=int, default=8080)
     v.add_argument("--corpus", default=None,
@@ -130,6 +136,9 @@ def main(argv: list[str] | None = None) -> int:
         api = EngineAPI(spark, Catalog(args.catalog), code=code)
         out = api.symbol_search(args.name, kind=args.kind,
                                 limit=args.limit, site=args.site)
+    elif args.cmd == "spell":
+        api = EngineAPI(spark, Catalog(args.catalog), code=code)
+        out = api.build_spell_index(max_dist=args.max_dist)
     else:  # serve
         from .http_api import serve
 

@@ -583,6 +583,18 @@ class EngineAPI:
             "data": [{"term": t, "dist": d, "df": df} for t, d, df in hits],
         }
 
+    def build_spell_index(self, max_dist: int = 2) -> dict:
+        """Materialize the SymSpell deletes table (`operators/spell.py`)
+        so ``did_you_mean`` serves sub-linearly instead of scanning the
+        vocabulary. An optional maintenance artifact, like the vector
+        index: incremental merges drop it (stale deletes would miss new
+        terms) and serving falls back to the exact scan until rebuilt."""
+        from .operators.spell import build_spell_index as _b
+
+        meta = _b(self.spark, self.catalog, max_dist=int(max_dist))
+        self._get_engine(refresh=True)  # re-open pyarrow handles
+        return {"result": True, **meta}
+
     def matching_words(self, doc_content: str, query: str) -> list[str]:
         """F8 exposed for tests/debugging (SearchServiceImpl.java:192-205)."""
         return find_matching_words(

@@ -90,3 +90,22 @@ def test_cli_fsck(setup, capsys):
     rc, out = _run(capsys, ["--catalog", cat, "fsck"])
     assert rc == 0 and out["result"] is True and out["ok"] is True
     assert out["df_consistency"]["ok"] is True
+
+
+def test_cli_spell(setup, capsys):
+    cat, corpus = setup
+    rc, out = _run(capsys, ["--catalog", cat, "spell", "--max-dist", "2"])
+    assert rc == 0 and out == {"result": True, "max_dist": 2}
+    # the API serves did_you_mean from the deletes index now — same
+    # ranked answer the scan gives (identity covered by test_spell.py;
+    # here: the CLI-built artifact is actually used)
+    from search_engine_spark.api import EngineAPI
+    from search_engine_spark.session import get_spark
+    from search_engine_spark.sources.catalog import Catalog
+
+    api = EngineAPI(get_spark("tests"), Catalog(cat))
+    eng = api._get_engine()
+    assert eng._symspell_candidates("engnie", 2) is not None
+    dym = api.did_you_mean("engnie", k=3)
+    assert dym["result"] is True and dym["data"]
+    assert dym["data"][0]["term"] == "engine"
