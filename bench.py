@@ -163,14 +163,11 @@ def main() -> None:
         timed("engine_single_term", lambda: eng.topk("vector", 20).collect(), reps=3)
         timed("engine_bm25_or", lambda: eng.topk(q, 20, strategy="blockmax", mode="any").collect(), reps=3)
         timed("engine_phrase", lambda: eng.phrase_topk("data query", 20).collect(), reps=3)
+        _p1 = eng.topk(q, 20).collect()
+        _cursor = (_p1[-1]["score"], _p1[-1]["doc_id"])
         timed(
             "engine_cursor_page2",
-            lambda: eng.topk_after(
-                q, k=20,
-                after=(lambda p: (p[-1]["score"], p[-1]["doc_id"]))(
-                    eng.topk(q, 20).collect()
-                ),
-            ).collect(),
+            lambda: eng.topk_after(q, k=20, after=_cursor).collect(),
             reps=3,
         )
 
