@@ -2402,19 +2402,13 @@ def ensure_vector_index(spark, sf, fresh: bool = False):
     from search_engine_spark.sources.catalog import Catalog
 
     key = os.path.abspath(sf)
+    root = os.path.join(
+        tempfile.gettempdir(), "se_spark_vidx_v1", key.strip("/").replace("/", "_")
+    )
     if fresh:
         _VINDEX_CACHE.pop(key, None)
-        _shutil.rmtree(
-            os.path.join(
-                tempfile.gettempdir(), "se_spark_vidx_v1",
-                key.strip("/").replace("/", "_"),
-            ),
-            ignore_errors=True,
-        )
+        _shutil.rmtree(root, ignore_errors=True)
     if key not in _VINDEX_CACHE:
-        root = os.path.join(
-            tempfile.gettempdir(), "se_spark_vidx_v1", key.strip("/").replace("/", "_")
-        )
         cat = Catalog(root)
         build_vector_index(
             spark, _t(spark, sf, "embeddings"), cat, n_centroids=8, n_iters=2

@@ -164,12 +164,15 @@ def main() -> None:
         timed("engine_bm25_or", lambda: eng.topk(q, 20, strategy="blockmax", mode="any").collect(), reps=3)
         timed("engine_phrase", lambda: eng.phrase_topk("data query", 20).collect(), reps=3)
         _p1 = eng.topk(q, 20).collect()
-        _cursor = (_p1[-1]["score"], _p1[-1]["doc_id"])
-        timed(
-            "engine_cursor_page2",
-            lambda: eng.topk_after(q, k=20, after=_cursor).collect(),
-            reps=3,
-        )
+        if _p1:
+            _cursor = (_p1[-1]["score"], _p1[-1]["doc_id"])
+            timed(
+                "engine_cursor_page2",
+                lambda: eng.topk_after(q, k=20, after=_cursor).collect(),
+                reps=3,
+            )
+        else:
+            extras["engine_cursor_page2_error"] = "page 1 empty at this sf"
 
         # query p95 latency over a frozen mixed query set (BASELINE.json
         # metric: "query p95 latency with rank-identical BM25 top-k")

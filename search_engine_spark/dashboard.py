@@ -115,6 +115,11 @@ DASHBOARD_HTML = """<!DOCTYPE html>
 const $ = (s) => document.querySelector(s);
 const esc = (t) => String(t).replace(/[&<>"]/g,
   (c) => ({"&":"&amp;","<":"&lt;",">":"&gt;",'"':"&quot;"}[c]));
+// snippets are raw document text plus the engine's <b>...</b> match
+// highlighting (functions/snippet.py) — escape EVERYTHING, then re-admit
+// only the literal bold tags, so indexed content can never script the page
+const escSnippet = (t) => esc(t)
+  .replace(/&lt;b&gt;/g, "<b>").replace(/&lt;\/b&gt;/g, "</b>");
 
 // -- tabs -----------------------------------------------------------------
 document.querySelectorAll("nav a").forEach((a) => {
@@ -199,9 +204,9 @@ async function runSearch(reset) {
   (r.data || []).forEach((page) => {
     const div = document.createElement("div");
     div.className = "result";
-    div.innerHTML = '<a href="' + esc(page.site + page.uri) + '" target="_blank">' +
+    div.innerHTML = '<a href="' + esc(page.site + "/" + page.uri) + '" target="_blank">' +
       esc((page.siteName ? page.siteName + " - " : "") + page.title) + "</a>" +
-      '<div class="muted">' + (page.snippet || "") + "</div>";
+      '<div class="muted">' + escSnippet(page.snippet || "") + "</div>";
     $("#results").appendChild(div);
   });
   const shown = searchState.offset + (r.data || []).length;

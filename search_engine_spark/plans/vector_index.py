@@ -220,14 +220,16 @@ def upsert_vectors(
     Re-running a crashed upsert is idempotent: every cell rewrite is
     anti-join + union of the same inputs.
 
-    Crash-consistency note (in-progress reads): cells commit one at a
-    time, REMOVALS FIRST — old cells that lose a moved vector are
-    rewritten before the vector's new cell is written, so a reader
-    between a mid-loop crash and the idempotent re-run can observe a
-    moved vector as transiently ABSENT, never as a duplicate in two
-    cells. The manifest's start-without-done state
-    (``vector_manifest.jsonl``: a ``vector_upsert`` START row with no
-    matching DONE) is the visible in-progress marker readers can check.
+    Crash-consistency note (in-progress reads): the rewrite runs in TWO
+    phases — every old cell first commits a removals-only rewrite, and
+    only after ALL removals are on disk do the new cells gain rows. A
+    reader between a mid-upsert crash and the idempotent re-run can
+    therefore observe a moved/updated vector as transiently ABSENT,
+    never as a duplicate in two cells (old∩new cells rewrite twice; the
+    loop stays bounded by the centroid count). The manifest's
+    start-without-done state (``vector_manifest.jsonl``: a
+    ``vector_upsert`` START row with no matching DONE) is the visible
+    in-progress marker readers can check.
 
     → {"n_upserted": ..., "cells_touched": [...]} (+ manifest DONE row).
     """
@@ -279,12 +281,28 @@ def upsert_vectors(
             .collect()
         )
     }
-    # removals first: old-only cells, then old∩new, then new-only — a
-    # moved vector leaves its old cell before appearing in its new one
-    touched = sorted(new_cells | old_cells, key=lambda c: (c in new_cells, c))
+    # TWO PHASES, removals strictly before additions: every old cell
+    # first rewrites WITHOUT the delta ids, and only after all removals
+    # have committed do the new cells gain their rows. Any crash prefix
+    # therefore shows a moved vector in at most ONE cell (possibly
+    # transiently in none) — a per-cell ordering heuristic cannot give
+    # this (an old∩new cell's addition could still precede another
+    # moved vector's removal). Old∩new cells rewrite twice; the loop is
+    # bounded by the centroid count either way.
+    touched = new_cells | old_cells
     cols = ["vec_id", "scale", "codes", "embedding"]
-    for c in touched:
+    for c in sorted(old_cells):  # phase 1: removals only
         part = f"vectors/cell={c}"
+        if not catalog.exists(part):
+            continue
+        kept = (
+            catalog.read(spark, part)
+            .join(F.broadcast(ids), "vec_id", "left_anti")
+            .select(*cols)
+        )
+        catalog.rewrite(kept.coalesce(1), part, sort_by=["vec_id"])
+    for c in sorted(new_cells):  # phase 2: additions (anti-join is a
+        part = f"vectors/cell={c}"  # replay-safe no-op after phase 1)
         newc = rows.filter(F.col("cell") == c).select(*cols)
         if catalog.exists(part):
             kept = (

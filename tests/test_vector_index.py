@@ -202,3 +202,47 @@ def test_upsert_collapses_duplicate_ids_in_batch(spark, emb, tmp_path):
         .collect()
     ]
     assert sorted(again) == sorted(stored)
+
+
+def test_upsert_removals_commit_before_additions(spark, emb, tmp_path, monkeypatch):
+    """Crash-consistency ordering (code-review r5): ALL old-cell removal
+    rewrites must commit before ANY cell gains delta rows, so no crash
+    prefix can show a moved vector in two cells. Asserted on the actual
+    rewrite sequence via a recording Catalog.rewrite."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.plans.vector_index import upsert_vectors
+
+    cat = Catalog(str(tmp_path / "vidx_order"))
+    build_vector_index(spark, emb, cat, n_centroids=4, n_iters=2)
+    idx = VectorIndex(spark, cat)
+    # force a MOVE: vec 7 onto cell 2's centroid; plus a plain insert
+    delta = spark.createDataFrame(
+        [(7, [float(x) for x in idx.centroids[2]]),
+         (5000, [0.25] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    old_cell = cat.read(spark, "vectors").filter(
+        F.col("vec_id") == 7).first()["cell"]
+
+    seq = []
+    orig = Catalog.rewrite
+
+    def recording(self, df, name, sort_by=None):
+        if name.startswith("vectors/cell="):
+            has_delta = df.filter(
+                F.col("vec_id").isin([7, 5000])).count() > 0
+            seq.append((name, "add" if has_delta else "remove"))
+        return orig(self, df, name, sort_by=sort_by)
+
+    monkeypatch.setattr(Catalog, "rewrite", recording)
+    upsert_vectors(spark, delta, cat)
+    # the old cell's removals-only rewrite precedes every addition
+    kinds = [k for _n, k in seq]
+    assert "remove" in kinds  # vec 7's old cell was rewritten without it
+    first_add = kinds.index("add")
+    assert all(k == "remove" for k in kinds[:first_add])
+    assert (f"vectors/cell={old_cell}", "remove") in seq[:first_add]
+    # and the moved vector ends up in exactly one cell
+    locs = cat.read(spark, "vectors").filter(F.col("vec_id") == 7).collect()
+    assert len(locs) == 1 and locs[0]["cell"] == 2
