@@ -586,6 +586,16 @@ def pack_sequences(
         .repartitionByRange(n_parts, F.col("_ord").asc(), F.col("doc_id").asc())
         .sortWithinPartitions("_ord", "doc_id")
         .withColumn("_pid", F.spark_partition_id())
+        # MATERIALIZE the partitioning before either pass reads it:
+        # repartitionByRange picks its boundaries from a SAMPLE whose
+        # seed varies with the physical plan's rdd id, so recomputing
+        # `d` in pass 2 can land rows in DIFFERENT partitions than the
+        # pass-1 totals were keyed by — overlapping/gapped offsets that
+        # silently merge or split sequences (caught by the sf0.1 oracle
+        # run, round 5: 524 vs 529 sequences). The eager localCheckpoint
+        # freezes one partitioning that both passes read; it is also the
+        # lineage cut a 10^12-token corpus wants here anyway.
+        .localCheckpoint(eager=True)
     )
     # pass 1: per-partition totals (n_parts rows — bytes to the driver)
     sums = {

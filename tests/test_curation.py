@@ -994,3 +994,28 @@ def test_build_training_dataset_domain_cap(spark):
     assert rep["docs_in"] == 7
     assert rep["after_near_dedup"] == 7      # all distinct
     assert rep["after_domain_cap"] == 3      # a capped 6->2, b keeps 1
+
+
+def test_pack_offsets_contiguous_many_partitions(spark):
+    """Regression (round 5, caught by the sf0.1 oracle): the two-pass
+    prefix sum must key pass-2 offsets by the SAME partitioning pass 1
+    totalled — without the materializing checkpoint, repartitionByRange
+    can re-sample different boundaries per pass and the global offsets
+    overlap/gap. Invariant: start_offs form an EXACT exclusive prefix
+    sum of token counts in (_ord = doc_id) order, at a row count large
+    enough to exercise many range partitions."""
+    from search_engine_spark.operators.curation import pack_sequences
+
+    rows = [(i * 7919 % 20011 - 10000, (i * 13) % 37 + 1)
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    plan = pack_sequences(
+        df, seq_len=64, tokens_col="n", n_parts=16
+    ).select("doc_id", "n_tokens", "start_off").collect()
+    got = sorted(((r["doc_id"], r["n_tokens"], r["start_off"])
+                  for r in plan))
+    acc = 0
+    for doc_id, n, off in got:  # doc_id-ascending == pack order
+        assert off == acc, (doc_id, off, acc)
+        acc += n
+    assert acc == sum(n for _d, n in rows)
