@@ -105,6 +105,37 @@ def verify_index(spark: SparkSession, catalog: Catalog, deep: bool = False) -> d
         out,
     )
 
+    # SymSpell deletes table, when present: its distinct term set must
+    # equal the global vocabulary (a narrower table silently misses
+    # corrections; wider means it outlived a vocabulary change the merge
+    # invalidation should have caught), and every term must carry its own
+    # distance-0 key row
+    from ..operators.spell import SPELL_TABLE
+
+    if catalog.exists(SPELL_TABLE):
+        deletes = catalog.read(spark, SPELL_TABLE)
+        vocab = terms.filter(F.col("scope") == "").select("term")
+        dterms = deletes.select("term").distinct()
+        _check(
+            "spell_vocab_coverage",
+            vocab.join(dterms, "term", "left_anti").unionByName(
+                dterms.join(vocab, "term", "left_anti")
+            ),
+            ["term"],
+            out,
+        )
+        _check(
+            "spell_identity_keys",
+            vocab.join(
+                deletes.filter(F.col("key") == F.col("term"))
+                .select("term").distinct(),
+                "term",
+                "left_anti",
+            ),
+            ["term"],
+            out,
+        )
+
     if deep:
         # decode_blocks flattens away block_id, so the payload check runs
         # per TERM: decoded posting count and id range must match the

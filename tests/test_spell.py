@@ -123,3 +123,32 @@ def test_incremental_merge_invalidates_spell_index(spark, tmp_path):
     eng2 = SearchEngine(spark, cat, code=True)
     assert eng2._symspell_candidates("brandnewwrod", 2) is not None
     assert eng2.did_you_mean("brandnewwrod", k=3, max_dist=2) == got
+
+
+def test_fsck_covers_spell_table(spark, built):
+    """fsck gains two spell-table invariants when term_deletes exists:
+    term-set equality with the global vocabulary, and a distance-0
+    identity key per term — green on a fresh build, red on a truncated
+    table."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.plans.fsck import verify_index
+
+    build_spell_index(spark, built, max_dist=2)
+    rep = verify_index(spark, built)
+    assert rep["ok"]
+    assert rep["spell_vocab_coverage"]["ok"]
+    assert rep["spell_identity_keys"]["ok"]
+
+    # drop one vocabulary term's rows entirely -> coverage violation
+    victim = built.read(spark, SPELL_TABLE).select("term").first()["term"]
+    truncated = built.read(spark, SPELL_TABLE).filter(
+        F.col("term") != victim
+    )
+    built.rewrite(truncated, SPELL_TABLE, sort_by=["key", "term"])
+    rep2 = verify_index(spark, built)
+    assert not rep2["spell_vocab_coverage"]["ok"]
+    assert any(v["term"] == victim
+               for v in rep2["spell_vocab_coverage"]["violations"])
+    # restore for any later module tests
+    build_spell_index(spark, built, max_dist=2)
