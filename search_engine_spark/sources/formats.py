@@ -74,3 +74,19 @@ def read_corpus_csv(
     )
     df = reader.csv(path).select(*[f.name for f in CORPUS.fields])
     return df if strict else _drop_malformed(df)
+
+
+def read_corpus_orc(
+    spark: SparkSession, path: str, strict: bool = True
+) -> DataFrame:
+    """ORC corpus → CORPUS frame. ORC is the other columnar lake format
+    Spark reads natively (Hive-era warehouses hold exabytes of it), with
+    the same predicate-pushdown/column-pruning behavior as parquet, so
+    the read needs no performance caveats. The fixed schema is still
+    ENFORCED, not inferred: a file whose physical types disagree fails
+    the cast (strict) or nulls-and-drops (lenient) instead of silently
+    shifting downstream hash types. Column selection by NAME, so extra
+    columns in the file are pruned at the scan."""
+    df = spark.read.schema(CORPUS).orc(path)
+    df = df.select(*[f.name for f in CORPUS.fields])
+    return df if strict else _drop_malformed(df)

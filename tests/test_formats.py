@@ -107,3 +107,29 @@ def test_build_from_jsonl_equals_build_from_parquet(spark, paths, tmp_path):
         for r in cats["jl"].read(spark, "docs").collect()
     )
     assert a == b and len(a) == len(ROWS)
+
+
+def test_orc_matches_parquet(spark, paths, tmp_path):
+    """ORC source: byte-identical corpus rows (incl. newline content),
+    schema enforced by name with extra file columns pruned."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.plans.build_job import read_corpus
+    from search_engine_spark.schemas import CORPUS
+    from search_engine_spark.sources.formats import read_corpus_orc
+
+    orc = str(tmp_path / "corpus.orc")
+    (read_corpus(spark, paths["parquet"])
+     .withColumn("extra_col", F.lit(1))  # must be pruned by the reader
+     .write.mode("overwrite").orc(orc))
+    got = read_corpus_orc(spark, orc)
+    assert [f.name for f in got.schema.fields] == [
+        f.name for f in CORPUS.fields
+    ]
+    assert _rows(got) == _rows(read_corpus(spark, paths["parquet"]))
+    # content sha matches across formats — the per-row invariant holds
+    shas = {r["s"] for r in got.select(
+        F.sha2("content", 256).alias("s")).collect()}
+    want_shas = {r["s"] for r in read_corpus(spark, paths["parquet"]).select(
+        F.sha2("content", 256).alias("s")).collect()}
+    assert shas == want_shas
